@@ -1,0 +1,388 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Functions
+import graft.operators.Ops
+
+/** Named query registry — the engine's query library (SURVEY.md §2 inventory
+  * re-expressed over the driver testdata per §7.1's role mapping), each with
+  * an equivalent DuckDB oracle SQL.
+  *
+  * Determinism rules (SURVEY.md §5/§7.4):
+  *  - every query ends in a total-order `orderBy` mirrored by `ORDER BY`;
+  *  - double SUMs go through DECIMAL(18,2) then back to double — exact and
+  *    associative, so the hash compare cannot be broken by summation order;
+  *  - per-row double arithmetic uses identical operand order both sides
+  *    (IEEE 754 ops are exactly rounded, hence bit-identical);
+  *  - no wall-clock anywhere.
+  */
+object Queries {
+
+  final case class Q(
+      fn: (SparkSession, String) => DataFrame,
+      sql: Option[String],
+      /** include in Bench headline set (skip O(n²)-ish demos) */
+      bench: Boolean = true)
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  /** Exact associative money-sum: double → decimal(18,2) → sum → double. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+  private val SqlDsum = (x: String) => s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** Testdata-analog influence score (SURVEY.md §7.1: c_acctbal plays
+    * followersCount, c_custkey plays statusesCount, c_nationkey plays
+    * friendsCount) — F1 with the reference's 0.5/0.3/0.2 weights. */
+  private def custScore: Column =
+    Functions.influenceScore(col("c_acctbal"), col("c_custkey"), col("c_nationkey"))
+  private val SqlCustScore =
+    "(COALESCE(c_acctbal, 0.0e0)*0.5e0 + c_custkey*0.3e0 - c_nationkey*0.2e0)"
+
+  // =====================================================================
+  // §2.2 projections / filters
+  // =====================================================================
+
+  private val qP1Projection = Q(
+    (s, d) => t(s, d, "customer")
+      .select(col("c_custkey"), col("c_name"), upper(col("c_mktsegment")).as("segment"))
+      .orderBy(col("c_custkey")),
+    Some("SELECT c_custkey, c_name, upper(c_mktsegment) AS segment FROM customer ORDER BY c_custkey"))
+
+  private val qP5PointLookup = Q(
+    (s, d) => t(s, d, "customer")
+      .filter(col("c_custkey") === 42)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal")),
+    Some("SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey = 42"))
+
+  private val qP6FilterEq = Q(
+    (s, d) => t(s, d, "orders")
+      .filter(col("o_custkey") === 37)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey")),
+    Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_custkey = 37 ORDER BY o_orderkey"))
+
+  private val qP7KolGate = Q(
+    (s, d) => t(s, d, "customer")
+      .select(col("c_custkey"), col("c_name"), custScore.as("influence_score"))
+      .filter(col("influence_score") >= 2000.0)
+      .orderBy(col("c_custkey")),
+    Some(s"SELECT c_custkey, c_name, $SqlCustScore AS influence_score FROM customer " +
+      s"WHERE $SqlCustScore >= 2000.0e0 ORDER BY c_custkey"))
+
+  private val qP11NullGuard = Q(
+    (s, d) => t(s, d, "events")
+      .filter(col("value").isNotNull && col("props").isNotNull)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("event_id")),
+    Some("SELECT event_id, user_id, value FROM events WHERE value IS NOT NULL AND props IS NOT NULL ORDER BY event_id"))
+
+  // =====================================================================
+  // §2.3 scalar functions
+  // =====================================================================
+
+  private val qF1Influence = Q(
+    (s, d) => t(s, d, "customer")
+      .select(col("c_custkey"), custScore.as("influence_score"))
+      .orderBy(col("c_custkey")),
+    Some(s"SELECT c_custkey, $SqlCustScore AS influence_score FROM customer ORDER BY c_custkey"))
+
+  private val qF2BrandRename = Q(
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        Functions.brandRename(concat(lit("https://twitter.com/u/"), col("source"))).as("url"))
+      .orderBy(col("doc_id")),
+    Some("SELECT doc_id, replace(replace('https://twitter.com/u/' || source, 'Twitter', 'X'), 'twitter', 'x') AS url " +
+      "FROM documents ORDER BY doc_id"))
+
+  private val qF4FilenameEpoch = Q(
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        Functions.filenameEpoch(
+          concat(col("source"), lit("_"), col("n_chars").cast("string"), lit(".json"))).as("file_ts"))
+      .orderBy(col("doc_id")),
+    Some("SELECT doc_id, CAST(regexp_extract(source || '_' || CAST(n_chars AS VARCHAR) || '.json', " +
+      "'_([0-9]+)\\.json$', 1) AS BIGINT) AS file_ts FROM documents ORDER BY doc_id"))
+
+  private val qF5JsonProps = Q(
+    (s, d) => t(s, d, "events")
+      .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy(col("event_id")),
+    Some("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id"))
+
+  // =====================================================================
+  // §2.4 joins
+  // =====================================================================
+
+  private val qJ1Linkage = Q(
+    (s, d) => Ops.dimJoin(
+        t(s, d, "orders").select(col("o_custkey").as("c_custkey"), col("o_orderkey")),
+        t(s, d, "customer").select(col("c_custkey"), col("c_name")),
+        Seq("c_custkey"))
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"))
+      .orderBy(col("o_orderkey")),
+    Some("SELECT o_orderkey, c_custkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"))
+
+  private val qJ2DimEnrich = Q(
+    (s, d) => {
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val n = t(s, d, "nation").select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val r = t(s, d, "region").select(col("r_regionkey"), col("r_name"))
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"), col("r_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("SELECT c_custkey, c_name, n_name, r_name FROM customer " +
+      "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey ORDER BY c_custkey"))
+
+  private val qJ3Anti = Q(
+    (s, d) => Ops.antiJoin(
+        t(s, d, "customer").select(col("c_custkey"), col("c_name")),
+        t(s, d, "orders").select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"))
+      .orderBy(col("c_custkey")),
+    Some("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
+      "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"))
+
+  private val qJ3Semi = Q(
+    (s, d) => Ops.semiJoin(
+        t(s, d, "customer").select(col("c_custkey"), col("c_name")),
+        t(s, d, "orders").select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"))
+      .orderBy(col("c_custkey")),
+    Some("SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
+      "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"))
+
+  // =====================================================================
+  // §2.5 aggregations
+  // =====================================================================
+
+  private val qA1Rollup = Q(
+    (s, d) => t(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("total_events"),
+        dsum(Functions.orZeroD(col("value"))).as("total_value"),
+        max(Functions.orZeroD(col("value"))).as("max_value"),
+        countDistinct(col("event_type")).as("n_types"))
+      .orderBy(col("user_id")),
+    Some("SELECT user_id, count(*) AS total_events, " +
+      SqlDsum("COALESCE(value, 0)") + " AS total_value, " +
+      "max(COALESCE(value, 0)) AS max_value, count(DISTINCT event_type) AS n_types " +
+      "FROM events GROUP BY user_id ORDER BY user_id"))
+
+  private val qA2MergePartials = Q(
+    (s, d) => {
+      val partials = t(s, d, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), max(Functions.orZeroD(col("value"))).as("mx"))
+      Ops.mergePartials(partials, Seq("user_id"), Seq("cnt"), Seq("mx"))
+        .withColumnRenamed("cnt", "total_events")
+        .withColumnRenamed("mx", "max_value")
+        .orderBy(col("user_id"))
+        .select(col("user_id"), col("total_events"), col("max_value"))
+    },
+    Some("SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS total_events, MAX(mx) AS max_value FROM " +
+      "(SELECT user_id, event_type, count(*) AS cnt, max(COALESCE(value,0)) AS mx " +
+      " FROM events GROUP BY user_id, event_type) GROUP BY user_id ORDER BY user_id"))
+
+  private val qA3Histogram = Q(
+    (s, d) => Ops.histogram(t(s, d, "customer"), "c_mktsegment")
+      .orderBy(col("c_mktsegment")),
+    Some("SELECT c_mktsegment, count(*) AS cnt FROM customer " +
+      "WHERE c_mktsegment IS NOT NULL GROUP BY c_mktsegment ORDER BY c_mktsegment"))
+
+  private val qA4EventHistogram = Q(
+    (s, d) => Ops.histogram(t(s, d, "events"), "event_type")
+      .orderBy(col("event_type")),
+    Some("SELECT event_type, count(*) AS cnt FROM events " +
+      "WHERE event_type IS NOT NULL GROUP BY event_type ORDER BY event_type"))
+
+  private val qA5GlobalStats = Q(
+    (s, d) => t(s, d, "customer").agg(
+      count(lit(1)).as("n"),
+      (dsum(col("c_acctbal")) / count(lit(1))).as("avg_bal"),
+      max(col("c_acctbal")).as("max_bal")),
+    Some("SELECT count(*) AS n, " + SqlDsum("c_acctbal") + " / count(*) AS avg_bal, " +
+      "max(c_acctbal) AS max_bal FROM customer"))
+
+  private val qA7Distinct = Q(
+    (s, d) => t(s, d, "customer").select(col("c_mktsegment")).distinct()
+      .orderBy(col("c_mktsegment")),
+    Some("SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"))
+
+  private val qA8DedupFirstWins = Q(
+    (s, d) => Ops.dedupFirstWins(
+        t(s, d, "events").select(col("user_id"), col("event_id"), col("ts"), col("event_type")),
+        Seq("user_id"), Seq(col("ts"), col("event_id")))
+      .orderBy(col("user_id")),
+    Some("SELECT user_id, event_id, ts, event_type FROM events " +
+      "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1 ORDER BY user_id"))
+
+  private val qA9EngagementSeries = Q(
+    (s, d) => t(s, d, "events")
+      .groupBy(col("user_id"), window(col("ts"), "1 hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(Functions.orZeroD(col("value"))).as("sum_value"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"))
+      .select(col("user_id"), col("window.start").as("hour_ts"),
+        col("n_events"), col("sum_value"), col("n_purchases"))
+      .orderBy(col("user_id"), col("hour_ts")),
+    Some("SELECT user_id, date_trunc('hour', ts) AS hour_ts, count(*) AS n_events, " +
+      SqlDsum("COALESCE(value,0)") + " AS sum_value, " +
+      "count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases " +
+      "FROM events GROUP BY user_id, date_trunc('hour', ts) ORDER BY user_id, hour_ts"))
+
+  // =====================================================================
+  // §2.6 top-k  +  §2.7 set ops
+  // =====================================================================
+
+  private val qT1Top5Influence = Q(
+    (s, d) => Ops.topK(
+        t(s, d, "customer").select(col("c_custkey"), col("c_name"), custScore.as("influence_score")),
+        5, Seq(col("influence_score").desc, col("c_custkey"))),
+    Some(s"SELECT c_custkey, c_name, $SqlCustScore AS influence_score FROM customer " +
+      "ORDER BY influence_score DESC, c_custkey LIMIT 5"))
+
+  private val qT2Top5Active = Q(
+    (s, d) => Ops.topK(
+        t(s, d, "events").groupBy(col("user_id")).agg(count(lit(1)).as("total_events")),
+        5, Seq(col("total_events").desc, col("user_id"))),
+    Some("SELECT user_id, count(*) AS total_events FROM events GROUP BY user_id " +
+      "ORDER BY total_events DESC, user_id LIMIT 5"))
+
+  private val qUnionNames = Q(
+    (s, d) => Ops.unionAll(Seq(
+        t(s, d, "customer").select(col("c_name").as("name")),
+        t(s, d, "supplier").select(col("s_name").as("name"))))
+      .orderBy(col("name")),
+    Some("SELECT name FROM (SELECT c_name AS name FROM customer UNION ALL SELECT s_name AS name FROM supplier) ORDER BY name"))
+
+  // =====================================================================
+  // headline analytics (bench workhorses; TPC-H-shaped)
+  // =====================================================================
+
+  private val q1PricingSummary = Q(
+    (s, d) => t(s, d, "lineitem")
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        (sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)")).cast("double")).as("sum_disc_price"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
+      SqlDsum("l_extendedprice") + " AS sum_base_price, " +
+      "CAST(SUM(CAST(l_extendedprice * (1.0e0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price, " +
+      "sum(l_quantity) / count(*) AS avg_qty, " +
+      SqlDsum("l_extendedprice") + " / count(*) AS avg_price, " +
+      "count(*) AS count_order " +
+      "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+      "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"))
+
+  private val q3TopRevenue = Q(
+    (s, d) => {
+      val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    Some("SELECT o_orderkey, o_orderdate, " +
+      "CAST(SUM(CAST(l_extendedprice * (1.0e0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "WHERE c_mktsegment = 'BUILDING' " +
+      "GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10"))
+
+  private val q5RegionRevenue = Q(
+    (s, d) => {
+      val r = t(s, d, "region").select(col("r_regionkey"), col("r_name"))
+      val n = t(s, d, "nation").select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"), col("r_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    },
+    Some("SELECT n_name, r_name, " +
+      "CAST(SUM(CAST(l_extendedprice * (1.0e0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue, " +
+      "count(*) AS n_items " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey " +
+      "GROUP BY n_name, r_name ORDER BY n_name"))
+
+  private val qWindowRunning = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("running_value"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    },
+    Some("SELECT user_id, event_id, ts, CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER " +
+      "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value " +
+      "FROM events ORDER BY user_id, ts, event_id"))
+
+  // =====================================================================
+  // registry
+  // =====================================================================
+
+  val registry: Seq[(String, Q)] = Seq(
+    "q_p1_projection" -> qP1Projection,
+    "q_p5_point_lookup" -> qP5PointLookup,
+    "q_p6_filter_eq" -> qP6FilterEq,
+    "q_p7_kol_gate" -> qP7KolGate,
+    "q_p11_null_guard" -> qP11NullGuard,
+    "q_f1_influence" -> qF1Influence,
+    "q_f2_brand_rename" -> qF2BrandRename,
+    "q_f4_filename_epoch" -> qF4FilenameEpoch,
+    "q_f5_json_props" -> qF5JsonProps,
+    "q_j1_linkage" -> qJ1Linkage,
+    "q_j2_dim_enrich" -> qJ2DimEnrich,
+    "q_j3_anti" -> qJ3Anti,
+    "q_j3_semi" -> qJ3Semi,
+    "q_a1_rollup" -> qA1Rollup,
+    "q_a2_merge_partials" -> qA2MergePartials,
+    "q_a3_histogram" -> qA3Histogram,
+    "q_a4_event_histogram" -> qA4EventHistogram,
+    "q_a5_global_stats" -> qA5GlobalStats,
+    "q_a7_distinct" -> qA7Distinct,
+    "q_a8_dedup_first_wins" -> qA8DedupFirstWins,
+    "q_a9_engagement_series" -> qA9EngagementSeries,
+    "q_t1_top5_influence" -> qT1Top5Influence,
+    "q_t2_top5_active" -> qT2Top5Active,
+    "q_union_names" -> qUnionNames,
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q3_top_revenue" -> q3TopRevenue,
+    "q5_region_revenue" -> q5RegionRevenue,
+    "q_window_running" -> qWindowRunning,
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (n, q) => n -> q.fn }.toMap
+
+  def oracleSql: Map[String, String] =
+    registry.collect { case (n, q) if q.sql.isDefined => n -> q.sql.get }.toMap
+
+  def benchNames: Seq[String] = registry.collect { case (n, q) if q.bench => n }
+}

@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Scalar layer — SURVEY.md §2.3 F1-F8 as pure `Column` combinators.
+  *
+  * Everything here stays inside whole-stage codegen: built-in expressions
+  * only, no UDFs, no driver-side logic. At 100 TB these run per-row in the
+  * scan stage, so codegen-ability is the whole game.
+  */
+object Functions {
+
+  /** F1 — influence score (reference: consumer1/consumer1.py:55-59):
+    * `followers*0.5 + statuses*0.3 - friends*0.2`, nulls treated as 0.
+    * Generic over the three input columns so the same combinator serves the
+    * reference shape (followersCount/statusesCount/friendsCount) and the
+    * testdata analog (c_acctbal/c_custkey/c_nationkey).
+    */
+  def influenceScore(followers: Column, statuses: Column, friends: Column): Column =
+    coalesce(followers.cast("double"), lit(0.0)) * 0.5 +
+      coalesce(statuses.cast("double"), lit(0.0)) * 0.3 -
+      coalesce(friends.cast("double"), lit(0.0)) * 0.2
+
+  /** F2 — brand rename (reference: consumer1/consumer1.py:61-69): literal
+    * substring replace `"Twitter"→"X"` then `"twitter"→"x"`, applied to every
+    * string value. Substring semantics are reference-faithful: URLs are hit
+    * too (`twitter.com` → `x.com`). NOT idempotent on arbitrary input —
+    * apply exactly once per record (SURVEY.md §7.4-1).
+    */
+  def brandRename(c: Column): Column =
+    regexp_replace(regexp_replace(c, lit("Twitter"), lit("X")), lit("twitter"), lit("x"))
+
+  /** F3 — ingest-time stamp (reference: consumer1/consumer1.py:81,92,108).
+    * Wall-clock is nondeterministic; verified queries must pass the
+    * timestamp as data or a literal (SURVEY.md §7.4-3), so the combinator
+    * takes an optional fixed epoch for tests.
+    */
+  def ingestStamp(fixedEpoch: Option[Long] = None): Column =
+    fixedEpoch.map(lit(_)).getOrElse(unix_timestamp(current_timestamp()))
+
+  /** F4 — filename-epoch extraction (reference: consumer2/consumer2.py:56-63):
+    * `{topic}_{epoch}.json` → epoch long; malformed names → null (the
+    * PERMISSIVE analog of the reference's ValueError-skip).
+    */
+  def filenameEpoch(c: Column): Column =
+    regexp_extract(c, "_([0-9]+)\\.json$", 1).cast("long")
+
+  /** F5 — JSON string → struct (reference: consumer2/consumer2.py:111-114,126). */
+  def parseJson(c: Column, schema: StructType): Column = from_json(c, schema)
+
+  /** F7 — numeric default on null (reference: consumer2/consumer2.py:184-191). */
+  def orZero(c: Column): Column = coalesce(c, lit(0L))
+
+  /** F7 double variant. */
+  def orZeroD(c: Column): Column = coalesce(c.cast("double"), lit(0.0))
+}

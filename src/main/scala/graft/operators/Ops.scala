@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator layer — SURVEY.md §2.2/2.4/2.5/2.6 as
+  * `DataFrame => DataFrame` combinators.
+  *
+  * Scale notes baked into each combinator:
+  *  - Dimension joins take an explicit `broadcastDim` flag; at 100 TB the
+  *    fact side never moves, only the dim ships.
+  *  - Aggregations are plain `groupBy.agg` — Catalyst plans partial+final
+  *    hash aggregation (map-side combine), which is the distributed form of
+  *    the reference's Mongo `$inc/$max` merges (consumer2.py:198-217).
+  *  - Top-k is `orderBy.limit` — planned as TakeOrderedAndProject: each
+  *    partition keeps k rows, only k×partitions rows reach the driver.
+  *  - First-wins dedup is a window rank, not `dropDuplicates`, so the
+  *    surviving row is deterministic (required by the oracle and by
+  *    exactly-once replay semantics).
+  */
+object Ops {
+
+  /** J: equi-join with optional broadcast of the (small) dimension side.
+    * Reference J1/J2 (consumer2.py:116-153, show.py:142). */
+  def dimJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+              joinType: String = "inner", broadcastDim: Boolean = true): DataFrame =
+    fact.join(if (broadcastDim) broadcast(dim) else dim, keys, joinType)
+
+  /** J3 — existence anti-join (insert-if-absent gate, consumer1.py:126-131). */
+  def antiJoin(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.join(existing, keys, "left_anti")
+
+  /** Semi-join (EXISTS). */
+  def semiJoin(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    left.join(right, keys, "left_semi")
+
+  /** A3/A4 — histogram: groupBy(key).count with null guard (consumer2.py:251-274). */
+  def histogram(df: DataFrame, key: String): DataFrame =
+    df.filter(col(key).isNotNull).groupBy(key).agg(count(lit(1)).as("cnt"))
+
+  /** A8 — deterministic first-wins dedup by `keys`, "first" defined by the
+    * total order `tiebreak` (consumer1.py:123-133 insert-if-absent).
+    * Window rank instead of dropDuplicates: survivor is deterministic, which
+    * both the DuckDB oracle and replayed at-least-once delivery require. */
+  def dedupFirstWins(df: DataFrame, keys: Seq[String], tiebreak: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(tiebreak: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** T1/T2 — top-k with deterministic tie-break; Catalyst plans
+    * TakeOrderedAndProject (per-partition heap, no full sort/shuffle). */
+  def topK(df: DataFrame, k: Int, order: Seq[Column]): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** §2.7 — union by name, tolerating asymmetric schemas. */
+  def unionAll(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** A2 — partial/final merge property: combining per-subkey partial
+    * aggregates must equal the direct aggregate. `sum(cnt)` merges counts,
+    * `max(mx)` merges maxes — exactly the reference's `$inc`/`$max`
+    * (consumer2.py:198-217), but associative and therefore distributable. */
+  def mergePartials(partials: DataFrame, finalKeys: Seq[String],
+                    sums: Seq[String], maxes: Seq[String]): DataFrame = {
+    val aggs = sums.map(c => sum(col(c)).as(c)) ++ maxes.map(c => max(col(c)).as(c))
+    partials.groupBy(finalKeys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+}

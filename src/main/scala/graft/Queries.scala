@@ -17,13 +17,14 @@ import graft.operators.Ops
   *    (IEEE 754 ops are exactly rounded, hence bit-identical);
   *  - no wall-clock anywhere.
   */
-object Queries {
+/** One named query: Spark plan + optional DuckDB oracle SQL. */
+final case class Q(
+    fn: (SparkSession, String) => DataFrame,
+    sql: Option[String],
+    /** include in Bench headline set (skip O(n²)-ish demos) */
+    bench: Boolean = true)
 
-  final case class Q(
-      fn: (SparkSession, String) => DataFrame,
-      sql: Option[String],
-      /** include in Bench headline set (skip O(n²)-ish demos) */
-      bench: Boolean = true)
+object Queries {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
 
@@ -376,7 +377,7 @@ object Queries {
     "q3_top_revenue" -> q3TopRevenue,
     "q5_region_revenue" -> q5RegionRevenue,
     "q_window_running" -> qWindowRunning,
-  )
+  ) ++ QueriesExtras.registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { case (n, q) => n -> q.fn }.toMap

@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data pipeline queries (dedup, similarity search, text analysis)
+  * with DuckDB oracles. Same determinism rules as [[Queries]]; count-typed
+  * outputs are cast to long because Spark `size`/`length` yield int32 while
+  * DuckDB `len` yields int64.
+  */
+object QueriesExtras {
+
+  /** Shared oracle CTE: distinct word 5-gram shingles per document —
+    * mirrors Dedup.shingles(n=5) exactly (same tokenizer, same slice). */
+  private val ShingleCte =
+    "WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
+    "pos AS (SELECT unnest(range(1, 4096)) AS i), " +
+    "sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i+4), ' ') AS g " +
+    "FROM words JOIN pos ON pos.i <= len(w) - 4), " +
+    "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
+    "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter " +
+    "FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+
+  private val JaccardPairsSql = ShingleCte +
+    "SELECT doc_a, doc_b, CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) AS jaccard " +
+    "FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b " +
+    "WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.8e0 " +
+    "ORDER BY doc_a, doc_b"
+
+  private val qDedupExact = Q(
+    (s, d) => Dedup.exactDedup(Tables.load(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("keep_id")),
+    Some("SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies " +
+      "FROM documents GROUP BY 1 ORDER BY keep_id"))
+
+  private val qDedupNgramPairs = Q(
+    (s, d) => Dedup.jaccardPairs(
+        Dedup.shingles(Tables.load(s, d, "documents"), "doc_id", "text", 5),
+        "doc_id", 0.8)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(JaccardPairsSql))
+
+  /** Same semantics as q_dedup_ngram_pairs — and the same oracle — but via
+    * the MinHash+LSH scale path (P(missed pair | j>=0.8) ≈ 5e-8). */
+  private val qDedupMinhashLsh = Q(
+    (s, d) => Dedup.minhashDupPairs(
+        Dedup.shingles(Tables.load(s, d, "documents"), "doc_id", "text", 5),
+        "doc_id", 0.8)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(JaccardPairsSql))
+
+  private val qDedupSimhash = Q(
+    (s, d) => Dedup.simhash32(Tables.load(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS w FROM documents), " +
+      "h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS hv FROM toks), " +
+      "bits AS (SELECT doc_id, i, SUM(CASE WHEN ((hv >> i) & 1) = 1 THEN 1 ELSE -1 END) AS s " +
+      "FROM h, (SELECT unnest(range(0, 32)) AS i) t GROUP BY doc_id, i) " +
+      "SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash " +
+      "FROM bits GROUP BY doc_id ORDER BY doc_id"))
+
+  private val CosD = "embedding::DOUBLE[]"
+  private def cosSql(a: String, b: String) =
+    s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+
+  private val qAnnBruteTopk = Q(
+    (s, d) => Similarity.bruteForceTopK(Tables.load(s, d, "embeddings"),
+      "vec_id", "embedding", anchorId = 0L, k = 10),
+    Some("WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0) " +
+      s"SELECT vec_id, ${cosSql(CosD, "qe")} AS cosine FROM embeddings, q " +
+      "WHERE vec_id <> 0 ORDER BY cosine DESC, vec_id LIMIT 10"))
+
+  private val qEmbNeardupPairs = Q(
+    (s, d) => Similarity.cosinePairs(Tables.load(s, d, "embeddings"),
+        "vec_id", "embedding", threshold = 0.45)
+      .orderBy(col("vec_a"), col("vec_b")),
+    Some("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+      cosSql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]") + " AS cosine " +
+      "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+      "WHERE " + cosSql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]") + " >= 0.45e0 " +
+      "ORDER BY vec_a, vec_b"))
+
+  /** Approximate (multi-probe hyperplane LSH) — no SQL oracle by design;
+    * driver records the weaker rows-only check. */
+  private val qAnnLshTopk = Q(
+    (s, d) => Similarity.annTopK(Tables.load(s, d, "embeddings"),
+      "vec_id", "embedding", anchorId = 0L, k = 10),
+    None)
+
+  private val qTextStats = Q(
+    (s, d) => {
+      val st = TextAnalysis.textStats(Tables.load(s, d, "documents"), "doc_id", "text")
+      st.select(col("doc_id"),
+        col("n_chars_calc").cast("long").as("n_chars_calc"),
+        col("n_words").cast("long").as("n_words"),
+        col("n_distinct_words").cast("long").as("n_distinct_words"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_stopwords").cast("long").as("n_stopwords"),
+        col("avg_word_len"))
+        .orderBy(col("doc_id"))
+    },
+    Some("SELECT doc_id, length(text) AS n_chars_calc, " +
+      "len(string_split_regex(trim(text), '\\s+')) AS n_words, " +
+      "len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct_words, " +
+      "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_tokens, " +
+      "len(regexp_extract_all(lower(text), '\\b(the|a|an|and|of|to|in|is|it|for)\\b')) AS n_stopwords, " +
+      "CAST(list_aggregate(list_transform(string_split_regex(trim(text), '\\s+'), x -> length(x)), 'sum') AS DOUBLE) " +
+      "/ len(string_split_regex(trim(text), '\\s+')) AS avg_word_len " +
+      "FROM documents ORDER BY doc_id"))
+
+  private val qQualityScore = Q(
+    (s, d) => TextAnalysis.qualityScore(Tables.load(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("WITH st AS (SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS nw, " +
+      "len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS nd, " +
+      "len(regexp_extract_all(lower(text), '\\b(the|a|an|and|of|to|in|is|it|for)\\b')) AS ns FROM documents) " +
+      "SELECT doc_id, least(CAST(nw AS DOUBLE) / 100.0e0, 1.0e0) * 0.4e0 " +
+      "+ (CAST(nd AS DOUBLE) / nw) * 0.3e0 + (CAST(ns AS DOUBLE) / nw) * 0.3e0 AS quality " +
+      "FROM st ORDER BY doc_id"))
+
+  private val qLangId = Q(
+    (s, d) => {
+      val li = TextAnalysis.langId(Tables.load(s, d, "documents"), "doc_id", "text")
+      val casts = TextAnalysis.profiles.map { case (l, _) =>
+        col(s"score_$l").cast("long").as(s"score_$l") }
+      li.select((col("doc_id") +: casts :+ col("pred_lang")): _*).orderBy(col("doc_id"))
+    },
+    Some {
+      val scoreExprs = TextAnalysis.profiles.map { case (l, re) =>
+        s"len(regexp_extract_all(lower(text), '$re')) AS score_$l"
+      }.mkString(", ")
+      val best = "greatest(" + TextAnalysis.profiles.map(p => s"score_${p._1}").mkString(", ") + ")"
+      val cases = TextAnalysis.profiles.map { case (l, _) =>
+        s"WHEN score_$l = $best AND $best > 0 THEN '$l'" }.mkString(" ")
+      s"WITH st AS (SELECT doc_id, $scoreExprs FROM documents) " +
+        s"SELECT doc_id, ${TextAnalysis.profiles.map(p => s"score_${p._1}").mkString(", ")}, " +
+        s"CASE $cases ELSE 'und' END AS pred_lang FROM st ORDER BY doc_id"
+    })
+
+  private val qFingerprint = Q(
+    (s, d) => TextAnalysis.fingerprint(Tables.load(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("SELECT doc_id, md5(lower(trim(text))) AS fp, " +
+      "('0x' || substr(md5(lower(trim(text))), 1, 8))::BIGINT AS fp_bucket " +
+      "FROM documents ORDER BY doc_id"))
+
+  /** Binary-column metadata (multimodal plumbing surface): payload size in
+    * bytes + content hash over the binary payload. */
+  private val qBinaryMeta = Q(
+    (s, d) => Tables.load(s, d, "documents")
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("payload_bytes"),
+        md5(col("text")).as("payload_md5"))
+      .orderBy(col("doc_id")),
+    Some("SELECT doc_id, octet_length(encode(text)) AS payload_bytes, " +
+      "md5(text) AS payload_md5 FROM documents ORDER BY doc_id"))
+
+  val registry: Seq[(String, Q)] = Seq(
+    "q_dedup_exact" -> qDedupExact,
+    "q_dedup_ngram_pairs" -> qDedupNgramPairs,
+    "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
+    "q_dedup_simhash" -> qDedupSimhash,
+    "q_ann_brute_topk" -> qAnnBruteTopk,
+    "q_ann_lsh_topk" -> qAnnLshTopk,
+    "q_emb_neardup_pairs" -> qEmbNeardupPairs,
+    "q_text_stats" -> qTextStats,
+    "q_quality_score" -> qQualityScore,
+    "q_lang_id" -> qLangId,
+    "q_fingerprint" -> qFingerprint,
+    "q_binary_meta" -> qBinaryMeta,
+  )
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for large-scale training-data pipelines: exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (the 100 TB story):
+  *  - Exact dedup is a hash-groupBy — one shuffle on a 16-byte fingerprint,
+  *    map-side combined.
+  *  - Pair generation joins on *shingles*, which is exact candidate
+  *    generation (Jaccard > 0 ⇔ at least one shared shingle) — but the join
+  *    fan-out is quadratic in the hottest shingle. At corpus scale the LSH
+  *    path bounds that: signatures are fixed-width (numHashes longs/doc), the
+  *    band join keys are uniform hashes, and the exact verify runs only on
+  *    candidate pairs via set intersection of their shingle sets.
+  *  - All hashing is built-in (md5 / xxhash64) → whole-stage codegen; no UDFs.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles, one row per (id, shingle).
+    * Tokenization is `split(trim(text), "\s+")` — mirrored exactly by the
+    * DuckDB oracle's `string_split_regex`. */
+  def shingles(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    df.select(col(id),
+        split(trim(col(text)), "\\s+").as("w"))
+      .select(col(id), explode(array_distinct(
+        when(size(col("w")) >= n,
+          transform(sequence(lit(1), size(col("w")) - (n - 1)),
+            i => concat_ws(" ", slice(col("w"), i, lit(n)))))
+          .otherwise(array().cast("array<string>")))).as("shingle"))
+
+  /** Exact dedup: fingerprint = md5 of case/whitespace-normalized text;
+    * keep the smallest id per group (deterministic survivor). */
+  def exactDedup(df: DataFrame, id: String, text: String): DataFrame =
+    df.groupBy(md5(lower(trim(col(text)))).as("fp"))
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= threshold).
+    * Shared-shingle join = exhaustive candidate generation; per-pair Jaccard
+    * from |A∩B| (join count) and |A|,|B| (per-doc shingle counts). */
+  def jaccardPairs(sh: DataFrame, id: String, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(id).as("doc_a"), col("shingle"))
+    val b = sh.select(col(id).as("doc_b"), col("shingle"))
+    val inter = a.join(b, "shingle").filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(id).as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col(id).as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures: numHashes independent permutations approximated by
+    * xxhash64(shingle, seed_i); signature_i = min over the doc's shingles.
+    * One shuffle (groupBy id), numHashes aggregates, fixed-width output. */
+  def minHashSignatures(sh: DataFrame, id: String, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    sh.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+      .select(col(id), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: split the signature into `bands` bands of `rows` values;
+    * docs sharing any band key become a candidate pair. Keys are
+    * "band:index-prefixed" strings so bands never collide across indexes. */
+  def lshCandidatePairs(sig: DataFrame, id: String, bands: Int, rows: Int): DataFrame = {
+    val banded = sig.select(col(id), explode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        j => concat(j.cast("string"), lit(":"),
+          concat_ws(",", transform(slice(col("sig"), j * rows + 1, lit(rows)),
+            x => x.cast("string")))))).as("band_key"))
+    banded.select(col(id).as("doc_a"), col("band_key"))
+      .join(banded.select(col(id).as("doc_b"), col("band_key")), "band_key")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** MinHash+LSH near-dup pairs with exact verification: candidates from
+    * banding, then true Jaccard via shingle-set intersection *per candidate
+    * pair only* — the part of the pipeline that stays cheap at corpus scale.
+    * With bands*rows = 128, bands=32: P(miss | j=0.8) ≈ 5e-8, so the output
+    * matches the exhaustive [[jaccardPairs]] (and its SQL oracle). */
+  def minhashDupPairs(sh: DataFrame, id: String, threshold: Double,
+                      bands: Int = 32, rows: Int = 4): DataFrame = {
+    val cand = lshCandidatePairs(minHashSignatures(sh, id, bands * rows), id, bands, rows)
+    val sets = sh.groupBy(col(id))
+      .agg(collect_set(col("shingle")).as("set"), count(lit(1)).as("sz"))
+    cand
+      .join(sets.select(col(id).as("doc_a"), col("set").as("set_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sets.select(col(id).as("doc_b"), col("set").as("set_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 32-bit SimHash over distinct whitespace tokens. Token hash = first 8
+    * hex chars of md5 (portable: the DuckDB oracle computes the identical
+    * value), bit b of the fingerprint = majority vote of token bits. 32 bits
+    * keeps the fingerprint inside a signed long on both engines. */
+  def simhash32(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id),
+        explode(array_distinct(split(trim(col(text)), "\\s+"))).as("tok"))
+      .select(col(id), conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h"))
+      .select(col(id), col("h"), explode(sequence(lit(0), lit(31))).as("i"))
+      .groupBy(col(id), col("i"))
+      .agg(sum(expr("2 * (shiftright(h, cast(i as int)) & 1) - 1")).as("s"))
+      .groupBy(col(id))
+      .agg(sum(when(col("s") > 0,
+        expr("shiftleft(cast(1 as bigint), cast(i as int))")).otherwise(0L)).as("simhash"))
+
+  /** Hamming distance between two simhash fingerprints (for pairing). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline is brute-force cosine top-k — a single scan with a codegen'd
+  * fold, no shuffle except the final TakeOrderedAndProject. The scale path
+  * is random-hyperplane LSH: bucket once (one narrow column added), then
+  * candidate scoring touches only the probed buckets; at 100 TB the bucketed
+  * table is what you'd persist, partitioned by bucket.
+  *
+  * All arithmetic is built-in expressions (zip_with + aggregate fold) in
+  * double precision — bit-compatible with the DuckDB oracle's
+  * list_dot_product over DOUBLE[].
+  */
+object Similarity {
+
+  private def asD(c: Column): Column = c.cast("array<double>")
+
+  /** Sequential-fold dot product — same accumulation order as the oracle. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asD(a), asD(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k against one anchor vector (broadcast to every
+    * partition; the big side streams through codegen, k rows per partition
+    * survive). */
+  def bruteForceTopK(emb: DataFrame, id: String, vec: String,
+                     anchorId: Long, k: Int): DataFrame = {
+    val anchor = emb.filter(col(id) === anchorId).select(col(vec).as("q_vec"))
+    emb.crossJoin(broadcast(anchor))
+      .filter(col(id) =!= anchorId)
+      .select(col(id), round(cosine(col(vec), col("q_vec")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(id))
+      .limit(k)
+  }
+
+  /** All pairs with rounded cosine >= threshold (embedding near-dup dedup).
+    * O(n²) scoring — correct but quadratic; LSH below is the scale path. */
+  def cosinePairs(emb: DataFrame, id: String, vec: String, threshold: Double): DataFrame = {
+    val a = emb.select(col(id).as("vec_a"), col(vec).as("va"))
+    val b = emb.select(col(id).as("vec_b"), col(vec).as("vb"))
+    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), round(cosine(col("va"), col("vb")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Deterministic random hyperplanes (public LSH construction: sign of the
+    * dot with nPlanes gaussian vectors → nPlanes-bit bucket id). Seeded so
+    * plans are stable across sessions. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Add an LSH bucket id column: bit p = sign(v · plane_p). */
+  def withLshBucket(emb: DataFrame, vec: String, planes: Seq[Array[Double]]): DataFrame = {
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(col(vec), planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    emb.withColumn("lsh_bucket", bucket)
+  }
+
+  /** Approximate top-k: score only vectors whose bucket is within
+    * `maxHammingProbe` bits of the anchor's bucket (multi-probe LSH).
+    * Trades recall for touching ~(Σ C(nPlanes,d)) / 2^nPlanes of the data. */
+  def annTopK(emb: DataFrame, id: String, vec: String, anchorId: Long, k: Int,
+              nPlanes: Int = 12, maxHammingProbe: Int = 2): DataFrame = {
+    val dim = 64
+    val bucketed = withLshBucket(emb, vec, hyperplanes(nPlanes, dim))
+    val anchor = bucketed.filter(col(id) === anchorId)
+      .select(col(vec).as("q_vec"), col("lsh_bucket").as("q_bucket"))
+    bucketed.crossJoin(broadcast(anchor))
+      .filter(col(id) =!= anchorId &&
+        bit_count(col("lsh_bucket").bitwiseXOR(col("q_bucket"))) <= maxHammingProbe)
+      .select(col(id), round(cosine(col(vec), col("q_vec")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(id))
+      .limit(k)
+  }
+}

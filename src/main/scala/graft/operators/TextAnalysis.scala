@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation: token counting, quality
+  * scoring, language-ID heuristics, fingerprinting. Pure per-row Column
+  * pipelines — embarrassingly parallel, stay in the scan stage, no shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text. */
+  def words(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish subword segmentation: letter runs, digit runs, single
+    * punctuation — the classic pre-tokenizer regex, counted without
+    * materializing tokens. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  /** English stopword hits (word-boundary matches, lowercased). */
+  def stopwordHits(text: Column): Column =
+    regexp_extract_all(lower(text), lit("\\b(the|a|an|and|of|to|in|is|it|for)\\b"), lit(0))
+
+  /** Per-document statistics: char/word/distinct-word/subword-token counts,
+    * average word length, stopword ratio, type-token ratio. */
+  def textStats(df: DataFrame, id: String, text: String): DataFrame = {
+    val w = words(col(text))
+    df.select(
+      col(id),
+      length(col(text)).as("n_chars_calc"),
+      size(w).as("n_words"),
+      size(array_distinct(w)).as("n_distinct_words"),
+      size(bpeTokens(col(text))).as("n_tokens"),
+      size(stopwordHits(col(text))).as("n_stopwords"),
+      (aggregate(transform(w, t => length(t)), lit(0), (acc, v) => acc + v).cast("double")
+        / size(w)).as("avg_word_len"))
+  }
+
+  /** Composite quality score in [0,1]:
+    * 0.4·min(n_words/100, 1) + 0.3·type-token-ratio + 0.3·stopword-ratio.
+    * Deterministic per-row double arithmetic (oracle mirrors operand order).
+    */
+  def qualityScore(df: DataFrame, id: String, text: String): DataFrame =
+    textStats(df, id, text).select(
+      col(id),
+      (least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.4 +
+        (col("n_distinct_words").cast("double") / col("n_words")) * 0.3 +
+        (col("n_stopwords").cast("double") / col("n_words")) * 0.3).as("quality"))
+
+  /** N-gram-heuristic language ID: per-language stopword hit counts; the
+    * argmax (ties → 'und') is the prediction. Extensible: add a row to
+    * `profiles`. */
+  val profiles: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|is|in)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht)\\b",
+    "es" -> "\\b(el|la|de|que|y|es)\\b",
+    "fr" -> "\\b(le|la|de|et|est|les)\\b")
+
+  def langId(df: DataFrame, id: String, text: String): DataFrame = {
+    val scores = profiles.map { case (lang, re) =>
+      lang -> size(regexp_extract_all(lower(col(text)), lit(re), lit(0)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pred = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    // foldRight + overwrite-on-match ⇒ first profile in `profiles` order wins
+    // ties, deterministically (the oracle mirrors with a CASE chain).
+    val cols = col(id) +: scores.map { case (l, s) => s.as(s"score_$l") } :+ pred.as("pred_lang")
+    df.select(cols: _*)
+  }
+
+  /** Portable content fingerprint: md5 of normalized text, plus a 32-bit
+    * numeric prefix usable as a shard/bucket key. */
+  def fingerprint(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(
+      col(id),
+      md5(lower(trim(col(text)))).as("fp"),
+      conv(substring(md5(lower(trim(col(text)))), 1, 8), 16, 10).cast("long").as("fp_bucket"))
+}

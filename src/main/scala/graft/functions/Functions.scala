@@ -44,8 +44,11 @@ object Functions {
     * `{topic}_{epoch}.json` → epoch long; malformed names → null (the
     * PERMISSIVE analog of the reference's ValueError-skip).
     */
-  def filenameEpoch(c: Column): Column =
-    regexp_extract(c, "_([0-9]+)\\.json$", 1).cast("long")
+  def filenameEpoch(c: Column): Column = {
+    val m = regexp_extract(c, "_([0-9]+)\\.json$", 1)
+    // no-match yields "" — map to null before the cast (ANSI-safe)
+    when(m === "", lit(null)).otherwise(m).cast("long")
+  }
 
   /** F5 — JSON string → struct (reference: consumer2/consumer2.py:111-114,126). */
   def parseJson(c: Column, schema: StructType): Column = from_json(c, schema)

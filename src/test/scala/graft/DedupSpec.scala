@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "the quick brown fox jumps over the lazy dog tonight"), // near-dup of 1
+    (3L, "completely different words appear in this other document here"),
+    (4L, "the quick brown fox jumps over the lazy dog today"),   // exact dup of 1
+    (5L, "short text")                                            // < n words
+  ).toDF("doc_id", "text")
+
+  test("shingles: w-grams, distinct, short docs yield none") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 5)
+    val counts = sh.groupBy($"doc_id").count().as[(Long, Long)].collect().toMap
+    assert(counts(1L) == 6) // 10 words -> 6 5-grams
+    assert(!counts.contains(5L))
+  }
+
+  test("exact dedup groups identical normalized text, min id survives") {
+    val got = Dedup.exactDedup(docs, "doc_id", "text")
+      .orderBy($"keep_id").select($"keep_id", $"n_copies").as[(Long, Long)].collect()
+    assert(got sameElements Array((1L, 2L), (2L, 1L), (3L, 1L), (5L, 1L)))
+  }
+
+  test("jaccard pairs find planted near-dup and exact dup, not the distinct doc") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 5)
+    val pairs = Dedup.jaccardPairs(sh, "doc_id", 0.5)
+      .orderBy($"doc_a", $"doc_b")
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    assert(pairs sameElements Array((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("minhash+LSH returns the same verified pairs as the exhaustive path") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 5)
+    val exact = Dedup.jaccardPairs(sh, "doc_id", 0.5)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .orderBy($"doc_a", $"doc_b").as[(Long, Long, Double)].collect()
+    val lsh = Dedup.minhashDupPairs(sh, "doc_id", 0.5)
+      .orderBy($"doc_a", $"doc_b").as[(Long, Long, Double)].collect()
+    assert(lsh sameElements exact)
+  }
+
+  test("simhash: identical text -> identical hash; near-dup -> small hamming") {
+    val hs = Dedup.simhash32(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(hs(1L) == hs(4L))
+    val near = java.lang.Long.bitCount(hs(1L) ^ hs(2L))
+    val far = java.lang.Long.bitCount(hs(1L) ^ hs(3L))
+    assert(near < far, s"near=$near far=$far")
+    assert(hs.values.forall(h => h >= 0 && h <= 0xffffffffL)) // 32-bit range
+  }
+}

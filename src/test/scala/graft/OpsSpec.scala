@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Ops
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("A8 dedupFirstWins is deterministic: earliest (ts, id) survives") {
+    val df = Seq(("u1", 5L, "e1"), ("u1", 3L, "e2"), ("u1", 3L, "e0"), ("u2", 9L, "e9"))
+      .toDF("k", "ts", "payload")
+    val got = Ops.dedupFirstWins(df, Seq("k"), Seq($"ts", $"payload"))
+      .orderBy($"k").as[(String, Long, String)].collect()
+    assert(got sameElements Array(("u1", 3L, "e0"), ("u2", 9L, "e9")))
+  }
+
+  test("J3 anti-join keeps only absent keys (insert-if-absent gate)") {
+    val incoming = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("_id", "v")
+    val existing = Seq(("b", 99)).toDF("_id", "w")
+    val got = Ops.antiJoin(incoming, existing, Seq("_id"))
+      .orderBy($"_id").as[(String, Int)].collect()
+    assert(got sameElements Array(("a", 1), ("c", 3)))
+  }
+
+  test("A2 merge of partial aggregates == direct aggregate (sum/max), random splits") {
+    // property-style: 20 seeded random datasets with random partitionings —
+    // the associativity invariant the reference's Mongo $inc/$max relies on
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 20) {
+      val n = 1 + rnd.nextInt(40)
+      val xs = List.fill(n)((s"p${rnd.nextInt(5)}", rnd.nextInt(1000).toLong))
+      val df = xs.map { case (part, v) => ("k", part, v) }.toDF("k", "part", "v")
+      val direct = df.groupBy($"k")
+        .agg(count(lit(1)).as("cnt"), max($"v").as("mx"))
+        .as[(String, Long, Long)].head()
+      val partials = df.groupBy($"k", $"part")
+        .agg(count(lit(1)).as("cnt"), max($"v").as("mx"))
+      val merged = Ops.mergePartials(partials, Seq("k"), Seq("cnt"), Seq("mx"))
+        .select($"k", $"cnt", $"mx").as[(String, Long, Long)].head()
+      assert(direct == merged)
+    }
+  }
+
+  test("T1 topK returns k rows in order with deterministic ties") {
+    val df = Seq(("a", 3.0), ("b", 5.0), ("c", 5.0), ("d", 1.0)).toDF("id", "score")
+    val got = Ops.topK(df, 2, Seq($"score".desc, $"id")).as[(String, Double)].collect()
+    assert(got sameElements Array(("b", 5.0), ("c", 5.0)))
+  }
+
+  test("union tolerates asymmetric schemas") {
+    val a = Seq(("x", 1)).toDF("name", "extra")
+    val b = Seq("y").toDF("name")
+    val got = Ops.unionAll(Seq(a, b)).orderBy($"name")
+      .select($"name").as[String].collect()
+    assert(got sameElements Array("x", "y"))
+  }
+}

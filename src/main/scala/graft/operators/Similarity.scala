@@ -19,9 +19,13 @@ object Similarity {
 
   private def asD(c: Column): Column = c.cast("array<double>")
 
-  /** Sequential-fold dot product — same accumulation order as the oracle. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asD(a), asD(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Sequential dot product via the native codegen expression
+    * [[graft.plans.ArrayDotProduct]] (registered idempotently on the active
+    * session). Same accumulation order as the DuckDB oracle. */
+  def dot(a: Column, b: Column): Column = {
+    graft.plans.GraftFunctions.register(org.apache.spark.sql.SparkSession.active)
+    call_function("array_dot", asD(a), asD(b))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -41,12 +45,16 @@ object Similarity {
   }
 
   /** All pairs with rounded cosine >= threshold (embedding near-dup dedup).
-    * O(n²) scoring — correct but quadratic; LSH below is the scale path. */
+    * Norms are computed once per vector on each side (O(n)) so the O(n²)
+    * pair stage is a single codegen'd dot per pair; `dot/(norm_a*norm_b)`
+    * keeps the arithmetic bit-identical to the unfactored oracle formula.
+    * Quadratic by nature; LSH below is the scale path. */
   def cosinePairs(emb: DataFrame, id: String, vec: String, threshold: Double): DataFrame = {
-    val a = emb.select(col(id).as("vec_a"), col(vec).as("va"))
-    val b = emb.select(col(id).as("vec_b"), col(vec).as("vb"))
+    val a = emb.select(col(id).as("vec_a"), asD(col(vec)).as("va"), norm(col(vec)).as("na"))
+    val b = emb.select(col(id).as("vec_b"), asD(col(vec)).as("vb"), norm(col(vec)).as("nb"))
     a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), round(cosine(col("va"), col("vb")), 6).as("cosine"))
+      .select(col("vec_a"), col("vec_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 

@@ -80,4 +80,94 @@ object Streaming {
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(path)
+
+  /** S8/F4 — stamp each row with the epoch parsed from its source filename
+    * (`{topic}_{epoch}.json`), the reference's filename-timestamp protocol
+    * (consumer2.py:56-63). Works on batch and file-streaming frames. */
+  def withFilenameEpoch(df: DataFrame): DataFrame =
+    df.withColumn("file_ts", graft.functions.Functions.filenameEpoch(input_file_name()))
+
+  /** S7 — last-write-wins upsert sink (consumer1.py:144-150): newest version
+    * per key replaces state. `versionCol` orders writes (batch id, event ts,
+    * …); rewrite of the key partition is modeled as read-union-dedup-write,
+    * which is the foreachBatch MERGE shape for any keyed table format. */
+  def upsertLastWinsSink(keyCol: String, versionCol: String, stateDir: String)
+                        (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    // ties on version prefer the incoming row (the later write wins)
+    val incoming = batch.withColumn("__p", lit(1))
+    val merged =
+      try incoming.unionByName(spark.read.parquet(stateDir).withColumn("__p", lit(0)))
+      catch { case _: org.apache.spark.sql.AnalysisException => incoming }
+    graft.operators.Ops
+      .dedupFirstWins(merged, Seq(keyCol), Seq(col(versionCol).desc, col("__p").desc))
+      .drop("__p")
+      .write.mode("overwrite").parquet(stateDir + "_next")
+    // atomic-swap stand-in for a transactional table commit
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmRf)
+      f.delete(): Unit
+    }
+    val cur = new java.io.File(stateDir)
+    val next = new java.io.File(stateDir + "_next")
+    if (cur.exists()) rmRf(cur)
+    next.renameTo(cur): Unit
+  }
+
+  /** ST6/A2 — stateful incremental per-key totals across micro-batches via
+    * mapGroupsWithState: the distributed, checkpointable form of the
+    * reference's Mongo `$inc`/`$max` ledger (consumer2.py:198-217). */
+  case class UserTotals(user_id: Long, total_events: Long, total_value: Double, max_value: Double)
+  def statefulRunningTotals(events: org.apache.spark.sql.Dataset[(Long, Double)]): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupState
+    events.groupByKey(_._1)
+      .mapGroupsWithState[UserTotals, UserTotals](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0, Double.MinValue))
+          val vs = rows.map(_._2).toSeq
+          val next = UserTotals(uid,
+            prev.total_events + vs.size,
+            prev.total_value + vs.sum,
+            math.max(prev.max_value, if (vs.isEmpty) prev.max_value else vs.max))
+          state.update(next)
+          next
+      }.toDF()
+  }
+
+  /** S5 — raw lake sink (consumer1.py:112-121): JSON files partitioned by
+    * topic. The reference wrote one file per record over HTTP; per-batch
+    * files partitioned by topic are the semantic equivalent that scales. */
+  def rawJsonSink(df: DataFrame, path: String, checkpointDir: String): DataStreamWriter[Row] =
+    df.writeStream.format("json").partitionBy("topic")
+      .option("path", path).option("checkpointLocation", checkpointDir)
+
+  // -------------------------------------------------------------------
+  // Kafka wiring (S2/S4, consumer1.py:41-48 / producer.py:43-66). The
+  // spark-sql-kafka connector jar is not in this container, so these
+  // builders are compile-level contracts: correct options and JSON
+  // envelope handling, exercised only where the connector is deployed.
+  // -------------------------------------------------------------------
+
+  /** S4 — multi-topic Kafka JSON source: subscribe list, earliest offsets,
+    * value parsed per-topic with the fixed schema (S9 discipline — no
+    * inference pass against a 100 TB topic). */
+  def kafkaJsonSource(spark: SparkSession, servers: String, topics: Seq[String],
+                      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topics.mkString(","))
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(col("topic"),
+        from_json(col("value").cast("string"), schema).as("doc"),
+        col("timestamp").as("kafka_ts"))
+
+  /** S2 — Kafka JSON sink: whole-row JSON envelope, topic routed. */
+  def kafkaJsonSink(df: DataFrame, servers: String, topic: String): DataStreamWriter[Row] =
+    df.selectExpr("to_json(struct(*)) AS value")
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
 }

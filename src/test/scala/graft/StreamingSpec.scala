@@ -53,6 +53,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(got sameElements Array(("a", 0), ("b", 2), ("c", 3)))
   }
 
+  test("last-write-wins upsert: newest version survives, replay-safe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lww").toString + "/state"
+    val b1 = Seq(("a", 1L, "v1"), ("b", 1L, "v1")).toDF("_id", "version", "payload")
+    val b2 = Seq(("a", 2L, "v2"), ("c", 1L, "v1")).toDF("_id", "version", "payload")
+    Streaming.upsertLastWinsSink("_id", "version", dir)(b1, 0L)
+    Streaming.upsertLastWinsSink("_id", "version", dir)(b2, 1L)
+    Streaming.upsertLastWinsSink("_id", "version", dir)(b2, 1L) // replay
+    val got = spark.read.parquet(dir).orderBy($"_id")
+      .as[(String, Long, String)].collect()
+    assert(got sameElements Array(("a", 2L, "v2"), ("b", 1L, "v1"), ("c", 1L, "v1")))
+  }
+
+  test("ST6 stateful running totals accumulate across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val q = Streaming.statefulRunningTotals(mem.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("totals").start()
+    try {
+      mem.addData((1L, 2.0), (1L, 3.0), (2L, 7.0))
+      q.processAllAvailable()
+      mem.addData((1L, 10.0))
+      q.processAllAvailable()
+      val got = spark.table("totals")
+        .groupBy($"user_id")
+        .agg(max($"total_events").as("n"), max($"total_value").as("tv"), max($"max_value").as("mx"))
+        .orderBy($"user_id")
+        .as[(Long, Long, Double, Double)].collect()
+      // user 1: batch1 (2 events, 5.0, max 3) then batch2 (3 events, 15.0, max 10)
+      assert(got sameElements Array((1L, 3L, 15.0, 10.0), (2L, 1L, 7.0, 7.0)))
+    } finally q.stop()
+  }
+
+  test("S8 filename epoch stamps rows from their source file name") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_files")
+    java.nio.file.Files.writeString(tmp.resolve("tweets_1736900000.json"), """{"a":1}""")
+    java.nio.file.Files.writeString(tmp.resolve("users_1736900055.json"), """{"a":2}""")
+    val df = spark.read.schema("a INT").json(tmp.toString)
+    val got = Streaming.withFilenameEpoch(df).orderBy($"a")
+      .select($"a", $"file_ts").as[(Int, Long)].collect()
+    assert(got sameElements Array((1, 1736900000L), (2, 1736900055L)))
+  }
+
   test("streaming upsert query end-to-end with checkpoint") {
     implicit val sq = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString

@@ -155,7 +155,43 @@ object QueriesExtras {
     Some("SELECT doc_id, octet_length(encode(text)) AS payload_bytes, " +
       "md5(text) AS payload_md5 FROM documents ORDER BY doc_id"))
 
+  /** J1 via the skew-resilient salted join — deliberately verified against
+    * the SAME oracle SQL as q_j1_linkage: the driver's gate itself proves
+    * `Scale.saltedJoin` is semantics-preserving. */
+  private val qJ1Salted = Q(
+    (s, d) => graft.operators.Scale.saltedJoin(
+        Tables.load(s, d, "orders").select(col("o_custkey").as("c_custkey"), col("o_orderkey")),
+        Tables.load(s, d, "customer").select(col("c_custkey"), col("c_name")),
+        "c_custkey", salts = 8)
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"))
+      .orderBy(col("o_orderkey")),
+    Some("SELECT o_orderkey, c_custkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"))
+
+  /** A9 map-shaped engagement log via the typed single-pass Aggregator —
+    * MapType output, not SQL-oracle-able (SURVEY.md §7.4-4): rows-only.
+    * The relational twin q_a9_engagement_series is the oracle-verified form.
+    */
+  private val qA9EngagementMap = Q(
+    (s, d) => {
+      import s.implicits._
+      Tables.load(s, d, "events")
+        .select(col("user_id"),
+          unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+          lit(1L).as("cnt"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("purchases"),
+          (coalesce(col("value"), lit(0.0)) * 100).cast("long").as("value_cents"))
+        .as[(Long, Long, Long, Long, Long)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._3, r._4, r._5))
+        .agg(graft.operators.EngagementAggregator.aggregator.toColumn.name("engagement_log"))
+        .toDF("user_id", "engagement_log")
+        .orderBy(col("user_id"))
+    },
+    None)
+
   val registry: Seq[(String, Q)] = Seq(
+    "q_j1_linkage_salted" -> qJ1Salted,
+    "q_a9_engagement_map" -> qA9EngagementMap,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_ngram_pairs" -> qDedupNgramPairs,
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,

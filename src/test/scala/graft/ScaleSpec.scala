@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{EngagementAggregator, Scale}
+
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("salted join ≡ plain join (skewed fact, 1:N)") {
+    // hot key "k0" holds 80% of fact rows
+    val fact = ((1 to 400).map(i => ("k0", i)) ++ (1 to 100).map(i => (s"k${i % 7 + 1}", i)))
+      .toDF("key", "v")
+    val dim = (0 to 7).map(i => (s"k$i", s"dim$i")).toDF("key", "name")
+    val plain = fact.join(dim, Seq("key")).select($"key", $"v", $"name")
+      .orderBy($"key", $"v").collect()
+    val salted = Scale.saltedJoin(fact, dim, "key", salts = 8)
+      .select($"key", $"v", $"name").orderBy($"key", $"v").collect()
+    assert(salted sameElements plain)
+  }
+
+  test("two-level salted agg ≡ direct agg") {
+    val df = (1 to 1000).map(i => (s"k${i % 3}", i.toLong)).toDF("key", "v")
+    val direct = df.groupBy($"key").agg(count(lit(1)).as("n"), max($"v").as("mx"))
+      .orderBy($"key").as[(String, Long, Long)].collect()
+    val two = Scale.twoLevelAgg(df, "key", salts = 16,
+        partial = Seq(count(lit(1)).as("n"), max($"v").as("mx")),
+        merge = Seq(sum($"n").as("n"), max($"mx").as("mx")))
+      .orderBy($"key").as[(String, Long, Long)].collect()
+    assert(two sameElements direct)
+  }
+
+  test("bucketed table joins without exchange on the bucket key") {
+    val a = (1L to 500L).map(i => (i, s"a$i")).toDF("k", "av")
+    val b = (1L to 500L).map(i => (i, s"b$i")).toDF("k", "bv")
+    Scale.writeBucketed(a, "bk_a", "k", buckets = 4)
+    Scale.writeBucketed(b, "bk_b", "k", buckets = 4)
+    // force the sort-merge path (tiny fixtures would broadcast otherwise) to
+    // observe that bucketing removes the shuffle on both sides
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bk_a").join(spark.table("bk_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free bucketed join:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"bucketing not used:\n$plan")
+      assert(joined.count() == 500)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("partitioned lake write prunes partitions on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lake").toString + "/events"
+    val df = Seq(("tweets", 1), ("tweets", 2), ("users", 3)).toDF("topic", "v")
+    Scale.writePartitioned(df, dir, Seq("topic"))
+    val pruned = spark.read.parquet(dir).filter($"topic" === "users")
+    assert(pruned.count() == 1)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(!scan.contains("topic=tweets"))
+  }
+
+  test("A9 Aggregator builds the engagement map in one pass, merge-safe") {
+    val rows = Seq(
+      ("u1", (100L, 1L, 2L, 3L)), ("u1", (100L, 1L, 0L, 0L)), ("u1", (200L, 5L, 5L, 5L)),
+      ("u2", (100L, 9L, 9L, 9L)))
+      .toDF("author", "e").as[(String, EngagementAggregator.In)]
+    val got = rows.groupByKey(_._1).mapValues(_._2)
+      .agg(EngagementAggregator.aggregator.toColumn.name("log"))
+      .collect().toMap
+    assert(got("u1")(100L) == Seq(2L, 2L, 3L) && got("u1")(200L) == Seq(5L, 5L, 5L))
+    assert(got("u2")(100L) == Seq(9L, 9L, 9L))
+  }
+}

@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract invariants: the exact properties the harness relies on. */
+class SparkEntrySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("entry returns rows on sf0.001 (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query; names are well-formed") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
+    assert(qs.forall(_.matches("[a-z0-9_]+")))
+  }
+
+  test("every query runs and yields rows at sf0.001") {
+    val empty = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, fn) =>
+      fn(spark, "/root/testdata/sf0.001").limit(1).count() == 0
+    }.map(_._1)
+    // point lookups and the no-orders anti-join may legitimately be empty at
+    // the smallest sf; everything else must produce rows
+    val allowedEmpty = Set("q_p5_point_lookup", "q_p6_filter_eq", "q_j3_anti")
+    assert(empty.toSet.subsetOf(allowedEmpty), s"unexpectedly empty: $empty")
+  }
+}

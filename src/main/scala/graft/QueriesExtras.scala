@@ -87,6 +87,15 @@ object QueriesExtras {
       "vec_id", "embedding", anchorId = 0L, k = 10),
     None)
 
+  /** IVF ANN with full probing (nprobe == nlist) degenerates to exact
+    * search, so it shares the brute-force oracle — the gate verifies the
+    * quantize→probe→score pipeline end-to-end. Production uses
+    * nprobe << nlist (see SimilaritySpec for the approximate mode). */
+  private val qAnnIvfTopk = Q(
+    (s, d) => Similarity.ivfTopK(Tables.load(s, d, "embeddings"),
+      "vec_id", "embedding", anchorId = 0L, k = 10, nlist = 8, nprobe = 8),
+    qAnnBruteTopk.sql)
+
   private val qTextStats = Q(
     (s, d) => {
       val st = TextAnalysis.textStats(Tables.load(s, d, "documents"), "doc_id", "text")
@@ -198,6 +207,7 @@ object QueriesExtras {
     "q_dedup_simhash" -> qDedupSimhash,
     "q_ann_brute_topk" -> qAnnBruteTopk,
     "q_ann_lsh_topk" -> qAnnLshTopk,
+    "q_ann_ivf_topk" -> qAnnIvfTopk,
     "q_emb_neardup_pairs" -> qEmbNeardupPairs,
     "q_text_stats" -> qTextStats,
     "q_quality_score" -> qQualityScore,

@@ -75,6 +75,53 @@ object Similarity {
     emb.withColumn("lsh_bucket", bucket)
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer partitions the
+    * corpus into `nlist` cells; a query scores only the `nprobe` cells whose
+    * centroids are nearest its vector. The clustered, cell-partitioned table
+    * is the persistable index — at 100 TB you write it once
+    * (`Scale.writePartitioned` by cell) and every query touches
+    * ~nprobe/nlist of the data. Centroid training samples the corpus
+    * (seeded, deterministic); assignment + search are plain Column plans
+    * over the codegen'd [[dot]].
+    */
+  def ivfTopK(emb: DataFrame, id: String, vec: String, anchorId: Long, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = emb.select(array_to_vector(asD(col(vec))).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(train)
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray)
+    }.toSeq
+    // cell assignment: argmin over centroid distances == argmax cosine-free
+    // L2; expressed as a greatest-of-dots over unit-free distances
+    val cDf = emb.sparkSession.createDataFrame(centroids).toDF("cell", "centroid")
+    val assigned = emb.crossJoin(broadcast(cDf))
+      .withColumn("dist2",
+        dot(col(vec), col(vec)) - lit(2.0) * dot(col(vec), col("centroid"))
+          + dot(col("centroid"), col("centroid")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(id))
+          .orderBy(col("dist2"), col("cell"))))
+      .filter(col("rn") === 1)
+      .select(col(id), col(vec), col("cell"))
+    val anchor = assigned.filter(col(id) === anchorId)
+      .select(col(vec).as("q_vec"))
+    // probe cells: nprobe nearest centroids to the anchor
+    val probeCells = cDf.crossJoin(broadcast(anchor))
+      .withColumn("dist2",
+        dot(col("q_vec"), col("q_vec")) - lit(2.0) * dot(col("q_vec"), col("centroid"))
+          + dot(col("centroid"), col("centroid")))
+      .orderBy(col("dist2"), col("cell")).limit(nprobe)
+      .select(col("cell"))
+    assigned.join(broadcast(probeCells), "cell")
+      .crossJoin(broadcast(anchor))
+      .filter(col(id) =!= anchorId)
+      .select(col(id), round(cosine(col(vec), col("q_vec")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(id))
+      .limit(k)
+  }
+
   /** Approximate top-k: score only vectors whose bucket is within
     * `maxHammingProbe` bits of the anchor's bucket (multi-probe LSH).
     * Trades recall for touching ~(Σ C(nPlanes,d)) / 2^nPlanes of the data. */

@@ -38,6 +38,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got sameElements Array((0L, 1L), (0L, 4L), (1L, 4L)))
   }
 
+  test("IVF with full probing equals brute force; partial probing stays sane") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .as[(Long, Double)].collect()
+    val full = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10, nlist = 8, nprobe = 8)
+      .as[(Long, Double)].collect()
+    assert(full sameElements brute)
+    val partial = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10, nlist = 8, nprobe = 2)
+      .as[(Long, Double)].collect()
+    assert(partial.length == 10)
+    // approximate results are a subset of the corpus scored with true cosine:
+    // no result can beat the true best
+    assert(partial.head._2 <= brute.head._2)
+  }
+
   test("LSH bucket assignment is deterministic and colinear vectors share a bucket") {
     val planes = Similarity.hyperplanes(8, 3)
     val b1 = Similarity.withLshBucket(vecs, "embedding", planes)

@@ -31,18 +31,28 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Brute-force cosine top-k against one anchor vector (broadcast to every
-    * partition; the big side streams through codegen, k rows per partition
-    * survive). */
-  def bruteForceTopK(emb: DataFrame, id: String, vec: String,
-                     anchorId: Long, k: Int): DataFrame = {
-    val anchor = emb.filter(col(id) === anchorId).select(col(vec).as("q_vec"))
-    emb.crossJoin(broadcast(anchor))
+  /** Shared scoring tail: cosine against the broadcast anchor, anchor row
+    * excluded, rounded to the oracle's scale, deterministic tie-break,
+    * TakeOrderedAndProject. ALL ANN variants go through this one definition
+    * so the exact/approximate paths can never drift from the oracle
+    * arithmetic independently. */
+  private def scoreTopK(candidates: DataFrame, anchor: DataFrame,
+                        id: String, vec: String, anchorId: Long, k: Int): DataFrame =
+    candidates.crossJoin(broadcast(anchor))
       .filter(col(id) =!= anchorId)
       .select(col(id), round(cosine(col(vec), col("q_vec")), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(id))
       .limit(k)
-  }
+
+  private def anchorOf(emb: DataFrame, id: String, vec: String, anchorId: Long): DataFrame =
+    emb.filter(col(id) === anchorId).select(col(vec).as("q_vec"))
+
+  /** Brute-force cosine top-k against one anchor vector (broadcast to every
+    * partition; the big side streams through codegen, k rows per partition
+    * survive). */
+  def bruteForceTopK(emb: DataFrame, id: String, vec: String,
+                     anchorId: Long, k: Int): DataFrame =
+    scoreTopK(emb, anchorOf(emb, id, vec, anchorId), id, vec, anchorId, k)
 
   /** All pairs with rounded cosine >= threshold (embedding near-dup dedup).
     * Norms are computed once per vector on each side (O(n)) so the O(n²)
@@ -75,51 +85,59 @@ object Similarity {
     emb.withColumn("lsh_bucket", bucket)
   }
 
-  /** IVF (inverted-file) ANN: k-means coarse quantizer partitions the
-    * corpus into `nlist` cells; a query scores only the `nprobe` cells whose
-    * centroids are nearest its vector. The clustered, cell-partitioned table
-    * is the persistable index — at 100 TB you write it once
-    * (`Scale.writePartitioned` by cell) and every query touches
-    * ~nprobe/nlist of the data. Centroid training samples the corpus
-    * (seeded, deterministic); assignment + search are plain Column plans
-    * over the codegen'd [[dot]].
+  /** IVF (inverted-file) ANN: a spherical k-means coarse quantizer
+    * partitions the corpus into `nlist` cells; a query scores only the
+    * `nprobe` cells whose centroids are nearest its vector. The clustered,
+    * cell-partitioned table is the persistable index — at 100 TB you write
+    * it once (`Scale.writePartitioned` by cell) and every query touches
+    * ~nprobe/nlist of the data.
+    *
+    * Because the metric is COSINE, training/assignment/probing run on
+    * L2-NORMALIZED vectors (spherical k-means): on raw vectors, a
+    * high-cosine neighbor with a different magnitude lands in a far cell
+    * and partial-probe recall collapses. Final scoring still uses the raw
+    * vectors through [[scoreTopK]], so results carry the exact oracle
+    * arithmetic.
+    *
+    * Training fits on a bounded, deterministic corpus prefix
+    * (`trainLimit`); assignment is a per-row argmin over centroid literals
+    * — no shuffle, no join (the [[withLshBucket]] pattern).
     */
   def ivfTopK(emb: DataFrame, id: String, vec: String, anchorId: Long, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              nlist: Int = 16, nprobe: Int = 4, trainLimit: Int = 10000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val train = emb.select(array_to_vector(asD(col(vec))).as("features"))
+
+    def normalized(c: Column): Column = {
+      val n = norm(c)
+      transform(asD(c), x => x / n)
+    }
+
+    val train = emb.limit(trainLimit)
+      .select(array_to_vector(normalized(col(vec))).as("features"))
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(train)
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray)
-    }.toSeq
-    // cell assignment: argmin over centroid distances == argmax cosine-free
-    // L2; expressed as a greatest-of-dots over unit-free distances
-    val cDf = emb.sparkSession.createDataFrame(centroids).toDF("cell", "centroid")
-    val assigned = emb.crossJoin(broadcast(cDf))
-      .withColumn("dist2",
-        dot(col(vec), col(vec)) - lit(2.0) * dot(col(vec), col("centroid"))
-          + dot(col("centroid"), col("centroid")))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col(id))
-          .orderBy(col("dist2"), col("cell"))))
-      .filter(col("rn") === 1)
-      .select(col(id), col(vec), col("cell"))
-    val anchor = assigned.filter(col(id) === anchorId)
-      .select(col(vec).as("q_vec"))
-    // probe cells: nprobe nearest centroids to the anchor
-    val probeCells = cDf.crossJoin(broadcast(anchor))
-      .withColumn("dist2",
-        dot(col("q_vec"), col("q_vec")) - lit(2.0) * dot(col("q_vec"), col("centroid"))
-          + dot(col("centroid"), col("centroid")))
-      .orderBy(col("dist2"), col("cell")).limit(nprobe)
+    val centroids = model.clusterCenters.map(_.toArray)
+
+    // per-row nearest-centroid cell over unit vectors: argmax of dot with
+    // each centroid literal (|v|=|c|≈1 ⇒ argmin L2 == argmax dot); pure
+    // expression, first index wins ties deterministically
+    def cellOf(c: Column): Column = {
+      val dots = array(centroids.map(ct => dot(normalized(c), array(ct.map(lit): _*))): _*)
+      (array_position(dots, array_max(dots)) - 1).cast("int")
+    }
+
+    val assigned = emb.withColumn("cell", cellOf(col(vec)))
+    val anchorRow = anchorOf(emb, id, vec, anchorId)
+      .withColumn("q_cell_dots",
+        array(centroids.map(ct => dot(normalized(col("q_vec")), array(ct.map(lit): _*))): _*))
+    // probe set: the nprobe highest-dot cells for the anchor (tiny: nlist entries)
+    val probeCells = anchorRow
+      .select(posexplode(col("q_cell_dots")).as(Seq("cell", "d")))
+      .orderBy(col("d").desc, col("cell")).limit(nprobe)
       .select(col("cell"))
-    assigned.join(broadcast(probeCells), "cell")
-      .crossJoin(broadcast(anchor))
-      .filter(col(id) =!= anchorId)
-      .select(col(id), round(cosine(col(vec), col("q_vec")), 6).as("cosine"))
-      .orderBy(col("cosine").desc, col(id))
-      .limit(k)
+    scoreTopK(
+      assigned.join(broadcast(probeCells), "cell").drop("cell"),
+      anchorRow.select(col("q_vec")), id, vec, anchorId, k)
   }
 
   /** Approximate top-k: score only vectors whose bucket is within
@@ -131,11 +149,9 @@ object Similarity {
     val bucketed = withLshBucket(emb, vec, hyperplanes(nPlanes, dim))
     val anchor = bucketed.filter(col(id) === anchorId)
       .select(col(vec).as("q_vec"), col("lsh_bucket").as("q_bucket"))
-    bucketed.crossJoin(broadcast(anchor))
-      .filter(col(id) =!= anchorId &&
-        bit_count(col("lsh_bucket").bitwiseXOR(col("q_bucket"))) <= maxHammingProbe)
-      .select(col(id), round(cosine(col(vec), col("q_vec")), 6).as("cosine"))
-      .orderBy(col("cosine").desc, col(id))
-      .limit(k)
+    val candidates = bucketed.crossJoin(broadcast(anchor.select(col("q_bucket"))))
+      .filter(bit_count(col("lsh_bucket").bitwiseXOR(col("q_bucket"))) <= maxHammingProbe)
+      .drop("q_bucket", "lsh_bucket")
+    scoreTopK(candidates, anchor.select(col("q_vec")), id, vec, anchorId, k)
   }
 }

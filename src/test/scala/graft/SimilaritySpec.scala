@@ -38,19 +38,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got sameElements Array((0L, 1L), (0L, 4L), (1L, 4L)))
   }
 
-  test("IVF with full probing equals brute force; partial probing stays sane") {
+  test("IVF with full probing equals brute force; partial probing has real recall") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
       .as[(Long, Double)].collect()
     val full = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10, nlist = 8, nprobe = 8)
       .as[(Long, Double)].collect()
     assert(full sameElements brute)
+    // partial probe: every result must carry the exact brute-force cosine,
+    // and recall@10 vs the true top-10 must clear a floor (spherical
+    // quantizer — magnitude differences must not destroy recall)
+    val bruteAll = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 499)
+      .as[(Long, Double)].collect().toMap
     val partial = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10, nlist = 8, nprobe = 2)
       .as[(Long, Double)].collect()
     assert(partial.length == 10)
-    // approximate results are a subset of the corpus scored with true cosine:
-    // no result can beat the true best
-    assert(partial.head._2 <= brute.head._2)
+    assert(partial.forall { case (v, c) => bruteAll(v) == c })
+    // these synthetic embeddings are near-random (max pairwise cosine ≈0.5),
+    // so 2-of-8 cells can't recover most of a top-10 that is itself noise;
+    // the floor pins the deterministic seeded behavior (observed 4/10) and
+    // would catch a quantizer regression to ~random-cell probing (≤2/10)
+    val recall = partial.map(_._1).toSet.intersect(brute.map(_._1).toSet).size
+    assert(recall >= 4, s"recall@10 with nprobe=2/8 was $recall/10")
+  }
+
+  test("IVF spherical quantizer: colinear vectors of different magnitude share a cell") {
+    // the raw-L2 failure mode: v and 100*v must quantize identically
+    val scaled = Seq(
+      (0L, Array(1.0f, 0.2f, 0.0f)), (1L, Array(100.0f, 20.0f, 0.0f)),
+      (2L, Array(-1.0f, 5.0f, 0.1f)), (3L, Array(0.1f, 0.1f, 9.0f)),
+      (4L, Array(2.0f, 0.4f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.ivfTopK(scaled, "vec_id", "embedding", 0L, 2,
+      nlist = 2, nprobe = 1)
+      .as[(Long, Double)].collect()
+    // 1 and 4 are colinear with the anchor (cosine 1.0) — both must be
+    // found through a single-probe search
+    assert(got.map(_._1).toSet == Set(1L, 4L), got.mkString(","))
+    assert(got.forall(_._2 == 1.0))
   }
 
   test("LSH bucket assignment is deterministic and colinear vectors share a bucket") {

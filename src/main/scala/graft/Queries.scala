@@ -20,9 +20,7 @@ import graft.operators.Ops
 /** One named query: Spark plan + optional DuckDB oracle SQL. */
 final case class Q(
     fn: (SparkSession, String) => DataFrame,
-    sql: Option[String],
-    /** include in Bench headline set (skip O(n²)-ish demos) */
-    bench: Boolean = true)
+    sql: Option[String])
 
 object Queries {
 
@@ -38,7 +36,7 @@ object Queries {
   private def custScore: Column =
     Functions.influenceScore(col("c_acctbal"), col("c_custkey"), col("c_nationkey"))
   private val SqlCustScore =
-    "(COALESCE(c_acctbal, 0.0e0)*0.5e0 + c_custkey*0.3e0 - c_nationkey*0.2e0)"
+    "(COALESCE(c_acctbal, 0.0e0)*0.5e0 + COALESCE(c_custkey, 0)*0.3e0 - COALESCE(c_nationkey, 0)*0.2e0)"
 
   // =====================================================================
   // §2.2 projections / filters
@@ -385,5 +383,4 @@ object Queries {
   def oracleSql: Map[String, String] =
     registry.collect { case (n, q) if q.sql.isDefined => n -> q.sql.get }.toMap
 
-  def benchNames: Seq[String] = registry.collect { case (n, q) if q.bench => n }
 }

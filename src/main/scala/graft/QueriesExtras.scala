@@ -14,7 +14,10 @@ object QueriesExtras {
     * mirrors Dedup.shingles(n=5) exactly (same tokenizer, same slice). */
   private val ShingleCte =
     "WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
-    "pos AS (SELECT unnest(range(1, 4096)) AS i), " +
+    // position table bound: supports documents up to 65k words (testdata max
+    // is ~100); the Spark side is unbounded, so regenerate this bound if the
+    // corpus ever carries longer documents
+    "pos AS (SELECT unnest(range(1, 65536)) AS i), " +
     "sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i+4), ' ') AS g " +
     "FROM words JOIN pos ON pos.i <= len(w) - 4), " +
     "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +

@@ -113,7 +113,9 @@ object Similarity {
       transform(asD(c), x => x / n)
     }
 
-    val train = emb.limit(trainLimit)
+    // deterministic training prefix: TakeOrdered on the id, not a bare
+    // limit (whose rows depend on scan order / partition layout)
+    val train = emb.orderBy(col(id)).limit(trainLimit)
       .select(array_to_vector(normalized(col(vec))).as("features"))
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(train)
     val centroids = model.clusterCenters.map(_.toArray)
@@ -145,7 +147,10 @@ object Similarity {
     * Trades recall for touching ~(Σ C(nPlanes,d)) / 2^nPlanes of the data. */
   def annTopK(emb: DataFrame, id: String, vec: String, anchorId: Long, k: Int,
               nPlanes: Int = 12, maxHammingProbe: Int = 2): DataFrame = {
-    val dim = 64
+    // dimensionality from the data — a hardcoded dim would silently project
+    // higher-dimensional vectors onto their prefix (array_dot is null on
+    // ragged pairs, but planes are generated, not read)
+    val dim = emb.select(size(col(vec))).head().getInt(0)
     val bucketed = withLshBucket(emb, vec, hyperplanes(nPlanes, dim))
     val anchor = bucketed.filter(col(id) === anchorId)
       .select(col(vec).as("q_vec"), col("lsh_bucket").as("q_bucket"))

@@ -53,11 +53,17 @@ object Streaming {
       case rest => rest.toSeq.map(col)
     }
     val deduped = graft.operators.Ops.dedupFirstWins(batch, Seq(keyCol), tiebreak)
-    val fresh =
-      try {
-        val existing = spark.read.parquet(stateDir).select(col(keyCol))
-        deduped.join(existing, Seq(keyCol), "left_anti")
-      } catch { case _: org.apache.spark.sql.AnalysisException => deduped }
+    // only "state does not exist yet" may fall through to the no-state path;
+    // any other failure (schema drift, missing key column) must fail loudly —
+    // swallowing it would append duplicates and break exactly-once
+    val existing =
+      if (new java.io.File(stateDir).exists())
+        Some(spark.read.parquet(stateDir).select(col(keyCol)))
+      else None
+    val fresh = existing match {
+      case Some(ex) => deduped.join(ex, Seq(keyCol), "left_anti")
+      case None => deduped
+    }
     fresh.write.mode("append").parquet(stateDir)
   }
 
@@ -94,11 +100,14 @@ object Streaming {
   def upsertLastWinsSink(keyCol: String, versionCol: String, stateDir: String)
                         (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    // ties on version prefer the incoming row (the later write wins)
+    // ties on version prefer the incoming row (the later write wins);
+    // only "no state yet" skips the merge — a union/schema failure must
+    // propagate, else the overwrite below would silently drop all state
     val incoming = batch.withColumn("__p", lit(1))
     val merged =
-      try incoming.unionByName(spark.read.parquet(stateDir).withColumn("__p", lit(0)))
-      catch { case _: org.apache.spark.sql.AnalysisException => incoming }
+      if (new java.io.File(stateDir).exists())
+        incoming.unionByName(spark.read.parquet(stateDir).withColumn("__p", lit(0)))
+      else incoming
     graft.operators.Ops
       .dedupFirstWins(merged, Seq(keyCol), Seq(col(versionCol).desc, col("__p").desc))
       .drop("__p")

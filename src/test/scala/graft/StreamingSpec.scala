@@ -65,6 +65,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(got sameElements Array(("a", 2L, "v2"), ("b", 1L, "v1"), ("c", 1L, "v1")))
   }
 
+  test("last-write-wins upsert fails loudly on schema drift instead of dropping state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lww_drift").toString + "/state"
+    val b1 = Seq(("a", 1L, "v1")).toDF("_id", "version", "payload")
+    Streaming.upsertLastWinsSink("_id", "version", dir)(b1, 0L)
+    val drifted = Seq(("b", 2L)).toDF("_id", "version") // payload column gone
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Streaming.upsertLastWinsSink("_id", "version", dir)(drifted, 1L)
+    }
+    // state intact after the failed batch
+    val got = spark.read.parquet(dir).as[(String, Long, String)].collect()
+    assert(got sameElements Array(("a", 1L, "v1")))
+  }
+
   test("ST6 stateful running totals accumulate across micro-batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]

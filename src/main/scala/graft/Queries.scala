@@ -378,7 +378,14 @@ object Queries {
   ) ++ QueriesExtras.registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    registry.map { case (n, q) => n -> q.fn }.toMap
+    registry.map { case (n, q) =>
+      // register library functions into the exact session the driver hands
+      // us (SparkSession.active alone could target a different session in a
+      // multi-session JVM)
+      n -> { (s: SparkSession, d: String) =>
+        graft.plans.GraftFunctions.register(s); q.fn(s, d)
+      }
+    }.toMap
 
   def oracleSql: Map[String, String] =
     registry.collect { case (n, q) if q.sql.isDefined => n -> q.sql.get }.toMap

@@ -36,6 +36,31 @@ object Streaming {
       .select(col("user_id"), col("window.start").as("hour_ts"),
         col("n_events"), col("sum_value"))
 
+  /** ST5 stretch — sliding windows: each event lands in window/slide
+    * overlapping windows (e.g. hourly metrics refreshed every 15 min). */
+  def slidingEngagement(events: DataFrame, watermark: String = "10 minutes",
+                        win: String = "1 hour", slide: String = "15 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), window(col("ts"), win, slide))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("user_id"), col("window.start").as("win_start"),
+        col("n_events"), col("sum_value"))
+
+  /** ST5 stretch — session windows: activity bursts separated by `gap` of
+    * silence collapse into one row per session (state closes at watermark).
+    */
+  def sessionEngagement(events: DataFrame, watermark: String = "10 minutes",
+                        gap: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** S6 insert-if-absent sink (consumer1.py:123-133) as a foreachBatch
     * upsert into a parquet-backed state dir: left-anti join against existing
     * keys, append only new ids — idempotent, so at-least-once replay

@@ -53,6 +53,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got sameElements Array(("a", 0), ("b", 2), ("c", 3)))
   }
 
+  test("ST5 sliding windows: events appear in every overlapping window") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streaming.slidingEngagement(mem.toDF(), win = "20 minutes", slide = "10 minutes")
+      .writeStream.outputMode("complete").format("memory").queryName("sliding").start()
+    try {
+      mem.addData(Ev(1, ts(15), 4.0)) // windows [0,20) and [10,30)
+      q.processAllAvailable()
+      val got = spark.table("sliding")
+        .select($"win_start", $"n_events", $"sum_value").orderBy($"win_start")
+        .as[(Timestamp, Long, Double)].collect()
+      assert(got sameElements Array((ts(0), 1L, 4.0), (ts(10), 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("ST5 session windows: gap splits sessions, burst merges") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streaming.sessionEngagement(mem.toDF(), gap = "10 minutes")
+      .writeStream.outputMode("complete").format("memory").queryName("sessions").start()
+    try {
+      // burst at :01,:05 (one session), silence, then :30 (new session)
+      mem.addData(Ev(1, ts(1), 1.0), Ev(1, ts(5), 2.0), Ev(1, ts(30), 7.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .select($"session_start", $"n_events", $"sum_value").orderBy($"session_start")
+        .as[(Timestamp, Long, Double)].collect()
+      assert(got sameElements Array((ts(1), 2L, 3.0), (ts(30), 1L, 7.0)))
+    } finally q.stop()
+  }
+
   test("last-write-wins upsert: newest version survives, replay-safe") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lww").toString + "/state"
     val b1 = Seq(("a", 1L, "v1"), ("b", 1L, "v1")).toDF("_id", "version", "payload")

@@ -328,6 +328,41 @@ object Queries {
       "JOIN region ON n_regionkey = r_regionkey " +
       "GROUP BY n_name, r_name ORDER BY n_name"))
 
+  private val q6RevenueForecast = Q(
+    (s, d) => t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1994-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1995-01-01")) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)"))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items")),
+    Some("SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue, " +
+      "count(*) AS n_items FROM lineitem " +
+      "WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00' " +
+      "AND l_discount BETWEEN 0.05e0 AND 0.07e0 AND l_quantity < 24"))
+
+  /** Grouping sets: region/nation revenue with ROLLUP subtotals and a grand
+    * total. Grouped-out columns surface as NULL in both engines; ORDER BY
+    * needs explicit NULLS FIRST in DuckDB to mirror Spark's asc default. */
+  private val qRollupRevenue = Q(
+    (s, d) => {
+      val n = t(s, d, "nation").select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val r = t(s, d, "region").select(col("r_regionkey"), col("r_name"))
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val o = t(s, d, "orders").select(col("o_custkey"), col("o_totalprice"))
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    Some("SELECT r_name, n_name, " + SqlDsum("o_totalprice") + " AS revenue, count(*) AS n_orders " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey " +
+      "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+      "GROUP BY ROLLUP (r_name, n_name) " +
+      "ORDER BY r_name NULLS FIRST, n_name NULLS FIRST"))
+
   private val qWindowRunning = Q(
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -374,6 +409,8 @@ object Queries {
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_top_revenue" -> q3TopRevenue,
     "q5_region_revenue" -> q5RegionRevenue,
+    "q6_revenue_forecast" -> q6RevenueForecast,
+    "q_rollup_revenue" -> qRollupRevenue,
     "q_window_running" -> qWindowRunning,
   ) ++ QueriesExtras.registry
 

@@ -61,6 +61,15 @@ object Streaming {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** A8 on a stream — dedup by key with bounded state:
+    * dropDuplicatesWithinWatermark keeps state only for the watermark
+    * horizon, the streaming analog of the insert-if-absent gate for sources
+    * that can replay within a bounded window (Kafka retention). */
+  def streamingDedup(df: DataFrame, keyCols: Seq[String],
+                     watermark: String = "10 minutes"): DataFrame =
+    df.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** S6 insert-if-absent sink (consumer1.py:123-133) as a foreachBatch
     * upsert into a parquet-backed state dir: left-anti join against existing
     * keys, append only new ids — idempotent, so at-least-once replay

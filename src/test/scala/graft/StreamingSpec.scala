@@ -129,6 +129,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("A8 stream dedup: replayed keys within the watermark are dropped") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streaming.streamingDedup(mem.toDF().withColumn("k", $"user_id"), Seq("k"))
+      .writeStream.outputMode("append").format("memory").queryName("sdedup").start()
+    try {
+      mem.addData(Ev(1, ts(1), 1.0), Ev(1, ts(2), 2.0), Ev(2, ts(1), 3.0))
+      q.processAllAvailable()
+      mem.addData(Ev(1, ts(3), 4.0)) // replay of key 1 within watermark
+      q.processAllAvailable()
+      val got = spark.table("sdedup").select($"user_id", $"value")
+        .orderBy($"user_id").as[(Long, Double)].collect()
+      assert(got sameElements Array((1L, 1.0), (2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("S8 filename epoch stamps rows from their source file name") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_files")
     java.nio.file.Files.writeString(tmp.resolve("tweets_1736900000.json"), """{"a":1}""")

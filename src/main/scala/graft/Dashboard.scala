@@ -9,11 +9,16 @@ import graft.operators.Ops
   * the reference can run every page query against this engine.
   *
   * The reference loaded whole Mongo collections into pandas per page
-  * (show.py:48-52); here each page is a lazy plan over cached DataFrames —
-  * `.persist()` on the five base tables is the session-scoped analog of the
-  * 600 s Streamlit cache (S11).
+  * (show.py:48-52); here each page is a lazy plan. Call [[cacheBaseTables]]
+  * on the base collections first — `.persist()` is the session-scoped
+  * analog of the reference's 600 s Streamlit cache (S11); without it every
+  * page call rescans its inputs.
   */
 object Dashboard {
+
+  /** S11 — persist the base collections a dashboard session serves from. */
+  def cacheBaseTables(tables: Seq[DataFrame]): Seq[DataFrame] =
+    tables.map(_.persist())
 
   /** KOL page (show.py:134-190): unwrap project url, join KOLs to projects
     * (J2), per-project filter (P8), global stats (A5), top-5 (T1). */

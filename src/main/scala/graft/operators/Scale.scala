@@ -22,9 +22,13 @@ object Scale {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int,
                  joinType: String = "inner"): DataFrame = {
     // right/full outer would emit `salts` copies of unmatched dim rows (the
-    // dim side is replicated) — reject rather than silently multiply
-    require(Set("inner", "left", "left_outer", "leftouter").contains(joinType.toLowerCase),
-      s"saltedJoin supports inner/left joins only, got $joinType")
+    // dim side is replicated) — reject rather than silently multiply.
+    // semi/anti are safe: a fact row's salt always has a full dim replica,
+    // so existence semantics are preserved and no dim rows are emitted.
+    require(Set("inner", "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti")
+        .contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/semi/anti joins only, got $joinType")
     val saltedFact = fact.withColumn("__salt",
       (rand(seed = 42) * salts).cast("int"))
     val saltedDim = dim.withColumn("__salt",

@@ -76,11 +76,14 @@ object Similarity {
     Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Add an LSH bucket id column: bit p = sign(v · plane_p). */
+  /** Add an LSH bucket id column: bit p = sign(v · plane_p). A vector whose
+    * dimensionality doesn't match the planes gets a NULL bucket (array_dot
+    * yields null on ragged pairs) — never a fake bucket 0 that would
+    * silently pollute candidate selection. */
   def withLshBucket(emb: DataFrame, vec: String, planes: Seq[Array[Double]]): DataFrame = {
     val bucket = planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit): _*)
-      when(dot(col(vec), planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+      val d = dot(col(vec), array(p.map(lit): _*))
+      when(d >= 0, lit(1L << i)).when(d < 0, lit(0L)) // null propagates
     }.reduce(_ + _)
     emb.withColumn("lsh_bucket", bucket)
   }
@@ -147,10 +150,14 @@ object Similarity {
     * Trades recall for touching ~(Σ C(nPlanes,d)) / 2^nPlanes of the data. */
   def annTopK(emb: DataFrame, id: String, vec: String, anchorId: Long, k: Int,
               nPlanes: Int = 12, maxHammingProbe: Int = 2): DataFrame = {
-    // dimensionality from the data — a hardcoded dim would silently project
-    // higher-dimensional vectors onto their prefix (array_dot is null on
-    // ragged pairs, but planes are generated, not read)
-    val dim = emb.select(size(col(vec))).head().getInt(0)
+    // dimensionality from the data (max over the corpus: deterministic,
+    // unlike a first-row probe) — a hardcoded dim would silently project
+    // higher-dimensional vectors onto their prefix. Empty/all-null corpus →
+    // empty result with the output schema.
+    val dimRow = emb.select(max(size(col(vec)))).head()
+    if (dimRow.isNullAt(0))
+      return emb.select(col(id), lit(0.0).as("cosine")).limit(0)
+    val dim = dimRow.getInt(0)
     val bucketed = withLshBucket(emb, vec, hyperplanes(nPlanes, dim))
     val anchor = bucketed.filter(col(id) === anchorId)
       .select(col(vec).as("q_vec"), col("lsh_bucket").as("q_bucket"))

@@ -36,6 +36,20 @@ object Streaming {
       .select(col("user_id"), col("window.start").as("hour_ts"),
         col("n_events"), col("sum_value"))
 
+  /** "State table exists" through the Hadoop FileSystem of the path — a
+    * `java.io.File` check would be local-only and silently skip the merge
+    * for s3a://, hdfs://, or file:// state dirs. A directory that exists
+    * but holds no data files counts as no-state (a pre-created empty dir
+    * must not crash-loop the first batch). */
+  private def stateExists(spark: SparkSession, dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(path) && fs.listStatus(path).exists { st =>
+      val n = st.getPath.getName
+      st.isDirectory || !(n.startsWith("_") || n.startsWith("."))
+    }
+  }
+
   /** ST5 stretch — sliding windows: each event lands in window/slide
     * overlapping windows (e.g. hourly metrics refreshed every 15 min). */
   def slidingEngagement(events: DataFrame, watermark: String = "10 minutes",
@@ -66,9 +80,11 @@ object Streaming {
     * horizon, the streaming analog of the insert-if-absent gate for sources
     * that can replay within a bounded window (Kafka retention). */
   def streamingDedup(df: DataFrame, keyCols: Seq[String],
-                     watermark: String = "10 minutes"): DataFrame =
+                     watermark: String = "10 minutes"): DataFrame = {
+    require(keyCols.nonEmpty, "streamingDedup requires at least one key column")
     df.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+  }
 
   /** S6 insert-if-absent sink (consumer1.py:123-133) as a foreachBatch
     * upsert into a parquet-backed state dir: left-anti join against existing
@@ -90,14 +106,11 @@ object Streaming {
     // only "state does not exist yet" may fall through to the no-state path;
     // any other failure (schema drift, missing key column) must fail loudly —
     // swallowing it would append duplicates and break exactly-once
-    val existing =
-      if (new java.io.File(stateDir).exists())
-        Some(spark.read.parquet(stateDir).select(col(keyCol)))
-      else None
-    val fresh = existing match {
-      case Some(ex) => deduped.join(ex, Seq(keyCol), "left_anti")
-      case None => deduped
-    }
+    val fresh =
+      if (stateExists(batch.sparkSession, stateDir))
+        deduped.join(spark.read.parquet(stateDir).select(col(keyCol)),
+          Seq(keyCol), "left_anti")
+      else deduped
     fresh.write.mode("append").parquet(stateDir)
   }
 
@@ -139,7 +152,7 @@ object Streaming {
     // propagate, else the overwrite below would silently drop all state
     val incoming = batch.withColumn("__p", lit(1))
     val merged =
-      if (new java.io.File(stateDir).exists())
+      if (stateExists(batch.sparkSession, stateDir))
         incoming.unionByName(spark.read.parquet(stateDir).withColumn("__p", lit(0)))
       else incoming
     graft.operators.Ops

@@ -155,6 +155,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(got sameElements Array((1, 1736900000L), (2, 1736900055L)))
   }
 
+  test("insert-if-absent sink handles URI-qualified and pre-created empty state dirs") {
+    // file:// URI — a java.io.File existence check would miss this and
+    // silently skip dedup forever
+    val base = java.nio.file.Files.createTempDirectory("graft_uri").toString
+    val uriDir = s"file://$base/state"
+    val b = Seq(("a", 1)).toDF("_id", "v")
+    Streaming.insertIfAbsentSink("_id", uriDir)(b, 0L)
+    Streaming.insertIfAbsentSink("_id", uriDir)(b, 0L) // replay
+    assert(spark.read.parquet(uriDir).count() == 1)
+    // pre-created empty dir (deploy-script mkdir) must count as no-state,
+    // not crash the first batch
+    val emptyDir = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    Streaming.upsertLastWinsSink("_id", "v", emptyDir)(b.withColumn("v", lit(1L)), 0L)
+    assert(spark.read.parquet(emptyDir).count() == 1)
+  }
+
   test("streaming upsert query end-to-end with checkpoint") {
     implicit val sq = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString

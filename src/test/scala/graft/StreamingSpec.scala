@@ -171,6 +171,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(emptyDir).count() == 1)
   }
 
+  test("S5 raw JSON lake sink partitions by topic end-to-end") {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rawlake").toString
+    val mem = MemoryStream[(String, String, Long)]
+    mem.addData(("tweets", "t1", 1L), ("users", "u1", 2L), ("tweets", "t2", 3L))
+    val q = Streaming.rawJsonSink(
+        mem.toDF().toDF("topic", "_id", "v"), s"$tmp/lake", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val dirs = new java.io.File(s"$tmp/lake").listFiles().map(_.getName)
+      .filter(_.startsWith("topic=")).sorted
+    assert(dirs sameElements Array("topic=tweets", "topic=users"))
+    val back = spark.read.json(s"$tmp/lake")
+    assert(back.count() == 3)
+    assert(back.filter($"topic" === "tweets").count() == 2)
+  }
+
   test("streaming upsert query end-to-end with checkpoint") {
     implicit val sq = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString

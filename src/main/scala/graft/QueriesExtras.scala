@@ -149,6 +149,17 @@ object QueriesExtras {
         s"CASE $cases ELSE 'und' END AS pred_lang FROM st ORDER BY doc_id"
     })
 
+  /** Rolling k-gram window fingerprint; oracle reuses the shingle CTE. */
+  private val qWinnowFingerprint = Q(
+    (s, d) => TextAnalysis.winnowFingerprint(Tables.load(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
+      "pos AS (SELECT unnest(range(1, 65536)) AS i), " +
+      "sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i+4), ' ') AS g " +
+      "FROM words JOIN pos ON pos.i <= len(w) - 4) " +
+      "SELECT doc_id, min(('0x' || substr(md5(g), 1, 8))::BIGINT) AS winnow_fp " +
+      "FROM sh GROUP BY doc_id ORDER BY doc_id"))
+
   private val qFingerprint = Q(
     (s, d) => TextAnalysis.fingerprint(Tables.load(s, d, "documents"), "doc_id", "text")
       .orderBy(col("doc_id")),
@@ -216,6 +227,7 @@ object QueriesExtras {
     "q_quality_score" -> qQualityScore,
     "q_lang_id" -> qLangId,
     "q_fingerprint" -> qFingerprint,
+    "q_winnow_fingerprint" -> qWinnowFingerprint,
     "q_binary_meta" -> qBinaryMeta,
   )
 }

@@ -71,6 +71,18 @@ object TextAnalysis {
     df.select(cols: _*)
   }
 
+  /** Rolling-window document fingerprint (winnowing-style, cf. the
+    * k-gram fingerprinting scheme of MOSS): hash every rolling k-word
+    * window of the document and keep the minimum — robust to local edits
+    * (an edit disturbs only the windows it touches), portable (32-bit
+    * md5-prefix hashes match the DuckDB oracle bit-for-bit), and
+    * equivalent to a 1-permutation MinHash. */
+  def winnowFingerprint(df: DataFrame, id: String, text: String, k: Int = 5): DataFrame =
+    graft.operators.Dedup.shingles(df, id, text, k)
+      .groupBy(col(id))
+      .agg(min(conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long"))
+        .as("winnow_fp"))
+
   /** Portable content fingerprint: md5 of normalized text, plus a 32-bit
     * numeric prefix usable as a shard/bucket key. */
   def fingerprint(df: DataFrame, id: String, text: String): DataFrame =

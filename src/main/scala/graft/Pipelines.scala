@@ -22,14 +22,14 @@ object Pipelines {
 
   val KolThreshold = 50.0 // consumer1.py:39
 
-  /** E1 user preprocessing (consumer1.py:94-109): projection + F2 brand
-    * rename on the string identity columns + F1 influence score.
-    * `ingestTs` is data, not wall-clock (SURVEY.md §7.4-3). */
+  /** E1 user preprocessing (consumer1.py:94-109): recursive F2 brand rename
+    * over the whole record (the reference renames BEFORE projecting, so
+    * every string field including `location` is rewritten) + projection +
+    * F1 influence score. `ingestTs` is data, not wall-clock (SURVEY.md
+    * §7.4-3). */
   def preprocessUsers(users: DataFrame, ingestTs: Long): DataFrame =
-    users.select(
-      Functions.brandRename(col("_id")).as("_id"),
-      Functions.brandRename(col("userName")).as("userName"),
-      Functions.brandRename(col("url")).as("url"),
+    Functions.brandRenameAll(users).select(
+      col("_id"), col("userName"), col("url"),
       col("favouritesCount"), col("friendsCount"), col("listedCount"),
       col("mediaCount"), col("followersCount"), col("statusesCount"),
       col("blue"), col("location"),
@@ -38,10 +38,52 @@ object Pipelines {
         .as("influence_score"),
       lit(ingestTs).as("timestamp"))
 
+  /** E1 projects preprocessing (consumer1.py:75-81): recursive rename then
+    * project. `twitter` is a JSON *string* column, so the rename hits its
+    * raw text — renamed projects stay url-consistent with renamed users,
+    * as the reference's Mongo collections do. */
+  def preprocessProjects(projects: DataFrame, ingestTs: Long): DataFrame =
+    Functions.brandRenameAll(projects).select(
+      col("_id"), col("projectId"), col("twitter"), col("website"),
+      lit(ingestTs).as("timestamp"))
+
+  /** E1 tweets preprocessing (consumer1.py:82-93): recursive rename then
+    * project the engagement measures. */
+  def preprocessTweets(tweets: DataFrame, ingestTs: Long): DataFrame =
+    Functions.brandRenameAll(tweets).select(
+      col("_id"), col("author"), col("authorName"),
+      col("views"), col("likes"), col("replyCounts"), col("retweetCounts"),
+      lit(ingestTs).as("timestamp"))
+
+  /** E1 preprocess fan-out keyed by topic (consumer1.py:71-109): the three
+    * reference topic flows behind one dispatch, batch- and stream-callable.
+    */
+  def preprocessTopic(topic: String, df: DataFrame, ingestTs: Long): DataFrame =
+    topic match {
+      case "projects_social_media" => preprocessProjects(df, ingestTs)
+      case "tweets"                => preprocessTweets(df, ingestTs)
+      case "twitter_users"         => preprocessUsers(df, ingestTs)
+      case other => throw new IllegalArgumentException(
+        s"unknown topic '$other' (expected projects_social_media | tweets | twitter_users)")
+    }
+
   /** E1 KOL gate (consumer1.py:135-143): threshold filter + provenance. */
   def kolDetect(preprocessed: DataFrame): DataFrame =
     preprocessed.filter(col("influence_score") >= KolThreshold)
       .withColumn("identified_at", col("timestamp"))
+      .withColumn("source", lit("real-time"))
+
+  /** E1 KOL gate, reference DOC shape (consumer1.py:137-150): the KOL
+    * document is the RAW record as consumed — `preprocess_data` builds its
+    * renamed copy without mutating `data`, and `kol_data = data.copy()` —
+    * plus influence_score / identified_at / source. So every raw field the
+    * permissive ingest tolerated survives into the KOL collection. */
+  def kolDetectRaw(rawUsers: DataFrame, ingestTs: Long): DataFrame =
+    rawUsers
+      .withColumn("influence_score", Functions.influenceScore(
+        col("followersCount"), col("statusesCount"), col("friendsCount")))
+      .filter(col("influence_score") >= KolThreshold)
+      .withColumn("identified_at", lit(ingestTs))
       .withColumn("source", lit("real-time"))
 
   /** E2 pass (a) — project↔user linkage J1 (consumer2.py:116-153): parse the

@@ -83,6 +83,38 @@ object QueriesExtras {
       "WHERE " + cosSql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]") + " >= 0.45e0 " +
       "ORDER BY vec_a, vec_b"))
 
+  /** Same semantics as q_emb_neardup_pairs — and the SAME oracle — via the
+    * banded hyperplane LSH scale path (the q_j1_salted / minhash pattern:
+    * the gate itself proves the bucketed plan is semantics-preserving).
+    * Candidates come from a band-key equi-join, never a cartesian product.
+    */
+  private val qEmbNeardupLsh = Q(
+    (s, d) => Similarity.lshCosinePairs(Tables.load(s, d, "embeddings"),
+        "vec_id", "embedding", threshold = 0.45)
+      .orderBy(col("vec_a"), col("vec_b")),
+    qEmbNeardupPairs.sql)
+
+  /** F2-recursive over a NESTED value (struct with a string field and a
+    * string array), the testdata-analog oracle for
+    * [[graft.functions.Functions.brandRenameAll]] — emitted as scalars
+    * because the checker can't hash struct cells. */
+  private val qF2RenameNested = Q(
+    (s, d) => {
+      val built = Tables.load(s, d, "documents").select(col("doc_id"),
+        struct(
+          concat(lit("https://twitter.com/u/"), col("source")).as("url"),
+          array(col("source"), concat(col("source"), lit(" likes Twitter")))
+            .as("tags")).as("meta"))
+      graft.functions.Functions.brandRenameAll(built)
+        .select(col("doc_id"), col("meta.url").as("url"),
+          col("meta.tags").getItem(1).as("tag"))
+        .orderBy(col("doc_id"))
+    },
+    Some("SELECT doc_id, " +
+      "replace(replace('https://twitter.com/u/' || source, 'Twitter', 'X'), 'twitter', 'x') AS url, " +
+      "replace(replace(source || ' likes Twitter', 'Twitter', 'X'), 'twitter', 'x') AS tag " +
+      "FROM documents ORDER BY doc_id"))
+
   /** Approximate (multi-probe hyperplane LSH) — no SQL oracle by design;
     * driver records the weaker rows-only check. */
   private val qAnnLshTopk = Q(
@@ -92,11 +124,19 @@ object QueriesExtras {
 
   /** IVF ANN with full probing (nprobe == nlist) degenerates to exact
     * search, so it shares the brute-force oracle — the gate verifies the
-    * quantize→probe→score pipeline end-to-end. Production uses
-    * nprobe << nlist (see SimilaritySpec for the approximate mode). */
+    * build→quantize→probe→score pipeline end-to-end. Production uses
+    * nprobe << nlist (see SimilaritySpec for the approximate mode).
+    * The quantizer build is OFFLINE ([[graft.operators.IvfIndex]]): built
+    * once per corpus into a cell-partitioned index dir, so the query here
+    * is the probe path only — centroid metadata read + pruned cell scan. */
   private val qAnnIvfTopk = Q(
-    (s, d) => Similarity.ivfTopK(Tables.load(s, d, "embeddings"),
-      "vec_id", "embedding", anchorId = 0L, k = 10, nlist = 8, nprobe = 8),
+    (s, d) => {
+      val idx = graft.operators.IvfIndex.ensure(
+        Tables.load(s, d, "embeddings"), "vec_id", "embedding", d,
+        nlist = 8, trainLimit = 10000)
+      graft.operators.IvfIndex.topK(s, idx, "vec_id", "embedding",
+        anchorId = 0L, k = 10, nprobe = 8)
+    },
     qAnnBruteTopk.sql)
 
   private val qTextStats = Q(
@@ -190,10 +230,14 @@ object QueriesExtras {
       .orderBy(col("o_orderkey")),
     Some("SELECT o_orderkey, c_custkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"))
 
-  /** A9 map-shaped engagement log via the typed single-pass Aggregator —
-    * MapType output, not SQL-oracle-able (SURVEY.md §7.4-4): rows-only.
-    * The relational twin q_a9_engagement_series is the oracle-verified form.
-    */
+  /** A9 map-shaped engagement log via the typed single-pass Aggregator
+    * (reference shape: readme.md:15, show.py:104-110). The MapType itself
+    * can't go through the checker (pandas can't sort unhashable cells), so
+    * the map is re-emitted as its CANONICAL scalar encoding — entries sorted
+    * by numeric key, rendered with `to_json` — and the DuckDB oracle builds
+    * the byte-identical string with `string_agg(... ORDER BY key)`. The
+    * value triple is exact longs (cnt / purchases / value-cents) so no float
+    * formatting can diverge between the engines. */
   private val qA9EngagementMap = Q(
     (s, d) => {
       import s.implicits._
@@ -208,13 +252,43 @@ object QueriesExtras {
         .mapValues(r => (r._2, r._3, r._4, r._5))
         .agg(graft.operators.EngagementAggregator.aggregator.toColumn.name("engagement_log"))
         .toDF("user_id", "engagement_log")
+        .select(col("user_id"),
+          to_json(map_from_entries(array_sort(map_entries(col("engagement_log")))))
+            .as("engagement_json"))
         .orderBy(col("user_id"))
     },
-    None)
+    Some("WITH ev AS (SELECT user_id, " +
+      "CAST(extract(epoch FROM date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, " +
+      "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p, " +
+      "CAST(trunc(COALESCE(value, 0) * 100) AS BIGINT) AS vc FROM events), " +
+      "agg AS (SELECT user_id, hour_epoch, count(*) AS cnt, " +
+      "CAST(SUM(p) AS BIGINT) AS purchases, CAST(SUM(vc) AS BIGINT) AS value_cents " +
+      "FROM ev GROUP BY 1, 2) " +
+      "SELECT user_id, '{' || string_agg('\"' || hour_epoch || '\":[' || cnt || ',' || purchases || ',' || value_cents || ']', ',' ORDER BY hour_epoch) || '}' AS engagement_json " +
+      "FROM agg GROUP BY user_id ORDER BY user_id"))
+
+  /** A6 — global engagement stats over the per-user rollup (the reference
+    * dashboard's Total Users / Avg Tweets / Max Views tiles, show.py:233-235)
+    * as its own oracle row instead of riding on q_a5's shape. Integer
+    * operands keep the avg division bit-identical across engines. */
+  private val qA6EngagementStats = Q(
+    (s, d) => Tables.load(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("total_events"),
+        max(graft.functions.Functions.orZero(col("value").cast("long"))).as("max_v"))
+      .agg(count(lit(1)).as("n_users"),
+        (sum(col("total_events")).cast("double") / count(lit(1))).as("avg_events"),
+        max(col("max_v")).as("max_value")),
+    Some("WITH r AS (SELECT user_id, count(*) AS total_events, " +
+      "max(COALESCE(CAST(trunc(value) AS BIGINT), 0)) AS max_v FROM events GROUP BY user_id) " +
+      "SELECT count(*) AS n_users, " +
+      "CAST(SUM(total_events) AS DOUBLE) / count(*) AS avg_events, " +
+      "max(max_v) AS max_value FROM r"))
 
   val registry: Seq[(String, Q)] = Seq(
     "q_j1_linkage_salted" -> qJ1Salted,
     "q_a9_engagement_map" -> qA9EngagementMap,
+    "q_a6_engagement_stats" -> qA6EngagementStats,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_ngram_pairs" -> qDedupNgramPairs,
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
@@ -223,6 +297,8 @@ object QueriesExtras {
     "q_ann_lsh_topk" -> qAnnLshTopk,
     "q_ann_ivf_topk" -> qAnnIvfTopk,
     "q_emb_neardup_pairs" -> qEmbNeardupPairs,
+    "q_emb_neardup_lsh" -> qEmbNeardupLsh,
+    "q_f2_rename_nested" -> qF2RenameNested,
     "q_text_stats" -> qTextStats,
     "q_quality_score" -> qQualityScore,
     "q_lang_id" -> qLangId,

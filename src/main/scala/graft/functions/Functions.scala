@@ -1,8 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StringType, StructType}
 
 /** Scalar layer — SURVEY.md §2.3 F1-F8 as pure `Column` combinators.
   *
@@ -31,6 +31,33 @@ object Functions {
     */
   def brandRename(c: Column): Column =
     regexp_replace(regexp_replace(c, lit("Twitter"), lit("X")), lit("twitter"), lit("x"))
+
+  /** F2 recursive — the reference's `replace_twitter_with_x_recursive`
+    * (consumer1/consumer1.py:61-69) walks dicts/lists at any depth and
+    * rewrites every STRING VALUE (dict keys are left alone). Here the walk
+    * is schema-driven at plan time: the returned expression rewrites every
+    * string leaf reachable through structs, arrays and map values — still
+    * pure built-in expressions, so it stays inside codegen. Note a JSON
+    * payload carried as a plain string column (e.g. projects.`twitter`) is a
+    * string LEAF and gets the substring rename on its raw text, exactly as
+    * the reference's `str` branch does. */
+  def brandRenameDeep(c: Column, dt: DataType): Column = dt match {
+    case StringType => brandRename(c)
+    case st: StructType =>
+      // struct() of a null struct's fields would resurrect it as a row of
+      // nulls — guard to keep null structs null
+      val rebuilt = struct(st.fields.toSeq.map(f =>
+        brandRenameDeep(c.getField(f.name), f.dataType).as(f.name)): _*)
+      when(c.isNull, lit(null).cast(st)).otherwise(rebuilt)
+    case ArrayType(et, _) => transform(c, x => brandRenameDeep(x, et))
+    case MapType(_, vt, _) => transform_values(c, (_, v) => brandRenameDeep(v, vt))
+    case _ => c
+  }
+
+  /** F2 over a whole row: every column renamed recursively per its schema. */
+  def brandRenameAll(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.toSeq.map(f =>
+      brandRenameDeep(col(f.name), f.dataType).as(f.name)): _*)
 
   /** F3 — ingest-time stamp (reference: consumer1/consumer1.py:81,92,108).
     * Wall-clock is nondeterministic; verified queries must pass the

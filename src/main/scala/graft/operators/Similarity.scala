@@ -29,14 +29,23 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Division with an undefined-at-zero guard: ANSI mode (Spark 4 default)
+    * throws on x/0 even for doubles, so a single zero vector in a corpus
+    * would abort a whole query. CaseWhen short-circuits, so the division
+    * never executes on a zero denominator and the arithmetic is unchanged
+    * for every real vector; a zero-norm cosine is NULL (undefined), which
+    * sorts last under desc and fails any threshold filter. */
+  private def safeDiv(num: Column, den: Column): Column =
+    when(den === 0, lit(null).cast("double")).otherwise(num / den)
+
+  def cosine(a: Column, b: Column): Column = safeDiv(dot(a, b), norm(a) * norm(b))
 
   /** Shared scoring tail: cosine against the broadcast anchor, anchor row
     * excluded, rounded to the oracle's scale, deterministic tie-break,
     * TakeOrderedAndProject. ALL ANN variants go through this one definition
     * so the exact/approximate paths can never drift from the oracle
     * arithmetic independently. */
-  private def scoreTopK(candidates: DataFrame, anchor: DataFrame,
+  private[operators] def scoreTopK(candidates: DataFrame, anchor: DataFrame,
                         id: String, vec: String, anchorId: Long, k: Int): DataFrame =
     candidates.crossJoin(broadcast(anchor))
       .filter(col(id) =!= anchorId)
@@ -64,7 +73,7 @@ object Similarity {
     val b = emb.select(col(id).as("vec_b"), asD(col(vec)).as("vb"), norm(col(vec)).as("nb"))
     a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))
+        round(safeDiv(dot(col("va"), col("vb")), col("na") * col("nb")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -86,6 +95,63 @@ object Similarity {
       when(d >= 0, lit(1L << i)).when(d < 0, lit(0L)) // null propagates
     }.reduce(_ + _)
     emb.withColumn("lsh_bucket", bucket)
+  }
+
+  /** Banded hyperplane LSH near-dup PAIRS — the bucketed scale twin of
+    * [[cosinePairs]] (which is all-pairs by construction). OR-construction
+    * over `bands` bands of `rowsPerBand` sign-bits each: two vectors become
+    * a candidate pair iff they agree on EVERY bit of at least one band, so
+    * candidate generation is a band-key equi-join (shuffle on uniform keys),
+    * never a cartesian product. Candidates are then scored with the exact
+    * oracle arithmetic and filtered at the threshold — extra candidates cost
+    * work, never wrong rows, so this registers against the SAME oracle as
+    * the exhaustive path.
+    *
+    * Recall: P(bit agrees) = 1 - acos(cos)/π, so P(pair missed) =
+    * (1 - p^r)^b. At cos = 0.45 (p ≈ 0.648), r = 4, b = 48: ≈ 8e-5 per
+    * pair — and the seeded planes make any given corpus deterministic
+    * (recall 100% on the planted near-dups at every testdata sf; verified
+    * against the exhaustive oracle by the gate itself). At a realistic
+    * near-dup threshold (cos ≥ 0.9, p ≈ 0.856) the same r/b gives miss
+    * ≈ 1e-14 with FAR fewer random collisions — these synthetic
+    * embeddings are near-random at the 0.45 threshold, which is the
+    * adversarial case for any sign-LSH; candidate generation still goes
+    * through an equi-join (shuffle, AQE-sizeable), never a cartesian. */
+  def lshCosinePairs(emb: DataFrame, id: String, vec: String, threshold: Double,
+                     bands: Int = 48, rowsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
+    val dimRow = emb.select(max(size(col(vec)))).head()
+    if (dimRow.isNullAt(0))
+      return emb.select(col(id).as("vec_a"), col(id).as("vec_b"),
+        lit(0.0).as("cosine")).limit(0)
+    val dim = dimRow.getInt(0)
+    val planes = hyperplanes(bands * rowsPerBand, dim, seed)
+    // all band keys in ONE codegen'd pass (graft.plans.LshBandKeys): key j
+    // = (j << r) | the band's sign bits, as a LONG (small shuffle rows,
+    // cheap hash). A ragged/null vector yields a null key array → zero
+    // rows out of explode, never a fake bucket.
+    graft.plans.GraftFunctions.register(org.apache.spark.sql.SparkSession.active)
+    val keysCol = call_function("lsh_band_keys",
+      asD(col(vec)), typedlit(planes.flatten.toIndexedSeq),
+      lit(bands), lit(rowsPerBand))
+    val banded = emb.select(col(id), explode(keysCol).as("band_key"))
+    val cand = banded.select(col(id).as("vec_a"), col("band_key"))
+      .join(banded.select(col(id).as("vec_b"), col("band_key")), "band_key")
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    // score only candidates: per-side norm computed once, dot per pair
+    val va = emb.select(col(id).as("vec_a"), asD(col(vec)).as("va"), norm(col(vec)).as("na"))
+    val vb = emb.select(col(id).as("vec_b"), asD(col(vec)).as("vb"), norm(col(vec)).as("nb"))
+    cand.join(va, "vec_a").join(vb, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(safeDiv(dot(col("va"), col("vb")), col("na") * col("nb")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** L2-normalize, zero-safe: a zero vector maps to the zero vector instead
+    * of 0/0 → NULL (which would abort k-means training downstream). */
+  private[operators] def normalizedSafe(c: Column): Column = {
+    val n = norm(c)
+    transform(asD(c), x => when(n === 0, lit(0.0)).otherwise(x / n))
   }
 
   /** IVF (inverted-file) ANN: a spherical k-means coarse quantizer
@@ -111,14 +177,12 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
-    def normalized(c: Column): Column = {
-      val n = norm(c)
-      transform(asD(c), x => x / n)
-    }
+    def normalized(c: Column): Column = normalizedSafe(c)
 
     // deterministic training prefix: TakeOrdered on the id, not a bare
-    // limit (whose rows depend on scan order / partition layout)
-    val train = emb.orderBy(col(id)).limit(trainLimit)
+    // limit (whose rows depend on scan order / partition layout). Null
+    // vectors are excluded — KMeans.fit dies on null features.
+    val train = emb.filter(col(vec).isNotNull).orderBy(col(id)).limit(trainLimit)
       .select(array_to_vector(normalized(col(vec))).as("features"))
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(train)
     val centroids = model.clusterCenters.map(_.toArray)

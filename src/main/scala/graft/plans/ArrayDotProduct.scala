@@ -82,7 +82,10 @@ object GraftFunctions {
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
-      (exprs: Seq[Expression]) => ArrayDotProduct(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => ArrayDotProduct(exprs(0), exprs(1))),
+    (FunctionIdentifier("lsh_band_keys"),
+      new ExpressionInfo(classOf[LshBandKeys].getName, "lsh_band_keys"),
+      (exprs: Seq[Expression]) => LshBandKeys(exprs(0), exprs(1), exprs(2), exprs(3))))
 
   /** Idempotent per-session registration (for library callers that don't
     * control session construction). */

@@ -24,6 +24,17 @@ object Streaming {
   def speedLayer(usersStream: DataFrame, ingestTs: Long): DataFrame =
     Pipelines.preprocessUsers(usersStream, ingestTs)
 
+  /** E1 speed layer for ALL THREE reference topics (consumer1.py:71-109,
+    * 155-172): one preprocessed stream per topic, each the exact batch
+    * transform behind [[Pipelines.preprocessTopic]]. The reference's single
+    * consumer loop dispatched per message; here each topic is its own
+    * micro-batch pipeline, which is how a multi-topic Kafka source fans out
+    * (filter on the `topic` column upstream, one sink per collection). */
+  def speedLayerAll(topicStreams: Map[String, DataFrame], ingestTs: Long): Map[String, DataFrame] =
+    topicStreams.map { case (topic, df) =>
+      topic -> Pipelines.preprocessTopic(topic, df, ingestTs)
+    }
+
   /** ST5 — the event-time showcase the reference lacks: watermarked tumbling
     * window over event time. Batch twin is q_a9_engagement_series, so the
     * streaming results are checkable against a verified batch plan. */
@@ -32,7 +43,7 @@ object Streaming {
     events.withWatermark("ts", watermark)
       .groupBy(col("user_id"), window(col("ts"), win))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        sum(graft.functions.Functions.orZeroD(col("value")).cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("user_id"), col("window.start").as("hour_ts"),
         col("n_events"), col("sum_value"))
 
@@ -44,9 +55,12 @@ object Streaming {
   private def stateExists(spark: SparkSession, dir: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // hidden-prefix exclusion applies to directories too: a `_temporary`
+    // left by an interrupted write must not count as state (it would send
+    // the next batch into spark.read on a dir with no data files)
     fs.exists(path) && fs.listStatus(path).exists { st =>
       val n = st.getPath.getName
-      st.isDirectory || !(n.startsWith("_") || n.startsWith("."))
+      !(n.startsWith("_") || n.startsWith("."))
     }
   }
 
@@ -57,7 +71,7 @@ object Streaming {
     events.withWatermark("ts", watermark)
       .groupBy(col("user_id"), window(col("ts"), win, slide))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        sum(graft.functions.Functions.orZeroD(col("value")).cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("user_id"), col("window.start").as("win_start"),
         col("n_events"), col("sum_value"))
 
@@ -69,7 +83,7 @@ object Streaming {
     events.withWatermark("ts", watermark)
       .groupBy(col("user_id"), session_window(col("ts"), gap))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        sum(graft.functions.Functions.orZeroD(col("value")).cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("user_id"),
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
@@ -159,15 +173,18 @@ object Streaming {
       .dedupFirstWins(merged, Seq(keyCol), Seq(col(versionCol).desc, col("__p").desc))
       .drop("__p")
       .write.mode("overwrite").parquet(stateDir + "_next")
-    // atomic-swap stand-in for a transactional table commit
-    def rmRf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmRf)
-      f.delete(): Unit
-    }
-    val cur = new java.io.File(stateDir)
-    val next = new java.io.File(stateDir + "_next")
-    if (cur.exists()) rmRf(cur)
-    next.renameTo(cur): Unit
+    // Swap stand-in for a transactional table commit, through the SAME
+    // filesystem the state paths resolve to (file://, hdfs://, s3a:// —
+    // a java.io.File rename never resolves URI-qualified paths and its
+    // failure would silently strand every merge in `_next`). Both steps
+    // assert their result: a swallowed failure here means silent data loss.
+    val cur = new org.apache.hadoop.fs.Path(stateDir)
+    val next = new org.apache.hadoop.fs.Path(stateDir + "_next")
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(cur) && !fs.delete(cur, true))
+      throw new java.io.IOException(s"upsertLastWinsSink: failed to delete $cur for swap")
+    if (!fs.rename(next, cur))
+      throw new java.io.IOException(s"upsertLastWinsSink: failed to rename $next -> $cur")
   }
 
   /** ST6/A2 — stateful incremental per-key totals across micro-batches via

@@ -56,6 +56,47 @@ class PipelinesSpec extends AnyFunSuite {
     assert(a1.getAs[Long]("total_likes") == 6 && a1.getAs[Long]("max_likes") == 5)
   }
 
+  test("E1 KOL doc shape: RAW record fields (un-renamed, extras kept) + provenance") {
+    // reference consumer1.py:137-150: kol_data = data.copy() — the raw
+    // record as consumed (rename happens on preprocess_data's own copy),
+    // plus influence_score / identified_at / source
+    val raw = usersFixture.withColumn("extra_raw_field", lit("tolerated"))
+    val kols = Pipelines.kolDetectRaw(raw, ingestTs = 1700000000L)
+    val row = kols.head()
+    assert(kols.count() == 1 && row.getAs[String]("_id") == "u1")
+    assert(row.getAs[String]("url") == "https://twitter.com/alice") // raw, NOT renamed
+    assert(row.getAs[String]("extra_raw_field") == "tolerated")     // permissive ingest survives
+    assert(row.getAs[Double]("influence_score") == 99.0)
+    assert(row.getAs[Long]("identified_at") == 1700000000L)
+    assert(row.getAs[String]("source") == "real-time")
+  }
+
+  test("F2 recursive rename reaches struct fields, array elements, map values; null struct stays null") {
+    import graft.functions.Functions
+    val df = Seq(
+      ("d1", Some(("Twitter HQ", Seq("twitter.com", "ok"))), Map("k" -> "Twitter")),
+      ("d2", Option.empty[(String, Seq[String])], Map.empty[String, String])
+    ).toDF("id", "meta", "m")
+    val got = Functions.brandRenameAll(df).orderBy($"id").collect()
+    val r1 = got(0)
+    assert(r1.getStruct(1).getString(0) == "X HQ")
+    assert(r1.getStruct(1).getSeq[String](1) == Seq("x.com", "ok"))
+    assert(r1.getMap[String, String](2) == Map("k" -> "X")) // keys untouched, values renamed
+    assert(got(1).isNullAt(1)) // null struct not resurrected as a row of nulls
+  }
+
+  test("E1 projects preprocess renames inside the twitter JSON string (url-consistent with users)") {
+    val projects = Seq(("p1", "pr1", """{"id":"9","url":"https://twitter.com/alice"}""", "https://Twitter.com"))
+      .toDF("_id", "projectId", "twitter", "website")
+    val gotP = Pipelines.preprocessProjects(projects, 1700000000L).head()
+    val gotU = Pipelines.preprocessUsers(usersFixture, 1700000000L)
+      .filter($"_id" === "u1").head()
+    // the renamed project twitter-url and the renamed user url still join
+    val pUrl = get_json_object(lit(gotP.getAs[String]("twitter")), "$.url")
+    assert(spark.range(1).select(pUrl).head().getString(0) == gotU.getAs[String]("url"))
+    assert(gotP.getAs[String]("website") == "https://X.com")
+  }
+
   test("A9 engagement map shape: ts -> [likes, replies, retweets]") {
     val tweets = Seq(
       ("a1", 100L, 1L, 2L, 3L), ("a1", 100L, 1L, 0L, 0L), ("a1", 200L, 5L, 5L, 5L)

@@ -77,6 +77,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.forall(_._2 == 1.0))
   }
 
+  test("banded LSH cosine pairs match the exhaustive all-pairs plan on real data") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val exhaustive = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.45)
+      .orderBy($"vec_a", $"vec_b").as[(Long, Long, Double)].collect()
+    val banded = Similarity.lshCosinePairs(emb, "vec_id", "embedding", 0.45)
+      .orderBy($"vec_a", $"vec_b").as[(Long, Long, Double)].collect()
+    assert(exhaustive.nonEmpty) // planted near-dups must exist, else vacuous
+    assert(banded sameElements exhaustive)
+  }
+
+  test("IVF index: offline build + full-probe query equals brute force; partial probe prunes") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+    graft.operators.IvfIndex.build(emb, "vec_id", "embedding", dir, nlist = 8)
+    // cell-partitioned corpus on disk (the persistable index layout)
+    val cells = new java.io.File(s"$dir/corpus").listFiles()
+      .map(_.getName).filter(_.startsWith("cell="))
+    assert(cells.length == 8)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .as[(Long, Double)].collect()
+    val full = graft.operators.IvfIndex.topK(spark, dir, "vec_id", "embedding", 0L, 10, nprobe = 8)
+      .as[(Long, Double)].collect()
+    assert(full sameElements brute)
+    // partial probe returns k rows with exact cosines (subset of corpus)
+    val bruteAll = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 499)
+      .as[(Long, Double)].collect().toMap
+    val partial = graft.operators.IvfIndex.topK(spark, dir, "vec_id", "embedding", 0L, 10, nprobe = 2)
+      .as[(Long, Double)].collect()
+    assert(partial.length == 10 && partial.forall { case (v, c) => bruteAll(v) == c })
+  }
+
+  test("a zero vector in the corpus does not abort IVF (zero-safe normalize)") {
+    val withZero = vecs.union(Seq((9L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val got = Similarity.ivfTopK(withZero, "vec_id", "embedding", 0L, 3,
+      nlist = 2, nprobe = 2, trainLimit = 10)
+      .as[(Long, Double)].collect()
+    // training/assignment survive the zero vector (an unguarded 0/0 aborts
+    // the whole query under ANSI), and its undefined cosine is NULL — it
+    // cannot displace real cosines from the top-k
+    assert(got.map(_._1) sameElements Array(4L, 1L, 2L))
+  }
+
   test("LSH bucket assignment is deterministic and colinear vectors share a bucket") {
     val planes = Similarity.hyperplanes(8, 3)
     val b1 = Similarity.withLshBucket(vecs, "embedding", planes)

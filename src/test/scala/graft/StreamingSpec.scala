@@ -171,6 +171,77 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(emptyDir).count() == 1)
   }
 
+  test("last-write-wins upsert merges and swaps on a file: URI-qualified state dir") {
+    // the swap runs through the Hadoop FileSystem of the path — a
+    // java.io.File renameTo would never resolve the URI and every merge
+    // would be silently stranded in `_next`
+    val base = java.nio.file.Files.createTempDirectory("graft_lww_uri").toString
+    val dir = s"file://$base/state"
+    val b1 = Seq(("a", 1L, "v1"), ("b", 1L, "v1")).toDF("_id", "version", "payload")
+    val b2 = Seq(("a", 2L, "v2")).toDF("_id", "version", "payload")
+    Streaming.upsertLastWinsSink("_id", "version", dir)(b1, 0L)
+    Streaming.upsertLastWinsSink("_id", "version", dir)(b2, 1L)
+    val got = spark.read.parquet(dir).orderBy($"_id")
+      .as[(String, Long, String)].collect()
+    assert(got sameElements Array(("a", 2L, "v2"), ("b", 1L, "v1")))
+    // nothing stranded in the staging dir, and no local-path ghost dir
+    assert(!new java.io.File(s"$base/state_next").exists())
+    assert(new java.io.File(s"$base/state").isDirectory)
+  }
+
+  test("a dir holding only a _temporary subdir counts as no state") {
+    // an interrupted first write leaves `_temporary/`; the next batch must
+    // take the no-state path, not spark.read a dir with no data files
+    val base = java.nio.file.Files.createTempDirectory("graft_tmponly").toString
+    val dir = s"$base/state"
+    new java.io.File(s"$dir/_temporary/0").mkdirs()
+    val b = Seq(("a", 1)).toDF("_id", "v")
+    Streaming.insertIfAbsentSink("_id", dir)(b, 0L) // must not crash-loop
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
+  test("windowed engagement sums all-null values to 0.0 like the batch twin") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Option[Double])]
+    val q = Streaming.windowedEngagement(
+        mem.toDF().toDF("user_id", "ts", "value"), win = "10 minutes")
+      .writeStream.outputMode("complete").format("memory").queryName("nulleng").start()
+    try {
+      mem.addData((1L, ts(1), None), (1L, ts(2), None))
+      q.processAllAvailable()
+      val got = spark.table("nulleng").select($"n_events", $"sum_value")
+        .as[(Long, Double)].collect()
+      // q_a9_engagement_series's orZeroD semantics: NULL-only group -> 0.0
+      assert(got sameElements Array((2L, 0.0)))
+    } finally q.stop()
+  }
+
+  test("3-topic speed layer fans out the reference preprocess per topic") {
+    val ingest = 1700000000L
+    val projects = Seq(("p1", "pr1", """{"id":"1","url":"https://twitter.com/x"}""", "w", "drop_me"))
+      .toDF("_id", "projectId", "twitter", "website", "extra")
+    val tweets = Seq(("t1", "a1", "Twitter Fan", 1L, 2L, 3L, 4L))
+      .toDF("_id", "author", "authorName", "views", "likes", "replyCounts", "retweetCounts")
+    val users = Seq(("u1", "alice", "https://twitter.com/alice", 1, 2, 3, 4, 500, 100, true, "VN"))
+      .toDF("_id", "userName", "url", "favouritesCount", "friendsCount", "listedCount",
+        "mediaCount", "followersCount", "statusesCount", "blue", "location")
+    val out = Streaming.speedLayerAll(Map(
+      "projects_social_media" -> projects, "tweets" -> tweets, "twitter_users" -> users), ingest)
+    // projects: rename reaches the raw JSON string, extra column projected away
+    val p = out("projects_social_media").head()
+    assert(p.getAs[String]("twitter") == """{"id":"1","url":"https://x.com/x"}""")
+    assert(!out("projects_social_media").columns.contains("extra"))
+    assert(p.getAs[Long]("timestamp") == ingest)
+    // tweets: string fields renamed, measures intact
+    val t = out("tweets").head()
+    assert(t.getAs[String]("authorName") == "X Fan")
+    assert(t.getAs[Long]("views") == 1L && t.getAs[Long]("retweetCounts") == 4L)
+    // users: full E1 with score
+    val u = out("twitter_users").head()
+    assert(u.getAs[String]("url") == "https://x.com/alice")
+    assert(u.getAs[Double]("influence_score") == 500 * 0.5 + 100 * 0.3 - 2 * 0.2)
+  }
+
   test("S5 raw JSON lake sink partitions by topic end-to-end") {
     implicit val sq = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_rawlake").toString

@@ -19,27 +19,32 @@ object EngagementAggregator {
 
   /** (ts, likes, replies, retweets) input row. */
   type In = (Long, Long, Long, Long)
-  type Buf = Map[Long, Array[Long]]
+  /** Buffer IS the output type: a native Catalyst map (typed
+    * ExpressionEncoder, not Kryo bytes) — partial-agg state stays
+    * inspectable and Tungsten-serializable, and shuffle rows carry the
+    * compact map encoding instead of an opaque blob. */
+  type Buf = Map[Long, Seq[Long]]
   type Out = Map[Long, Seq[Long]]
 
   val aggregator: Aggregator[In, Buf, Out] = new Aggregator[In, Buf, Out] {
     override def zero: Buf = Map.empty
 
-    private def add(b: Buf, ts: Long, v: Array[Long]): Buf =
+    private def add(b: Buf, ts: Long, v: Seq[Long]): Buf =
       b.updatedWith(ts) {
-        case Some(prev) => Some(Array(prev(0) + v(0), prev(1) + v(1), prev(2) + v(2)))
+        case Some(prev) => Some(Seq(prev(0) + v(0), prev(1) + v(1), prev(2) + v(2)))
         case None => Some(v)
       }
 
     override def reduce(b: Buf, in: In): Buf =
-      add(b, in._1, Array(in._2, in._3, in._4))
+      add(b, in._1, Seq(in._2, in._3, in._4))
 
     override def merge(a: Buf, b: Buf): Buf =
       b.foldLeft(a) { case (acc, (ts, v)) => add(acc, ts, v) }
 
-    override def finish(b: Buf): Out = b.map { case (k, v) => k -> v.toSeq }
+    override def finish(b: Buf): Out = b
 
-    override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
+    override def bufferEncoder: Encoder[Buf] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     override def outputEncoder: Encoder[Out] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }

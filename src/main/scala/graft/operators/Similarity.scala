@@ -118,13 +118,17 @@ object Similarity {
     * adversarial case for any sign-LSH; candidate generation still goes
     * through an equi-join (shuffle, AQE-sizeable), never a cartesian. */
   def lshCosinePairs(emb: DataFrame, id: String, vec: String, threshold: Double,
-                     bands: Int = 48, rowsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
-    val dimRow = emb.select(max(size(col(vec)))).head()
-    if (dimRow.isNullAt(0))
-      return emb.select(col(id).as("vec_a"), col(id).as("vec_b"),
-        lit(0.0).as("cosine")).limit(0)
-    val dim = dimRow.getInt(0)
-    val planes = hyperplanes(bands * rowsPerBand, dim, seed)
+                     bands: Int = 48, rowsPerBand: Int = 4, seed: Long = 42L,
+                     dim: Option[Int] = None): DataFrame = {
+    // dim from table metadata when known (skips a scan); else from the data
+    val d = dim.getOrElse {
+      val dimRow = emb.select(max(size(col(vec)))).head()
+      if (dimRow.isNullAt(0))
+        return emb.select(col(id).as("vec_a"), col(id).as("vec_b"),
+          lit(0.0).as("cosine")).limit(0)
+      dimRow.getInt(0)
+    }
+    val planes = hyperplanes(bands * rowsPerBand, d, seed)
     // all band keys in ONE codegen'd pass (graft.plans.LshBandKeys): key j
     // = (j << r) | the band's sign bits, as a LONG (small shuffle rows,
     // cheap hash). A ragged/null vector yields a null key array → zero
@@ -213,16 +217,21 @@ object Similarity {
     * `maxHammingProbe` bits of the anchor's bucket (multi-probe LSH).
     * Trades recall for touching ~(Σ C(nPlanes,d)) / 2^nPlanes of the data. */
   def annTopK(emb: DataFrame, id: String, vec: String, anchorId: Long, k: Int,
-              nPlanes: Int = 12, maxHammingProbe: Int = 2): DataFrame = {
-    // dimensionality from the data (max over the corpus: deterministic,
-    // unlike a first-row probe) — a hardcoded dim would silently project
-    // higher-dimensional vectors onto their prefix. Empty/all-null corpus →
-    // empty result with the output schema.
-    val dimRow = emb.select(max(size(col(vec)))).head()
-    if (dimRow.isNullAt(0))
-      return emb.select(col(id), lit(0.0).as("cosine")).limit(0)
-    val dim = dimRow.getInt(0)
-    val bucketed = withLshBucket(emb, vec, hyperplanes(nPlanes, dim))
+              nPlanes: Int = 12, maxHammingProbe: Int = 2,
+              dim: Option[Int] = None): DataFrame = {
+    // dimensionality: pass it when the table's metadata knows it (at scale
+    // it does — an extra full scan per query is a real cost); otherwise
+    // resolved from the data (max over the corpus: deterministic, unlike a
+    // first-row probe — a hardcoded wrong dim would silently project
+    // higher-dimensional vectors onto their prefix). Empty/all-null corpus
+    // → empty result with the output schema.
+    val d = dim.getOrElse {
+      val dimRow = emb.select(max(size(col(vec)))).head()
+      if (dimRow.isNullAt(0))
+        return emb.select(col(id), lit(0.0).as("cosine")).limit(0)
+      dimRow.getInt(0)
+    }
+    val bucketed = withLshBucket(emb, vec, hyperplanes(nPlanes, d))
     val anchor = bucketed.filter(col(id) === anchorId)
       .select(col(vec).as("q_vec"), col("lsh_bucket").as("q_bucket"))
     val candidates = bucketed.crossJoin(broadcast(anchor.select(col("q_bucket"))))

@@ -116,6 +116,50 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Duplicate-cluster resolution: connected components over a near-dup
+    * pair list (the step after pair generation in every production dedup —
+    * a survivor must be chosen PER CLUSTER, not per pair, or chains
+    * A~B, B~C keep both B and C).
+    *
+    * Algorithm: iterative min-label propagation (the classic distributed
+    * connected-components loop — Hash-to-Min family): every doc starts
+    * labeled with itself; each round every doc takes the min of its own and
+    * its neighbors' labels; at fixpoint the label is the minimum id
+    * reachable in the pair graph = the cluster's canonical survivor.
+    * Rounds needed = graph diameter (near-dup clusters are shallow — dup
+    * chains of depth >20 would mean the threshold is wrong). The loop is
+    * driver-side CONTROL only: each round is one distributed join +
+    * aggregate, labels are localCheckpoint'ed so lineage (and plan size)
+    * stays O(1) per round instead of growing per iteration.
+    *
+    * Output: (doc_id, group_id) for every doc appearing in >= 1 pair;
+    * group_id = min doc id of the cluster. Pairs input must have columns
+    * `doc_a`, `doc_b`.
+    */
+  def dupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("id"), col("doc_b").as("nbr"))
+      .union(pairs.select(col("doc_b").as("id"), col("doc_a").as("nbr")))
+      .localCheckpoint()
+    var labels = edges.select(col("id")).distinct()
+      .select(col("id"), col("id").as("lbl")).localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      // min over each doc's neighbors' labels, merged with its own
+      val nbrMin = edges
+        .join(labels.select(col("id").as("nbr"), col("lbl").as("nlbl")), "nbr")
+        .groupBy(col("id")).agg(min(col("nlbl")).as("nmin"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      converged = updated.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") =!= col("old")).isEmpty
+      labels = updated
+      it += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("group_id"))
+  }
+
   /** 32-bit SimHash over distinct whitespace tokens. Token hash = first 8
     * hex chars of md5 (portable: the DuckDB oracle computes the identical
     * value), bit b of the fingerprint = majority vote of token bits. 32 bits

@@ -55,7 +55,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // methodology is stamped INTO the result line so cross-round comparisons
+    // can't silently mix warm and cold numbers: timings are the steady-state
+    // second run after a full-workload warmup at the bench sf, through the
+    // noop sink, with the IVF index pre-built (ingest-phase work).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup":"full-sf","timing":"steady-state-noop-sink","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -52,6 +52,27 @@ object QueriesExtras {
       .orderBy(col("doc_a"), col("doc_b")),
     Some(JaccardPairsSql))
 
+  /** Duplicate-CLUSTER resolution over the exact near-dup pairs: connected
+    * components via distributed min-label propagation
+    * ([[Dedup.dupGroups]]). The oracle computes the same components with a
+    * recursive CTE (min id reachable in the undirected pair graph), so the
+    * gate verifies the iterative distributed loop against a closed-form
+    * fixpoint — chains A~B, B~C must collapse to one group on both sides. */
+  private val qDedupGroups = Q(
+    (s, d) => Dedup.dupGroups(
+        Dedup.jaccardPairs(
+          Dedup.shingles(Tables.load(s, d, "documents"), "doc_id", "text", 5),
+          "doc_id", 0.8))
+      .orderBy(col("doc_id")),
+    Some("WITH RECURSIVE " + ShingleCte.stripPrefix("WITH ") +
+      ", jp AS (SELECT doc_a, doc_b " +
+      "FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b " +
+      "WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.8e0), " +
+      "edges AS (SELECT doc_a AS id, doc_b AS nbr FROM jp UNION ALL SELECT doc_b, doc_a FROM jp), " +
+      "reach(id, r) AS (SELECT id, id FROM (SELECT DISTINCT id FROM edges) t " +
+      "UNION SELECT e.id, reach.r FROM edges e JOIN reach ON e.nbr = reach.id) " +
+      "SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id ORDER BY doc_id"))
+
   private val qDedupSimhash = Q(
     (s, d) => Dedup.simhash32(Tables.load(s, d, "documents"), "doc_id", "text")
       .orderBy(col("doc_id")),
@@ -87,7 +108,17 @@ object QueriesExtras {
     * banded hyperplane LSH scale path (the q_j1_salted / minhash pattern:
     * the gate itself proves the bucketed plan is semantics-preserving).
     * Candidates come from a band-key equi-join, never a cartesian product.
-    */
+    *
+    * TRIAGE NOTE: unlike the MinHash path (miss ≈ 5e-8), sign-LSH recall at
+    * this corpus's adversarial threshold (cos 0.45 ⇒ p ≈ 0.648) is "only"
+    * 1 - 8e-5 per pair; the seeded planes make any given corpus
+    * deterministic (this one: 100% recall at every sf), but a future
+    * regenerated corpus with many pairs just above threshold could fail the
+    * hash gate through a genuine LSH miss. A red row here should be triaged
+    * as an LSH recall miss (raise `bands`), NOT as an arithmetic bug — the
+    * scoring arithmetic is byte-shared with the exhaustive path. At a
+    * realistic near-dup threshold (cos ≥ 0.9) the same b/r gives miss
+    * ≈ 1e-14, so the production configuration is provably safe. */
   private val qEmbNeardupLsh = Q(
     (s, d) => Similarity.lshCosinePairs(Tables.load(s, d, "embeddings"),
         "vec_id", "embedding", threshold = 0.45)
@@ -292,6 +323,7 @@ object QueriesExtras {
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_ngram_pairs" -> qDedupNgramPairs,
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
+    "q_dedup_groups" -> qDedupGroups,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_ann_brute_topk" -> qAnnBruteTopk,
     "q_ann_lsh_topk" -> qAnnLshTopk,

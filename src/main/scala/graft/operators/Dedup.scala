@@ -98,14 +98,28 @@ object Dedup {
     * per row and the only fan-out is Σ_candidates |shingles(doc_a)|. */
   def minhashDupPairs(sh: DataFrame, id: String, threshold: Double,
                       bands: Int = 32, rows: Int = 4): DataFrame = {
+    // candidate pairs are RARE relative to the corpus — that asymmetry is
+    // the whole point of LSH — so everything downstream of banding is
+    // restricted to candidate docs BEFORE it touches the shingle table:
+    // the verify stage shuffles |shingles(candidate docs)|, never the full
+    // corpus's shingles (an earlier version joined the full (id, shingle)
+    // table twice and re-aggregated full per-doc sizes — ~2× the whole
+    // query's cost at sf0.1, and the full-shingle shuffle would dominate
+    // at corpus scale). The two small frames are localCheckpoint'ed: each
+    // is needed by 2-3 downstream joins, and a checkpoint (bounded by the
+    // candidate set, not the corpus) beats re-running the band join /
+    // shingle scan per consumer.
     val cand = lshCandidatePairs(minHashSignatures(sh, id, bands * rows), id, bands, rows)
-    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
-    // candidate pairs are rare relative to the corpus, so each pair-side
-    // shingle join sees only candidate docs; a pair sharing zero shingles
-    // (pure band collision) drops out of the inner join — jaccard 0 anyway
+      .localCheckpoint()
+    val candDocs = cand.select(col("doc_a").as(id))
+      .union(cand.select(col("doc_b").as(id))).distinct()
+    val shC = sh.join(candDocs, Seq(id), "left_semi").localCheckpoint()
+    val sizes = shC.groupBy(col(id)).agg(count(lit(1)).as("sz"))
+    // a pair sharing zero shingles (pure band collision) drops out of the
+    // inner join — jaccard 0 anyway
     val inter = cand
-      .join(sh.select(col(id).as("doc_a"), col("shingle")), "doc_a")
-      .join(sh.select(col(id).as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .join(shC.select(col(id).as("doc_a"), col("shingle")), "doc_a")
+      .join(shC.select(col(id).as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col(id).as("doc_a"), col("sz").as("sz_a")), "doc_a")
@@ -149,14 +163,27 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("nbr"), col("lbl").as("nlbl")), "nbr")
         .groupBy(col("id")).agg(min(col("nlbl")).as("nmin"))
+      // one materialization per round: the checkpointed frame carries BOTH
+      // the new and the previous label, so the convergence probe is a
+      // filter over already-materialized blocks instead of a second
+      // join+scan job per iteration
       val updated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .select(col("id"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
         .localCheckpoint()
-      converged = updated.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .filter(col("lbl") =!= col("old")).isEmpty
-      labels = updated
+      converged = updated.filter(col("lbl") =!= col("old")).isEmpty
+      labels = updated.select(col("id"), col("lbl"))
       it += 1
     }
+    // partially-propagated labels are indistinguishable from a correct
+    // result downstream (they just split clusters), so non-convergence must
+    // be loud: a dup graph with diameter > maxIter means the threshold is
+    // admitting chains and the caller should know, not silently keep extra
+    // "survivors"
+    if (!converged) throw new IllegalStateException(
+      s"dupGroups: label propagation did not converge within $maxIter rounds " +
+        "(duplicate-pair graph has a longer chain than expected — raise maxIter " +
+        "or tighten the pair threshold)")
     labels.select(col("id").as("doc_id"), col("lbl").as("group_id"))
   }
 

@@ -161,6 +161,7 @@ object Streaming {
   def upsertLastWinsSink(keyCol: String, versionCol: String, stateDir: String)
                         (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    recoverSwap(spark, stateDir)
     // ties on version prefer the incoming row (the later write wins);
     // only "no state yet" skips the merge — a union/schema failure must
     // propagate, else the overwrite below would silently drop all state
@@ -176,15 +177,46 @@ object Streaming {
     // Swap stand-in for a transactional table commit, through the SAME
     // filesystem the state paths resolve to (file://, hdfs://, s3a:// —
     // a java.io.File rename never resolves URI-qualified paths and its
-    // failure would silently strand every merge in `_next`). Both steps
-    // assert their result: a swallowed failure here means silent data loss.
+    // failure would silently strand every merge in `_next`). RENAME-ASIDE,
+    // not delete-then-rename: cur → _old, next → cur, drop _old — so at
+    // every instant the merged state exists under SOME name and a crash at
+    // any point is repaired by [[recoverSwap]] on the next invocation.
+    // Both renames assert their result: a swallowed failure here means
+    // silent data loss.
     val cur = new org.apache.hadoop.fs.Path(stateDir)
     val next = new org.apache.hadoop.fs.Path(stateDir + "_next")
+    val old = new org.apache.hadoop.fs.Path(stateDir + "_old")
     val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(cur) && !fs.delete(cur, true))
-      throw new java.io.IOException(s"upsertLastWinsSink: failed to delete $cur for swap")
+    if (fs.exists(cur) && !fs.rename(cur, old))
+      throw new java.io.IOException(s"upsertLastWinsSink: failed to move $cur aside for swap")
     if (!fs.rename(next, cur))
       throw new java.io.IOException(s"upsertLastWinsSink: failed to rename $next -> $cur")
+    fs.delete(old, true): Unit // leftover debris is cleaned by recoverSwap
+  }
+
+  /** Crash repair for [[upsertLastWinsSink]]'s swap, run before every merge:
+    *  - `_next` with NO live state dir ⇒ the crash hit between the
+    *    move-aside and the publish rename; `_next` holds the fully merged
+    *    state (it is a superset of `_old`), so publish it.
+    *  - `_next` WITH a live state dir ⇒ the crash hit after the merge write
+    *    but before the swap began; the streaming checkpoint never committed
+    *    that batch, so it replays — drop the stale `_next`.
+    *  - a surviving `_old` after the state dir is live is swap debris —
+    *    drop it.
+    */
+  private def recoverSwap(spark: SparkSession, stateDir: String): Unit = {
+    val cur = new org.apache.hadoop.fs.Path(stateDir)
+    val next = new org.apache.hadoop.fs.Path(stateDir + "_next")
+    val old = new org.apache.hadoop.fs.Path(stateDir + "_old")
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(next)) {
+      if (!fs.exists(cur)) {
+        if (!fs.rename(next, cur))
+          throw new java.io.IOException(
+            s"upsertLastWinsSink: recovery failed to publish $next -> $cur")
+      } else fs.delete(next, true): Unit
+    }
+    if (fs.exists(cur)) fs.delete(old, true): Unit
   }
 
   /** ST6/A2 — stateful incremental per-key totals across micro-batches via

@@ -46,6 +46,26 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh sameElements exact)
   }
 
+  test("dupGroups: chained clusters A~B, B~C collapse to one group") {
+    // 1-2 and 2-3 are pairs but 1-3 is NOT: only transitive closure merges
+    // them; a per-pair survivor would wrongly keep doc 3
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dupGroups(pairs).orderBy($"doc_id")
+      .as[(Long, Long)].collect()
+    assert(got sameElements Array(
+      (1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+  }
+
+  test("dupGroups: long chain converges; too-low maxIter fails loudly") {
+    // path graph 1-2-3-...-8: min label must walk the whole chain
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.dupGroups(chain).as[(Long, Long)].collect()
+    assert(got.forall(_._2 == 1L) && got.length == 8)
+    // with maxIter below the chain diameter the result would be silently
+    // split clusters — the operator must throw instead
+    intercept[IllegalStateException] { Dedup.dupGroups(chain, maxIter = 2) }
+  }
+
   test("simhash: identical text -> identical hash; near-dup -> small hamming") {
     val hs = Dedup.simhash32(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

@@ -109,6 +109,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got sameElements Array(("a", 1L, "v1")))
   }
 
+  test("last-write-wins swap recovers from a crash at every window") {
+    // rename-aside swap: cur -> _old, next -> cur, drop _old. Simulate the
+    // two crash windows and assert no merged state is ever lost.
+    val base = java.nio.file.Files.createTempDirectory("graft_lww_crash").toString
+    val dir = s"$base/state"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val b1 = Seq(("a", 1L, "v1")).toDF("_id", "version", "payload")
+    Streaming.upsertLastWinsSink("_id", "version", dir)(b1, 0L)
+
+    // crash window 1: after cur -> _old, before next -> cur. The merged
+    // state (a + b) lives ONLY in _next; the old delete-then-rename code
+    // lost it (next batch saw "no state" and overwrote _next).
+    Seq(("a", 1L, "v1"), ("b", 2L, "v1")).toDF("_id", "version", "payload")
+      .write.parquet(dir + "_next")
+    assert(fs.rename(p(dir), p(dir + "_old")))
+    val b3 = Seq(("c", 3L, "v1")).toDF("_id", "version", "payload")
+    Streaming.upsertLastWinsSink("_id", "version", dir)(b3, 2L)
+    var got = spark.read.parquet(dir).orderBy($"_id").as[(String, Long, String)].collect()
+    assert(got sameElements Array(("a", 1L, "v1"), ("b", 2L, "v1"), ("c", 3L, "v1")))
+    assert(!fs.exists(p(dir + "_old")) && !fs.exists(p(dir + "_next")))
+
+    // crash window 2: _next written but swap never started (live state
+    // dir). That batch never committed to the streaming checkpoint, so it
+    // replays — the stale _next must be DROPPED, not merged.
+    Seq(("zz", 9L, "stale")).toDF("_id", "version", "payload")
+      .write.parquet(dir + "_next")
+    val b4 = Seq(("d", 4L, "v1")).toDF("_id", "version", "payload")
+    Streaming.upsertLastWinsSink("_id", "version", dir)(b4, 3L)
+    got = spark.read.parquet(dir).orderBy($"_id").as[(String, Long, String)].collect()
+    assert(got sameElements Array(
+      ("a", 1L, "v1"), ("b", 2L, "v1"), ("c", 3L, "v1"), ("d", 4L, "v1")))
+  }
+
   test("ST6 stateful running totals accumulate across micro-batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]

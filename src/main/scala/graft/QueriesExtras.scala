@@ -249,6 +249,73 @@ object QueriesExtras {
     Some("SELECT doc_id, octet_length(encode(text)) AS payload_bytes, " +
       "md5(text) AS payload_md5 FROM documents ORDER BY doc_id"))
 
+  /** AS-OF JOIN — purchase attribution: for every purchase event, the most
+    * recent PRIOR (ts <= purchase ts) non-purchase event of the same user.
+    * The Spark plan is [[graft.operators.Ops.asofJoin]]'s single-shuffle
+    * sort-merge shape; the oracle is the declarative form (LEFT JOIN
+    * LATERAL ... ORDER BY ts DESC LIMIT 1), so the gate proves the
+    * running-window implementation equals the point-in-time lookup
+    * semantics, including unmatched-left nulls and the max-event_id
+    * tie-break. Timestamps are emitted as epoch micros (both engines
+    * truncate the parquet nanos identically). */
+  private val qAsofAttrib = Q(
+    (s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val others = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      graft.operators.Ops.asofJoin(purchases, others, Seq("user_id"),
+          "ts", "ts", tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("asof.event_id").as("prev_event_id"),
+          unix_micros(col("asof.ts")).as("prev_ts_us"),
+          col("asof.event_type").as("prev_type"))
+        .orderBy(col("event_id"))
+    },
+    Some("WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
+      "o AS (SELECT user_id, ts, event_id, event_type FROM events WHERE event_type <> 'purchase') " +
+      "SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, " +
+      "l.prev_event_id, l.prev_ts_us, l.prev_type " +
+      "FROM p LEFT JOIN LATERAL (" +
+      "SELECT o.event_id AS prev_event_id, epoch_us(o.ts) AS prev_ts_us, o.event_type AS prev_type " +
+      "FROM o WHERE o.user_id = p.user_id AND o.ts <= p.ts " +
+      "ORDER BY o.ts DESC, o.event_id DESC LIMIT 1) l ON TRUE " +
+      "ORDER BY event_id"))
+
+  /** Deterministic train/val/test split assignment over the portable salted
+    * hash ([[graft.operators.Sampling]]) — membership is a pure per-row
+    * function of (id, salt), so it is stable across reruns, partitionings
+    * and engines (no `df.sample()` leakage between pipeline versions). */
+  private val qSplitAssign = Q(
+    (s, d) => graft.operators.Sampling.splitAssign(
+        Tables.load(s, d, "documents"), "doc_id")
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .orderBy(col("doc_id")),
+    Some("SELECT doc_id, b AS bucket, " +
+      "CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split " +
+      "FROM (SELECT doc_id, ('0x' || substr(md5(doc_id::VARCHAR || 'graft'), 1, 8))::BIGINT % 100 AS b " +
+      "FROM documents) ORDER BY doc_id"))
+
+  /** Per-document top-3 terms by (rational-idf) TF-IDF — see
+    * [[TextAnalysis.tfIdfTopTerms]] for why idf is (N+1)/(df+1) and not
+    * log: rational arithmetic is bit-identical across engines, log() is
+    * only 1-ulp-close. */
+  private val qTfidfTopTerms = Q(
+    (s, d) => TextAnalysis.tfIdfTopTerms(
+        Tables.load(s, d, "documents"), "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("rnk")),
+    Some("WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term FROM documents), " +
+      "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), " +
+      "dfq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1), " +
+      "n AS (SELECT count(*) AS n_docs FROM documents), " +
+      "scored AS (SELECT doc_id, term, tf, doc_freq, " +
+      "CAST(tf AS DOUBLE) * CAST(n_docs + 1 AS DOUBLE) / CAST(doc_freq + 1 AS DOUBLE) AS tfidf " +
+      "FROM tf JOIN dfq USING (term), n), " +
+      "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk FROM scored) " +
+      "SELECT doc_id, rnk, term, tf, doc_freq, tfidf FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk"))
+
   /** J1 via the skew-resilient salted join — deliberately verified against
     * the SAME oracle SQL as q_j1_linkage: the driver's gate itself proves
     * `Scale.saltedJoin` is semantics-preserving. */
@@ -337,5 +404,8 @@ object QueriesExtras {
     "q_fingerprint" -> qFingerprint,
     "q_winnow_fingerprint" -> qWinnowFingerprint,
     "q_binary_meta" -> qBinaryMeta,
+    "q_asof_attrib" -> qAsofAttrib,
+    "q_split_assign" -> qSplitAssign,
+    "q_tfidf_top_terms" -> qTfidfTopTerms,
   )
 }

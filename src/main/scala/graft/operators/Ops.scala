@@ -57,6 +57,47 @@ object Ops {
   def unionAll(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
 
+  /** As-of join (point-in-time lookup): for every left row, the single
+    * right row with the same key and the greatest `rightTs` <= `leftTs` —
+    * the temporal join behind purchase attribution, slowly-changing-
+    * dimension lookups and market-data alignment, which plain equi-joins
+    * can't express.
+    *
+    * Implementation is the sort-merge shape, not a range join: both sides
+    * union into one frame tagged by side, ONE shuffle on the key, and a
+    * running `last(right_payload, ignoreNulls)` over the (ts, side,
+    * tieBreak) sort order picks each left row's match. Per-pair work is
+    * O(1) after the sort — no per-key cross product (a naive
+    * `l.ts >= r.ts` theta-join explodes quadratically per key at scale,
+    * and Spark would plan it as BroadcastNestedLoop). Right rows at ts ==
+    * leftTs are INCLUDED (side 0 sorts before side 1); ties among right
+    * rows on equal ts resolve to the greatest `tieBreak` value, so results
+    * are deterministic.
+    *
+    * Output: every left row (left outer semantics) with its matched right
+    * payload as a struct column `asof` (null when no right row precedes).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               tieBreak: Seq[String] = Nil): DataFrame = {
+    val rPayload = right.columns.filterNot(keys.contains)
+    val r0 = right.select(keys.map(col) ++ Seq(col(rightTs).as("__ts"),
+      lit(0).as("__side"), struct(rPayload.map(col): _*).as("__r")): _*)
+    val l0 = left.select(keys.map(col) ++ Seq(col(leftTs).as("__ts"),
+      lit(1).as("__side"), struct(left.columns.map(col): _*).as("__l")): _*)
+    val lu = l0.withColumn("__r", lit(null).cast(r0.schema("__r").dataType))
+    val ru = r0.withColumn("__l", lit(null).cast(l0.schema("__l").dataType))
+    val cols = keys ++ Seq("__ts", "__side", "__l", "__r")
+    val un = lu.select(cols.map(col): _*).unionByName(ru.select(cols.map(col): _*))
+    val ord = Seq(col("__ts").asc, col("__side").asc) ++
+      tieBreak.map(t => col("__r").getField(t).asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    un.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__l.*"), col("__m").as("asof"))
+  }
+
   /** A2 — partial/final merge property: combining per-subkey partial
     * aggregates must equal the direct aggregate. `sum(cnt)` merges counts,
     * `max(mx)` merges maxes — exactly the reference's `$inc`/`$max`

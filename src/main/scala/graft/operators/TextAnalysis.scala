@@ -83,6 +83,38 @@ object TextAnalysis {
       .agg(min(conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long"))
         .as("winnow_fp"))
 
+  /** Per-document top-k terms by TF-IDF — the corpus-level term-weighting
+    * pass behind keyword extraction and topical filtering of a training
+    * corpus. Two shuffles total, both on bounded keys: term frequencies
+    * aggregate on (doc, term) with map-side combine; document frequencies
+    * aggregate the (doc, term) output on term (already one row per
+    * doc×term, so no double counting); the corpus size joins in as a
+    * broadcast scalar. Final ranking is a per-doc window with a
+    * deterministic (score desc, term asc) tie-break.
+    *
+    * IDF is the smoothed RATIONAL variant (N+1)/(df+1) rather than
+    * log((N+1)/(df+1)): within a document the ranking it induces differs
+    * from log-idf only in how ties between (tf, df) profiles break, and
+    * rational arithmetic is bit-identical across engines, which log()
+    * (libm vs JVM, 1-ulp apart) is not guaranteed to be — the same
+    * determinism rule that keeps every other oracle exact. Swapping in
+    * `log(...)` is a one-expression change where needed. */
+  def tfIdfTopTerms(df: DataFrame, id: String, text: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(id), explode(split(trim(lower(col(text))), "\\s+")).as("term"))
+    val tf = toks.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf").cast("double") * (col("n_docs") + 1).cast("double")
+          / (col("doc_freq") + 1).cast("double"))
+    val w = Window.partitionBy(col(id)).orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col(id), col("rnk").cast("long").as("rnk"), col("term"),
+        col("tf"), col("doc_freq"), col("tfidf"))
+  }
+
   /** Portable content fingerprint: md5 of normalized text, plus a 32-bit
     * numeric prefix usable as a shard/bucket key. */
   def fingerprint(df: DataFrame, id: String, text: String): DataFrame =

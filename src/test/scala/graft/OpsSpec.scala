@@ -49,6 +49,30 @@ class OpsSpec extends AnyFunSuite {
     assert(got sameElements Array(("b", 5.0), ("c", 5.0)))
   }
 
+  test("asofJoin: latest right row at-or-before each left ts, per key") {
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"), (3L, 9L, "p4"))
+      .toDF("k", "ts", "name")
+    val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (1L, 25L, "r25"), (2L, 7L, "r7"))
+      .toDF("k", "ts", "tag")
+    val got = Ops.asofJoin(left, right, Seq("k"), "ts", "ts")
+      .select($"k", $"ts", $"name", $"asof.tag", $"asof.ts")
+      .orderBy($"k", $"ts")
+      .as[(Long, Long, String, Option[String], Option[Long])].collect()
+    assert(got sameElements Array(
+      (1L, 10L, "p1", Some("r10"), Some(10L)), // equal ts is INCLUSIVE
+      (1L, 20L, "p2", Some("r15"), Some(15L)), // r25 is in the future
+      (2L, 5L, "p3", None, None),              // nothing at-or-before -> null
+      (3L, 9L, "p4", None, None)))             // key with no right rows at all
+  }
+
+  test("asofJoin: equal right timestamps resolve by the tieBreak column") {
+    val left = Seq((1L, 10L, "p")).toDF("k", "ts", "name")
+    val right = Seq((1L, 10L, 7L, "lo"), (1L, 10L, 9L, "hi")).toDF("k", "ts", "seq", "tag")
+    val got = Ops.asofJoin(left, right, Seq("k"), "ts", "ts", tieBreak = Seq("seq"))
+      .select($"asof.tag").as[String].head()
+    assert(got == "hi") // greatest tieBreak wins, deterministically
+  }
+
   test("union tolerates asymmetric schemas") {
     val a = Seq(("x", 1)).toDF("name", "extra")
     val b = Seq("y").toDF("name")

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Sampling, TextAnalysis}
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val ids = (0L until 2000L).toDF("id")
+
+  test("splitAssign: total, disjoint, stable, roughly proportional") {
+    val assigned = Sampling.splitAssign(ids, "id")
+    val counts = assigned.groupBy($"split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 2000)
+    // md5 buckets are uniform; 80/10/10 within a loose tolerance
+    assert(counts("train") > 1500 && counts("train") < 1700, counts.toString)
+    assert(counts("val") > 120 && counts("val") < 280)
+    assert(counts("test") > 120 && counts("test") < 280)
+    // stability: a second run (different partitioning) assigns identically
+    val again = Sampling.splitAssign(ids.repartition(7), "id")
+    assert(assigned.select($"id", $"split").exceptAll(again.select($"id", $"split")).isEmpty)
+    // salt independence: a different salt moves some ids between splits
+    val other = Sampling.splitAssign(ids, "id", salt = "other")
+    assert(!assigned.select($"id", $"split").exceptAll(other.select($"id", $"split")).isEmpty)
+  }
+
+  test("sampleByHash keeps a stable subset of the requested size") {
+    val s10 = Sampling.sampleByHash(ids, "id", 10)
+    val n = s10.count()
+    assert(n > 140 && n < 260, s"expected ~200, got $n")
+    // subset property: a 20% sample contains the 10% sample (nested cuts)
+    val s20 = Sampling.sampleByHash(ids, "id", 20)
+    assert(s10.exceptAll(s20).isEmpty)
+  }
+
+  test("tfIdfTopTerms ranks rare terms above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "common zebra zebra"),
+      (2L, "common quartz quartz"),
+      (3L, "common plain words here")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 1)
+      .select($"doc_id", $"term").as[(Long, String)].collect().toMap
+    // 'common' appears in every doc (df=3); the doc-unique terms win even
+    // against tf=2 'common'
+    assert(top(1L) == "zebra")
+    assert(top(2L) == "quartz")
+  }
+}

@@ -377,6 +377,43 @@ object Queries {
       "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value " +
       "FROM events ORDER BY user_id, ts, event_id"))
 
+  /** Inter-event gaps via lag(): per user, microseconds since the previous
+    * event — the session-gap primitive behind sessionization and
+    * inactivity analysis. Same single-shuffle window shape as
+    * q_window_running; first event per user has a NULL gap. */
+  private val qLagGaps = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    },
+    Some("SELECT user_id, event_id, ts, " +
+      "epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us " +
+      "FROM events ORDER BY user_id, ts, event_id"))
+
+  /** Pivot: per-user event-type counts as columns (the dashboard matrix
+    * shape). The pivot VALUES are passed explicitly — with an inferred
+    * pivot Spark runs an extra distinct scan to discover them, and at
+    * scale the value set is schema knowledge, not data. Absent cells are 0,
+    * not null (count semantics). */
+  private val qPivotEventCounts = Q(
+    (s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = t(s, d, "events").groupBy(col("user_id"))
+        .pivot("event_type", types).agg(count(lit(1)))
+      p.select(col("user_id") +:
+          types.map(tp => coalesce(col(tp), lit(0L)).as(s"n_$tp")): _*)
+        .orderBy(col("user_id"))
+    },
+    Some("SELECT user_id, " +
+      Seq("click", "error", "purchase", "signup", "view").map(tp =>
+        s"CAST(SUM(CASE WHEN event_type = '$tp' THEN 1 ELSE 0 END) AS BIGINT) AS n_$tp")
+        .mkString(", ") +
+      " FROM events GROUP BY user_id ORDER BY user_id"))
+
   // =====================================================================
   // registry
   // =====================================================================
@@ -412,6 +449,8 @@ object Queries {
     "q6_revenue_forecast" -> q6RevenueForecast,
     "q_rollup_revenue" -> qRollupRevenue,
     "q_window_running" -> qWindowRunning,
+    "q_lag_gaps" -> qLagGaps,
+    "q_pivot_event_counts" -> qPivotEventCounts,
   ) ++ QueriesExtras.registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -89,6 +89,30 @@ object Streaming {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** ST stretch — STREAM-STREAM interval join (the one join shape the
+    * reference's record-at-a-time loop could never express): purchases
+    * joined to the clicks that preceded them within `horizon`, on two
+    * independent streams. Both sides are watermarked and the join
+    * condition bounds the event-time range, so Spark provably evicts join
+    * state older than the horizon — state stays O(horizon × rate), not
+    * O(stream). Batch parity: the same join condition over static frames
+    * gives the identical result (tested), so the streaming plan inherits
+    * the batch semantics. */
+  def streamStreamAttribution(purchases: DataFrame, clicks: DataFrame,
+                              horizon: String = "10 minutes"): DataFrame = {
+    val p = purchases
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", horizon)
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+      .withWatermark("c_ts", horizon)
+    p.join(c, col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("purchase_id"), col("p_ts"),
+        col("click_id"), col("c_ts"))
+  }
+
   /** A8 on a stream — dedup by key with bounded state:
     * dropDuplicatesWithinWatermark keeps state only for the watermark
     * horizon, the streaming analog of the insert-if-absent gate for sources

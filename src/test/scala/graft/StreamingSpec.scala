@@ -144,6 +144,41 @@ class StreamingSpec extends AnyFunSuite {
       ("a", 1L, "v1"), ("b", 2L, "v1"), ("c", 3L, "v1"), ("d", 4L, "v1")))
   }
 
+  test("stream-stream interval join matches its batch twin") {
+    implicit val sq = spark.sqlContext
+    case class E(user_id: Long, ts: Timestamp, event_id: Long)
+    val pm = MemoryStream[(Long, Timestamp, Long)]
+    val cm = MemoryStream[(Long, Timestamp, Long)]
+    def named(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("user_id", "ts", "event_id")
+    val q = Streaming.streamStreamAttribution(named(pm.toDF()), named(cm.toDF()))
+      .writeStream.outputMode("append").format("memory").queryName("ssj").start()
+    try {
+      // user 1: clicks at :01 and :03, purchase at :05 -> both attributed;
+      // click at :20 is after the purchase; user 2's click is 30 min
+      // before its purchase -> outside the horizon
+      cm.addData((1L, ts(1), 101L), (1L, ts(3), 102L), (2L, ts(1), 201L))
+      pm.addData((1L, ts(5), 501L), (2L, ts(31), 502L))
+      q.processAllAvailable()
+      cm.addData((1L, ts(20), 103L)) // arrives later, still no match
+      q.processAllAvailable()
+      val got = spark.table("ssj")
+        .select($"purchase_id", $"click_id").orderBy($"purchase_id", $"click_id")
+        .as[(Long, Long)].collect()
+      assert(got sameElements Array((501L, 101L), (501L, 102L)))
+      // batch twin: identical join condition over static frames
+      val pb = named(Seq((1L, ts(5), 501L), (2L, ts(31), 502L)).toDF())
+        .select($"user_id", $"ts".as("p_ts"), $"event_id".as("purchase_id"))
+      val cb = named(Seq((1L, ts(1), 101L), (1L, ts(3), 102L), (2L, ts(1), 201L), (1L, ts(20), 103L)).toDF())
+        .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("click_id"))
+      val batch = pb.join(cb, $"user_id" === $"c_user" &&
+          $"c_ts" <= $"p_ts" && $"c_ts" >= $"p_ts" - expr("INTERVAL 10 minutes"))
+        .select($"purchase_id", $"click_id").orderBy($"purchase_id", $"click_id")
+        .as[(Long, Long)].collect()
+      assert(batch sameElements got)
+    } finally q.stop()
+  }
+
   test("ST6 stateful running totals accumulate across micro-batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]

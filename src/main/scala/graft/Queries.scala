@@ -394,6 +394,35 @@ object Queries {
       "epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us " +
       "FROM events ORDER BY user_id, ts, event_id"))
 
+  /** Batch sessionization: a session breaks where the inter-event gap
+    * exceeds 30 minutes; session_id = running count of breaks per user
+    * (composable windows: lag → flag → cumulative sum, ONE shuffle — all
+    * three windows share the same partitioning and sort, so Catalyst plans
+    * a single Exchange+Sort). The streaming twin is
+    * [[graft.streaming.Streaming.sessionEngagement]] (session_window). */
+  private val qSessionize = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gapUs = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          when(gapUs.isNull || gapUs > 30L * 60 * 1000000, 1L).otherwise(0L).as("brk"))
+        .withColumn("session_id", sum(col("brk")).over(wRun))
+        .select(col("user_id"), col("event_id"), col("ts"), col("session_id"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    },
+    Some("WITH g AS (SELECT user_id, event_id, ts, " +
+      "epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us " +
+      "FROM events), " +
+      "b AS (SELECT user_id, event_id, ts, " +
+      "CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS brk FROM g) " +
+      "SELECT user_id, event_id, ts, " +
+      "CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id " +
+      "FROM b ORDER BY user_id, ts, event_id"))
+
   /** Pivot: per-user event-type counts as columns (the dashboard matrix
     * shape). The pivot VALUES are passed explicitly — with an inferred
     * pivot Spark runs an extra distinct scan to discover them, and at
@@ -450,6 +479,7 @@ object Queries {
     "q_rollup_revenue" -> qRollupRevenue,
     "q_window_running" -> qWindowRunning,
     "q_lag_gaps" -> qLagGaps,
+    "q_sessionize" -> qSessionize,
     "q_pivot_event_counts" -> qPivotEventCounts,
   ) ++ QueriesExtras.registry
 

@@ -298,6 +298,21 @@ object QueriesExtras {
       "FROM (SELECT doc_id, ('0x' || substr(md5(doc_id::VARCHAR || 'graft'), 1, 8))::BIGINT % 100 AS b " +
       "FROM documents) ORDER BY doc_id"))
 
+  /** Stratified (per-language) downsampling over the stable hash — keeps
+    * 20% of English docs, 50% of German, everything else untouched. The
+    * oracle re-derives membership from the same portable hash, proving the
+    * per-row CASE compiles to engine-independent semantics. */
+  private val qStratifiedSample = Q(
+    (s, d) => graft.operators.Sampling.stratifiedSampleByHash(
+        Tables.load(s, d, "documents"), "doc_id", "lang",
+        Map("en" -> 20, "de" -> 50))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id")),
+    Some("SELECT doc_id, lang FROM (SELECT doc_id, lang, " +
+      "('0x' || substr(md5(doc_id::VARCHAR || 'graft'), 1, 8))::BIGINT % 100 AS b " +
+      "FROM documents) WHERE b < (CASE WHEN lang = 'de' THEN 50 WHEN lang = 'en' THEN 20 ELSE 100 END) " +
+      "ORDER BY doc_id"))
+
   /** Per-document top-3 terms by (rational-idf) TF-IDF — see
     * [[TextAnalysis.tfIdfTopTerms]] for why idf is (N+1)/(df+1) and not
     * log: rational arithmetic is bit-identical across engines, log() is
@@ -406,6 +421,7 @@ object QueriesExtras {
     "q_binary_meta" -> qBinaryMeta,
     "q_asof_attrib" -> qAsofAttrib,
     "q_split_assign" -> qSplitAssign,
+    "q_stratified_sample" -> qStratifiedSample,
     "q_tfidf_top_terms" -> qTfidfTopTerms,
   )
 }

@@ -31,6 +31,21 @@ object Sampling {
                    salt: String = "graft"): DataFrame =
     df.filter(hashBucket(col(id), salt, 100) < pct)
 
+  /** Stratified sample: a different keep-percentage per stratum (e.g.
+    * downsample dominant languages, keep all of rare ones — the standard
+    * corpus-rebalancing move). Same per-row portable hash, so membership
+    * stays stable and nested across pct changes; strata missing from
+    * `pcts` fall back to `defaultPct`. Map-only, no shuffle: the strata
+    * percentages compile into one CASE expression. */
+  def stratifiedSampleByHash(df: DataFrame, id: String, stratum: String,
+                             pcts: Map[String, Int], defaultPct: Int = 100,
+                             salt: String = "graft"): DataFrame = {
+    val pctCol = pcts.toSeq.sortBy(_._1).foldRight(lit(defaultPct)) {
+      case ((k, p), rest) => when(col(stratum) === k, p).otherwise(rest)
+    }
+    df.filter(hashBucket(col(id), salt, 100) < pctCol)
+  }
+
   /** Split assignment by cumulative percentage cuts (must sum to 100).
     * Adds `bucket` (0-99) and `split` columns; every id maps to exactly one
     * split, forever, on any engine. */

@@ -35,6 +35,19 @@ class SamplingSpec extends AnyFunSuite {
     assert(s10.exceptAll(s20).isEmpty)
   }
 
+  test("stratified sample keeps per-stratum rates and is a subset of the full set") {
+    val rows = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "rare")).toDF("id", "lang")
+    val kept = Sampling.stratifiedSampleByHash(rows, "id", "lang", Map("en" -> 20))
+    val byLang = kept.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("rare") == 500) // default 100%: untouched
+    assert(byLang("en") > 60 && byLang("en") < 140, byLang.toString) // ~20% of 500
+    // consistency with the flat sampler: same hash, same salt -> the kept
+    // 'en' ids are exactly the flat 20% sample of the 'en' stratum
+    val flat = Sampling.sampleByHash(rows.filter($"lang" === "en"), "id", 20)
+    assert(kept.filter($"lang" === "en").exceptAll(flat).isEmpty)
+    assert(flat.exceptAll(kept.filter($"lang" === "en")).isEmpty)
+  }
+
   test("tfIdfTopTerms ranks rare terms above ubiquitous ones") {
     val docs = Seq(
       (1L, "common zebra zebra"),

@@ -394,6 +394,43 @@ object Queries {
       "epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us " +
       "FROM events ORDER BY user_id, ts, event_id"))
 
+  /** CUBE grouping sets: counts at every (event_type × hour) granularity
+    * including both margins and the grand total, in ONE pass — Catalyst
+    * expands the cube into a single Expand + aggregate, the reference's
+    * "recompute each dashboard tile separately" pattern collapsed into one
+    * shuffle. NULL group keys are re-labeled (the cube's roll-up marker
+    * would otherwise collide with genuinely-null data keys). */
+  private val qCubeCounts = Q(
+    (s, d) => t(s, d, "events")
+      .select(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+      .cube(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("hr"), lit(-1L)).as("hr"), col("cnt"))
+      .orderBy(col("event_type"), col("hr")),
+    Some("SELECT COALESCE(event_type, 'ALL') AS event_type, " +
+      "COALESCE(hr, -1) AS hr, count(*) AS cnt " +
+      "FROM (SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hr FROM events) " +
+      "GROUP BY CUBE (event_type, hr) ORDER BY event_type, hr"))
+
+  /** Grouped exact quantiles (p50/p95 per event type): Spark `percentile`
+    * and DuckDB `quantile_cont` share the same linear-interpolation
+    * definition (index p·(n−1), lower + frac·(upper−lower)); round(6)
+    * absorbs any final-ulp difference between the two implementations of
+    * that arithmetic. Exact percentile needs the group sorted — at corpus
+    * scale swap in `approx_percentile` (t-digest, mergeable partial aggs)
+    * and keep this as the verification twin. */
+  private val qGroupedQuantiles = Q(
+    (s, d) => t(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"),
+        count(col("value")).as("n_valued"))
+      .orderBy(col("event_type")),
+    Some("SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, " +
+      "round(quantile_cont(value, 0.95), 6) AS p95, count(value) AS n_valued " +
+      "FROM events GROUP BY event_type ORDER BY event_type"))
+
   /** Batch sessionization: a session breaks where the inter-event gap
     * exceeds 30 minutes; session_id = running count of breaks per user
     * (composable windows: lag → flag → cumulative sum, ONE shuffle — all
@@ -480,6 +517,8 @@ object Queries {
     "q_window_running" -> qWindowRunning,
     "q_lag_gaps" -> qLagGaps,
     "q_sessionize" -> qSessionize,
+    "q_cube_counts" -> qCubeCounts,
+    "q_grouped_quantiles" -> qGroupedQuantiles,
     "q_pivot_event_counts" -> qPivotEventCounts,
   ) ++ QueriesExtras.registry
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -57,6 +57,44 @@ object Multimodal {
         frame.map(_ & 0xff).sum.toDouble / frame.length,
         (frame.head & 0xff).toDouble,
         (frame.last & 0xff).toDouble)
+  }
+
+  /** REAL binary header sniffing — format detection + image dimensions
+    * parsed from the payload's magic bytes with pure built-in expressions
+    * (substring/hex/conv on BinaryType → whole-stage codegen, no UDF, no
+    * codec library). This is the metadata pass a 100 TB media pipeline
+    * runs on ingest: it touches only the first ~30 bytes of each payload.
+    *
+    *  - PNG:  8-byte signature, IHDR width/height as u32 big-endian at
+    *    offsets 17/21 (1-indexed).
+    *  - GIF:  "GIF87a"/"GIF89a", logical-screen width/height u16
+    *    little-endian at 7/9.
+    *  - BMP:  "BM", BITMAPINFOHEADER width/height u32 little-endian at
+    *    19/23.
+    *  - JPEG: detected by FF D8 magic; dimensions live in a SOF marker at
+    *    a data-dependent offset — that genuinely needs the
+    *    [[extractFeatures]] mapPartitions codec stage, so dims are null
+    *    here (sniffing never lies).
+    * Unknown formats → format "unknown", null dims. */
+  def imageMeta(payload: Column): Column = {
+    def u8(off: Int): Column =
+      conv(hex(substring(payload, off, 1)), 16, 10).cast("long")
+    def u16le(off: Int): Column = u8(off) + u8(off + 1) * 256L
+    def u32le(off: Int): Column =
+      u8(off) + u8(off + 1) * 256L + u8(off + 2) * 65536L + u8(off + 3) * 16777216L
+    def u32be(off: Int): Column = conv(hex(substring(payload, off, 4)), 16, 10).cast("long")
+    val isPng = hex(substring(payload, 1, 8)) === "89504E470D0A1A0A"
+    val isGif = substring(payload, 1, 6).cast("string").isin("GIF87a", "GIF89a")
+    val isBmp = substring(payload, 1, 2).cast("string") === "BM"
+    val isJpeg = hex(substring(payload, 1, 2)) === "FFD8"
+    val nullL = lit(null).cast("long")
+    struct(
+      when(isPng, "png").when(isGif, "gif").when(isBmp, "bmp")
+        .when(isJpeg, "jpeg").otherwise("unknown").as("format"),
+      when(isPng, u32be(17)).when(isGif, u16le(7)).when(isBmp, u32le(19))
+        .otherwise(nullL).as("width"),
+      when(isPng, u32be(21)).when(isGif, u16le(9)).when(isBmp, u32le(23))
+        .otherwise(nullL).as("height"))
   }
 
   /** Build a media table from any (id, string-payload) source — used by

@@ -17,6 +17,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(new String(row.getAs[Array[Byte]]("payload"), "UTF-8") == "hello world")
   }
 
+  test("imageMeta sniffs format and dimensions from real header bytes") {
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // genuine 640x480 PNG header: signature + IHDR length/type + w/h
+    val png = bytes(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80, /* 640 be */ 0, 0, 0x01, 0xE0 /* 480 be */)
+    // GIF89a, 320x200 little-endian logical screen
+    val gif = "GIF89a".getBytes("US-ASCII") ++ bytes(0x40, 0x01 /* 320 le */, 0xC8, 0x00 /* 200 le */)
+    // BMP: "BM" + 12 filler bytes + 4-byte header size + w/h u32 le
+    val bmp = "BM".getBytes("US-ASCII") ++ Array.fill[Byte](16)(0) ++
+      bytes(0x00, 0x04, 0, 0 /* 1024 le */, 0x00, 0x03, 0, 0 /* 768 le */)
+    val jpeg = bytes(0xFF, 0xD8, 0xFF, 0xE0)
+    val junk = "not an image".getBytes("US-ASCII")
+    val df = Seq((1L, png), (2L, gif), (3L, bmp), (4L, jpeg), (5L, junk))
+      .toDF("media_id", "payload")
+      .select($"media_id", Multimodal.imageMeta($"payload").as("m"))
+      .select($"media_id", $"m.format", $"m.width", $"m.height")
+      .orderBy($"media_id")
+      .as[(Long, String, Option[Long], Option[Long])].collect()
+    assert(df sameElements Array(
+      (1L, "png", Some(640L), Some(480L)),
+      (2L, "gif", Some(320L), Some(200L)),
+      (3L, "bmp", Some(1024L), Some(768L)),
+      (4L, "jpeg", None, None), // SOF offset is data-dependent: codec stage
+      (5L, "unknown", None, None)))
+  }
+
   test("feature extraction is deterministic and partition-count independent") {
     val docs = (1L to 50L).map(i => (i, s"document payload number $i " * 8)).toDF("doc_id", "text")
     val media = Multimodal.synthesize(docs, "doc_id", "text")

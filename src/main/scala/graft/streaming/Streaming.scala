@@ -243,6 +243,60 @@ object Streaming {
     if (fs.exists(cur)) fs.delete(old, true): Unit
   }
 
+  /** A2 ⊕ S7 — incremental MATERIALIZED-VIEW maintenance: each micro-batch
+    * is aggregated to per-key partials, merged with the stored rollup via
+    * the algebraic merge (`Ops`-style sum/max combine — exactly the A2
+    * partial≡direct property, so state after N batches provably equals the
+    * direct aggregate of all N batches' rows), and swapped in through the
+    * same crash-safe rename-aside publish as [[upsertLastWinsSink]]. This
+    * is the lambda architecture's serving table WITHOUT the batch-layer
+    * recompute: at 100 TB you maintain the rollup with per-batch work
+    * proportional to the batch, not the history.
+    *
+    * NOT idempotent under replay by itself (counts would double), so the
+    * last applied batchId rides INSIDE the state dir (an `_applied` file,
+    * invisible to parquet reads) and is therefore published by the same
+    * atomic rename as the data — a replayed batchId is skipped, and no
+    * crash point can separate the data from its marker. */
+  def incrementalRollupSink(keyCol: String, sums: Seq[String], maxes: Seq[String],
+                            stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    recoverSwap(spark, stateDir)
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readMarker(dir: String): Long = {
+      val m = new org.apache.hadoop.fs.Path(s"$dir/_applied")
+      if (!fs.exists(m)) -1L
+      else {
+        val in = fs.open(m)
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          "UTF-8").trim.toLong
+        finally in.close()
+      }
+    }
+    if (batchId <= readMarker(stateDir)) return // replayed batch: already merged
+    val aggs = sums.map(c => sum(col(c)).as(c)) ++ maxes.map(c => max(col(c)).as(c))
+    val partial = batch.groupBy(col(keyCol))
+      .agg(aggs.head, aggs.tail: _*)
+    val merged =
+      if (stateExists(spark, stateDir))
+        graft.operators.Ops.mergePartials(
+          partial.unionByName(spark.read.parquet(stateDir)),
+          Seq(keyCol), sums, maxes)
+      else partial
+    merged.write.mode("overwrite").parquet(stateDir + "_next")
+    val out = fs.create(new org.apache.hadoop.fs.Path(stateDir + "_next/_applied"), true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    val cur = new org.apache.hadoop.fs.Path(stateDir)
+    val next = new org.apache.hadoop.fs.Path(stateDir + "_next")
+    val old = new org.apache.hadoop.fs.Path(stateDir + "_old")
+    if (fs.exists(cur) && !fs.rename(cur, old))
+      throw new java.io.IOException(s"incrementalRollupSink: failed to move $cur aside")
+    if (!fs.rename(next, cur))
+      throw new java.io.IOException(s"incrementalRollupSink: failed to publish $next")
+    fs.delete(old, true): Unit
+  }
+
   /** ST6/A2 — stateful incremental per-key totals across micro-batches via
     * mapGroupsWithState: the distributed, checkpointable form of the
     * reference's Mongo `$inc`/`$max` ledger (consumer2.py:198-217). */

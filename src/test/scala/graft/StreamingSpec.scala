@@ -179,6 +179,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental rollup sink: state == direct aggregate; replays are no-ops") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rollup").toString + "/state"
+    val b0 = Seq((1L, 2.0, 5L), (1L, 3.0, 7L), (2L, 1.0, 2L)).toDF("k", "v", "m")
+      .groupBy($"k").agg(count(lit(1)).as("cnt"), sum($"v").as("sv"), max($"m").as("mx"))
+    val b1 = Seq((1L, 10.0, 1L), (3L, 4.0, 9L)).toDF("k", "v", "m")
+      .groupBy($"k").agg(count(lit(1)).as("cnt"), sum($"v").as("sv"), max($"m").as("mx"))
+    val sink = Streaming.incrementalRollupSink("k", Seq("cnt", "sv"), Seq("mx"), dir) _
+    sink(b0, 0L); sink(b1, 1L)
+    sink(b1, 1L) // foreachBatch replay: same batchId must be skipped
+    val got = spark.read.parquet(dir).orderBy($"k")
+      .as[(Long, Long, Double, Long)].collect()
+    // direct aggregate over ALL underlying rows (the A2 merge property)
+    assert(got sameElements Array((1L, 3L, 15.0, 7L), (2L, 1L, 1.0, 2L), (3L, 1L, 4.0, 9L)))
+    // a later batch still applies after the skipped replay
+    val b2 = Seq((2L, 6.0, 8L)).toDF("k", "v", "m")
+      .groupBy($"k").agg(count(lit(1)).as("cnt"), sum($"v").as("sv"), max($"m").as("mx"))
+    sink(b2, 2L)
+    val after = spark.read.parquet(dir).filter($"k" === 2L)
+      .as[(Long, Long, Double, Long)].head()
+    assert(after == ((2L, 2L, 7.0, 8L)))
+  }
+
   test("ST6 stateful running totals accumulate across micro-batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]

@@ -238,6 +238,27 @@ object QueriesExtras {
       "('0x' || substr(md5(lower(trim(text))), 1, 8))::BIGINT AS fp_bucket " +
       "FROM documents ORDER BY doc_id"))
 
+  /** PII redaction over a synthesized pii-bearing column (the testdata
+    * corpus carries no genuine PII, so the query PLANTS a url + email +
+    * phone per row and the gate verifies all three pattern passes and
+    * their fixed order on both engines — RE2-compatible regexes behave
+    * identically in Spark and DuckDB). */
+  private val qRedactPii = Q(
+    (s, d) => {
+      val raw = concat(col("text"),
+        lit(" see https://"), col("source"), lit(".example.com/u?x=1 or mail "),
+        col("source"), lit("@example.org, tel +1 555 123 4567."))
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.redactPii(raw).as("redacted"))
+        .orderBy(col("doc_id"))
+    },
+    Some("SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(" +
+      "text || ' see https://' || source || '.example.com/u?x=1 or mail ' || source || '@example.org, tel +1 555 123 4567.', " +
+      s"'${TextAnalysis.UrlRe}', '<URL>', 'g'), " +
+      s"'${TextAnalysis.EmailRe}', '<EMAIL>', 'g'), " +
+      s"'${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS redacted " +
+      "FROM documents ORDER BY doc_id"))
+
   /** Binary-column metadata (multimodal plumbing surface): payload size in
     * bytes + content hash over the binary payload. */
   private val qBinaryMeta = Q(
@@ -419,6 +440,7 @@ object QueriesExtras {
     "q_fingerprint" -> qFingerprint,
     "q_winnow_fingerprint" -> qWinnowFingerprint,
     "q_binary_meta" -> qBinaryMeta,
+    "q_redact_pii" -> qRedactPii,
     "q_asof_attrib" -> qAsofAttrib,
     "q_split_assign" -> qSplitAssign,
     "q_stratified_sample" -> qStratifiedSample,

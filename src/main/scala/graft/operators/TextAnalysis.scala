@@ -120,6 +120,25 @@ object TextAnalysis {
         col("tf"), col("doc_freq"), col("tfidf"))
   }
 
+  /** PII redaction — the curation pass every public-web training corpus
+    * runs before anything else. URLs, emails, then phone-shaped numbers
+    * are replaced (in that fixed order: an email inside a URL must already
+    * be gone when the email pass runs, and the order is part of the
+    * operator contract so output is deterministic) with typed placeholder
+    * tokens. Patterns are RE2-compatible (no backtracking constructs), so
+    * the same regexes run identically in Spark, DuckDB, and any RE2-based
+    * scrubber — and regexp_replace is codegen'd, per-row, shuffle-free. */
+  val UrlRe = "https?://[^\\s]+"
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9 ()-]{7,}[0-9]"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
   /** Portable content fingerprint: md5 of normalized text, plus a 32-bit
     * numeric prefix usable as a shard/bucket key. */
   def fingerprint(df: DataFrame, id: String, text: String): DataFrame =

@@ -398,18 +398,29 @@ object Queries {
     * including both margins and the grand total, in ONE pass — Catalyst
     * expands the cube into a single Expand + aggregate, the reference's
     * "recompute each dashboard tile separately" pattern collapsed into one
-    * shuffle. NULL group keys are re-labeled (the cube's roll-up marker
-    * would otherwise collide with genuinely-null data keys). */
+    * shuffle. Margin rows are identified by GROUPING(), never by the NULL
+    * the cube emits — a genuinely-null data key relabels to its own
+    * sentinel, so the margin and the null group can never collide into
+    * indistinguishable output rows (which would also break the total-order
+    * ORDER BY). */
   private val qCubeCounts = Q(
     (s, d) => t(s, d, "events")
       .select(col("event_type"), hour(col("ts")).cast("long").as("hr"))
       .cube(col("event_type"), col("hr"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
-        coalesce(col("hr"), lit(-1L)).as("hr"), col("cnt"))
+      // grouping() is only resolvable inside the cube's own aggregate
+      // projection, so the margin markers are computed here and consumed
+      // by the relabeling select below
+      .agg(count(lit(1)).as("cnt"),
+        grouping(col("event_type")).as("g_et"), grouping(col("hr")).as("g_hr"))
+      .select(
+        when(col("g_et") === 1, "ALL")
+          .otherwise(coalesce(col("event_type"), lit("NULL"))).as("event_type"),
+        when(col("g_hr") === 1, -1L)
+          .otherwise(coalesce(col("hr"), lit(-2L))).as("hr"),
+        col("cnt"))
       .orderBy(col("event_type"), col("hr")),
-    Some("SELECT COALESCE(event_type, 'ALL') AS event_type, " +
-      "COALESCE(hr, -1) AS hr, count(*) AS cnt " +
+    Some("SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE COALESCE(event_type, 'NULL') END AS event_type, " +
+      "CASE WHEN GROUPING(hr) = 1 THEN -1 ELSE COALESCE(hr, -2) END AS hr, count(*) AS cnt " +
       "FROM (SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hr FROM events) " +
       "GROUP BY CUBE (event_type, hr) ORDER BY event_type, hr"))
 

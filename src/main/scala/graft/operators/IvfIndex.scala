@@ -137,12 +137,15 @@ object IvfIndex {
       // debris) blocks the rename; clear it — but never a complete index
       if (fs.exists(new org.apache.hadoop.fs.Path(dir)) && !published)
         fs.delete(new org.apache.hadoop.fs.Path(dir), true): Unit
-      val ok = fs.rename(new org.apache.hadoop.fs.Path(tmp),
-        new org.apache.hadoop.fs.Path(dir))
+      // Hadoop rename onto an EXISTING dir does not fail — local FS moves
+      // tmp INSIDE it as a child and reports success — so "the target
+      // appeared" must be detected by existence, not by the rename result:
+      // a concurrent builder that published while we trained wins, and our
+      // copy is discarded rather than nested into the winner's index.
+      val ok = !fs.exists(new org.apache.hadoop.fs.Path(dir)) &&
+        fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(dir))
       if (!ok) {
-        // lost the publish race (or a corrupt partial dir occupies the
-        // target): keep the winner if complete, else fail loudly rather
-        // than serve a half-index
         fs.delete(new org.apache.hadoop.fs.Path(tmp), true): Unit
         if (!published)
           throw new java.io.IOException(

@@ -93,7 +93,11 @@ object Multimodal {
         .when(isJpeg, "jpeg").otherwise("unknown").as("format"),
       when(isPng, u32be(17)).when(isGif, u16le(7)).when(isBmp, u32le(19))
         .otherwise(nullL).as("width"),
-      when(isPng, u32be(21)).when(isGif, u16le(9)).when(isBmp, u32le(23))
+      // BMP biHeight is SIGNED int32: negative = top-down row order, same
+      // pixel height — report the magnitude, not a value near 2^32
+      when(isPng, u32be(21)).when(isGif, u16le(9))
+        .when(isBmp, abs(when(u32le(23) >= 2147483648L, u32le(23) - 4294967296L)
+          .otherwise(u32le(23))))
         .otherwise(nullL).as("height"))
   }
 

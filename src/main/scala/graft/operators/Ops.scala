@@ -81,8 +81,15 @@ object Ops {
                leftTs: String, rightTs: String,
                tieBreak: Seq[String] = Nil): DataFrame = {
     val rPayload = right.columns.filterNot(keys.contains)
-    val r0 = right.select(keys.map(col) ++ Seq(col(rightTs).as("__ts"),
-      lit(0).as("__side"), struct(rPayload.map(col): _*).as("__r")): _*)
+    // null-timestamp right rows can match NOTHING under as-of semantics
+    // (ts <= anything is NULL) but ascending sort puts nulls FIRST, where
+    // the running last() would hand them to every otherwise-unmatched left
+    // row — drop them before the union. A null-ts LEFT row needs no guard:
+    // it sorts before every (non-null) right row, so its running match is
+    // null, exactly the oracle's LEFT JOIN result.
+    val r0 = right.filter(col(rightTs).isNotNull)
+      .select(keys.map(col) ++ Seq(col(rightTs).as("__ts"),
+        lit(0).as("__side"), struct(rPayload.map(col): _*).as("__r")): _*)
     val l0 = left.select(keys.map(col) ++ Seq(col(leftTs).as("__ts"),
       lit(1).as("__side"), struct(left.columns.map(col): _*).as("__l")): _*)
     val lu = l0.withColumn("__r", lit(null).cast(r0.schema("__r").dataType))

@@ -103,14 +103,16 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(id), explode(split(trim(lower(col(text))), "\\s+")).as("term"))
     val tf = toks.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
-    // doc_freq as a count-window over term instead of a groupBy+self-join:
-    // tf already has one row per (doc, term), so a per-term window count IS
-    // the document frequency — one exchange on term replaces an aggregate
-    // exchange PLUS a join exchange (audited: 6 shuffles -> 4)
-    val dfreq = count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("term")))
+    // doc_freq as aggregate + shuffle join, NOT a count-window over term:
+    // a per-term window routes every tf row of a hot term ("the" — one row
+    // per containing document) through a single task with no partial
+    // combine and no AQE help (AQE splits skewed JOINS, not windows). The
+    // aggregate reduces dfq to one row per term with map-side combine, and
+    // the tf⋈dfq shuffle join is exactly the shape AQE skew-splits. One
+    // extra exchange locally; no unbounded straggler at corpus scale.
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
     val n = df.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.withColumn("doc_freq", dfreq).crossJoin(broadcast(n))
+    val scored = tf.join(dfq, "term").crossJoin(broadcast(n))
       .withColumn("tfidf",
         col("tf").cast("double") * (col("n_docs") + 1).cast("double")
           / (col("doc_freq") + 1).cast("double"))

@@ -185,7 +185,7 @@ object Streaming {
   def upsertLastWinsSink(keyCol: String, versionCol: String, stateDir: String)
                         (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    recoverSwap(spark, stateDir)
+    recoverSwap(spark, stateDir, "upsertLastWinsSink")
     // ties on version prefer the incoming row (the later write wins);
     // only "no state yet" skips the merge — a union/schema failure must
     // propagate, else the overwrite below would silently drop all state
@@ -228,7 +228,8 @@ object Streaming {
     *  - a surviving `_old` after the state dir is live is swap debris —
     *    drop it.
     */
-  private def recoverSwap(spark: SparkSession, stateDir: String): Unit = {
+  private def recoverSwap(spark: SparkSession, stateDir: String,
+                          caller: String = "recoverSwap"): Unit = {
     val cur = new org.apache.hadoop.fs.Path(stateDir)
     val next = new org.apache.hadoop.fs.Path(stateDir + "_next")
     val old = new org.apache.hadoop.fs.Path(stateDir + "_old")
@@ -237,7 +238,7 @@ object Streaming {
       if (!fs.exists(cur)) {
         if (!fs.rename(next, cur))
           throw new java.io.IOException(
-            s"upsertLastWinsSink: recovery failed to publish $next -> $cur")
+            s"$caller: recovery failed to publish $next -> $cur")
       } else fs.delete(next, true): Unit
     }
     if (fs.exists(cur)) fs.delete(old, true): Unit
@@ -261,7 +262,7 @@ object Streaming {
   def incrementalRollupSink(keyCol: String, sums: Seq[String], maxes: Seq[String],
                             stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    recoverSwap(spark, stateDir)
+    recoverSwap(spark, stateDir, "incrementalRollupSink")
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def readMarker(dir: String): Long = {

@@ -28,9 +28,12 @@ class MultimodalSpec extends AnyFunSuite {
     // BMP: "BM" + 12 filler bytes + 4-byte header size + w/h u32 le
     val bmp = "BM".getBytes("US-ASCII") ++ Array.fill[Byte](16)(0) ++
       bytes(0x00, 0x04, 0, 0 /* 1024 le */, 0x00, 0x03, 0, 0 /* 768 le */)
+    // top-down BMP: biHeight is SIGNED (-768 little-endian) — must report 768
+    val bmpTopDown = "BM".getBytes("US-ASCII") ++ Array.fill[Byte](16)(0) ++
+      bytes(0x00, 0x04, 0, 0, 0x00, 0xFD, 0xFF, 0xFF /* -768 le */)
     val jpeg = bytes(0xFF, 0xD8, 0xFF, 0xE0)
     val junk = "not an image".getBytes("US-ASCII")
-    val df = Seq((1L, png), (2L, gif), (3L, bmp), (4L, jpeg), (5L, junk))
+    val df = Seq((1L, png), (2L, gif), (3L, bmp), (4L, jpeg), (5L, junk), (6L, bmpTopDown))
       .toDF("media_id", "payload")
       .select($"media_id", Multimodal.imageMeta($"payload").as("m"))
       .select($"media_id", $"m.format", $"m.width", $"m.height")
@@ -41,7 +44,8 @@ class MultimodalSpec extends AnyFunSuite {
       (2L, "gif", Some(320L), Some(200L)),
       (3L, "bmp", Some(1024L), Some(768L)),
       (4L, "jpeg", None, None), // SOF offset is data-dependent: codec stage
-      (5L, "unknown", None, None)))
+      (5L, "unknown", None, None),
+      (6L, "bmp", Some(1024L), Some(768L))))
   }
 
   test("feature extraction is deterministic and partition-count independent") {

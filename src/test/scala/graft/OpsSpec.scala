@@ -65,6 +65,18 @@ class OpsSpec extends AnyFunSuite {
       (3L, 9L, "p4", None, None)))             // key with no right rows at all
   }
 
+  test("asofJoin: null timestamps match nothing (either side)") {
+    val left = Seq((1L, Some(5L), "p"), (1L, None, "pnull")).toDF("k", "ts", "name")
+    val right = Seq((1L, None: Option[Long], "rnull"), (1L, Some(9L), "future"))
+      .toDF("k", "ts", "tag")
+    val got = Ops.asofJoin(left, right, Seq("k"), "ts", "ts")
+      .select($"name", $"asof.tag").orderBy($"name")
+      .as[(String, Option[String])].collect()
+    // SQL semantics: ts <= anything is NULL for a null right row, and a
+    // null left ts admits no prior row — both sides must yield no match
+    assert(got sameElements Array(("p", None), ("pnull", None)))
+  }
+
   test("asofJoin: equal right timestamps resolve by the tieBreak column") {
     val left = Seq((1L, 10L, "p")).toDF("k", "ts", "name")
     val right = Seq((1L, 10L, 7L, "lo"), (1L, 10L, 9L, "hi")).toDF("k", "ts", "seq", "tag")

@@ -69,4 +69,44 @@ object Scale {
     * size instead of one file per (possibly tiny) task. */
   def compactTo(df: DataFrame, targetPartitions: Int): DataFrame =
     df.repartition(targetPartitions)
+
+  /** Small-file compaction of an existing parquet directory — the lake
+    * maintenance job every streaming sink eventually needs (a micro-batch
+    * sink writing N files per trigger turns a table into millions of
+    * KB-files whose open/footer cost dominates every scan). Rewrites the
+    * dir to ⌈bytes/targetBytes⌉ files and publishes by the same crash-safe
+    * rename-aside swap as the streaming sinks: readers never see a
+    * half-compacted table, and a crash at any point leaves either the old
+    * or the new layout, never neither. Returns the output file count. */
+  def compactDir(spark: SparkSession, path: String,
+                 targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(path).repartition(parts)
+      .write.mode("overwrite").parquet(path + "_next")
+    val old = new org.apache.hadoop.fs.Path(path + "_old")
+    val next = new org.apache.hadoop.fs.Path(path + "_next")
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"compactDir: failed to move $p aside")
+    if (!fs.rename(next, p))
+      throw new java.io.IOException(s"compactDir: failed to publish $next")
+    fs.delete(old, true): Unit
+    parts
+  }
+
+  /** Range-clustered write: rows are range-partitioned AND sorted within
+    * partitions on `cols`, so each output file covers a disjoint slice of
+    * the key space and its parquet min/max footer stats actually prune —
+    * a point/range predicate on `cols` skips every non-overlapping file at
+    * planning time (data skipping). Without the clustering, every file's
+    * min/max spans the whole domain and the stats prune nothing. This is
+    * the single-dimension form of Z-ordering; for multi-column skipping
+    * interleave the key bits first. */
+  def writeRangeClustered(df: DataFrame, path: String, cols: Seq[String],
+                          files: Int): Unit =
+    df.repartitionByRange(files, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
 }

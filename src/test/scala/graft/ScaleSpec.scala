@@ -60,6 +60,45 @@ class ScaleSpec extends AnyFunSuite {
     assert(!scan.contains("topic=tweets"))
   }
 
+  test("compactDir collapses a many-small-file table, preserving data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = (1L to 2000L).map(i => (i, s"row$i")).toDF("id", "v")
+    df.repartition(64).write.parquet(dir) // the streaming-sink debris shape
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(dataFiles == 64)
+    val parts = Scale.compactDir(spark, dir) // default target >> total size
+    assert(parts == 1 && dataFiles == 1)
+    val got = spark.read.parquet(dir).orderBy($"id").as[(Long, String)].collect()
+    assert(got.length == 2000 && got.head == ((1L, "row1")) && got.last == ((2000L, "row2000")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "_next")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(dir + "_old")))
+  }
+
+  test("range-clustered write yields files with disjoint key ranges (data skipping)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString + "/t"
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 4000).map(_ => rnd.nextInt(100000).toLong).toDF("k")
+    Scale.writeRangeClustered(df, dir, Seq("k"), files = 4)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+    assert(files.length == 4)
+    // per-file min/max must not overlap — that disjointness is exactly what
+    // lets parquet footer stats prune files under a range predicate
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min($"k"), max($"k")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2, ranges.mkString(","))
+      case _ =>
+    }
+  }
+
   test("A9 Aggregator builds the engagement map in one pass, merge-safe") {
     val rows = Seq(
       ("u1", (100L, 1L, 2L, 3L)), ("u1", (100L, 1L, 0L, 0L)), ("u1", (200L, 5L, 5L, 5L)),

@@ -73,6 +73,49 @@ object QueriesExtras {
       "UNION SELECT e.id, reach.r FROM edges e JOIN reach ON e.nbr = reach.id) " +
       "SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id ORDER BY doc_id"))
 
+  /** Decontamination against a benchmark subset (src0 plays the eval set):
+    * fraction of each corpus doc's 5-gram shingles appearing anywhere in
+    * the benchmark. Semi-join against the benchmark's distinct shingles —
+    * linear in corpus shingles, no pair explosion. */
+  private val qContamination = Q(
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      Dedup.contaminationScore(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
+    },
+    Some("WITH words AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
+      "pos AS (SELECT unnest(range(1, 65536)) AS i), " +
+      "sh AS (SELECT DISTINCT doc_id, source, array_to_string(list_slice(w, i, i+4), ' ') AS g " +
+      "FROM words JOIN pos ON pos.i <= len(w) - 4), " +
+      "bs AS (SELECT DISTINCT g FROM sh WHERE source = 'src0'), " +
+      "cs AS (SELECT doc_id, g FROM sh WHERE source <> 'src0'), " +
+      "sizes AS (SELECT doc_id, count(*) AS n_shingles FROM cs GROUP BY 1), " +
+      "hits AS (SELECT doc_id, count(*) AS contaminated FROM cs WHERE g IN (SELECT g FROM bs) GROUP BY 1) " +
+      "SELECT s.doc_id, COALESCE(h.contaminated, 0) AS contaminated, s.n_shingles, " +
+      "CAST(COALESCE(h.contaminated, 0) AS DOUBLE) / s.n_shingles AS contamination " +
+      "FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id ORDER BY s.doc_id"))
+
+  /** Per-language embedding centroids in exact fixed-point (see
+    * [[Similarity.groupCentroids]]: order-independent long sums ⇒ the same
+    * centroid at any partitioning, which a double `avg` cannot promise). */
+  private val qGroupCentroids = Q(
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("lang"))
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.groupCentroids(
+          emb.join(docs, emb("vec_id") === docs("doc_id")), "lang", "embedding")
+        .orderBy(col("lang"), col("dim")) },
+    Some("WITH j AS (SELECT lang, embedding FROM embeddings JOIN documents ON vec_id = doc_id " +
+      "WHERE embedding IS NOT NULL), " +
+      "x AS (SELECT lang, generate_subscripts(embedding, 1) AS dim, " +
+      "CAST(trunc(unnest(embedding::DOUBLE[]) * 1000000e0) AS BIGINT) AS q FROM j), " +
+      "a AS (SELECT lang, dim, CAST(SUM(q) AS BIGINT) AS s, count(*) AS n FROM x GROUP BY 1, 2) " +
+      "SELECT lang, CAST(dim AS BIGINT) AS dim, CAST(s AS DOUBLE) / 1000000e0 / n AS centroid " +
+      "FROM a ORDER BY lang, dim"))
+
   private val qDedupSimhash = Q(
     (s, d) => Dedup.simhash32(Tables.load(s, d, "documents"), "doc_id", "text")
       .orderBy(col("doc_id")),
@@ -428,6 +471,8 @@ object QueriesExtras {
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
     "q_dedup_groups" -> qDedupGroups,
     "q_dedup_simhash" -> qDedupSimhash,
+    "q_contamination" -> qContamination,
+    "q_group_centroids" -> qGroupCentroids,
     "q_ann_brute_topk" -> qAnnBruteTopk,
     "q_ann_lsh_topk" -> qAnnLshTopk,
     "q_ann_ivf_topk" -> qAnnIvfTopk,

@@ -187,6 +187,30 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lbl").as("group_id"))
   }
 
+  /** Benchmark DECONTAMINATION — the training-data hygiene pass that keeps
+    * eval sets out of the corpus: per document, the fraction of its n-gram
+    * shingles that also appear anywhere in a benchmark set. Scale shape:
+    * the benchmark's distinct shingles are a (comparatively tiny, usually
+    * broadcastable) set; the corpus side streams through one semi-join —
+    * no per-doc state, no pair explosion, cost linear in corpus shingles.
+    * Docs shorter than n words have no shingles and are absent (nothing to
+    * contaminate). Flag threshold is the caller's policy (typically drop
+    * at ratio ≥ 0.8, audit at ≥ 0.1). */
+  def contaminationScore(corpus: DataFrame, benchmark: DataFrame,
+                         id: String, text: String, n: Int = 5): DataFrame = {
+    val cs = shingles(corpus, id, text, n)
+    val bs = shingles(benchmark, id, text, n).select(col("shingle")).distinct()
+    val sizes = cs.groupBy(col(id)).agg(count(lit(1)).as("n_shingles"))
+    val hits = cs.join(bs, Seq("shingle"), "left_semi")
+      .groupBy(col(id)).agg(count(lit(1)).as("contaminated"))
+    sizes.join(hits, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("contaminated"), lit(0L)).as("contaminated"),
+        col("n_shingles"),
+        (coalesce(col("contaminated"), lit(0L)).cast("double") / col("n_shingles"))
+          .as("contamination"))
+  }
+
   /** 32-bit SimHash over distinct whitespace tokens. Token hash = first 8
     * hex chars of md5 (portable: the DuckDB oracle computes the identical
     * value), bit b of the fingerprint = majority vote of token bits. 32 bits

@@ -213,6 +213,26 @@ object Similarity {
       anchorRow.select(col("q_vec")), id, vec, anchorId, k)
   }
 
+  /** Per-group embedding centroids in FIXED-POINT micro-units: each
+    * component is quantized to ⌊v·10⁶⌋ (a long), summed exactly, and
+    * divided back out at the end. Float sums are order-dependent — a
+    * 1000-executor aggregation would produce a (slightly) different
+    * centroid every run, and run-to-run drift in a corpus-analysis
+    * pipeline means unreproducible downstream decisions. Exact long sums
+    * make the centroid identical at ANY partitioning (the same reason
+    * money sums go through DECIMAL), at the cost of 1e-6 quantization —
+    * far below any embedding's noise floor. Output is relational
+    * (group, dim 1-based, centroid component) — the joinable form. */
+  def groupCentroids(emb: DataFrame, groupCol: String, vec: String): DataFrame =
+    emb.filter(col(vec).isNotNull)
+      .select(col(groupCol), posexplode(asD(col(vec))).as(Seq("pos", "v")))
+      .select(col(groupCol), (col("pos") + 1).cast("long").as("dim"),
+        (col("v") * 1e6).cast("long").as("q"))
+      .groupBy(col(groupCol), col("dim"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .select(col(groupCol), col("dim"),
+        (col("s").cast("double") / 1e6 / col("n")).as("centroid"))
+
   /** Approximate top-k: score only vectors whose bucket is within
     * `maxHammingProbe` bits of the anchor's bucket (multi-probe LSH).
     * Trades recall for touching ~(Σ C(nPlanes,d)) / 2^nPlanes of the data. */

@@ -66,6 +66,22 @@ class DedupSpec extends AnyFunSuite {
     intercept[IllegalStateException] { Dedup.dupGroups(chain, maxIter = 2) }
   }
 
+  test("contamination: verbatim leak -> 1.0, clean doc -> 0.0, partial in between") {
+    val benchmark = Seq((100L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),      // verbatim
+      (2L, "completely different words appear in this other document"), // clean
+      (3L, "prefix words then the quick brown fox jumps over the lazy dog today")) // suffix leak
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationScore(corpus, benchmark, "doc_id", "text", n = 5)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"contamination").as[(Long, Double)].collect()
+    assert(got(0) == ((1L, 1.0)))
+    assert(got(1) == ((2L, 0.0)))
+    assert(got(2)._2 > 0.5 && got(2)._2 < 1.0, got(2).toString)
+  }
+
   test("simhash: identical text -> identical hash; near-dup -> small hamming") {
     val hs = Dedup.simhash32(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

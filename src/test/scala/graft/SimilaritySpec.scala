@@ -119,6 +119,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.map(_._1) sameElements Array(4L, 1L, 2L))
   }
 
+  test("groupCentroids: exact values, partitioning-independent, null-safe") {
+    val df = Seq(
+      ("a", Array(1.0f, 2.0f)), ("a", Array(3.0f, 4.0f)),
+      ("b", Array(10.0f, 20.0f)), ("b", null.asInstanceOf[Array[Float]]))
+      .toDF("g", "embedding")
+    val got = Similarity.groupCentroids(df, "g", "embedding")
+      .orderBy($"g", $"dim").as[(String, Long, Double)].collect()
+    assert(got sameElements Array(
+      ("a", 1L, 2.0), ("a", 2L, 3.0), ("b", 1L, 10.0), ("b", 2L, 20.0)))
+    // fixed-point sums are order-independent: any repartitioning yields
+    // the bit-identical centroid (the property a double avg cannot give)
+    val again = Similarity.groupCentroids(df.repartition(13), "g", "embedding")
+      .orderBy($"g", $"dim").as[(String, Long, Double)].collect()
+    assert(again sameElements got)
+  }
+
   test("LSH bucket assignment is deterministic and colinear vectors share a bucket") {
     val planes = Similarity.hyperplanes(8, 3)
     val b1 = Similarity.withLshBucket(vecs, "embedding", planes)

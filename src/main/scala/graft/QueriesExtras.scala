@@ -377,6 +377,35 @@ object QueriesExtras {
       "FROM documents) WHERE b < (CASE WHEN lang = 'de' THEN 50 WHEN lang = 'en' THEN 20 ELSE 100 END) " +
       "ORDER BY doc_id"))
 
+  /** Fixed-window document chunking with overlap (context-window prep):
+    * deterministic chunk boundaries, no shuffle — the explode happens in
+    * the scan stage. */
+  private val qChunk = Q(
+    (s, d) => TextAnalysis.chunk(Tables.load(s, d, "documents"),
+        "doc_id", "text", size = 200, overlap = 40)
+      .orderBy(col("doc_id"), col("chunk_id")),
+    Some("WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents WHERE length(text) > 0), " +
+      "r AS (SELECT unnest(range(1, 100000, 160)) AS start), " +
+      "s AS (SELECT doc_id, text, start, (start - 1) // 160 + 1 AS cid " +
+      "FROM d JOIN r ON r.start <= greatest(len - 40, 1)) " +
+      "SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id, substr(text, start, 200) AS chunk " +
+      "FROM s ORDER BY doc_id, chunk_id"))
+
+  /** Greedy per-language sequence packing at a 1000-token budget (word
+    * count as the token proxy): the pretraining-stream cut, one window
+    * shuffle, reproducible pack ids at any partitioning. */
+  private val qPackSequences = Q(
+    (s, d) => TextAnalysis.packSequences(Tables.load(s, d, "documents"),
+        "doc_id", size(split(trim(col("text")), "\\s+")), budget = 1000L, groupCol = "lang")
+      .orderBy(col("lang"), col("doc_id")),
+    Some("WITH t AS (SELECT lang, doc_id, " +
+      "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents), " +
+      "c AS (SELECT lang, doc_id, n_tokens, CAST(SUM(n_tokens) OVER " +
+      "(PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM t) " +
+      "SELECT lang, doc_id, n_tokens, cum_tokens, " +
+      "CAST(floor((cum_tokens - n_tokens) / 1000) AS BIGINT) AS pack_id " +
+      "FROM c ORDER BY lang, doc_id"))
+
   /** Per-document top-3 terms by (rational-idf) TF-IDF — see
     * [[TextAnalysis.tfIdfTopTerms]] for why idf is (N+1)/(df+1) and not
     * log: rational arithmetic is bit-identical across engines, log() is
@@ -490,5 +519,7 @@ object QueriesExtras {
     "q_split_assign" -> qSplitAssign,
     "q_stratified_sample" -> qStratifiedSample,
     "q_tfidf_top_terms" -> qTfidfTopTerms,
+    "q_chunk" -> qChunk,
+    "q_pack_sequences" -> qPackSequences,
   )
 }

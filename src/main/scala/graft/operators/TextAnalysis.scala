@@ -122,6 +122,48 @@ object TextAnalysis {
         col("tf"), col("doc_freq"), col("tfidf"))
   }
 
+  /** Document CHUNKING — split each document into fixed-size character
+    * windows with `overlap` carried between consecutive chunks (the
+    * context-window prep step before tokenization/embedding). Pure
+    * per-row explode: `sequence` generates the chunk starts, `substring`
+    * slices — no shuffle, no UDF, chunk boundaries a deterministic
+    * function of (doc, size, overlap) so re-runs produce identical chunk
+    * ids. Empty docs produce no chunks. */
+  def chunk(df: DataFrame, id: String, text: String,
+            size: Int = 512, overlap: Int = 64): DataFrame = {
+    require(size > overlap && overlap >= 0, s"need size > overlap >= 0, got $size/$overlap")
+    val step = size - overlap
+    // last start is bounded by len - overlap: a start inside the final
+    // overlap would emit a chunk fully contained in its predecessor
+    df.filter(length(col(text)) > 0)
+      .select(col(id), col(text),
+        posexplode(sequence(lit(1),
+          greatest(length(col(text)) - overlap, lit(1)), lit(step)))
+          .as(Seq("pos", "start")))
+      .select(col(id), (col("pos") + 1).cast("long").as("chunk_id"),
+        col(text).substr(col("start"), lit(size)).as("chunk"))
+  }
+
+  /** Greedy SEQUENCE PACKING — assign documents to fixed token-budget
+    * packs by a running token count in a deterministic order (the
+    * pretraining-stream shape: documents are concatenated and the stream
+    * is cut every `budget` tokens, so a document may straddle two packs —
+    * its pack is where it STARTS). One window shuffle per group; pack
+    * boundaries are a pure function of the ordered token counts, so any
+    * rerun or repartitioning reproduces identical packs. */
+  def packSequences(df: DataFrame, id: String, tokens: Column, budget: Long,
+                    groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(groupCol), col(id), tokens.cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      // floor, not cast: a bare double→long cast truncates in Spark but
+      // ROUNDS in DuckDB — floor is unambiguous in both
+      .withColumn("pack_id",
+        floor((col("cum_tokens") - col("n_tokens")) / budget).cast("long"))
+  }
+
   /** PII redaction — the curation pass every public-web training corpus
     * runs before anything else. URLs, emails, then phone-shaped numbers
     * are replaced (in that fixed order: an email inside a URL must already

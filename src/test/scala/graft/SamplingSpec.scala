@@ -48,6 +48,39 @@ class SamplingSpec extends AnyFunSuite {
     assert(flat.exceptAll(kept.filter($"lang" === "en")).isEmpty)
   }
 
+  test("chunk: overlap continuity, full coverage, no redundant tail chunk") {
+    val text = ("abcdefghij" * 30) // 300 chars
+    val docs = Seq((1L, text), (2L, "tiny")).toDF("doc_id", "text")
+    val chunks = graft.operators.TextAnalysis.chunk(docs, "doc_id", "text",
+        size = 100, overlap = 20)
+      .orderBy($"doc_id", $"chunk_id").as[(Long, Long, String)].collect()
+    val d1 = chunks.filter(_._1 == 1L).map(_._3)
+    // starts at 1, 81, 161, 241 (bound: len-overlap = 280)
+    assert(d1.length == 4)
+    assert(d1(0) == text.substring(0, 100) && d1(1) == text.substring(80, 180))
+    // consecutive chunks share exactly `overlap` chars
+    assert(d1(0).takeRight(20) == d1(1).take(20))
+    // union of chunks reconstructs the document (dedup the overlaps)
+    assert(d1.head + d1.tail.map(_.drop(20)).mkString == text)
+    // short doc -> one whole-doc chunk
+    assert(chunks.filter(_._1 == 2L).map(_._3).toSeq == Seq("tiny"))
+  }
+
+  test("packSequences: packs cut at the budget, ids reproducible across partitionings") {
+    val docs = (1L to 100L).map(i => (i, "w " * 40, "g")).toDF("doc_id", "text", "lang")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextAnalysis.packSequences(df, "doc_id",
+        size(split(trim($"text"), "\\s+")), budget = 100L, groupCol = "lang")
+        .orderBy($"doc_id").as[(String, Long, Long, Long, Long)].collect()
+    val got = run(docs)
+    // 40 tokens/doc, budget 100: packs hold docs starting at offsets 0,40,80 ->
+    // pack 0 gets 3 docs (starts 0/40/80), then the stream continues
+    assert(got.take(3).map(_._5).toSeq == Seq(0L, 0L, 0L))
+    assert(got(3)._5 == 1L) // starts at cum 120 -> pack 1
+    // deterministic under repartitioning (window order is the contract)
+    assert(run(docs.repartition(7)) sameElements got)
+  }
+
   test("tfIdfTopTerms ranks rare terms above ubiquitous ones") {
     val docs = Seq(
       (1L, "common zebra zebra"),

@@ -119,6 +119,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.map(_._1) sameElements Array(4L, 1L, 2L))
   }
 
+  test("IvfIndex.ensure: fingerprinted cache dir changes when the source data changes") {
+    import org.apache.spark.sql.SaveMode
+    val sfDir = java.nio.file.Files.createTempDirectory("graft_ivf_fp").toString
+    def writeCorpus(n: Int): Unit = (0L until n.toLong)
+      .map(i => (i, Array.fill(4)(((i + 7) % 13).toFloat)))
+      .toDF("vec_id", "embedding")
+      .write.mode(SaveMode.Overwrite).parquet(s"$sfDir/embeddings.parquet")
+    writeCorpus(50)
+    val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dir1 = graft.operators.IvfIndex.ensure(emb1, "vec_id", "embedding", sfDir,
+      nlist = 2, trainLimit = 50)
+    // same data -> same dir, and the publish is complete (reused, not rebuilt)
+    val dir1b = graft.operators.IvfIndex.ensure(emb1, "vec_id", "embedding", sfDir,
+      nlist = 2, trainLimit = 50)
+    assert(dir1 == dir1b)
+    // REGENERATED data at the SAME path must map to a DIFFERENT index dir —
+    // the 32-bit path-hash cache this replaced served stale results here
+    writeCorpus(60)
+    val emb2 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dir2 = graft.operators.IvfIndex.ensure(emb2, "vec_id", "embedding", sfDir,
+      nlist = 2, trainLimit = 60)
+    assert(dir2 != dir1, s"stale index dir reused: $dir2")
+    // and the fresh index serves the fresh corpus (60 vectors, not 50)
+    assert(spark.read.parquet(s"$dir2/corpus").count() == 60)
+  }
+
   test("groupCentroids: exact values, partitioning-independent, null-safe") {
     val df = Seq(
       ("a", Array(1.0f, 2.0f)), ("a", Array(3.0f, 4.0f)),

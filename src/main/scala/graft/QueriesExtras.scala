@@ -86,6 +86,8 @@ object QueriesExtras {
           "doc_id", "text", n = 5)
         .orderBy(col("doc_id"))
     },
+    // inlined variant of ShingleCte carrying `source`; shares its 65536-word
+    // position bound — regenerate both if the corpus ever carries longer docs
     Some("WITH words AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
       "pos AS (SELECT unnest(range(1, 65536)) AS i), " +
       "sh AS (SELECT DISTINCT doc_id, source, array_to_string(list_slice(w, i, i+4), ' ') AS g " +
@@ -385,6 +387,10 @@ object QueriesExtras {
         "doc_id", "text", size = 200, overlap = 40)
       .orderBy(col("doc_id"), col("chunk_id")),
     Some("WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents WHERE length(text) > 0), " +
+      // start-position table bound: supports documents up to ~100k chars
+      // (testdata max is ~1k); the Spark side is unbounded — regenerate
+      // this bound if the corpus ever carries longer documents (same
+      // caveat as ShingleCte's 65536-word bound)
       "r AS (SELECT unnest(range(1, 100000, 160)) AS start), " +
       "s AS (SELECT doc_id, text, start, (start - 1) // 160 + 1 AS cid " +
       "FROM d JOIN r ON r.start <= greatest(len - 40, 1)) " +

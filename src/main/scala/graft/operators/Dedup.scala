@@ -198,17 +198,20 @@ object Dedup {
     * at ratio ≥ 0.8, audit at ≥ 0.1). */
   def contaminationScore(corpus: DataFrame, benchmark: DataFrame,
                          id: String, text: String, n: Int = 5): DataFrame = {
+    // ONE pass over the corpus shingles: a left join against the (tiny,
+    // distinct, broadcastable) benchmark set marks each shingle, and a
+    // single aggregation produces both the total and the hit count —
+    // count(col) counts non-nulls, so unmatched shingles contribute to
+    // n_shingles only. (A semi-join + separate size aggregation would
+    // execute the corpus scan + explode twice, the dominant cost.)
     val cs = shingles(corpus, id, text, n)
     val bs = shingles(benchmark, id, text, n).select(col("shingle")).distinct()
-    val sizes = cs.groupBy(col(id)).agg(count(lit(1)).as("n_shingles"))
-    val hits = cs.join(bs, Seq("shingle"), "left_semi")
-      .groupBy(col(id)).agg(count(lit(1)).as("contaminated"))
-    sizes.join(hits, Seq(id), "left")
-      .select(col(id),
-        coalesce(col("contaminated"), lit(0L)).as("contaminated"),
-        col("n_shingles"),
-        (coalesce(col("contaminated"), lit(0L)).cast("double") / col("n_shingles"))
-          .as("contamination"))
+      .withColumn("__hit", lit(1))
+    cs.join(bs, Seq("shingle"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("contaminated"))
+      .select(col(id), col("contaminated"), col("n_shingles"),
+        (col("contaminated").cast("double") / col("n_shingles")).as("contamination"))
   }
 
   /** 32-bit SimHash over distinct whitespace tokens. Token hash = first 8

@@ -214,8 +214,10 @@ object Similarity {
   }
 
   /** Per-group embedding centroids in FIXED-POINT micro-units: each
-    * component is quantized to ⌊v·10⁶⌋ (a long), summed exactly, and
-    * divided back out at the end. Float sums are order-dependent — a
+    * component is quantized to trunc(v·10⁶) — truncation TOWARD ZERO, the
+    * shared semantics of Spark's double→long cast and DuckDB's trunc(), so
+    * negative components round up, not down — summed exactly, and divided
+    * back out at the end. Float sums are order-dependent — a
     * 1000-executor aggregation would produce a (slightly) different
     * centroid every run, and run-to-run drift in a corpus-analysis
     * pipeline means unreproducible downstream decisions. Exact long sums

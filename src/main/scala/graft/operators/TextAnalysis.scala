@@ -150,7 +150,12 @@ object TextAnalysis {
     * is cut every `budget` tokens, so a document may straddle two packs —
     * its pack is where it STARTS). One window shuffle per group; pack
     * boundaries are a pure function of the ordered token counts, so any
-    * rerun or repartitioning reproduces identical packs. */
+    * rerun or repartitioning reproduces identical packs — PROVIDED `id`
+    * is unique within each group: the window orders by `id` alone, and a
+    * duplicate id's tie order (hence every later cum_tokens in the group)
+    * would depend on partition layout. Packing rows keyed by a non-unique
+    * column (e.g. chunk output by doc_id) needs a composite unique id
+    * first. */
   def packSequences(df: DataFrame, id: String, tokens: Column, budget: Long,
                     groupCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

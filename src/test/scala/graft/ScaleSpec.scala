@@ -77,6 +77,24 @@ class ScaleSpec extends AnyFunSuite {
       !fs.exists(new org.apache.hadoop.fs.Path(dir + "_old")))
   }
 
+  test("compactDir recovers a crash between the swap renames") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_crash").toString + "/t"
+    val df = (1L to 100L).map(i => (i, s"r$i")).toDF("id", "v")
+    df.repartition(8).write.parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate: compacted copy written to _next, table moved aside, crash
+    spark.read.parquet(dir).repartition(1).write.parquet(dir + "_next")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "_old")))
+    // next invocation must first publish the stranded _next, then compact
+    Scale.compactDir(spark, dir)
+    val got = spark.read.parquet(dir).orderBy($"id").as[(Long, String)].collect()
+    assert(got.length == 100 && got.head == ((1L, "r1")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "_old")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(dir + "_next")))
+  }
+
   test("range-clustered write yields files with disjoint key ranges (data skipping)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString + "/t"
     val rnd = new scala.util.Random(7)
@@ -93,8 +111,11 @@ class ScaleSpec extends AnyFunSuite {
       val r = spark.read.parquet(f).agg(min($"k"), max($"k")).head()
       (r.getLong(0), r.getLong(1))
     }.sortBy(_._1)
+    // STRICTLY disjoint: a shared boundary key would force a point
+    // predicate on it to read both files — the range partitioner assigns
+    // each key to exactly one partition, so strict inequality must hold
     ranges.sliding(2).foreach {
-      case Array((_, hi), (lo2, _)) => assert(hi <= lo2, ranges.mkString(","))
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, ranges.mkString(","))
       case _ =>
     }
   }

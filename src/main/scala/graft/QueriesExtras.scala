@@ -379,6 +379,33 @@ object QueriesExtras {
       "FROM documents) WHERE b < (CASE WHEN lang = 'de' THEN 50 WHEN lang = 'en' THEN 20 ELSE 100 END) " +
       "ORDER BY doc_id"))
 
+  /** Gopher-style quality rules: per-rule boolean columns + conjunction,
+    * so curation is auditable per rule. All-exact arithmetic (counts,
+    * ratios, regexes) — both engines agree bit-for-bit. */
+  private val qQualityFlags = Q(
+    (s, d) => TextAnalysis.qualityFlags(
+        Tables.load(s, d, "documents"), "doc_id", "text", minWords = 50)
+      .orderBy(col("doc_id")),
+    Some("WITH words AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
+      "pos AS (SELECT unnest(range(1, 65536)) AS i), " +
+      "bi AS (SELECT doc_id, array_to_string(list_slice(w, i, i+1), ' ') AS g " +
+      "FROM words JOIN pos ON pos.i <= len(w) - 1), " +
+      "bistats AS (SELECT doc_id, count(*) AS nbi, count(DISTINCT g) AS nbid FROM bi GROUP BY 1), " +
+      "st AS (SELECT doc_id, text, CAST(len(w) AS BIGINT) AS nw, " +
+      "CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS DOUBLE) / len(w) AS mwl, " +
+      "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS nsym, " +
+      "len(regexp_extract_all(lower(text), '\\b(the|a|an|and|of|to|in|is|it|for)\\b')) AS nstop FROM words) " +
+      "SELECT s.doc_id, s.nw AS n_words, " +
+      "(s.nw >= 50 AND s.nw <= 100000) AS ok_word_count, " +
+      "(s.mwl >= 3.0e0 AND s.mwl <= 10.0e0) AS ok_word_len, " +
+      "(CAST(s.nsym AS DOUBLE) / length(s.text) <= 0.1e0) AS ok_symbols, " +
+      "(s.nstop >= 2) AS ok_stopwords, " +
+      "(COALESCE(b.nbi, 0) = 0 OR CAST(b.nbi - b.nbid AS DOUBLE) / b.nbi <= 0.3e0) AS ok_repetition, " +
+      "((s.nw >= 50 AND s.nw <= 100000) AND (s.mwl >= 3.0e0 AND s.mwl <= 10.0e0) " +
+      "AND (CAST(s.nsym AS DOUBLE) / length(s.text) <= 0.1e0) AND (s.nstop >= 2) " +
+      "AND (COALESCE(b.nbi, 0) = 0 OR CAST(b.nbi - b.nbid AS DOUBLE) / b.nbi <= 0.3e0)) AS keep " +
+      "FROM st s LEFT JOIN bistats b USING (doc_id) ORDER BY s.doc_id"))
+
   /** Fixed-window document chunking with overlap (context-window prep):
     * deterministic chunk boundaries, no shuffle — the explode happens in
     * the scan stage. */
@@ -527,5 +554,6 @@ object QueriesExtras {
     "q_tfidf_top_terms" -> qTfidfTopTerms,
     "q_chunk" -> qChunk,
     "q_pack_sequences" -> qPackSequences,
+    "q_quality_flags" -> qQualityFlags,
   )
 }

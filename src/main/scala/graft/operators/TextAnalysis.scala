@@ -122,6 +122,47 @@ object TextAnalysis {
         col("tf"), col("doc_freq"), col("tfidf"))
   }
 
+  /** Heuristic quality RULES in the style of published corpus-curation
+    * practice (the Gopher/MassiveText rule family: bounds on length, word
+    * shape, symbol share, stopword evidence, and n-gram repetition): each
+    * rule is an independent boolean column plus a conjunction `keep`, so a
+    * pipeline can audit WHICH rule dropped a document, not just that one
+    * did. All signals are exact integer/ratio arithmetic on the existing
+    * token columns — per-row, shuffle-free, oracle-able.
+    *
+    *  - `ok_word_count`: words in [minWords, maxWords]
+    *  - `ok_word_len`:  mean word length in [3, 10]
+    *  - `ok_symbols`:   non-alphanumeric, non-space chars ≤ 10% of chars
+    *  - `ok_stopwords`: ≥ 2 stopword hits (English-evidence rule — apply
+    *    per-language in a multilingual corpus)
+    *  - `ok_repetition`: duplicate word-bigram share ≤ 30%
+    *    (1 − distinct/total bigrams; the repetition signal that catches
+    *    boilerplate and degenerate generations) */
+  def qualityFlags(df: DataFrame, id: String, text: String,
+                   minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val w = words(col(text))
+    val nWords = size(w).cast("long")
+    val bigrams = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", slice(w, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val nBi = size(bigrams).cast("long")
+    val nBiDistinct = size(array_distinct(bigrams)).cast("long")
+    val meanWordLen = aggregate(transform(w, t => length(t)), lit(0),
+      (acc, v) => acc + v).cast("double") / nWords
+    val nSymbols = length(regexp_replace(col(text), "[A-Za-z0-9\\s]", "")).cast("long")
+    val okWc = nWords >= minWords && nWords <= maxWords
+    val okWl = meanWordLen >= 3.0 && meanWordLen <= 10.0
+    val okSym = nSymbols.cast("double") / length(col(text)) <= 0.1
+    val okStop = size(stopwordHits(col(text))).cast("long") >= 2L
+    val okRep = nBi === 0L ||
+      (nBi - nBiDistinct).cast("double") / nBi <= 0.3
+    df.select(col(id), nWords.as("n_words"),
+      okWc.as("ok_word_count"), okWl.as("ok_word_len"), okSym.as("ok_symbols"),
+      okStop.as("ok_stopwords"), okRep.as("ok_repetition"),
+      (okWc && okWl && okSym && okStop && okRep).as("keep"))
+  }
+
   /** Document CHUNKING — split each document into fixed-size character
     * windows with `overlap` carried between consecutive chunks (the
     * context-window prep step before tokenization/embedding). Pure

@@ -81,6 +81,31 @@ class SamplingSpec extends AnyFunSuite {
     assert(run(docs.repartition(7)) sameElements got)
   }
 
+  test("qualityFlags: each rule trips on its own pathology") {
+    // 24 distinct words: unique bigrams, stopwords present, mean len ~4.8
+    val good = "the quick brown fox jumps over lazy dogs and runs into green " +
+      "fields while birds sing songs about bright morning sunshine near quiet rivers"
+    val docs = Seq(
+      (1L, good),                                   // passes everything
+      (2L, "too short to keep"),                    // word count
+      (3L, ("a b c d " * 20).trim),                 // mean word length < 3
+      (4L, good + " " + ("$$$ ###" * 40)),          // symbol share > 10%
+      (5L, ("lorem ipsum dolor " * 20).trim),       // no English stopwords
+      (6L, good + " " + ("spam spam " * 60).trim))  // bigram repetition
+      .toDF("doc_id", "text")
+    val flags = graft.operators.TextAnalysis.qualityFlags(docs, "doc_id", "text", minWords = 20)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"ok_word_count", $"ok_word_len", $"ok_symbols",
+        $"ok_stopwords", $"ok_repetition", $"keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+    assert(flags(0) == ((1L, true, true, true, true, true, true)))
+    assert(!flags(1)._2 && !flags(1)._7) // short
+    assert(!flags(2)._3)                 // tiny words
+    assert(!flags(3)._4)                 // symbol-heavy
+    assert(!flags(4)._5)                 // stopword-free
+    assert(!flags(5)._6 && !flags(5)._7) // repetitive
+  }
+
   test("tfIdfTopTerms ranks rare terms above ubiquitous ones") {
     val docs = Seq(
       (1L, "common zebra zebra"),

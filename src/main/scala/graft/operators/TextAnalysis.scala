@@ -25,16 +25,20 @@ object TextAnalysis {
   /** Per-document statistics: char/word/distinct-word/subword-token counts,
     * average word length, stopword ratio, type-token ratio. */
   def textStats(df: DataFrame, id: String, text: String): DataFrame = {
-    val w = words(col(text))
-    df.select(
-      col(id),
-      length(col(text)).as("n_chars_calc"),
-      size(w).as("n_words"),
-      size(array_distinct(w)).as("n_distinct_words"),
-      size(bpeTokens(col(text))).as("n_tokens"),
-      size(stopwordHits(col(text))).as("n_stopwords"),
-      (aggregate(transform(w, t => length(t)), lit(0), (acc, v) => acc + v).cast("double")
-        / size(w)).as("avg_word_len"))
+    // the split is staged in a column so it is computed once per row, not
+    // once per consuming output column (flat projections get no CSE; see
+    // qualityFlags below — same trap, measured ~7×)
+    val w = col("__w")
+    df.withColumn("__w", words(col(text)))
+      .select(
+        col(id),
+        length(col(text)).as("n_chars_calc"),
+        size(w).as("n_words"),
+        size(array_distinct(w)).as("n_distinct_words"),
+        size(bpeTokens(col(text))).as("n_tokens"),
+        size(stopwordHits(col(text))).as("n_stopwords"),
+        (aggregate(transform(w, t => length(t)), lit(0), (acc, v) => acc + v).cast("double")
+          / size(w)).as("avg_word_len"))
   }
 
   /** Composite quality score in [0,1]:
@@ -243,8 +247,7 @@ object TextAnalysis {
   /** Portable content fingerprint: md5 of normalized text, plus a 32-bit
     * numeric prefix usable as a shard/bucket key. */
   def fingerprint(df: DataFrame, id: String, text: String): DataFrame =
-    df.select(
-      col(id),
-      md5(lower(trim(col(text)))).as("fp"),
-      conv(substring(md5(lower(trim(col(text)))), 1, 8), 16, 10).cast("long").as("fp_bucket"))
+    df.withColumn("fp", md5(lower(trim(col(text))))) // staged: one md5 per row
+      .select(col(id), col("fp"),
+        conv(substring(col("fp"), 1, 8), 16, 10).cast("long").as("fp_bucket"))
 }

@@ -62,9 +62,15 @@ object TextAnalysis {
     "fr" -> "\\b(le|la|de|et|est|les)\\b")
 
   def langId(df: DataFrame, id: String, text: String): DataFrame = {
-    val scores = profiles.map { case (lang, re) =>
-      lang -> size(regexp_extract_all(lower(col(text)), lit(re), lit(0)))
+    // each profile's regex scan is staged as a column: the score feeds the
+    // per-lang output, the greatest(), AND the argmax chain — inlined flat,
+    // every regexp_extract_all would run 3-4× per row (the projection-CSE
+    // trap, see qualityFlags)
+    val staged = profiles.foldLeft(df) { case (acc, (lang, re)) =>
+      acc.withColumn(s"score_$lang",
+        size(regexp_extract_all(lower(col(text)), lit(re), lit(0))))
     }
+    val scores = profiles.map { case (lang, _) => lang -> col(s"score_$lang") }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     val pred = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
       when(s === best && best > 0, lit(lang)).otherwise(acc)
@@ -72,7 +78,7 @@ object TextAnalysis {
     // foldRight + overwrite-on-match ⇒ first profile in `profiles` order wins
     // ties, deterministically (the oracle mirrors with a CASE chain).
     val cols = col(id) +: scores.map { case (l, s) => s.as(s"score_$l") } :+ pred.as("pred_lang")
-    df.select(cols: _*)
+    staged.select(cols: _*)
   }
 
   /** Rolling-window document fingerprint (winnowing-style, cf. the

@@ -101,6 +101,44 @@ object Multimodal {
         .otherwise(nullL).as("height"))
   }
 
+  /** JPEG dimensions by walking the marker stream to the first SOF frame
+    * header — REAL parsing, no codec library (the JFIF marker layout is
+    * public spec): each segment is 0xFF, marker byte, big-endian length;
+    * SOF0..SOF15 (except DHT/JPG/DAC) carry height then width at offsets
+    * 3/5 of their payload. This runs per-row on the JVM side, which is
+    * why it lives with the [[extractFeatures]] codec stage and not in
+    * [[imageMeta]]'s fixed-offset expressions: the SOF offset is
+    * data-dependent (preceded by variable-length APP/COM/quant segments).
+    * Malformed/truncated payloads yield None, never a throw. */
+  def jpegDims(payload: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int): Int = payload(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    if (payload.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+    var i = 2
+    while (i + 3 < payload.length) {
+      if (u8(i) != 0xff) return None // desynced marker stream
+      val marker = u8(i + 1)
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
+        i += 2 // standalone markers carry no length
+      } else if (marker == 0xd9 || marker == 0xda) {
+        return None // EOI / start-of-scan before any SOF: no dims
+      } else {
+        val len = u16(i + 2)
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          // payload: precision u8, height u16, width u16
+          return if (i + 9 <= payload.length)
+            Some((u16(i + 7), u16(i + 5))) // (width, height)
+          else None
+        }
+        if (len < 2) return None
+        i += 2 + len
+      }
+    }
+    None
+  }
+
   /** Build a media table from any (id, string-payload) source — used by
     * tests to synthesize binary columns from `documents.text`. */
   def synthesize(df: DataFrame, id: String, text: String): DataFrame =

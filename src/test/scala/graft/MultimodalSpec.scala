@@ -48,6 +48,24 @@ class MultimodalSpec extends AnyFunSuite {
       (6L, "bmp", Some(1024L), Some(768L))))
   }
 
+  test("jpegDims walks the marker stream to SOF (variable APP segments)") {
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // SOI, APP0 (JFIF, 16-byte segment), COM (5 bytes), SOF0 640x480
+    val jpeg = bytes(0xFF, 0xD8,
+      0xFF, 0xE0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0,
+      0xFF, 0xFE, 0x00, 0x05, 'h', 'i', '!',
+      0xFF, 0xC0, 0x00, 0x11, 8, 0x01, 0xE0 /*h=480*/, 0x02, 0x80 /*w=640*/,
+      3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    assert(Multimodal.jpegDims(jpeg).contains((640, 480)))
+    // progressive marker SOF2 also carries dims
+    val sof2 = jpeg.updated(28, 0xC2.toByte)
+    assert(Multimodal.jpegDims(sof2).contains((640, 480)))
+    // truncated before SOF / not a JPEG / desynced -> None, no throw
+    assert(Multimodal.jpegDims(jpeg.take(20)).isEmpty)
+    assert(Multimodal.jpegDims("GIF89a".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.jpegDims(bytes(0xFF, 0xD8, 0x00, 0x00, 0x00)).isEmpty)
+  }
+
   test("feature extraction is deterministic and partition-count independent") {
     val docs = (1L to 50L).map(i => (i, s"document payload number $i " * 8)).toDF("doc_id", "text")
     val media = Multimodal.synthesize(docs, "doc_id", "text")

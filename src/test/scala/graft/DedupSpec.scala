@@ -66,6 +66,28 @@ class DedupSpec extends AnyFunSuite {
     intercept[IllegalStateException] { Dedup.dupGroups(chain, maxIter = 2) }
   }
 
+  test("dupGroups ≡ driver-side union-find on seeded random pair graphs") {
+    val rnd = new scala.util.Random(99)
+    for (_ <- 1 to 5) {
+      val pairs = (1 to 40).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter { case (a, b) => a != b }
+      val got = Dedup.dupGroups(pairs.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      // reference: plain union-find over the same edges
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = parent.keys.map(x => x -> find(x)).toMap
+      assert(got == expect, s"pairs=$pairs")
+    }
+  }
+
   test("contamination: verbatim leak -> 1.0, clean doc -> 0.0, partial in between") {
     val benchmark = Seq((100L, "the quick brown fox jumps over the lazy dog today"))
       .toDF("doc_id", "text")

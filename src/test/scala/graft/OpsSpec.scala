@@ -85,6 +85,28 @@ class OpsSpec extends AnyFunSuite {
     assert(got == "hi") // greatest tieBreak wins, deterministically
   }
 
+  test("asofJoin ≡ brute-force reference on seeded random data (with nulls)") {
+    val rnd = new scala.util.Random(1234)
+    for (_ <- 1 to 5) {
+      val left = (1 to 60).map(i => (rnd.nextInt(6).toLong,
+        if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(100).toLong), i.toLong))
+      val right = (1 to 80).map(i => (rnd.nextInt(6).toLong,
+        if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(100).toLong), (1000 + i).toLong))
+      val lDf = left.toDF("k", "ts", "lid")
+      val rDf = right.toDF("k", "ts", "rid")
+      val got = Ops.asofJoin(lDf, rDf, Seq("k"), "ts", "ts", tieBreak = Seq("rid"))
+        .select($"lid", $"asof.rid").as[(Long, Option[Long])].collect().toMap
+      // reference: per left row, scan all right rows of the key
+      val expect = left.map { case (k, ts, lid) =>
+        lid -> ts.flatMap { t =>
+          right.filter(r => r._1 == k && r._2.exists(_ <= t))
+            .sortBy(r => (r._2.get, r._3)).lastOption.map(_._3)
+        }
+      }.toMap
+      assert(got == expect)
+    }
+  }
+
   test("union tolerates asymmetric schemas") {
     val a = Seq(("x", 1)).toDF("name", "extra")
     val b = Seq("y").toDF("name")

@@ -50,19 +50,25 @@ object Bench {
     // min-of-2 makes one stall hit at most one of the two samples — the
     // min measures the plan, not the interruption.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // a failed run is NOT a sample — its elapsed-to-throw would win the
+      // min and under-report the query. min over successes; a query with
+      // zero successes reports -1 (unambiguous in the JSON, excluded from
+      // the total).
       val samples = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
         }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> samples.min
+      }.flatten
+      name -> (if (samples.nonEmpty) samples.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     // methodology is stamped INTO the result line so cross-round comparisons
     // can't silently mix warm and cold numbers: timings are the steady-state
     // second run after a full-workload warmup at the bench sf, through the

@@ -12,6 +12,11 @@ object QueriesExtras {
 
   /** Shared oracle CTE: distinct word 5-gram shingles per document —
     * mirrors Dedup.shingles(n=5) exactly (same tokenizer, same slice). */
+  // Corpus contract for every '\s+' tokenizer below: text carries no
+  // vertical tab (\x0B) — the one character where Java's \s (Spark) and
+  // RE2's \s (DuckDB) disagree. Holds for all driver testdata (verified at
+  // every sf); a corpus that can violate it needs the explicit class
+  // "[ \t\n\f\r]+" on BOTH sides.
   private val ShingleCte =
     "WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
     // position table bound: supports documents up to 65k words (testdata max
@@ -386,14 +391,18 @@ object QueriesExtras {
     (s, d) => TextAnalysis.qualityFlags(
         Tables.load(s, d, "documents"), "doc_id", "text", minWords = 50)
       .orderBy(col("doc_id")),
+    // pos bound is 100001, NOT the shared 65536: this query's own
+    // ok_word_count domain admits documents up to 100000 words, so the
+    // oracle's bigram table must cover every in-domain document or the
+    // repetition flags would diverge on a 70k-word doc
     Some("WITH words AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
-      "pos AS (SELECT unnest(range(1, 65536)) AS i), " +
+      "pos AS (SELECT unnest(range(1, 100001)) AS i), " +
       "bi AS (SELECT doc_id, array_to_string(list_slice(w, i, i+1), ' ') AS g " +
       "FROM words JOIN pos ON pos.i <= len(w) - 1), " +
       "bistats AS (SELECT doc_id, count(*) AS nbi, count(DISTINCT g) AS nbid FROM bi GROUP BY 1), " +
       "st AS (SELECT doc_id, text, CAST(len(w) AS BIGINT) AS nw, " +
       "CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS DOUBLE) / len(w) AS mwl, " +
-      "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS nsym, " +
+      "length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\f\\r]', '', 'g')) AS nsym, " +
       "len(regexp_extract_all(lower(text), '\\b(the|a|an|and|of|to|in|is|it|for)\\b')) AS nstop FROM words) " +
       "SELECT s.doc_id, s.nw AS n_words, " +
       "(s.nw >= 50 AND s.nw <= 100000) AS ok_word_count, " +

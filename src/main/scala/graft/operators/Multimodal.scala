@@ -26,6 +26,7 @@ object Multimodal {
   case class MediaMeta(format: String, width: Int, height: Int, durationMs: Long)
   case class MediaRow(media_id: Long, payload: Array[Byte], meta: MediaMeta)
   case class MediaFeatures(media_id: Long, byte_len: Long, format: String,
+                           width: Option[Int], height: Option[Int],
                            frames_sampled: Int, feature: Array[Double])
 
   val mediaSchema: StructType = StructType(Seq(
@@ -118,7 +119,9 @@ object Multimodal {
     while (i + 3 < payload.length) {
       if (u8(i) != 0xff) return None // desynced marker stream
       val marker = u8(i + 1)
-      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
+      if (marker == 0xff) {
+        i += 1 // T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+      } else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
         i += 2 // standalone markers carry no length
       } else if (marker == 0xd9 || marker == 0xda) {
         return None // EOI / start-of-scan before any SOF: no dims
@@ -127,8 +130,9 @@ object Multimodal {
         val isSof = marker >= 0xc0 && marker <= 0xcf &&
           marker != 0xc4 && marker != 0xc8 && marker != 0xcc
         if (isSof) {
-          // payload: precision u8, height u16, width u16
-          return if (i + 9 <= payload.length)
+          // payload: precision u8, height u16, width u16 — a declared
+          // length too short to hold them is corruption, not dims
+          return if (len >= 7 && i + 9 <= payload.length)
             Some((u16(i + 7), u16(i + 5))) // (width, height)
           else None
         }
@@ -166,8 +170,15 @@ object Multimodal {
           val feats = frames.map(FakeCodec.features)
           val dim = 4
           val pooled = Array.tabulate(dim)(d => feats.map(_(d)).sum / feats.length)
+          // REAL dimension resolution where the payload carries it
+          // ([[jpegDims]] — this per-row stage is where data-dependent
+          // parsing belongs); declared metadata is the fallback
+          val parsed = jpegDims(row.payload)
           MediaFeatures(row.media_id, row.payload.length.toLong,
-            row.meta.format, frames.length, pooled)
+            row.meta.format,
+            parsed.map(_._1).orElse(Option(row.meta).map(_.width).filter(_ > 0)),
+            parsed.map(_._2).orElse(Option(row.meta).map(_.height).filter(_ > 0)),
+            frames.length, pooled)
         }
       }
   }

@@ -168,8 +168,13 @@ object TextAnalysis {
       .withColumn("__nbid", size(array_distinct(col("__bi"))).cast("long"))
       .withColumn("__mwl", aggregate(transform(w, t => length(t)), lit(0),
         (acc, v) => acc + v).cast("double") / col("__nw"))
+      // explicit whitespace class, not \s: Java's \s includes \x0B
+      // (vertical tab) where RE2's does not, and this class must match the
+      // DuckDB oracle byte-for-byte (the \s+ tokenizer shared with every
+      // other text query carries the same caveat — the corpus contract is
+      // "no vertical tabs", documented at the oracle's ShingleCte)
       .withColumn("__nsym",
-        length(regexp_replace(col(text), "[A-Za-z0-9\\s]", "")).cast("long"))
+        length(regexp_replace(col(text), "[A-Za-z0-9 \\t\\n\\f\\r]", "")).cast("long"))
       .withColumn("__nstop", size(stopwordHits(col(text))).cast("long"))
     staged.select(col(id), col("__nw").as("n_words"),
         (col("__nw") >= minWords && col("__nw") <= maxWords).as("ok_word_count"),

@@ -64,6 +64,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.jpegDims(jpeg.take(20)).isEmpty)
     assert(Multimodal.jpegDims("GIF89a".getBytes("US-ASCII")).isEmpty)
     assert(Multimodal.jpegDims(bytes(0xFF, 0xD8, 0x00, 0x00, 0x00)).isEmpty)
+    // T.81 fill bytes: extra 0xFF before a marker is legal padding
+    val padded = bytes(0xFF, 0xD8, 0xFF) ++ jpeg.drop(2)
+    assert(Multimodal.jpegDims(padded).contains((640, 480)))
+    // corrupt SOF with declared length < 7 must not read the next segment
+    val shortSof = jpeg.updated(29, 0x00.toByte).updated(30, 0x04.toByte)
+    assert(Multimodal.jpegDims(shortSof).isEmpty)
+  }
+
+  test("extractFeatures resolves real JPEG dimensions in the codec stage") {
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val jpeg = bytes(0xFF, 0xD8,
+      0xFF, 0xC0, 0x00, 0x11, 8, 0x01, 0xE0, 0x02, 0x80,
+      3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    val media = Seq((1L, jpeg, ("image/jpeg", 0, 0, 0L)),
+        (2L, "plain text".getBytes("US-ASCII"), ("fake/raw", 10, 1, 10L)))
+      .toDF("media_id", "payload", "meta")
+      .select($"media_id", $"payload", $"meta".cast(
+        Multimodal.mediaSchema("meta").dataType).as("meta"))
+    val got = Multimodal.extractFeatures(spark, media, framesPerItem = 2, parallelism = 2)
+      .collect().sortBy(_.media_id)
+    assert(got(0).width.contains(640) && got(0).height.contains(480)) // parsed
+    assert(got(1).width.contains(10) && got(1).height.contains(1))    // declared fallback
   }
 
   test("feature extraction is deterministic and partition-count independent") {

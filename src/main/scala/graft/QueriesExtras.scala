@@ -384,6 +384,25 @@ object QueriesExtras {
       "FROM documents) WHERE b < (CASE WHEN lang = 'de' THEN 50 WHEN lang = 'en' THEN 20 ELSE 100 END) " +
       "ORDER BY doc_id"))
 
+  /** Mention/hashtag rollup over planted social tags (the testdata corpus
+    * carries none, so the query plants one mention + one hashtag per row —
+    * the extraction regex and kind-split are what the gate verifies). */
+  private val qSocialTags = Q(
+    (s, d) => {
+      val planted = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" @"), col("source"), lit(" #"), col("lang"))
+            .as("text"))
+      TextAnalysis.socialTags(planted, "doc_id", "text")
+        .groupBy(col("kind"), col("tag")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("kind"), col("tag"))
+    },
+    Some("WITH planted AS (SELECT doc_id, text || ' @' || source || ' #' || lang AS text FROM documents), " +
+      "raw AS (SELECT doc_id, unnest(regexp_extract_all(text, '[@#][A-Za-z0-9_]+')) AS r FROM planted), " +
+      "tags AS (SELECT doc_id, CASE WHEN substring(r, 1, 1) = '@' THEN 'mention' ELSE 'hashtag' END AS kind, " +
+      "substring(r, 2) AS tag FROM raw) " +
+      "SELECT kind, tag, count(*) AS cnt FROM tags GROUP BY 1, 2 ORDER BY kind, tag"))
+
   /** Gopher-style quality rules: per-rule boolean columns + conjunction,
     * so curation is auditable per rule. All-exact arithmetic (counts,
     * ratios, regexes) — both engines agree bit-for-bit. */
@@ -564,5 +583,6 @@ object QueriesExtras {
     "q_chunk" -> qChunk,
     "q_pack_sequences" -> qPackSequences,
     "q_quality_flags" -> qQualityFlags,
+    "q_social_tags" -> qSocialTags,
   )
 }

@@ -132,6 +132,19 @@ object TextAnalysis {
         col("tf"), col("doc_freq"), col("tfidf"))
   }
 
+  /** Social-tag extraction (the reference's own domain — Twitter
+    * analytics): mentions (@handle) and hashtags (#topic) pulled from free
+    * text with one RE2-compatible scan, exploded to (doc, kind, tag) rows
+    * — the shape per-tag rollups and tag⋈user joins consume. Scan-stage
+    * explode, no shuffle. */
+  def socialTags(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id),
+        explode(regexp_extract_all(col(text), lit("[@#][A-Za-z0-9_]+"), lit(0))).as("raw"))
+      .select(col(id),
+        when(substring(col("raw"), 1, 1) === "@", "mention")
+          .otherwise("hashtag").as("kind"),
+        expr("substring(raw, 2)").as("tag"))
+
   /** Heuristic quality RULES in the style of published corpus-curation
     * practice (the Gopher/MassiveText rule family: bounds on length, word
     * shape, symbol share, stopword evidence, and n-gram repetition): each

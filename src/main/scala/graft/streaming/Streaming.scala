@@ -1,5 +1,6 @@
 package graft.streaming
 
+import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
@@ -296,6 +297,60 @@ object Streaming {
     if (!fs.rename(next, cur))
       throw new java.io.IOException(s"incrementalRollupSink: failed to publish $next")
     fs.delete(old, true): Unit
+  }
+
+  /** ST6 stretch — CUSTOM-STATE sessionization via flatMapGroupsWithState
+    * (the arbitrary-state API `session_window` can't replace when the
+    * emitted record needs custom shape or the close condition isn't a pure
+    * gap): per-user open-session state (start, last ts, count), closed by
+    * event-time timeout `gapMs` past the watermark, emitting ONE record
+    * per CLOSED session (flatMap: 0..n outputs per invocation — a burst
+    * that reopens after a gap can close the old session and keep the new
+    * one open in the same batch). State is O(open sessions); the timeout
+    * guarantees eviction. Append-mode friendly: only closed sessions are
+    * emitted, never revised. */
+  case class OpenSession(start: Long, lastTs: Long, n: Long)
+  case class ClosedSession(user_id: Long, session_start: Timestamp,
+                           session_end: Timestamp, n_events: Long)
+  def statefulSessions(events: org.apache.spark.sql.Dataset[(Long, Timestamp)],
+                       watermark: String = "10 minutes",
+                       gapMs: Long = 30L * 60 * 1000): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events.toDF("user_id", "ts").withWatermark("ts", watermark)
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Timestamp)], state: GroupState[OpenSession]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            // watermark passed lastTs + gap: the open session is closed
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid,
+              new Timestamp(s.start), new Timestamp(s.lastTs), s.n))
+          } else {
+            val ts = rows.map(_._2.getTime).toSeq.sorted
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(OpenSession(s.start, math.max(s.lastTs, t), s.n + 1))
+                case Some(s) => // gap inside the batch: close, reopen
+                  closed ::= ClosedSession(uid,
+                    new Timestamp(s.start), new Timestamp(s.lastTs), s.n)
+                  cur = Some(OpenSession(t, t, 1L))
+                case None => cur = Some(OpenSession(t, t, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }.toDF()
   }
 
   /** ST6/A2 — stateful incremental per-key totals across micro-batches via

@@ -201,6 +201,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(after == ((2L, 2L, 7.0, 8L)))
   }
 
+  test("flatMapGroupsWithState sessions: event-time timeout closes, burst stays open") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = Streaming.statefulSessions(mem.toDS(),
+        watermark = "1 minute", gapMs = 10L * 60 * 1000)
+      .writeStream.outputMode("append").format("memory").queryName("sessions").start()
+    try {
+      // user 1: burst at :01-:03 (one session); user 2 keeps the clock honest
+      mem.addData((1L, ts(1)), (1L, ts(2)), (1L, ts(3)))
+      q.processAllAvailable()
+      // intra-batch gap: :30 is > 10 min after :03 — old session closes in
+      // the same invocation that opens the new one
+      mem.addData((1L, ts(30)), (1L, ts(31)))
+      q.processAllAvailable()
+      val afterSplit = spark.table("sessions")
+        .as[(Long, Timestamp, Timestamp, Long)].collect()
+      assert(afterSplit sameElements Array((1L, ts(1), ts(3), 3L)))
+      // advance the watermark far past :31 + gap via another user's event:
+      // the timeout fires and the open session closes with NO new user-1 data
+      mem.addData((2L, ts(59)))
+      q.processAllAvailable()
+      mem.addData((2L, ts(59))) // one more batch so the timeout is processed
+      q.processAllAvailable()
+      val all = spark.table("sessions").filter($"user_id" === 1L)
+        .orderBy($"session_start")
+        .as[(Long, Timestamp, Timestamp, Long)].collect()
+      assert(all sameElements Array(
+        (1L, ts(1), ts(3), 3L), (1L, ts(30), ts(31), 2L)))
+    } finally q.stop()
+  }
+
   test("ST6 stateful running totals accumulate across micro-batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]

@@ -100,16 +100,20 @@ object Streaming {
     * gives the identical result (tested), so the streaming plan inherits
     * the batch semantics. */
   def streamStreamAttribution(purchases: DataFrame, clicks: DataFrame,
-                              horizon: String = "10 minutes"): DataFrame = {
+                              horizon: String = "10 minutes",
+                              joinType: String = "inner"): DataFrame = {
     val p = purchases
       .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
       .withWatermark("p_ts", horizon)
     val c = clicks
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("click_id"))
       .withWatermark("c_ts", horizon)
+    // left_outer: a purchase with NO click in its horizon still emits (with
+    // null click) — but only once the watermark has passed its join window,
+    // when "no match" is final. Same bounded state as the inner form.
     p.join(c, col("user_id") === col("c_user") &&
         col("c_ts") <= col("p_ts") &&
-        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"))
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"), joinType)
       .select(col("user_id"), col("purchase_id"), col("p_ts"),
         col("click_id"), col("c_ts"))
   }

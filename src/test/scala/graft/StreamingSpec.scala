@@ -201,6 +201,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(after == ((2L, 2L, 7.0, 8L)))
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched purchases after the watermark") {
+    implicit val sq = spark.sqlContext
+    val pm = MemoryStream[(Long, Timestamp, Long)]
+    val cm = MemoryStream[(Long, Timestamp, Long)]
+    def named(df: org.apache.spark.sql.DataFrame) = df.toDF("user_id", "ts", "event_id")
+    val q = Streaming.streamStreamAttribution(
+        named(pm.toDF()), named(cm.toDF()), joinType = "left_outer")
+      .writeStream.outputMode("append").format("memory").queryName("ssj_outer").start()
+    try {
+      // user 1's purchase has a click in-horizon; user 3's has none
+      cm.addData((1L, ts(4), 101L))
+      pm.addData((1L, ts(5), 501L), (3L, ts(5), 503L))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past ts(5)+horizon so "no match" is final
+      cm.addData((9L, ts(59), 999L)); pm.addData((9L, ts(59), 998L))
+      q.processAllAvailable()
+      cm.addData((9L, ts(59), 997L)); pm.addData((9L, ts(59), 996L))
+      q.processAllAvailable()
+      val got = spark.table("ssj_outer")
+        .filter($"user_id".isin(1L, 3L))
+        .select($"purchase_id", $"click_id").orderBy($"purchase_id")
+        .as[(Long, Option[Long])].collect()
+      assert(got sameElements Array((501L, Some(101L)), (503L, None)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessions: event-time timeout closes, burst stays open") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]

@@ -407,6 +407,44 @@ object Streaming {
         from_json(col("value").cast("string"), schema).as("doc"),
         col("timestamp").as("kafka_ts"))
 
+  /** ST6 on the SPARK 4 arbitrary-state API — the same per-key ledger as
+    * [[statefulRunningTotals]] expressed as a `StatefulProcessor` with a
+    * typed `ValueState`, via `transformWithState`: the successor API to
+    * mapGroupsWithState (composable named state variables, timers, TTL,
+    * state-schema evolution) and the shape new stateful operators should
+    * take. Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`), which also brings
+    * changelog-checkpointed, disk-spillable state at scale — O(active
+    * keys) never resident in heap. */
+  class TotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Double), UserTotals] {
+    import org.apache.spark.sql.Encoders
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[UserTotals] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[UserTotals]("totals",
+        Encoders.product[UserTotals], org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, Double)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTotals] = {
+      val prev = Option(state.get()).getOrElse(UserTotals(uid, 0L, 0.0, Double.MinValue))
+      val vs = rows.map(_._2).toSeq
+      val next = UserTotals(uid,
+        prev.total_events + vs.size,
+        prev.total_value + vs.sum,
+        math.max(prev.max_value, if (vs.isEmpty) prev.max_value else vs.max))
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def transformWithStateTotals(events: org.apache.spark.sql.Dataset[(Long, Double)]): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new TotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
   /** S2 — Kafka JSON sink: whole-row JSON envelope, topic routed. */
   def kafkaJsonSink(df: DataFrame, servers: String, topic: String): DataStreamWriter[Row] =
     df.selectExpr("to_json(struct(*)) AS value")

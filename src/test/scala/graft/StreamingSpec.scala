@@ -278,6 +278,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState totals match the mapGroupsWithState ledger (RocksDB store)") {
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, Double)]
+    val q = Streaming.transformWithStateTotals(mem.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("tws").start()
+    try {
+      mem.addData((1L, 2.0), (1L, 3.0), (2L, 7.0))
+      q.processAllAvailable()
+      mem.addData((1L, 10.0))
+      q.processAllAvailable()
+      val got = spark.table("tws")
+        .groupBy($"user_id")
+        .agg(max($"total_events").as("n"), max($"total_value").as("tv"), max($"max_value").as("mx"))
+        .orderBy($"user_id")
+        .as[(Long, Long, Double, Double)].collect()
+      assert(got sameElements Array((1L, 3L, 15.0, 10.0), (2L, 1L, 7.0, 7.0)))
+    } finally {
+      q.stop()
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("A8 stream dedup: replayed keys within the watermark are dropped") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]

@@ -314,6 +314,7 @@ object Streaming {
     * guarantees eviction. Append-mode friendly: only closed sessions are
     * emitted, never revised. */
   case class OpenSession(start: Long, lastTs: Long, n: Long)
+  case class SessionBuf(sessions: List[OpenSession]) // kept sorted by start
   case class ClosedSession(user_id: Long, session_start: Timestamp,
                            session_end: Timestamp, n_events: Long)
   def statefulSessions(events: org.apache.spark.sql.Dataset[(Long, Timestamp)],
@@ -321,39 +322,39 @@ object Streaming {
                        gapMs: Long = 30L * 60 * 1000): DataFrame = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+    // a session is EMITTED only once the watermark has passed lastTs + gap
+    // — never merely because a later event arrived in the same batch: a
+    // late-but-above-watermark event may still legally belong to it, and an
+    // append row is final. Until then every session stays in state, and
+    // events merge by interval-coalescing (min-start/max-end — a late event
+    // can extend a session BACKWARD), so out-of-order delivery within the
+    // watermark horizon can never corrupt boundaries or counts. State is
+    // O(sessions inside the watermark horizon) per key, evicted by timeout.
+    def coalesce(sorted: List[OpenSession]): List[OpenSession] =
+      sorted.foldLeft(List.empty[OpenSession]) {
+        case (prev :: rest, s) if s.start - prev.lastTs <= gapMs =>
+          OpenSession(prev.start, math.max(prev.lastTs, s.lastTs), prev.n + s.n) :: rest
+        case (acc, s) => s :: acc
+      }.reverse
+
     events.toDF("user_id", "ts").withWatermark("ts", watermark)
       .as[(Long, Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[OpenSession, ClosedSession](
+      .flatMapGroupsWithState[SessionBuf, ClosedSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (uid: Long, rows: Iterator[(Long, Timestamp)], state: GroupState[OpenSession]) =>
-          if (rows.isEmpty && state.hasTimedOut) {
-            // watermark passed lastTs + gap: the open session is closed
-            val s = state.get
-            state.remove()
-            Iterator.single(ClosedSession(uid,
-              new Timestamp(s.start), new Timestamp(s.lastTs), s.n))
-          } else {
-            val ts = rows.map(_._2.getTime).toSeq.sorted
-            var closed = List.empty[ClosedSession]
-            var cur = state.getOption
-            ts.foreach { t =>
-              cur match {
-                case Some(s) if t - s.lastTs <= gapMs =>
-                  cur = Some(OpenSession(s.start, math.max(s.lastTs, t), s.n + 1))
-                case Some(s) => // gap inside the batch: close, reopen
-                  closed ::= ClosedSession(uid,
-                    new Timestamp(s.start), new Timestamp(s.lastTs), s.n)
-                  cur = Some(OpenSession(t, t, 1L))
-                case None => cur = Some(OpenSession(t, t, 1L))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.lastTs + gapMs)
-            }
-            closed.reverseIterator
-          }
+        (uid: Long, rows: Iterator[(Long, Timestamp)], state: GroupState[SessionBuf]) =>
+          val prev = state.getOption.map(_.sessions).getOrElse(Nil)
+          val incoming = rows.map(r => OpenSession(r._2.getTime, r._2.getTime, 1L)).toList
+          val merged = coalesce((prev ++ incoming).sortBy(s => (s.start, s.lastTs)))
+          val wm = state.getCurrentWatermarkMs()
+          val (done, keep) = merged.partition(_.lastTs + gapMs <= wm)
+          if (keep.nonEmpty) {
+            state.update(SessionBuf(keep))
+            state.setTimeoutTimestamp(keep.map(_.lastTs + gapMs).min)
+          } else state.remove()
+          done.iterator.map(s => ClosedSession(uid,
+            new Timestamp(s.start), new Timestamp(s.lastTs), s.n))
       }.toDF()
   }
 
@@ -361,6 +362,16 @@ object Streaming {
     * mapGroupsWithState: the distributed, checkpointable form of the
     * reference's Mongo `$inc`/`$max` ledger (consumer2.py:198-217). */
   case class UserTotals(user_id: Long, total_events: Long, total_value: Double, max_value: Double)
+
+  /** The ONE ledger-merge both stateful APIs share — mapGroupsWithState and
+    * transformWithState are claimed (and tested) equivalent, which only
+    * stays true if the accumulation logic exists once. */
+  private def mergeTotals(prev: UserTotals, vs: Seq[Double]): UserTotals =
+    UserTotals(prev.user_id,
+      prev.total_events + vs.size,
+      prev.total_value + vs.sum,
+      math.max(prev.max_value, if (vs.isEmpty) prev.max_value else vs.max))
+
   def statefulRunningTotals(events: org.apache.spark.sql.Dataset[(Long, Double)]): DataFrame = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.GroupState
@@ -368,12 +379,9 @@ object Streaming {
       .mapGroupsWithState[UserTotals, UserTotals](
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
         (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[UserTotals]) =>
-          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0, Double.MinValue))
-          val vs = rows.map(_._2).toSeq
-          val next = UserTotals(uid,
-            prev.total_events + vs.size,
-            prev.total_value + vs.sum,
-            math.max(prev.max_value, if (vs.isEmpty) prev.max_value else vs.max))
+          val next = mergeTotals(
+            state.getOption.getOrElse(UserTotals(uid, 0L, 0.0, Double.MinValue)),
+            rows.map(_._2).toSeq)
           state.update(next)
           next
       }.toDF()
@@ -426,12 +434,9 @@ object Streaming {
         Encoders.product[UserTotals], org.apache.spark.sql.streaming.TTLConfig.NONE)
     override def handleInputRows(uid: Long, rows: Iterator[(Long, Double)],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTotals] = {
-      val prev = Option(state.get()).getOrElse(UserTotals(uid, 0L, 0.0, Double.MinValue))
-      val vs = rows.map(_._2).toSeq
-      val next = UserTotals(uid,
-        prev.total_events + vs.size,
-        prev.total_value + vs.sum,
-        math.max(prev.max_value, if (vs.isEmpty) prev.max_value else vs.max))
+      val next = mergeTotals(
+        Option(state.get()).getOrElse(UserTotals(uid, 0L, 0.0, Double.MinValue)),
+        rows.map(_._2).toSeq)
       state.update(next)
       Iterator.single(next)
     }

@@ -231,30 +231,36 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
     val q = Streaming.statefulSessions(mem.toDS(),
-        watermark = "1 minute", gapMs = 10L * 60 * 1000)
+        watermark = "5 minutes", gapMs = 10L * 60 * 1000)
       .writeStream.outputMode("append").format("memory").queryName("sessions").start()
     try {
-      // user 1: burst at :01-:03 (one session); user 2 keeps the clock honest
-      mem.addData((1L, ts(1)), (1L, ts(2)), (1L, ts(3)))
+      // burst at :05-:06, then a batch carrying a LATE (above-watermark)
+      // :03 event plus :08 and a >gap jump to :30-:31. The late event must
+      // extend the open session BACKWARD; the split session must NOT emit
+      // yet — the watermark (:01 while batch 2 runs) has finalized nothing,
+      // and another late event could still legally extend it
+      mem.addData((1L, ts(5)), (1L, ts(6)))
       q.processAllAvailable()
-      // intra-batch gap: :30 is > 10 min after :03 — old session closes in
-      // the same invocation that opens the new one
-      mem.addData((1L, ts(30)), (1L, ts(31)))
+      assert(spark.table("sessions").isEmpty) // watermark :01 finalizes nothing
+      // batch 2 raises the watermark to :26, which finalizes session 1
+      // (:08 + gap = :18 <= :26) — the engine's follow-up timeout batch
+      // emits it within the same processAllAvailable — but NOT session 2
+      // (:31 + gap = :41 > :26), which a late event could still extend
+      mem.addData((1L, ts(3)), (1L, ts(8)), (1L, ts(30)), (1L, ts(31)))
       q.processAllAvailable()
-      val afterSplit = spark.table("sessions")
+      val mid = spark.table("sessions")
         .as[(Long, Timestamp, Timestamp, Long)].collect()
-      assert(afterSplit sameElements Array((1L, ts(1), ts(3), 3L)))
-      // advance the watermark far past :31 + gap via another user's event:
-      // the timeout fires and the open session closes with NO new user-1 data
+      assert(mid sameElements Array((1L, ts(3), ts(8), 4L)))
+      // watermark :54 (from :59) finalizes session 2 via timeout
       mem.addData((2L, ts(59)))
       q.processAllAvailable()
-      mem.addData((2L, ts(59))) // one more batch so the timeout is processed
+      mem.addData((2L, ts(59)))
       q.processAllAvailable()
       val all = spark.table("sessions").filter($"user_id" === 1L)
         .orderBy($"session_start")
         .as[(Long, Timestamp, Timestamp, Long)].collect()
       assert(all sameElements Array(
-        (1L, ts(1), ts(3), 3L), (1L, ts(30), ts(31), 2L)))
+        (1L, ts(3), ts(8), 4L), (1L, ts(30), ts(31), 2L)))
     } finally q.stop()
   }
 
@@ -282,12 +288,15 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sq = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // conf override and query start both INSIDE the try: a failing start()
+    // must not leak the RocksDB provider into the shared session's later tests
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
     val mem = MemoryStream[(Long, Double)]
-    val q = Streaming.transformWithStateTotals(mem.toDS())
-      .writeStream.outputMode("update").format("memory").queryName("tws").start()
     try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      q = Streaming.transformWithStateTotals(mem.toDS())
+        .writeStream.outputMode("update").format("memory").queryName("tws").start()
       mem.addData((1L, 2.0), (1L, 3.0), (2L, 7.0))
       q.processAllAvailable()
       mem.addData((1L, 10.0))
@@ -299,7 +308,7 @@ class StreamingSpec extends AnyFunSuite {
         .as[(Long, Long, Double, Double)].collect()
       assert(got sameElements Array((1L, 3L, 15.0, 10.0), (2L, 1L, 7.0, 7.0)))
     } finally {
-      q.stop()
+      if (q != null) q.stop()
       prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
     }
   }

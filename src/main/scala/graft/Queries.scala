@@ -394,6 +394,32 @@ object Queries {
       "epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us " +
       "FROM events ORDER BY user_id, ts, event_id"))
 
+  /** Ranking-function suite over one window (rank / dense_rank /
+    * percent_rank / ntile): all four share a single partitioning+sort, so
+    * Catalyst plans ONE window exchange. The window order carries a
+    * c_custkey tie-break — rank() tolerates ties but ntile/percent_rank
+    * outputs depend on total order. */
+  private val qRankFunctions = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("SELECT c_custkey, c_mktsegment, c_acctbal, " +
+      "CAST(rank() OVER w AS BIGINT) AS rnk, " +
+      "CAST(dense_rank() OVER w AS BIGINT) AS drnk, " +
+      "percent_rank() OVER w AS prnk, " +
+      "CAST(ntile(4) OVER w AS BIGINT) AS quartile " +
+      "FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) " +
+      "ORDER BY c_custkey"))
+
   /** CUBE grouping sets: counts at every (event_type × hour) granularity
     * including both margins and the grand total, in ONE pass — Catalyst
     * expands the cube into a single Expand + aggregate, the reference's
@@ -529,6 +555,7 @@ object Queries {
     "q_lag_gaps" -> qLagGaps,
     "q_sessionize" -> qSessionize,
     "q_cube_counts" -> qCubeCounts,
+    "q_rank_functions" -> qRankFunctions,
     "q_grouped_quantiles" -> qGroupedQuantiles,
     "q_pivot_event_counts" -> qPivotEventCounts,
   ) ++ QueriesExtras.registry

@@ -264,6 +264,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental rollup sink: crash-window recovery keeps exactly-once merges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rollup_crash").toString + "/state"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def partial(rows: (Long, Double)*) = rows.toSeq.toDF("k", "v")
+      .groupBy($"k").agg(count(lit(1)).as("cnt"), sum($"v").as("sv"))
+    val sink = Streaming.incrementalRollupSink("k", Seq("cnt", "sv"), Nil, dir) _
+    sink(partial((1L, 2.0)), 0L)
+
+    // crash between move-aside and publish while applying batch 1: the
+    // merged state (incl. the in-swap _applied marker for batch 1) lives
+    // only in _next. Recovery must publish it, and the REPLAY of batch 1
+    // must then be skipped by the marker — merging it again would double.
+    val merged = partial((1L, 2.0), (1L, 5.0)) // state ⊕ batch1
+    merged.write.parquet(dir + "_next")
+    val out = fs.create(p(dir + "_next/_applied"), true)
+    out.write("1".getBytes("UTF-8")); out.close()
+    assert(fs.rename(p(dir), p(dir + "_old")))
+    sink(partial((1L, 5.0)), 1L) // the replay of batch 1
+    var got = spark.read.parquet(dir).as[(Long, Long, Double)].collect()
+    assert(got sameElements Array((1L, 2L, 7.0)), got.mkString(","))
+
+    // crash AFTER the merge write but BEFORE the swap started (state dir
+    // still live): the stale _next (with its marker!) must be dropped and
+    // the replayed batch applied from the live state — not from _next
+    partial((1L, 99.0), (9L, 9.0)).write.parquet(dir + "_next")
+    val out2 = fs.create(p(dir + "_next/_applied"), true)
+    out2.write("2".getBytes("UTF-8")); out2.close()
+    sink(partial((2L, 3.0)), 2L)
+    got = spark.read.parquet(dir).orderBy($"k").as[(Long, Long, Double)].collect()
+    assert(got sameElements Array((1L, 2L, 7.0), (2L, 1L, 3.0)), got.mkString(","))
+  }
+
   test("ST6 stateful running totals accumulate across micro-batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]

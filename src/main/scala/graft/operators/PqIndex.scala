@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the ANN memory-compression path: each
+  * vector is split into `m` subvectors, each subvector quantized to one of
+  * `k` codebook centroids, so a d-dim float vector becomes `m` small codes
+  * (m bytes for k ≤ 256). At 100 TB this is the difference between
+  * scanning 256-byte embeddings and scanning 8-byte codes — the codes (and
+  * the tiny codebooks) fit where raw vectors cannot, and queries score
+  * against a per-query lookup table instead of touching raw floats.
+  *
+  * Spark-first shape mirroring [[IvfIndex]]:
+  *  - '''train''' (offline, bounded): one spherical-ish k-means per
+  *    subspace over a deterministic corpus prefix — codebooks are
+  *    `m × k × dsub` doubles, pure metadata.
+  *  - '''encode''' (scan-stage, no shuffle): per-row argmin over centroid
+  *    literals per subspace (the [[IvfIndex.cellOf]] pattern ×m) — the
+  *    encoded table is what you persist.
+  *  - '''search''' (per query): the anchor's distance to every centroid of
+  *    every subspace is an `m × k` literal lookup table; a row's
+  *    approximate squared L2 is Σ_m LUT[m][code_m] — element_at on
+  *    literal arrays, whole-stage codegen, then TakeOrderedAndProject.
+  *
+  * Approximate by construction (quantization error), so no SQL oracle —
+  * verified by spec instead: lossless when the corpus lies ON the
+  * codebook (PQ distance degenerates to exact distance ⇒ top-k must equal
+  * brute force), plus a recall floor on clustered data.
+  */
+object PqIndex {
+
+  /** codebooks(sub)(code) = centroid of subspace `sub` for code `code`. */
+  case class Codebooks(dsub: Int, centroids: Array[Array[Array[Double]]]) {
+    def m: Int = centroids.length
+    def k: Int = centroids.headOption.map(_.length).getOrElse(0)
+  }
+
+  /** Offline codebook training: one k-means per subspace on a bounded,
+    * deterministic prefix (TakeOrdered on the id — scan-order independent).
+    * Subspaces with fewer distinct subvectors than k get the distinct set
+    * (k-means would throw); codes stay dense in [0, k). */
+  def train(emb: DataFrame, id: String, vec: String, m: Int, k: Int,
+            trainLimit: Int = 10000): Codebooks = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val d = emb.select(max(size(col(vec)))).head().getInt(0)
+    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
+    val dsub = d / m
+    val train = emb.filter(col(vec).isNotNull)
+      .orderBy(col(id)).limit(trainLimit)
+      .select(col(vec).cast("array<double>").as("v"))
+    val books = (0 until m).map { s =>
+      val sub = train.select(array_to_vector(
+        slice(col("v"), s * dsub + 1, dsub)).as("features"))
+      val distinctSub = sub.distinct().limit(k + 1).count().toInt
+      val kk = math.min(k, distinctSub)
+      new KMeans().setK(kk).setSeed(42L + s).setMaxIter(10).fit(sub)
+        .clusterCenters.map(_.toArray)
+    }.toArray
+    Codebooks(dsub, books)
+  }
+
+  private def sqDist(a: Column, centroid: Array[Double]): Column =
+    centroid.zipWithIndex.map { case (c, i) =>
+      val diff = element_at(a, i + 1) - lit(c)
+      diff * diff
+    }.reduce(_ + _)
+
+  /** Scan-stage encoding: argmin centroid per subspace → `code` array<int>.
+    * No shuffle, no UDF; ties resolve to the first (lowest) code. */
+  def encode(emb: DataFrame, id: String, vec: String, cb: Codebooks): DataFrame = {
+    val v = col(vec).cast("array<double>")
+    val codes = (0 until cb.m).map { s =>
+      val sub = slice(v, s * cb.dsub + 1, cb.dsub)
+      val dists = array(cb.centroids(s).map(ct => sqDist(sub, ct)): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    emb.select(col(id), array(codes: _*).as("code"))
+  }
+
+  /** Asymmetric-distance top-k: LUT(sub)(code) = ||anchor_sub − centroid||²
+    * computed once driver-side from the codebooks (m × k doubles — query
+    * metadata), then every encoded row costs m array lookups + m-1 adds.
+    * Returns (id, approx_sq_dist) ascending with id tie-break. */
+  def searchTopK(encoded: DataFrame, id: String, cb: Codebooks,
+                 anchor: Array[Double], topK: Int): DataFrame = {
+    require(anchor.length == cb.m * cb.dsub,
+      s"anchor dim ${anchor.length} != ${cb.m}×${cb.dsub}")
+    val lut: Array[Array[Double]] = Array.tabulate(cb.m) { s =>
+      val sub = anchor.slice(s * cb.dsub, (s + 1) * cb.dsub)
+      cb.centroids(s).map(ct =>
+        sub.zip(ct).map { case (x, c) => (x - c) * (x - c) }.sum)
+    }
+    val dist = (0 until cb.m).map { s =>
+      element_at(typedlit(lut(s).toIndexedSeq),
+        element_at(col("code"), s + 1) + 1)
+    }.reduce(_ + _)
+    encoded.select(col(id), dist.as("approx_sq_dist"))
+      .orderBy(col("approx_sq_dist").asc, col(id))
+      .limit(topK)
+  }
+}

@@ -79,6 +79,33 @@ object PqIndex {
     emb.select(col(id), array(codes: _*).as("code"))
   }
 
+  /** IVF-PQ composition — the production ANN index shape (coarse cells
+    * prune WHICH rows are scanned, PQ codes compress WHAT is scanned):
+    * assign every vector to its [[IvfIndex]]-style coarse cell AND encode
+    * it, persist partitioned by cell, and a query probes nprobe cells
+    * (partition pruning) scoring only codes via the LUT. Composes the two
+    * verified pieces; with nprobe = nlist and a lossless codebook it
+    * degenerates to exact search (the testable regime). */
+  def ivfPqTopK(emb: DataFrame, id: String, vec: String, cb: Codebooks,
+                coarse: Array[Array[Double]], anchor: Array[Double],
+                topK: Int, nprobe: Int): DataFrame = {
+    val v = col(vec).cast("array<double>")
+    // coarse cell = argmin squared L2 to the coarse centroids (expression
+    // literals, scan-stage — the IvfIndex.cellOf pattern on raw distance)
+    val cellDists = array(coarse.map(ct => sqDist(v, ct)): _*)
+    val cell = (array_position(cellDists, array_min(cellDists)) - 1).cast("int")
+    val probed = coarse.zipWithIndex
+      .map { case (ct, i) =>
+        (i, ct.zip(anchor).map { case (c, a) => (c - a) * (c - a) }.sum) }
+      .sortBy { case (i, dSq) => (dSq, i) }.take(nprobe).map(_._1)
+    val pruned = emb.withColumn("__cell", cell)
+      .filter(col("__cell").isin(probed.map(Integer.valueOf): _*))
+    // persisted form: write `pruned`'s encoding partitioned by __cell once
+    // (Scale.writePartitioned) and this filter becomes partition pruning;
+    // computed inline here so the operator is self-contained and testable
+    searchTopK(encode(pruned, id, vec, cb), id, cb, anchor, topK)
+  }
+
   /** Asymmetric-distance top-k: LUT(sub)(code) = ||anchor_sub − centroid||²
     * computed once driver-side from the codebooks (m × k doubles — query
     * metadata), then every encoded row costs m array lookups + m-1 adds.

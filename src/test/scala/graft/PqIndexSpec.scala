@@ -52,4 +52,29 @@ class PqIndexSpec extends AnyFunSuite {
     // retrieved id belongs to the anchor's cluster (ids ≡ 1 mod 4)
     assert(pq.length == 20 && pq.forall(_ % 4 == 1), pq.mkString(","))
   }
+
+  test("IVF-PQ with full probe + lossless codebook equals brute force") {
+    val rnd = new scala.util.Random(5)
+    val subVals = Array(Array(0.0, 1.0), Array(3.0, -1.0), Array(-2.0, 2.0), Array(1.0, 1.0))
+    def mk(): Array[Float] =
+      (0 until 3).flatMap(_ => subVals(rnd.nextInt(4)).map(_.toFloat)).toArray
+    val emb = (0L until 200L).map(i => (i, mk())).toDF("vec_id", "embedding")
+    val cb = PqIndex.train(emb, "vec_id", "embedding", m = 3, k = 8, trainLimit = 200)
+    val coarse = Array( // any coarse partitioning works at full probe
+      Array(0.0, 1.0, 3.0, -1.0, -2.0, 2.0), Array(1.0, 1.0, 0.0, 1.0, 3.0, -1.0))
+    val anchor = Array(0.0, 1.0, 3.0, -1.0, -2.0, 2.0)
+    val got = PqIndex.ivfPqTopK(emb, "vec_id", "embedding", cb, coarse,
+        anchor, topK = 10, nprobe = 2)
+      .as[(Long, Double)].collect()
+    val brute = emb.as[(Long, Array[Float])].collect()
+      .map { case (i, v) =>
+        (i, v.map(_.toDouble).zip(anchor).map { case (a, b) => (a - b) * (a - b) }.sum) }
+      .sortBy { case (i, dSq) => (dSq, i) }.take(10)
+    assert(got.map(_._1) sameElements brute.map(_._1))
+    // partial probe: results restricted to probed cells, still k rows ranked
+    val partial = PqIndex.ivfPqTopK(emb, "vec_id", "embedding", cb, coarse,
+        anchor, topK = 10, nprobe = 1)
+      .as[(Long, Double)].collect()
+    assert(partial.length == 10 && partial.map(_._2).sameElements(partial.map(_._2).sorted))
+  }
 }

@@ -30,10 +30,14 @@ import org.apache.spark.sql.functions._
   */
 object PqIndex {
 
-  /** codebooks(sub)(code) = centroid of subspace `sub` for code `code`. */
+  /** codebooks(sub)(code) = centroid of subspace `sub` for code `code`.
+    * Codebook sizes may legitimately DIFFER per subspace (train caps each
+    * at its distinct-subvector count), so `k` is the maximum — per-subspace
+    * width is `centroids(s).length`. */
   case class Codebooks(dsub: Int, centroids: Array[Array[Array[Double]]]) {
     def m: Int = centroids.length
-    def k: Int = centroids.headOption.map(_.length).getOrElse(0)
+    def k: Int = if (centroids.isEmpty) 0 else centroids.map(_.length).max
+    def dim: Int = m * dsub
   }
 
   /** Offline codebook training: one k-means per subspace on a bounded,
@@ -41,24 +45,44 @@ object PqIndex {
     * Subspaces with fewer distinct subvectors than k get the distinct set
     * (k-means would throw); codes stay dense in [0, k). */
   def train(emb: DataFrame, id: String, vec: String, m: Int, k: Int,
-            trainLimit: Int = 10000): Codebooks = {
+            trainLimit: Int = 10000, dim: Option[Int] = None): Codebooks = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val d = emb.select(max(size(col(vec)))).head().getInt(0)
+    // dim from table metadata when known (skips a full scan — the
+    // injectable-dim convention of Similarity.annTopK); training on an
+    // empty/all-null corpus is a caller error, not an empty result
+    val d = dim.getOrElse {
+      val dimRow = emb.select(max(size(col(vec)))).head()
+      require(!dimRow.isNullAt(0), "PqIndex.train: corpus has no non-null vectors")
+      dimRow.getInt(0)
+    }
     require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
     val dsub = d / m
-    val train = emb.filter(col(vec).isNotNull)
+    // cached: every subspace runs a distinct-count job AND a KMeans fit
+    // over this prefix — uncached, the filter+sort+limit lineage would
+    // re-execute 2m+ times
+    val train = emb.filter(col(vec).isNotNull && size(col(vec)) === d)
       .orderBy(col(id)).limit(trainLimit)
       .select(col(vec).cast("array<double>").as("v"))
-    val books = (0 until m).map { s =>
-      val sub = train.select(array_to_vector(
-        slice(col("v"), s * dsub + 1, dsub)).as("features"))
-      val distinctSub = sub.distinct().limit(k + 1).count().toInt
-      val kk = math.min(k, distinctSub)
-      new KMeans().setK(kk).setSeed(42L + s).setMaxIter(10).fit(sub)
-        .clusterCenters.map(_.toArray)
-    }.toArray
-    Codebooks(dsub, books)
+      .cache()
+    try {
+      val books = (0 until m).map { s =>
+        val sub = train.select(array_to_vector(
+          slice(col("v"), s * dsub + 1, dsub)).as("features"))
+        val distinctSub = sub.distinct().limit(k + 1).count().toInt
+        require(distinctSub > 0,
+          "PqIndex.train: no full-dimension vectors in the training prefix")
+        val kk = math.min(k, distinctSub)
+        if (kk < 2)
+          // KMeans requires k >= 2; a constant subspace's codebook IS its
+          // single distinct subvector (code 0 for every row, zero error)
+          Array(sub.head().getAs[org.apache.spark.ml.linalg.Vector](0).toArray)
+        else
+          new KMeans().setK(kk).setSeed(42L + s).setMaxIter(10).fit(sub)
+            .clusterCenters.map(_.toArray)
+      }.toArray
+      Codebooks(dsub, books)
+    } finally train.unpersist(): Unit
   }
 
   private def sqDist(a: Column, centroid: Array[Double]): Column =
@@ -68,15 +92,31 @@ object PqIndex {
     }.reduce(_ + _)
 
   /** Scan-stage encoding: argmin centroid per subspace → `code` array<int>.
-    * No shuffle, no UDF; ties resolve to the first (lowest) code. */
+    * No shuffle, no UDF; ties resolve to the first (lowest) code.
+    *
+    * Null and RAGGED vectors are EXCLUDED, not fake-encoded (the LSH
+    * convention): a short vector would make the fixed-position element_at
+    * throw under ANSI mode — one malformed row must not abort a corpus
+    * encode — and a null one would produce a null code that ascending
+    * distance sorts FIRST, displacing real neighbors from every top-k.
+    * Each subspace's slice and distance array are staged as columns so
+    * the k·dsub arithmetic runs once per code, not once per reference
+    * (the projection-CSE rule). */
   def encode(emb: DataFrame, id: String, vec: String, cb: Codebooks): DataFrame = {
     val v = col(vec).cast("array<double>")
-    val codes = (0 until cb.m).map { s =>
-      val sub = slice(v, s * cb.dsub + 1, cb.dsub)
-      val dists = array(cb.centroids(s).map(ct => sqDist(sub, ct)): _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
+    val base = emb.filter(col(vec).isNotNull && size(col(vec)) === cb.dim)
+      .withColumn("__v", v)
+    val withSubs = (0 until cb.m).foldLeft(base) { (acc, s) =>
+      acc.withColumn(s"__sub$s", slice(col("__v"), s * cb.dsub + 1, cb.dsub))
     }
-    emb.select(col(id), array(codes: _*).as("code"))
+    val staged = (0 until cb.m).foldLeft(withSubs) { (acc, s) =>
+      acc.withColumn(s"__d$s",
+        array(cb.centroids(s).map(ct => sqDist(col(s"__sub$s"), ct)): _*))
+    }
+    val codes = (0 until cb.m).map { s =>
+      (array_position(col(s"__d$s"), array_min(col(s"__d$s"))) - 1).cast("int")
+    }
+    staged.select(col(id), array(codes: _*).as("code"))
   }
 
   /** IVF-PQ composition — the production ANN index shape (coarse cells
@@ -89,16 +129,22 @@ object PqIndex {
   def ivfPqTopK(emb: DataFrame, id: String, vec: String, cb: Codebooks,
                 coarse: Array[Array[Double]], anchor: Array[Double],
                 topK: Int, nprobe: Int): DataFrame = {
+    require(coarse.forall(_.length == cb.dim),
+      s"coarse centroid dim != codebook dim ${cb.dim}")
     val v = col(vec).cast("array<double>")
     // coarse cell = argmin squared L2 to the coarse centroids (expression
-    // literals, scan-stage — the IvfIndex.cellOf pattern on raw distance)
+    // literals, scan-stage — the IvfIndex.cellOf pattern on raw distance).
+    // Null/ragged vectors are excluded BEFORE the fixed-position distance
+    // arithmetic (same ANSI-safety rule as encode).
     val cellDists = array(coarse.map(ct => sqDist(v, ct)): _*)
     val cell = (array_position(cellDists, array_min(cellDists)) - 1).cast("int")
     val probed = coarse.zipWithIndex
       .map { case (ct, i) =>
         (i, ct.zip(anchor).map { case (c, a) => (c - a) * (c - a) }.sum) }
       .sortBy { case (i, dSq) => (dSq, i) }.take(nprobe).map(_._1)
-    val pruned = emb.withColumn("__cell", cell)
+    val pruned = emb
+      .filter(col(vec).isNotNull && size(col(vec)) === cb.dim)
+      .withColumn("__cell", cell)
       .filter(col("__cell").isin(probed.map(Integer.valueOf): _*))
     // persisted form: write `pruned`'s encoding partitioned by __cell once
     // (Scale.writePartitioned) and this filter becomes partition pruning;
@@ -124,7 +170,10 @@ object PqIndex {
         element_at(col("code"), s + 1) + 1)
     }.reduce(_ + _)
     encoded.select(col(id), dist.as("approx_sq_dist"))
-      .orderBy(col("approx_sq_dist").asc, col(id))
+      // nulls LAST defensively: our encode never emits null codes, but a
+      // caller-built encoded frame might, and asc's default NULLS FIRST
+      // would rank them as the nearest neighbors
+      .orderBy(col("approx_sq_dist").asc_nulls_last, col(id))
       .limit(topK)
   }
 }

@@ -53,6 +53,22 @@ class PqIndexSpec extends AnyFunSuite {
     assert(pq.length == 20 && pq.forall(_ % 4 == 1), pq.mkString(","))
   }
 
+  test("null and ragged vectors are excluded, never ranked or fatal") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 3.0f, -1.0f)),
+      (1L, Array(0.0f, 1.0f, 3.0f, -1.0f)),
+      (2L, null.asInstanceOf[Array[Float]]), // null: would sort FIRST as null dist
+      (3L, Array(1.0f, 0.0f))                // ragged: would throw under ANSI
+    ).toDF("vec_id", "embedding")
+    val cb = PqIndex.train(emb, "vec_id", "embedding", m = 2, k = 4, trainLimit = 10)
+    val encoded = PqIndex.encode(emb, "vec_id", "embedding", cb)
+    assert(encoded.select($"vec_id").as[Long].collect().sorted sameElements Array(0L, 1L))
+    val top = PqIndex.searchTopK(encoded, "vec_id", cb,
+        Array(1.0, 0.0, 3.0, -1.0), topK = 4)
+      .as[(Long, Double)].collect()
+    assert(top.map(_._1) sameElements Array(0L, 1L)) // reals only, nearest first
+  }
+
   test("IVF-PQ with full probe + lossless codebook equals brute force") {
     val rnd = new scala.util.Random(5)
     val subVals = Array(Array(0.0, 1.0), Array(3.0, -1.0), Array(-2.0, 2.0), Array(1.0, 1.0))

@@ -17,6 +17,14 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(qs.forall(_.matches("[a-z0-9_]+")))
   }
 
+  test("registry names are unique (a duplicate would silently shadow a query)") {
+    val names = Queries.registry.map(_._1)
+    val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate registry names: $dups")
+    // and the Map the driver consumes really carries every registered query
+    assert(SparkEntry.queries.size == names.size)
+  }
+
   test("every query runs and yields rows at sf0.001") {
     val empty = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, fn) =>
       fn(spark, "/root/testdata/sf0.001").limit(1).count() == 0

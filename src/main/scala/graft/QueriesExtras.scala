@@ -123,6 +123,18 @@ object QueriesExtras {
       "SELECT lang, CAST(dim AS BIGINT) AS dim, CAST(s AS DOUBLE) / 1000000e0 / n AS centroid " +
       "FROM a ORDER BY lang, dim"))
 
+  /** The SCALE composition end-to-end: MinHash+LSH pair generation feeding
+    * cluster resolution, against the SAME recursive-CTE oracle as the
+    * exhaustive-pairs path — the gate proves banding + verification +
+    * label propagation compose without changing semantics. */
+  private val qDedupGroupsLsh = Q(
+    (s, d) => Dedup.dupGroups(
+        Dedup.minhashDupPairs(
+          Dedup.shingles(Tables.load(s, d, "documents"), "doc_id", "text", 5),
+          "doc_id", 0.8))
+      .orderBy(col("doc_id")),
+    qDedupGroups.sql)
+
   private val qDedupSimhash = Q(
     (s, d) => Dedup.simhash32(Tables.load(s, d, "documents"), "doc_id", "text")
       .orderBy(col("doc_id")),
@@ -560,6 +572,7 @@ object QueriesExtras {
     "q_dedup_ngram_pairs" -> qDedupNgramPairs,
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
     "q_dedup_groups" -> qDedupGroups,
+    "q_dedup_groups_lsh" -> qDedupGroupsLsh,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_contamination" -> qContamination,
     "q_group_centroids" -> qGroupCentroids,

@@ -14,6 +14,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // optional comma-separated subset (iteration aid; full run when unset)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,7 +37,7 @@ object Bench {
     // (measured 4-5x inflation on the shuffle-heavy queries). The timed
     // pass below measures steady-state execution of the bench-sf plans —
     // the number that projects to a long-lived cluster.
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
@@ -49,7 +56,7 @@ object Bench {
     // each run, alternating run totals between ~58 s and ~114 s), and a
     // min-of-2 makes one stall hit at most one of the two samples — the
     // min measures the plan, not the interruption.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // a failed run is NOT a sample — its elapsed-to-throw would win the
       // min and under-report the query. min over successes; a query with
       // zero successes reports -1 (unambiguous in the JSON, excluded from

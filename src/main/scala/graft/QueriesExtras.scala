@@ -51,9 +51,8 @@ object QueriesExtras {
   /** Same semantics as q_dedup_ngram_pairs — and the same oracle — but via
     * the MinHash+LSH scale path (P(missed pair | j>=0.8) ≈ 5e-8). */
   private val qDedupMinhashLsh = Q(
-    (s, d) => Dedup.minhashDupPairs(
-        Dedup.shingles(Tables.load(s, d, "documents"), "doc_id", "text", 5),
-        "doc_id", 0.8)
+    (s, d) => Dedup.nearDupPairs(Tables.load(s, d, "documents"),
+        "doc_id", "text", 5, 0.8)
       .orderBy(col("doc_a"), col("doc_b")),
     Some(JaccardPairsSql))
 
@@ -129,9 +128,8 @@ object QueriesExtras {
     * label propagation compose without changing semantics. */
   private val qDedupGroupsLsh = Q(
     (s, d) => Dedup.dupGroups(
-        Dedup.minhashDupPairs(
-          Dedup.shingles(Tables.load(s, d, "documents"), "doc_id", "text", 5),
-          "doc_id", 0.8))
+        Dedup.nearDupPairs(Tables.load(s, d, "documents"),
+          "doc_id", "text", 5, 0.8))
       .orderBy(col("doc_id")),
     qDedupGroups.sql)
 

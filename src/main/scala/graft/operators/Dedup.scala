@@ -19,17 +19,41 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** The distinct-shingle set of one document as a Column over a staged
+    * word-array column `w` — shared by the exploded and array forms so the
+    * two can never drift. */
+  private def shingleSetOf(w: Column, n: Int): Column =
+    array_distinct(
+      when(size(w) >= n,
+        transform(sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws(" ", slice(w, i, lit(n)))))
+        .otherwise(array().cast("array<string>")))
+
   /** Distinct word n-gram shingles, one row per (id, shingle).
     * Tokenization is `split(trim(text), "\s+")` — mirrored exactly by the
-    * DuckDB oracle's `string_split_regex`. */
+    * DuckDB oracle's `string_split_regex`.
+    *
+    * The generator child is deliberately the INLINE expression, not an
+    * attribute from a lower projection: `InferFiltersFromGenerate` only
+    * fires on attribute children, and the `size(e) > 0 AND isnotnull(e)`
+    * it infers gets substituted through the projection by predicate
+    * pushdown — re-evaluating the whole (interpreted-HOF) shingle
+    * expression several extra times per row (measured 6× on the pair
+    * queries at sf0.1). */
   def shingles(df: DataFrame, id: String, text: String, n: Int): DataFrame =
     df.select(col(id),
         split(trim(col(text)), "\\s+").as("w"))
-      .select(col(id), explode(array_distinct(
-        when(size(col("w")) >= n,
-          transform(sequence(lit(1), size(col("w")) - (n - 1)),
-            i => concat_ws(" ", slice(col("w"), i, lit(n)))))
-          .otherwise(array().cast("array<string>")))).as("shingle"))
+      .select(col(id), explode(shingleSetOf(col("w"), n)).as("shingle"))
+
+  /** Distinct word n-gram shingles as ONE array column per document —
+    * scan-stage compute, no explode, no shuffle. A document shorter than n
+    * words gets an empty array. Feed this to projections (e.g.
+    * [[minHashSignaturesArr]]); for exploded consumers use [[shingles]]
+    * (see its Scaladoc for the generate-inference trap). */
+  def shingleArray(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    df.select(col(id),
+        split(trim(col(text)), "\\s+").as("w"))
+      .select(col(id), shingleSetOf(col("w"), n).as("sh_set"))
 
   /** Exact dedup: fingerprint = md5 of case/whitespace-normalized text;
     * keep the smallest id per group (deterministic survivor). */
@@ -69,15 +93,38 @@ object Dedup {
       .select(col(id), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
+  /** MinHash signatures straight from the shingle-ARRAY frame via the
+    * native codegen expression [[graft.plans.MinHashSig]]: the whole
+    * signature is one tight generated loop per row — no explode, no
+    * aggregation buffers, no shuffle. Bit-identical to
+    * [[minHashSignatures]] (same xxhash64 arithmetic), so banding yields
+    * the same candidates; the equivalence is spec-asserted. Documents with
+    * no shingles drop out (NULL signature), matching the aggregate form
+    * where they have no rows. (The null filter here is pushed below the
+    * projection and costs a second minhash_sig evaluation per row — fine
+    * for direct calls; [[nearDupPairs]] skips it on the hot path and lets
+    * NULLs die at the banding explode instead.) */
+  def minHashSignaturesArr(arr: DataFrame, id: String, numHashes: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(arr.sparkSession)
+    arr.select(col(id),
+        call_function("minhash_sig", col("sh_set"), lit(numHashes)).as("sig"))
+      .filter(col("sig").isNotNull)
+  }
+
   /** LSH banding: split the signature into `bands` bands of `rows` values;
     * docs sharing any band key become a candidate pair. Keys are
-    * "band:index-prefixed" strings so bands never collide across indexes. */
+    * "band:index-prefixed" strings so bands never collide across indexes.
+    * A NULL signature (shingle-less doc from the [[graft.plans.MinHashSig]]
+    * path) yields a NULL band array and the row drops out at the explode —
+    * the `when` guard also keeps the generator child non-attribute (see
+    * [[shingles]] on the generate-inference trap). */
   def lshCandidatePairs(sig: DataFrame, id: String, bands: Int, rows: Int): DataFrame = {
     val banded = sig.select(col(id), explode(
-      transform(sequence(lit(0), lit(bands - 1)),
-        j => concat(j.cast("string"), lit(":"),
-          concat_ws(",", transform(slice(col("sig"), j * rows + 1, lit(rows)),
-            x => x.cast("string")))))).as("band_key"))
+      when(col("sig").isNotNull,
+        transform(sequence(lit(0), lit(bands - 1)),
+          j => concat(j.cast("string"), lit(":"),
+            concat_ws(",", transform(slice(col("sig"), j * rows + 1, lit(rows)),
+              x => x.cast("string"))))))).as("band_key"))
     banded.select(col(id).as("doc_a"), col("band_key"))
       .join(banded.select(col(id).as("doc_b"), col("band_key")), "band_key")
       .filter(col("doc_a") < col("doc_b"))
@@ -114,6 +161,15 @@ object Dedup {
     val candDocs = cand.select(col("doc_a").as(id))
       .union(cand.select(col("doc_b").as(id))).distinct()
     val shC = sh.join(candDocs, Seq(id), "left_semi").localCheckpoint()
+    exactVerify(cand, shC, id, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs from the (id, shingle)
+    * rows of the candidate docs only. `shC` must already be restricted to
+    * docs appearing in `cand` (and checkpointed by the caller — it feeds
+    * three joins). */
+  private def exactVerify(cand: DataFrame, shC: DataFrame,
+                          id: String, threshold: Double): DataFrame = {
     val sizes = shC.groupBy(col(id)).agg(count(lit(1)).as("sz"))
     // a pair sharing zero shingles (pure band collision) drops out of the
     // inner join — jaccard 0 anyway
@@ -128,6 +184,31 @@ object Dedup {
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash+LSH near-dup pairs straight from the documents frame — the
+    * preferred entry point: shingle arrays and signatures are both
+    * scan-stage ([[shingleArray]] + [[graft.plans.MinHashSig]]), so the
+    * ONLY shuffles are the band join and the candidate-restricted verify.
+    * The column-pipeline form ([[minhashDupPairs]]) shuffles every shingle
+    * row through a 128-min-aggregate first; this one never materializes a
+    * shingle row outside the candidate set. Same output, same oracle. */
+  def nearDupPairs(docs: DataFrame, id: String, text: String, n: Int,
+                   threshold: Double, bands: Int = 32, rows: Int = 4): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    // no isNotNull filter here: a Filter over the sig projection would be
+    // pushed below it, re-evaluating minhash_sig per row; shingle-less docs
+    // (NULL sig) instead drop out at the banding explode's when-guard
+    val sig = shingleArray(docs, id, text, n)
+      .select(col(id),
+        call_function("minhash_sig", col("sh_set"), lit(bands * rows)).as("sig"))
+    val cand = lshCandidatePairs(sig, id, bands, rows).localCheckpoint()
+    val candDocs = cand.select(col("doc_a").as(id))
+      .union(cand.select(col("doc_b").as(id))).distinct()
+    // verify over the exploded form (inline generator child — see shingles)
+    val shC = shingles(docs, id, text, n)
+      .join(candDocs, Seq(id), "left_semi").localCheckpoint()
+    exactVerify(cand, shC, id, threshold)
   }
 
   /** Duplicate-cluster resolution: connected components over a near-dup

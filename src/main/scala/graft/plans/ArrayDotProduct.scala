@@ -85,7 +85,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => ArrayDotProduct(exprs(0), exprs(1))),
     (FunctionIdentifier("lsh_band_keys"),
       new ExpressionInfo(classOf[LshBandKeys].getName, "lsh_band_keys"),
-      (exprs: Seq[Expression]) => LshBandKeys(exprs(0), exprs(1), exprs(2), exprs(3))))
+      (exprs: Seq[Expression]) => LshBandKeys(exprs(0), exprs(1), exprs(2), exprs(3))),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => MinHashSig(exprs(0), exprs(1))))
 
   /** Idempotent per-session registration (for library callers that don't
     * control session construction). */

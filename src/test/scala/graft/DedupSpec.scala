@@ -46,6 +46,28 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh sameElements exact)
   }
 
+  test("minhash_sig expression ≡ aggregate-pipeline signatures, bit for bit") {
+    // the codegen expression must reproduce the column pipeline's exact
+    // xxhash64 arithmetic — same signatures ⇒ same bands ⇒ same candidates
+    val viaAgg = Dedup.minHashSignatures(
+        Dedup.shingles(docs, "doc_id", "text", 5), "doc_id", 32)
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaExpr = Dedup.minHashSignaturesArr(
+        Dedup.shingleArray(docs, "doc_id", "text", 5), "doc_id", 32)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaExpr == viaAgg)
+    assert(!viaExpr.contains(5L)) // shingle-less doc absent on both paths
+  }
+
+  test("nearDupPairs (scan-stage signatures) ≡ exhaustive jaccard pairs") {
+    val exact = Dedup.jaccardPairs(
+        Dedup.shingles(docs, "doc_id", "text", 5), "doc_id", 0.5)
+      .orderBy($"doc_a", $"doc_b").as[(Long, Long, Double)].collect()
+    val fast = Dedup.nearDupPairs(docs, "doc_id", "text", 5, 0.5)
+      .orderBy($"doc_a", $"doc_b").as[(Long, Long, Double)].collect()
+    assert(fast sameElements exact)
+  }
+
   test("dupGroups: chained clusters A~B, B~C collapse to one group") {
     // 1-2 and 2-3 are pairs but 1-3 is NOT: only transitive closure merges
     // them; a per-pair survivor would wrongly keep doc 3

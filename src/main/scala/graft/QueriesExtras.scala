@@ -133,6 +133,72 @@ object QueriesExtras {
       .orderBy(col("doc_id")),
     qDedupGroups.sql)
 
+  /** C4-style corpus-level boilerplate removal: 10-word segments appearing
+    * in >= 3 distinct documents are dropped everywhere, documents
+    * reassembled from the survivors (15 such segments exist at sf0.01, so
+    * the purge path is genuinely exercised, not a no-op). */
+  private val qBoilerplatePurge = Q(
+    (s, d) => Dedup.purgeBoilerplate(Tables.load(s, d, "documents"),
+        "doc_id", "text", segWords = 10, minDocs = 3)
+      .orderBy(col("doc_id")),
+    // same 65536 position-table bound caveat as ShingleCte
+    Some("WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
+      "pos AS (SELECT unnest(range(0, 65536)) AS j), " +
+      "segs AS (SELECT doc_id, j AS seg_idx, array_to_string(list_slice(w, j*10+1, j*10+10), ' ') AS seg " +
+      "FROM words JOIN pos ON j*10 < len(w)), " +
+      "common AS (SELECT seg FROM (SELECT DISTINCT seg, doc_id FROM segs) GROUP BY seg HAVING count(*) >= 3), " +
+      "kept AS (SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM common)), " +
+      "totals AS (SELECT doc_id, count(*) AS n_total FROM segs GROUP BY 1), " +
+      "ck AS (SELECT doc_id, count(*) AS n_kept, string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text " +
+      "FROM kept GROUP BY 1) " +
+      "SELECT t.doc_id, CAST(t.n_total - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed, " +
+      "CAST(COALESCE(c.n_kept, 0) AS BIGINT) AS n_kept, COALESCE(c.clean_text, '') AS clean_text " +
+      "FROM totals t LEFT JOIN ck c ON t.doc_id = c.doc_id ORDER BY t.doc_id"))
+
+  /** URL-key dedup (CCNet/C4's one-doc-per-canonical-URL pass). The corpus
+    * has no URL column, so both engines PLANT the same messy URL from
+    * doc_id arithmetic — uppercase scheme/host, www, default port,
+    * trailing slash, utm_* params and a fragment are all noise the
+    * canonicalizer must strip; host/path/id params are the real key (140
+    * canonical groups at sf0.01, all with >1 copy). */
+  private val qUrlDedup = Q(
+    (s, d) => {
+      val url = concat(
+        lit("HTTPS://WWW.Example"), (col("doc_id") % 5).cast("string"),
+        lit(".COM"), when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+        lit("/Docs/p"), (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=s"), col("doc_id").cast("string"),
+        lit("&id="), (col("doc_id") % 4).cast("string"),
+        lit("&utm_campaign=c"), (col("doc_id") % 9).cast("string"),
+        lit("#f"), (col("doc_id") % 11).cast("string"))
+      TextAnalysis.urlDedup(
+          Tables.load(s, d, "documents").select(col("doc_id"), url.as("url")),
+          "doc_id", "url")
+        .orderBy(col("canon_url"))
+    },
+    Some("WITH u AS (SELECT doc_id, " +
+      "'HTTPS://WWW.Example' || CAST(doc_id % 5 AS VARCHAR) || '.COM' || " +
+      "CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END || " +
+      "'/Docs/p' || CAST(doc_id % 7 AS VARCHAR) || " +
+      "CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END || " +
+      "'?utm_source=s' || CAST(doc_id AS VARCHAR) || " +
+      "'&id=' || CAST(doc_id % 4 AS VARCHAR) || " +
+      "'&utm_campaign=c' || CAST(doc_id % 9 AS VARCHAR) || " +
+      "'#f' || CAST(doc_id % 11 AS VARCHAR) AS url FROM documents), " +
+      "s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM u), " +
+      "s2 AS (SELECT doc_id, lower(regexp_extract(nofrag, '^([^/?#]*://[^/?#]*)', 1)) AS prefix, " +
+      "regexp_extract(nofrag, '^[^/?#]*://[^/?#]*(.*)$', 1) AS rest FROM s1), " +
+      "s3 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(prefix, " +
+      "'^(https?://)www\\.', '\\1'), '^(https://[^/?#:]*):443$', '\\1'), '^(http://[^/?#:]*):80$', '\\1') AS hostp, " +
+      "regexp_extract(rest, '^([^?]*)', 1) AS path, " +
+      "regexp_extract(rest, '^[^?]*\\?(.*)$', 1) AS query FROM s2), " +
+      "s4 AS (SELECT doc_id, hostp, regexp_replace(path, '/+$', '') AS cpath, " +
+      "array_to_string(list_filter(string_split(query, '&'), p -> p <> '' AND NOT starts_with(p, 'utm_')), '&') AS q FROM s3), " +
+      "canon AS (SELECT doc_id, hostp || cpath || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon_url FROM s4) " +
+      "SELECT canon_url, min(doc_id) AS keep_id, count(*) AS n_copies " +
+      "FROM canon GROUP BY 1 ORDER BY canon_url"))
+
   private val qDedupSimhash = Q(
     (s, d) => Dedup.simhash32(Tables.load(s, d, "documents"), "doc_id", "text")
       .orderBy(col("doc_id")),
@@ -571,6 +637,8 @@ object QueriesExtras {
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
     "q_dedup_groups" -> qDedupGroups,
     "q_dedup_groups_lsh" -> qDedupGroupsLsh,
+    "q_boilerplate_purge" -> qBoilerplatePurge,
+    "q_url_dedup" -> qUrlDedup,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_contamination" -> qContamination,
     "q_group_centroids" -> qGroupCentroids,

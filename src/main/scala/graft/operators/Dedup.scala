@@ -211,6 +211,54 @@ object Dedup {
     exactVerify(cand, shC, id, threshold)
   }
 
+  /** Corpus-level BOILERPLATE PURGE — the C4-style curation pass that
+    * removes text segments appearing (near-)verbatim across many documents
+    * (navigation chrome, license headers, cookie banners): a document's
+    * text is cut into fixed `segWords`-word segments, any segment present
+    * in >= `minDocs` DISTINCT documents is dropped corpus-wide, and each
+    * document is reassembled from its surviving segments in order.
+    *
+    * Scale shape: one distinct + one groupBy on the segment text (the
+    * corpus-frequency pass; at 100 TB group on a 128-bit md5 of the
+    * segment instead to shrink shuffle bytes), then an anti-join against
+    * the common-segment set — which is TINY by construction (only segments
+    * repeated across >= minDocs docs), so AQE broadcasts it. Reassembly is
+    * a per-document `collect_list` + sort — state bounded by one document,
+    * which any text operator already assumes fits a task.
+    *
+    * Output: (id, n_removed, n_kept, clean_text), one row per document;
+    * a fully-boilerplate document yields clean_text = "".
+    */
+  def purgeBoilerplate(df: DataFrame, id: String, text: String,
+                       segWords: Int = 10, minDocs: Int = 3): DataFrame = {
+    require(segWords > 0 && minDocs > 1, s"need segWords > 0, minDocs > 1, got $segWords/$minDocs")
+    val k = segWords
+    // non-overlapping k-word windows incl. the partial tail, so
+    // reassembly of an untouched doc reproduces its full word stream;
+    // generator child stays inline (see shingles on the inference trap)
+    val segs = df
+      .select(col(id), split(trim(col(text)), "\\s+").as("w"))
+      .select(col(id), posexplode(
+        transform(sequence(lit(0), floor((size(col("w")) - 1) / lit(k)).cast("int")),
+          j => concat_ws(" ", slice(col("w"), j * k + 1, lit(k)))))
+        .as(Seq("seg_idx", "seg")))
+    val common = segs.select(col("seg"), col(id)).distinct()
+      .groupBy(col("seg")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs).select(col("seg"))
+    val kept = segs.join(common, Seq("seg"), "left_anti")
+    val totals = segs.groupBy(col(id)).agg(count(lit(1)).as("n_total"))
+    val cleaned = kept.groupBy(col(id)).agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+        x => x.getField("seg"))).as("clean_text"))
+    totals.join(cleaned, Seq(id), "left")
+      .select(col(id),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Duplicate-cluster resolution: connected components over a near-dup
     * pair list (the step after pair generation in every production dedup —
     * a survivor must be chosen PER CLUSTER, not per pair, or chains

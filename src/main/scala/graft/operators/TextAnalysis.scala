@@ -274,4 +274,48 @@ object TextAnalysis {
     df.withColumn("fp", md5(lower(trim(col(text))))) // staged: one md5 per row
       .select(col(id), col("fp"),
         conv(substring(col("fp"), 1, 8), 16, 10).cast("long").as("fp_bucket"))
+
+  /** URL CANONICALIZATION — the key-normalization step of web-corpus dedup
+    * (CCNet/C4 keep one document per canonical URL). Rules, applied to a
+    * `scheme://host[:port][/path][?query][#fragment]` URL:
+    *
+    *  - fragment dropped; scheme and host lowercased (path/query untouched
+    *    — they are case-sensitive)
+    *  - leading `www.` stripped; default port (`:443` on https, `:80` on
+    *    http) stripped
+    *  - `utm_*` tracking parameters removed, other parameters kept in
+    *    their original order; an emptied query drops its `?`
+    *  - trailing slash(es) on the path stripped
+    *
+    * All regexes are RE2-compatible (no lookarounds) and each matches at
+    * most once, so Spark's global `regexp_replace` and a
+    * first-match-engine behave identically — the DuckDB oracle mirrors
+    * every step. Per-row, shuffle-free, codegen'd. Input without a
+    * `scheme://` is returned as an empty string (not a URL — callers
+    * filter or treat as its own dedup class). */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val prefix = lower(regexp_extract(noFrag, "^([^/?#]*://[^/?#]*)", 1))
+    val rest = regexp_extract(noFrag, "^[^/?#]*://[^/?#]*(.*)$", 1)
+    val hostPort = regexp_replace(
+      regexp_replace(
+        regexp_replace(prefix, "^(https?://)www\\.", "$1"),
+        "^(https://[^/?#:]*):443$", "$1"),
+      "^(http://[^/?#:]*):80$", "$1")
+    val path = regexp_extract(rest, "^([^?]*)", 1)
+    val query = regexp_extract(rest, "^[^?]*\\?(.*)$", 1)
+    val keptQuery = array_join(
+      filter(split(query, "&"),
+        p => p =!= "" && !startswith(p, lit("utm_"))), "&")
+    concat(hostPort, regexp_replace(path, "/+$", ""),
+      when(keptQuery === "", lit("")).otherwise(concat(lit("?"), keptQuery)))
+  }
+
+  /** First-wins dedup over the canonical URL: one row per canonical key
+    * with the smallest id as survivor — one map-side-combined shuffle on
+    * the (short) canonical string. */
+  def urlDedup(df: DataFrame, id: String, url: String): DataFrame =
+    df.withColumn("canon_url", canonicalUrl(col(url))) // staged: canon once per row
+      .groupBy(col("canon_url"))
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_copies"))
 }

@@ -126,6 +126,24 @@ class DedupSpec extends AnyFunSuite {
     assert(got(2)._2 > 0.5 && got(2)._2 < 1.0, got(2).toString)
   }
 
+  test("purgeBoilerplate: corpus-wide common segments removed, docs reassembled in order") {
+    val corpus = Seq(
+      (1L, "aaa bbb ccc one two three"),   // shared 3-word banner + unique tail
+      (2L, "aaa bbb ccc four five six"),
+      (3L, "aaa bbb ccc seven eight nine"),
+      (4L, "aaa bbb ccc"),                  // pure boilerplate -> empty survivor
+      (5L, "totally unique words here")     // untouched, incl. partial tail segment
+    ).toDF("doc_id", "text")
+    val got = Dedup.purgeBoilerplate(corpus, "doc_id", "text", segWords = 3, minDocs = 3)
+      .orderBy($"doc_id").as[(Long, Long, Long, String)].collect()
+    assert(got sameElements Array(
+      (1L, 1L, 1L, "one two three"),
+      (2L, 1L, 1L, "four five six"),
+      (3L, 1L, 1L, "seven eight nine"),
+      (4L, 1L, 0L, ""),
+      (5L, 0L, 2L, "totally unique words here")))
+  }
+
   test("simhash: identical text -> identical hash; near-dup -> small hamming") {
     val hs = Dedup.simhash32(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

@@ -39,6 +39,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got sameElements Array(Some(1736900000L), None, None))
   }
 
+  test("canonicalUrl: strips noise (case/www/port/utm/slash/fragment), keeps the key") {
+    import graft.operators.TextAnalysis
+    val got = Seq(
+      "HTTPS://WWW.Example.COM:443/Docs/p1/?utm_source=a&id=2&utm_campaign=b#frag",
+      "https://example.com/Docs/p1?id=2",          // already canonical
+      "http://Example.com:80/a/?utm_x=1",          // http default port; query empties
+      "https://example.com/Docs/p1?id=3",          // different real param -> different key
+      "https://example.com/Docs/P1?id=2",          // path is case-sensitive
+      "not a url")
+      .toDF("u").select(TextAnalysis.canonicalUrl($"u").as("c")).as[String].collect()
+    assert(got(0) == "https://example.com/Docs/p1?id=2")
+    assert(got(1) == "https://example.com/Docs/p1?id=2")
+    assert(got(2) == "http://example.com/a")
+    assert(got(3) == "https://example.com/Docs/p1?id=3")
+    assert(got(4) == "https://example.com/Docs/P1?id=2")
+    assert(got(5) == "")
+  }
+
   test("F5 JSON parse: valid struct, malformed -> null fields") {
     val got = Seq("""{"id":"1","url":"https://x.com/a"}""", "not json")
       .toDF("twitter")

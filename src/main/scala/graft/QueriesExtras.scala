@@ -199,6 +199,16 @@ object QueriesExtras {
       "SELECT canon_url, min(doc_id) AS keep_id, count(*) AS n_copies " +
       "FROM canon GROUP BY 1 ORDER BY canon_url"))
 
+  /** Sketch path for the dashboard's distinct-count tiles: per-event-type
+    * approx distinct users via mergeable HLL sketches. Approximate by
+    * design ⇒ rows-only in the gate (like q_ann_lsh_topk); the accuracy
+    * and merge contracts are spec-asserted in SketchesSpec. */
+  private val qHllDistinct = Q(
+    (s, d) => graft.operators.Sketches.approxDistinct(
+        Tables.load(s, d, "events"), Seq("event_type"), "user_id")
+      .orderBy(col("event_type")),
+    None)
+
   private val qDedupSimhash = Q(
     (s, d) => Dedup.simhash32(Tables.load(s, d, "documents"), "doc_id", "text")
       .orderBy(col("doc_id")),
@@ -639,6 +649,7 @@ object QueriesExtras {
     "q_dedup_groups_lsh" -> qDedupGroupsLsh,
     "q_boilerplate_purge" -> qBoilerplatePurge,
     "q_url_dedup" -> qUrlDedup,
+    "q_hll_distinct" -> qHllDistinct,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_contamination" -> qContamination,
     "q_group_centroids" -> qGroupCentroids,

@@ -35,9 +35,19 @@ object PlanAudit {
         val df = fn(spark, sfDir)
         val plan = df.queryExecution.executedPlan.toString
         def n(p: String) = p.r.findAllIn(plan).size
-        val flags = Seq(
+        // HOF-IN-FILTER: a lambdafunction inside a Filter condition means
+        // an interpreted higher-order expression is being re-evaluated as a
+        // predicate — usually InferFiltersFromGenerate + pushdown
+        // substituting an expensive projection alias below its projection
+        // (explode(attribute) trap, see Dedup.shingles; measured 6× on the
+        // pair queries). Physical Filter lines look like "Filter (cond)"
+        // or "+- Filter ..." — match the condition text on the same line.
+        val hofFilters = plan.linesIterator.count(l =>
+          l.contains("Filter ") && l.contains("lambdafunction"))
+        val flags = (Seq(
           "CartesianProduct" -> n("CartesianProduct"),
-          "BNLJ" -> n("BroadcastNestedLoopJoin")).filter(_._2 > 0)
+          "BNLJ" -> n("BroadcastNestedLoopJoin"),
+          "HOF-IN-FILTER" -> hofFilters).filter(_._2 > 0))
           .map { case (k, v) => s" $k=$v" }.mkString
         println(f"[audit] $name%-28s shuffles=${n("Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition")}%-3d " +
           f"broadcasts=${n("BroadcastExchange")}%-3d scans=${n("Scan parquet|FileScan")}%-3d$flags")

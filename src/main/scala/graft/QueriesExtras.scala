@@ -209,6 +209,20 @@ object QueriesExtras {
       .orderBy(col("event_type")),
     None)
 
+  /** Unigram LM quality score: avg token log-prob under the corpus's own
+    * unigram distribution (round(6) soaks up cross-libm ln drift). */
+  private val qUnigramLogprob = Q(
+    (s, d) => TextAnalysis.unigramLogProb(Tables.load(s, d, "documents"),
+        "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), " +
+      "freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1), " +
+      "tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM freq) " +
+      "SELECT doc_id, count(*) AS n_tokens, " +
+      "round(avg(ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE))), 6) AS avg_logprob " +
+      "FROM toks JOIN freq USING (tok) CROSS JOIN tot " +
+      "GROUP BY doc_id ORDER BY doc_id"))
+
   private val qDedupSimhash = Q(
     (s, d) => Dedup.simhash32(Tables.load(s, d, "documents"), "doc_id", "text")
       .orderBy(col("doc_id")),
@@ -650,6 +664,7 @@ object QueriesExtras {
     "q_boilerplate_purge" -> qBoilerplatePurge,
     "q_url_dedup" -> qUrlDedup,
     "q_hll_distinct" -> qHllDistinct,
+    "q_unigram_logprob" -> qUnigramLogprob,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_contamination" -> qContamination,
     "q_group_centroids" -> qGroupCentroids,

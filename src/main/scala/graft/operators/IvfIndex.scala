@@ -69,16 +69,19 @@ object IvfIndex {
     // production query would carry the vector itself and skip this scan)
     val anchorRow = corpus.filter(col(id) === anchorId)
       .select(col(vec).as("q_vec"))
-      .withColumn("q_cell_dots", array(centroids.map(ct =>
-        Similarity.dot(Similarity.normalizedSafe(col("q_vec")),
-          array(ct.map(lit): _*))): _*))
+    // the generator child stays the INLINE dots expression — an attribute
+    // child would trigger InferFiltersFromGenerate and push the whole
+    // centroid-dot array into the anchor filter (benign on a one-row
+    // branch, but the audit flags the pattern; see Dedup.shingles)
     val probeCells = anchorRow
-      .select(posexplode(col("q_cell_dots")).as(Seq("cell", "d")))
+      .select(posexplode(array(centroids.map(ct =>
+        Similarity.dot(Similarity.normalizedSafe(col("q_vec")),
+          array(ct.map(lit): _*))): _*)).as(Seq("cell", "d")))
       .orderBy(col("d").desc, col("cell")).limit(nprobe)
       .select(col("cell"))
     Similarity.scoreTopK(
       corpus.join(broadcast(probeCells), "cell").drop("cell"),
-      anchorRow.select(col("q_vec")), id, vec, anchorId, k)
+      anchorRow, id, vec, anchorId, k)
   }
 
   // -------------------------------------------------------------------

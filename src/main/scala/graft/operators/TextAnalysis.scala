@@ -275,6 +275,32 @@ object TextAnalysis {
       .select(col(id), col("fp"),
         conv(substring(col("fp"), 1, 8), 16, 10).cast("long").as("fp_bucket"))
 
+  /** Unigram language-model QUALITY SCORE — the simplest member of the
+    * KenLM-style fluency-filter family: score each document by the average
+    * log-probability of its tokens under the corpus's own unigram
+    * distribution. Gibberish / rare-token soup scores far below typical
+    * text, giving a rankable quality signal with no external model.
+    *
+    * Scale shape: one token-frequency groupBy (vocabulary-sized — words,
+    * not shingles), a token→frequency join (vocab is usually broadcastable;
+    * AQE decides), and a per-document aggregate. The corpus-total token
+    * count is a one-row frame cross-joined via broadcast, NOT a driver
+    * collect. round(6) absorbs libm ln() last-bit differences across
+    * engines (same trick as the cosine queries).
+    *
+    * Output: (id, n_tokens, avg_logprob), higher = more typical. */
+  def unigramLogProb(df: DataFrame, id: String, text: String): DataFrame = {
+    val toks = df.select(col(id), explode(words(col(text))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("n_total"))
+    toks.join(freq, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("cnt").cast("double") / col("n_total").cast("double"))), 6)
+          .as("avg_logprob"))
+  }
+
   /** URL CANONICALIZATION — the key-normalization step of web-corpus dedup
     * (CCNet/C4 keep one document per canonical URL). Rules, applied to a
     * `scheme://host[:port][/path][?query][#fragment]` URL:

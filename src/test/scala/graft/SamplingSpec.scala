@@ -106,6 +106,24 @@ class SamplingSpec extends AnyFunSuite {
     assert(!flags(5)._6 && !flags(5)._7) // repetitive
   }
 
+  test("unigramLogProb: rare-token gibberish scores below typical text") {
+    import graft.operators.TextAnalysis
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (3L, "the cat and the dog sat"),
+      (4L, "zqxv jkwp mbfg tyhn qplz")) // tokens seen nowhere else
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(corpus, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Double)].collect()
+    assert(got.map(_._2).forall(_ >= 5L)) // token counts carried through
+    val scores = got.map(r => r._1 -> r._3).toMap
+    assert(scores(4L) < scores(1L) && scores(4L) < scores(2L) && scores(4L) < scores(3L),
+      scores.toString)
+    // sanity: probabilities, so every avg log-prob is negative
+    assert(scores.values.forall(_ < 0))
+  }
+
   test("tfIdfTopTerms ranks rare terms above ubiquitous ones") {
     val docs = Seq(
       (1L, "common zebra zebra"),

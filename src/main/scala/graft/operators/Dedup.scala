@@ -265,15 +265,19 @@ object Dedup {
     * A~B, B~C keep both B and C).
     *
     * Algorithm: iterative min-label propagation (the classic distributed
-    * connected-components loop — Hash-to-Min family): every doc starts
-    * labeled with itself; each round every doc takes the min of its own and
-    * its neighbors' labels; at fixpoint the label is the minimum id
-    * reachable in the pair graph = the cluster's canonical survivor.
-    * Rounds needed = graph diameter (near-dup clusters are shallow — dup
-    * chains of depth >20 would mean the threshold is wrong). The loop is
-    * driver-side CONTROL only: each round is one distributed join +
-    * aggregate, labels are localCheckpoint'ed so lineage (and plan size)
-    * stays O(1) per round instead of growing per iteration.
+    * connected-components loop — Hash-to-Min family) with POINTER JUMPING:
+    * every doc starts labeled with itself; each round every doc takes the
+    * min of its own and its neighbors' labels, then compresses one hop
+    * (label := label's label — labels always hold node ids, so the lookup
+    * is a self-join). Propagation alone needs diameter rounds; the jump
+    * step doubles the compressed distance per round, so convergence is
+    * O(log diameter) — the difference between 7 and 100+ shuffle rounds
+    * on a 100-deep dup chain at corpus scale (spec-asserted: a 120-chain
+    * converges within 12 rounds). At fixpoint the label is the minimum id
+    * reachable in the pair graph = the cluster's canonical survivor. The
+    * loop is driver-side CONTROL only: each round is a bounded number of
+    * distributed joins, labels are localCheckpoint'ed so lineage (and
+    * plan size) stays O(1) per round instead of growing per iteration.
     *
     * Output: (doc_id, group_id) for every doc appearing in >= 1 pair;
     * group_id = min doc id of the cluster. Pairs input must have columns
@@ -292,13 +296,22 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("nbr"), col("lbl").as("nlbl")), "nbr")
         .groupBy(col("id")).agg(min(col("nlbl")).as("nmin"))
-      // one materialization per round: the checkpointed frame carries BOTH
+      val propagated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+      // pointer jump: label := label-of-label. Every label IS a node id
+      // (min over node ids), so the lookup is a self-join; a node's label
+      // only decreases, hence p_lbl <= lbl and least() is implicit. Left
+      // join + coalesce only defends the (impossible) missing-id case.
+      // One materialization per round: the checkpointed frame carries BOTH
       // the new and the previous label, so the convergence probe is a
       // filter over already-materialized blocks instead of a second
       // join+scan job per iteration
-      val updated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("lbl").as("old"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+      val jumped = propagated.select(col("id").as("p_id"), col("lbl").as("p_lbl"))
+      val updated = propagated
+        .join(jumped, propagated("lbl") === jumped("p_id"), "left")
+        .select(propagated("id"), propagated("old"),
+          coalesce(col("p_lbl"), propagated("lbl")).as("lbl"))
         .localCheckpoint()
       converged = updated.filter(col("lbl") =!= col("old")).isEmpty
       labels = updated.select(col("id"), col("lbl"))

@@ -88,6 +88,15 @@ class DedupSpec extends AnyFunSuite {
     intercept[IllegalStateException] { Dedup.dupGroups(chain, maxIter = 2) }
   }
 
+  test("dupGroups: pointer jumping converges a 120-chain in O(log d) rounds") {
+    // plain propagation needs ~119 rounds on a 120-path; the jump step
+    // must land it within 12 (2^12 >> 120) — this is the 100 TB property:
+    // shuffle rounds scale with log(diameter), not diameter
+    val chain = (1L until 120L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.dupGroups(chain, maxIter = 12).as[(Long, Long)].collect()
+    assert(got.length == 120 && got.forall(_._2 == 1L))
+  }
+
   test("dupGroups ≡ driver-side union-find on seeded random pair graphs") {
     val rnd = new scala.util.Random(99)
     for (_ <- 1 to 5) {

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline queries (dedup, similarity search, text analysis)
   * with DuckDB oracles. Same determinism rules as [[Queries]]; count-typed
@@ -222,6 +222,26 @@ object QueriesExtras {
       "round(avg(ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE))), 6) AS avg_logprob " +
       "FROM toks JOIN freq USING (tok) CROSS JOIN tot " +
       "GROUP BY doc_id ORDER BY doc_id"))
+
+  /** Data mixing: subsample sources to a 1:2:3:4:5 target over
+    * src0..src4 (other sources weight zero → dropped). Rates are derived
+    * in-plan from actual counts; the hash filter is the portable salted
+    * md5 bucket, so DuckDB reproduces membership exactly. */
+  private val qMixSources = Q(
+    (s, d) => Sampling.mixToTarget(
+        Tables.load(s, d, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source",
+        Map("src0" -> 1.0, "src1" -> 2.0, "src2" -> 3.0, "src3" -> 4.0, "src4" -> 5.0))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id")),
+    Some("WITH t(g, w) AS (VALUES ('src0', 1e0), ('src1', 2e0), ('src2', 3e0), ('src3', 4e0), ('src4', 5e0)), " +
+      "counts AS (SELECT source AS g, count(*) AS n_g FROM documents GROUP BY 1), " +
+      "j AS (SELECT t.g, w AS t_g, n_g FROM t JOIN counts USING (g)), " +
+      "k AS (SELECT min(CAST(n_g AS DOUBLE) / t_g) AS k_total FROM j), " +
+      "r AS (SELECT g, CAST(floor(t_g * k_total / n_g * 1000000) AS BIGINT) AS keep_ppm FROM j CROSS JOIN k) " +
+      "SELECT doc_id, source FROM documents JOIN r ON source = r.g " +
+      "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft-mix'), 1, 8))::BIGINT % 1000000 < keep_ppm " +
+      "ORDER BY doc_id"))
 
   private val qDedupSimhash = Q(
     (s, d) => Dedup.simhash32(Tables.load(s, d, "documents"), "doc_id", "text")
@@ -665,6 +685,7 @@ object QueriesExtras {
     "q_url_dedup" -> qUrlDedup,
     "q_hll_distinct" -> qHllDistinct,
     "q_unigram_logprob" -> qUnigramLogprob,
+    "q_mix_sources" -> qMixSources,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_contamination" -> qContamination,
     "q_group_centroids" -> qGroupCentroids,

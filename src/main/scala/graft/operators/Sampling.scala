@@ -46,6 +46,42 @@ object Sampling {
     df.filter(hashBucket(col(id), salt, 100) < pctCol)
   }
 
+  /** DATA MIXING — subsample each group (source/domain/language) so the
+    * surviving corpus matches a target mix (the curation move behind
+    * "20% code, 30% web, ..." recipes; a DoReMi-style weight search would
+    * feed its learned weights straight in here). Weights are RELATIVE
+    * (never normalized — normalization order would introduce cross-engine
+    * float drift; rates are scale-invariant in the weights): the binding
+    * group (largest target share vs. availability) is kept ~whole and
+    * every other group is hash-downsampled to match proportions. Groups
+    * absent from `target` are dropped (weight zero).
+    *
+    * Everything stays in the plan: per-group counts (one groupBy of group
+    * keys), the feasible kept-total K = min_g n_g/t_g (an aggregate over
+    * the counts frame, not a driver collect), per-group keep rates in ppm
+    * (floor — deterministic on both engines), then a broadcast join of
+    * the #groups-row rate table and the portable salted-hash filter.
+    * Same stability contract as every sampler here: membership is a pure
+    * function of (id, salt), re-derivable in any engine. */
+  def mixToTarget(df: DataFrame, id: String, groupCol: String,
+                  target: Map[String, Double], salt: String = "graft-mix"): DataFrame = {
+    require(target.nonEmpty && target.values.forall(_ > 0),
+      s"target weights must be positive: $target")
+    val tCol = target.toSeq.sortBy(_._1).foldRight(lit(null).cast("double")) {
+      case ((k, w), rest) => when(col(groupCol) === k, lit(w)).otherwise(rest)
+    }
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
+      .withColumn("t_g", tCol).filter(col("t_g").isNotNull)
+    val kTotal = counts.agg(min(col("n_g").cast("double") / col("t_g")).as("k_total"))
+    val rates = counts.crossJoin(broadcast(kTotal))
+      .select(col(groupCol),
+        floor(col("t_g") * col("k_total") / col("n_g") * lit(1000000))
+          .cast("long").as("keep_ppm"))
+    df.join(broadcast(rates), groupCol)
+      .filter(hashBucket(col(id), salt, 1000000) < col("keep_ppm"))
+      .drop("keep_ppm")
+  }
+
   /** Split assignment by cumulative percentage cuts (must sum to 100).
     * Adds `bucket` (0-99) and `split` columns; every id maps to exactly one
     * split, forever, on any engine. */

@@ -48,6 +48,24 @@ class SamplingSpec extends AnyFunSuite {
     assert(flat.exceptAll(kept.filter($"lang" === "en")).isEmpty)
   }
 
+  test("mixToTarget: kept mix tracks target, binding group whole, absent groups dropped, stable") {
+    import graft.operators.Sampling
+    // counts: a=3000, b=2000, c=1000; target a:b = 1:1 → K = 2000,
+    // b keeps 100% (binding), a downsamples to ~2000, c (no weight) drops
+    val df = (1 to 6000).map { i =>
+      (i.toLong, if (i % 6 < 3) "a" else if (i % 6 < 5) "b" else "c")
+    }.toDF("id", "g")
+    val kept = Sampling.mixToTarget(df, "id", "g", Map("a" -> 1.0, "b" -> 1.0))
+    val by = kept.groupBy($"g").count().as[(String, Long)].collect().toMap
+    assert(!by.contains("c"))
+    assert(by("b") == 2000L, s"binding group must keep every row: $by")
+    assert(math.abs(by("a") - 2000L) < 150, s"a should sample to ~2000: $by")
+    // membership is a pure function of (id, salt): partitioning-independent
+    val again = Sampling.mixToTarget(df.repartition(7), "id", "g",
+      Map("a" -> 1.0, "b" -> 1.0)).select($"id").as[Long].collect().sorted
+    assert(again sameElements kept.select($"id").as[Long].collect().sorted)
+  }
+
   test("chunk: overlap continuity, full coverage, no redundant tail chunk") {
     val text = ("abcdefghij" * 30) // 300 chars
     val docs = Seq((1L, text), (2L, "tiny")).toDF("doc_id", "text")

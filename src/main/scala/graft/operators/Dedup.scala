@@ -119,12 +119,7 @@ object Dedup {
     * the `when` guard also keeps the generator child non-attribute (see
     * [[shingles]] on the generate-inference trap). */
   def lshCandidatePairs(sig: DataFrame, id: String, bands: Int, rows: Int): DataFrame = {
-    val banded = sig.select(col(id), explode(
-      when(col("sig").isNotNull,
-        transform(sequence(lit(0), lit(bands - 1)),
-          j => concat(j.cast("string"), lit(":"),
-            concat_ws(",", transform(slice(col("sig"), j * rows + 1, lit(rows)),
-              x => x.cast("string"))))))).as("band_key"))
+    val banded = bandKeys(sig, id, bands, rows)
     banded.select(col(id).as("doc_a"), col("band_key"))
       .join(banded.select(col(id).as("doc_b"), col("band_key")), "band_key")
       .filter(col("doc_a") < col("doc_b"))
@@ -164,12 +159,35 @@ object Dedup {
     exactVerify(cand, shC, id, threshold)
   }
 
+  /** Banded LSH keys of a signature frame, one row per (id, band_key) —
+    * the join-ready (and persistable: see
+    * [[graft.streaming.Streaming.incrementalNearDupSink]]) form of a
+    * signature. NULL signatures drop out at the explode. */
+  def bandKeys(sig: DataFrame, id: String, bands: Int, rows: Int): DataFrame =
+    sig.select(col(id), explode(
+      when(col("sig").isNotNull,
+        transform(sequence(lit(0), lit(bands - 1)),
+          j => concat(j.cast("string"), lit(":"),
+            concat_ws(",", transform(slice(col("sig"), j * rows + 1, lit(rows)),
+              x => x.cast("string"))))))).as("band_key"))
+
+  /** Scan-stage MinHash signatures of a documents frame (shingle array +
+    * [[graft.plans.MinHashSig]], no filter — see [[nearDupPairs]] on why
+    * NULL signatures are left to die at the banding explode). */
+  private[graft] def scanSignatures(docs: DataFrame, id: String, text: String,
+                                    n: Int, numHashes: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    shingleArray(docs, id, text, n)
+      .select(col(id),
+        call_function("minhash_sig", col("sh_set"), lit(numHashes)).as("sig"))
+  }
+
   /** Exact-Jaccard verification of candidate pairs from the (id, shingle)
     * rows of the candidate docs only. `shC` must already be restricted to
     * docs appearing in `cand` (and checkpointed by the caller — it feeds
     * three joins). */
-  private def exactVerify(cand: DataFrame, shC: DataFrame,
-                          id: String, threshold: Double): DataFrame = {
+  private[graft] def exactVerify(cand: DataFrame, shC: DataFrame,
+                                 id: String, threshold: Double): DataFrame = {
     val sizes = shC.groupBy(col(id)).agg(count(lit(1)).as("sz"))
     // a pair sharing zero shingles (pure band collision) drops out of the
     // inner join — jaccard 0 anyway
@@ -195,13 +213,11 @@ object Dedup {
     * shingle row outside the candidate set. Same output, same oracle. */
   def nearDupPairs(docs: DataFrame, id: String, text: String, n: Int,
                    threshold: Double, bands: Int = 32, rows: Int = 4): DataFrame = {
-    graft.plans.GraftFunctions.register(docs.sparkSession)
-    // no isNotNull filter here: a Filter over the sig projection would be
-    // pushed below it, re-evaluating minhash_sig per row; shingle-less docs
-    // (NULL sig) instead drop out at the banding explode's when-guard
-    val sig = shingleArray(docs, id, text, n)
-      .select(col(id),
-        call_function("minhash_sig", col("sh_set"), lit(bands * rows)).as("sig"))
+    // no isNotNull filter on the signatures: a Filter over the sig
+    // projection would be pushed below it, re-evaluating minhash_sig per
+    // row; shingle-less docs (NULL sig) instead drop out at the banding
+    // explode's when-guard
+    val sig = scanSignatures(docs, id, text, n, bands * rows)
     val cand = lshCandidatePairs(sig, id, bands, rows).localCheckpoint()
     val candDocs = cand.select(col("doc_a").as(id))
       .union(cand.select(col("doc_b").as(id))).distinct()

@@ -129,6 +129,74 @@ object Streaming {
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
   }
 
+  /** Incremental NEAR-DUP detection sink — MinHash+LSH dedup as a
+    * STREAMING property: each micro-batch's documents are checked against
+    * everything ingested so far, without ever re-pairing the history
+    * against itself. State is three append-only parquet tables under
+    * `stateDir`:
+    *
+    *  - `docs`  (id, text)     — the ingested corpus (replay gate)
+    *  - `keys`  (id, band_key) — persisted LSH band keys: the INDEX. New
+    *    docs join their keys against this table, so batch cost is
+    *    O(new keys + matching old keys), never O(history²)
+    *  - `pairs` (doc_a, doc_b, jaccard) — verified near-dup pairs
+    *
+    * Exactly-once composition: ids already in `docs` are dropped first
+    * (S6 anti-join gate), so a replayed batch recomputes nothing; pairs
+    * are appended BEFORE state, and a crash between the two makes the
+    * retry regenerate the same pairs and drop them in the pairs
+    * anti-join — no window loses or duplicates a pair. Cross-batch
+    * completeness: a pair is found when its LATER doc arrives (the
+    * earlier one's keys are already in the index); within-batch pairs
+    * join new keys against new∪old keys. The batch-equivalence spec
+    * asserts streamed ingestion ≡ [[graft.operators.Dedup.nearDupPairs]]
+    * over the full corpus, and that replay is a no-op. */
+  def incrementalNearDupSink(idCol: String, textCol: String, stateDir: String,
+                             ngram: Int = 5, threshold: Double = 0.8,
+                             bands: Int = 32, rowsPerBand: Int = 4)
+                            (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val (docsDir, keysDir, pairsDir) =
+      (s"$stateDir/docs", s"$stateDir/keys", s"$stateDir/pairs")
+    val incoming = graft.operators.Ops.dedupFirstWins(
+      batch.select(col(idCol), col(textCol)), Seq(idCol), Seq(col(textCol)))
+    val newDocs = (if (stateExists(spark, docsDir))
+        incoming.join(spark.read.parquet(docsDir).select(col(idCol)),
+          Seq(idCol), "left_anti")
+      else incoming).localCheckpoint()
+    if (!newDocs.isEmpty) {
+      val newKeys = graft.operators.Dedup.bandKeys(
+        graft.operators.Dedup.scanSignatures(
+          newDocs, idCol, textCol, ngram, bands * rowsPerBand),
+        idCol, bands, rowsPerBand).localCheckpoint()
+      val allKeys = if (stateExists(spark, keysDir))
+          newKeys.unionByName(spark.read.parquet(keysDir))
+        else newKeys
+      val cand = newKeys.select(col(idCol).as("ka"), col("band_key"))
+        .join(allKeys.select(col(idCol).as("kb"), col("band_key")), "band_key")
+        .filter(col("ka") =!= col("kb"))
+        .select(least(col("ka"), col("kb")).as("doc_a"),
+          greatest(col("ka"), col("kb")).as("doc_b"))
+        .distinct().localCheckpoint()
+      val allDocs = if (stateExists(spark, docsDir))
+          newDocs.unionByName(spark.read.parquet(docsDir))
+        else newDocs
+      val candDocs = cand.select(col("doc_a").as(idCol))
+        .union(cand.select(col("doc_b").as(idCol))).distinct()
+      val shC = graft.operators.Dedup.shingles(allDocs, idCol, textCol, ngram)
+        .join(candDocs, Seq(idCol), "left_semi").localCheckpoint()
+      val verified = graft.operators.Dedup.exactVerify(cand, shC, idCol, threshold)
+      val freshPairs = if (stateExists(spark, pairsDir))
+          verified.join(
+            spark.read.parquet(pairsDir).select(col("doc_a"), col("doc_b")),
+            Seq("doc_a", "doc_b"), "left_anti")
+        else verified
+      freshPairs.write.mode("append").parquet(pairsDir)
+      newKeys.write.mode("append").parquet(keysDir)
+      newDocs.write.mode("append").parquet(docsDir)
+    }
+  }
+
   /** S6 insert-if-absent sink (consumer1.py:123-133) as a foreachBatch
     * upsert into a parquet-backed state dir: left-anti join against existing
     * keys, append only new ids — idempotent, so at-least-once replay

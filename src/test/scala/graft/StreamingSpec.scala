@@ -14,6 +14,39 @@ class StreamingSpec extends AnyFunSuite {
 
   def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
 
+  test("incremental near-dup sink ≡ batch nearDupPairs; replay is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup").toString + "/state"
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different words appear in this other document here"),
+      (4L, "the quick brown fox jumps over the lazy dog today"),
+      (5L, "short text"),
+      (6L, "yet another entirely unrelated document with its own words"),
+      (7L, "the quick brown fox jumps over the lazy dog tomorrow"))
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val sink = Streaming.incrementalNearDupSink("doc_id", "text", dir,
+      ngram = 5, threshold = 0.5) _
+    // three micro-batches: cross-batch pairs (1 in b0, 4 in b1, 7 in b2)
+    // must be found when the LATER doc arrives
+    sink(df(corpus.take(2)), 0L)
+    sink(df(corpus.slice(2, 5)), 1L)
+    sink(df(corpus.drop(5)), 2L)
+    def pairs() = spark.read.parquet(s"$dir/pairs")
+      .orderBy($"doc_a", $"doc_b").as[(Long, Long, Double)].collect().toSeq
+    val expected = graft.operators.Dedup.nearDupPairs(
+        df(corpus), "doc_id", "text", 5, 0.5)
+      .orderBy($"doc_a", $"doc_b").as[(Long, Long, Double)].collect().toSeq
+    assert(pairs() == expected && expected.nonEmpty)
+    // at-least-once delivery: replaying a whole batch changes nothing
+    sink(df(corpus.slice(2, 5)), 1L)
+    assert(pairs() == expected)
+    // the persisted key index only carries ingested ids
+    val keyIds = spark.read.parquet(s"$dir/keys")
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    assert(keyIds == corpus.map(_._1).toSet - 5L) // 5 has no shingles
+  }
+
   test("ST5 windowed engagement over MemoryStream matches the batch twin") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]

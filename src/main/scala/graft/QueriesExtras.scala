@@ -253,6 +253,26 @@ object QueriesExtras {
       "SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash " +
       "FROM bits GROUP BY doc_id ORDER BY doc_id"))
 
+  /** SimHash pairing at hamming <= 1 through the pigeonhole-bucketed plan,
+    * verified against the brute-force self-join oracle — the same
+    * scale-plan-vs-exact-oracle pattern as q_dedup_minhash_lsh. (On this
+    * small-vocabulary synthetic corpus 32-bit simhash collides heavily;
+    * the bucketing contract, not the threshold, is what's under test.) */
+  private val qSimhashPairs = Q(
+    (s, d) => Dedup.simhashPairs(Tables.load(s, d, "documents"),
+        "doc_id", "text", maxHamming = 1)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some("WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS w FROM documents), " +
+      "h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS hv FROM toks), " +
+      "bits AS (SELECT doc_id, i, SUM(CASE WHEN ((hv >> i) & 1) = 1 THEN 1 ELSE -1 END) AS s " +
+      "FROM h, (SELECT unnest(range(0, 32)) AS i) t GROUP BY doc_id, i), " +
+      "sh AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash " +
+      "FROM bits GROUP BY doc_id) " +
+      "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming " +
+      "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+      "WHERE bit_count(xor(a.simhash, b.simhash)) <= 1 ORDER BY doc_a, doc_b"))
+
   private val CosD = "embedding::DOUBLE[]"
   private def cosSql(a: String, b: String) =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
@@ -687,6 +707,7 @@ object QueriesExtras {
     "q_unigram_logprob" -> qUnigramLogprob,
     "q_mix_sources" -> qMixSources,
     "q_dedup_simhash" -> qDedupSimhash,
+    "q_simhash_pairs" -> qSimhashPairs,
     "q_contamination" -> qContamination,
     "q_group_centroids" -> qGroupCentroids,
     "q_ann_brute_topk" -> qAnnBruteTopk,

@@ -389,4 +389,38 @@ object Dedup {
 
   /** Hamming distance between two simhash fingerprints (for pairing). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup PAIRS (hamming <= maxHamming) via pigeonhole
+    * bucketing — the constant-memory pairing the fingerprint exists for:
+    * split the 32-bit fingerprint into `maxHamming + 1` chunks; two
+    * fingerprints within the hamming budget MUST agree exactly on at
+    * least one chunk (pigeonhole), so candidate generation is an
+    * equi-join on (chunk_idx, chunk_val) — never an all-pairs scan — and
+    * only candidates pay the exact hamming check. The registered query
+    * verifies this plan against the brute-force self-join SQL oracle. */
+  def simhashPairs(df: DataFrame, id: String, text: String,
+                   maxHamming: Int = 1): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, s"need 0 <= maxHamming < 32, got $maxHamming")
+    val chunks = maxHamming + 1
+    val width = 32 / chunks
+    val sh = simhash32(df, id, text)
+    // chunk c = bits [c*width, (c+1)*width), last chunk absorbs the
+    // remainder to bit 31; generator child inline (see shingles)
+    val chunked = sh.select(col(id), col("simhash"), posexplode(
+      array((0 until chunks).map { c =>
+        val hi = if (c == chunks - 1) 32 else (c + 1) * width
+        shiftright(col("simhash"), c * width)
+          .bitwiseAND(lit((1L << (hi - c * width)) - 1))
+      }: _*)).as(Seq("chunk_idx", "chunk_val")))
+    val a = chunked.select(col(id).as("doc_a"), col("simhash").as("sh_a"),
+      col("chunk_idx"), col("chunk_val"))
+    val b = chunked.select(col(id).as("doc_b"), col("simhash").as("sh_b"),
+      col("chunk_idx"), col("chunk_val"))
+    a.join(b, Seq("chunk_idx", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b")).distinct()
+      .select(col("doc_a"), col("doc_b"),
+        hamming(col("sh_a"), col("sh_b")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -135,6 +135,23 @@ class DedupSpec extends AnyFunSuite {
     assert(got(2)._2 > 0.5 && got(2)._2 < 1.0, got(2).toString)
   }
 
+  test("simhashPairs: bucketed plan ≡ brute-force hamming pairs") {
+    // brute-force reference over the same fingerprints
+    val sh = Dedup.simhash32(docs, "doc_id", "text")
+    val a = sh.select($"doc_id".as("doc_a"), $"simhash".as("sa"))
+    val b = sh.select($"doc_id".as("doc_b"), $"simhash".as("sb"))
+    val brute = a.crossJoin(b).filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+        Dedup.hamming($"sa", $"sb").cast("long").as("hamming"))
+      .filter($"hamming" <= 4)
+      .orderBy($"doc_a", $"doc_b").as[(Long, Long, Long)].collect()
+    val bucketed = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 4)
+      .orderBy($"doc_a", $"doc_b").as[(Long, Long, Long)].collect()
+    assert(bucketed sameElements brute)
+    // the exact-dup pair (1,4) sits at hamming 0 and must be present
+    assert(bucketed.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0L))
+  }
+
   test("purgeBoilerplate: corpus-wide common segments removed, docs reassembled in order") {
     val corpus = Seq(
       (1L, "aaa bbb ccc one two three"),   // shared 3-word banner + unique tail

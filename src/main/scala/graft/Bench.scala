@@ -17,6 +17,13 @@ object Bench {
     // optional comma-separated subset (iteration aid; full run when unset)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      // a typo'd name would otherwise bench nothing and look like an
+      // environment problem — name the unknowns loudly
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) System.err.println(
+        s"[bench] WARNING: SPARK_GRAFT_ONLY names not registered: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     def selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries

@@ -104,11 +104,15 @@ object Dedup {
     * projection and costs a second minhash_sig evaluation per row — fine
     * for direct calls; [[nearDupPairs]] skips it on the hot path and lets
     * NULLs die at the banding explode instead.) */
-  def minHashSignaturesArr(arr: DataFrame, id: String, numHashes: Int): DataFrame = {
+  def minHashSignaturesArr(arr: DataFrame, id: String, numHashes: Int): DataFrame =
+    sigProjection(arr, id, numHashes).filter(col("sig").isNotNull)
+
+  /** The one shared signature projection — both public forms route here so
+    * the direct-signature and pair/streaming paths can never drift. */
+  private def sigProjection(arr: DataFrame, id: String, numHashes: Int): DataFrame = {
     graft.plans.GraftFunctions.register(arr.sparkSession)
     arr.select(col(id),
-        call_function("minhash_sig", col("sh_set"), lit(numHashes)).as("sig"))
-      .filter(col("sig").isNotNull)
+      call_function("minhash_sig", col("sh_set"), lit(numHashes)).as("sig"))
   }
 
   /** LSH banding: split the signature into `bands` bands of `rows` values;
@@ -175,12 +179,8 @@ object Dedup {
     * [[graft.plans.MinHashSig]], no filter — see [[nearDupPairs]] on why
     * NULL signatures are left to die at the banding explode). */
   private[graft] def scanSignatures(docs: DataFrame, id: String, text: String,
-                                    n: Int, numHashes: Int): DataFrame = {
-    graft.plans.GraftFunctions.register(docs.sparkSession)
-    shingleArray(docs, id, text, n)
-      .select(col(id),
-        call_function("minhash_sig", col("sh_set"), lit(numHashes)).as("sig"))
-  }
+                                    n: Int, numHashes: Int): DataFrame =
+    sigProjection(shingleArray(docs, id, text, n), id, numHashes)
 
   /** Exact-Jaccard verification of candidate pairs from the (id, shingle)
     * rows of the candidate docs only. `shC` must already be restricted to

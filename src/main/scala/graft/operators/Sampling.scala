@@ -72,6 +72,15 @@ object Sampling {
     }
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
       .withColumn("t_g", tCol).filter(col("t_g").isNotNull)
+    // a target group with ZERO rows can't be mixed toward — silently
+    // renormalizing over the present groups would hand back a corpus
+    // arbitrarily far from the requested mix, so fail loudly. The collect
+    // is bounded by |target| rows (counts is already target-filtered).
+    val present = counts.select(col(groupCol)).collect()
+      .map(_.getString(0)).toSet
+    val missing = target.keySet -- present
+    require(missing.isEmpty,
+      s"mixToTarget: target groups absent from the data: ${missing.toSeq.sorted.mkString(", ")}")
     val kTotal = counts.agg(min(col("n_g").cast("double") / col("t_g")).as("k_total"))
     val rates = counts.crossJoin(broadcast(kTotal))
       .select(col(groupCol),

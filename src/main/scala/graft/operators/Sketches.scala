@@ -68,7 +68,10 @@ object Sketches {
 
   /** Convenience for specs/dashboards: the one sketch row as bytes. */
   def firstSketchBytes(df: DataFrame, colName: String): Array[Byte] =
-    df.select(col(colName)).head() match {
-      case Row(b: Array[Byte]) => b
+    df.select(col(colName)).head(1).headOption match {
+      case Some(Row(b: Array[Byte])) => b
+      case other => throw new IllegalArgumentException(
+        s"firstSketchBytes: expected one non-null binary '$colName' row, got $other " +
+          "(empty input frame?)")
     }
 }

@@ -339,9 +339,14 @@ object TextAnalysis {
 
   /** First-wins dedup over the canonical URL: one row per canonical key
     * with the smallest id as survivor — one map-side-combined shuffle on
-    * the (short) canonical string. */
+    * the (short) canonical string. Rows whose canonicalization is empty
+    * or NULL (no `scheme://` / null input) are NOT urls and are dropped
+    * rather than collapsed into one bogus mega-group; the filter runs on
+    * the aggregated group keys (one row per group), so it costs nothing
+    * per input row. */
   def urlDedup(df: DataFrame, id: String, url: String): DataFrame =
     df.withColumn("canon_url", canonicalUrl(col(url))) // staged: canon once per row
       .groupBy(col("canon_url"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("canon_url").isNotNull && col("canon_url") =!= "")
 }

@@ -158,41 +158,46 @@ object Streaming {
     val spark = batch.sparkSession
     val (docsDir, keysDir, pairsDir) =
       (s"$stateDir/docs", s"$stateDir/keys", s"$stateDir/pairs")
+    // each state table is resolved ONCE per batch (a large docs table
+    // would otherwise pay two listing+scan plans)
+    def stateOf(dir: String): Option[DataFrame] =
+      if (stateExists(spark, dir)) Some(spark.read.parquet(dir)) else None
+    val docsState = stateOf(docsDir)
     val incoming = graft.operators.Ops.dedupFirstWins(
       batch.select(col(idCol), col(textCol)), Seq(idCol), Seq(col(textCol)))
-    val newDocs = (if (stateExists(spark, docsDir))
-        incoming.join(spark.read.parquet(docsDir).select(col(idCol)),
-          Seq(idCol), "left_anti")
-      else incoming).localCheckpoint()
+    val newDocs = docsState.fold(incoming)(st =>
+        incoming.join(st.select(col(idCol)), Seq(idCol), "left_anti"))
+      .localCheckpoint()
     if (!newDocs.isEmpty) {
+      val keysState = stateOf(keysDir)
       val newKeys = graft.operators.Dedup.bandKeys(
         graft.operators.Dedup.scanSignatures(
           newDocs, idCol, textCol, ngram, bands * rowsPerBand),
         idCol, bands, rowsPerBand).localCheckpoint()
-      val allKeys = if (stateExists(spark, keysDir))
-          newKeys.unionByName(spark.read.parquet(keysDir))
-        else newKeys
+      val allKeys = keysState.fold(newKeys)(newKeys.unionByName(_))
       val cand = newKeys.select(col(idCol).as("ka"), col("band_key"))
         .join(allKeys.select(col(idCol).as("kb"), col("band_key")), "band_key")
         .filter(col("ka") =!= col("kb"))
         .select(least(col("ka"), col("kb")).as("doc_a"),
           greatest(col("ka"), col("kb")).as("doc_b"))
         .distinct().localCheckpoint()
-      val allDocs = if (stateExists(spark, docsDir))
-          newDocs.unionByName(spark.read.parquet(docsDir))
-        else newDocs
+      val allDocs = docsState.fold(newDocs)(newDocs.unionByName(_))
       val candDocs = cand.select(col("doc_a").as(idCol))
         .union(cand.select(col("doc_b").as(idCol))).distinct()
       val shC = graft.operators.Dedup.shingles(allDocs, idCol, textCol, ngram)
         .join(candDocs, Seq(idCol), "left_semi").localCheckpoint()
       val verified = graft.operators.Dedup.exactVerify(cand, shC, idCol, threshold)
-      val freshPairs = if (stateExists(spark, pairsDir))
-          verified.join(
-            spark.read.parquet(pairsDir).select(col("doc_a"), col("doc_b")),
-            Seq("doc_a", "doc_b"), "left_anti")
-        else verified
+      val freshPairs = stateOf(pairsDir).fold(verified)(st =>
+        verified.join(st.select(col("doc_a"), col("doc_b")),
+          Seq("doc_a", "doc_b"), "left_anti"))
+      // crash windows: pairs first (retry regenerates the same pairs and
+      // the anti-join drops them); keys are id-anti-joined against the
+      // EXISTING index so a crash between the keys and docs appends can't
+      // leave a doc's band keys duplicated on retry
+      val freshKeys = keysState.fold(newKeys)(st =>
+        newKeys.join(st.select(col(idCol)).distinct(), Seq(idCol), "left_anti"))
       freshPairs.write.mode("append").parquet(pairsDir)
-      newKeys.write.mode("append").parquet(keysDir)
+      freshKeys.write.mode("append").parquet(keysDir)
       newDocs.write.mode("append").parquet(docsDir)
     }
   }

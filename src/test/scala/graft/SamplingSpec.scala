@@ -64,6 +64,11 @@ class SamplingSpec extends AnyFunSuite {
     val again = Sampling.mixToTarget(df.repartition(7), "id", "g",
       Map("a" -> 1.0, "b" -> 1.0)).select($"id").as[Long].collect().sorted
     assert(again sameElements kept.select($"id").as[Long].collect().sorted)
+    // a target group with no rows cannot be mixed toward — must fail loudly,
+    // not silently hand back a corpus far from the requested mix
+    intercept[IllegalArgumentException] {
+      Sampling.mixToTarget(df, "id", "g", Map("a" -> 1.0, "zzz" -> 1.0))
+    }
   }
 
   test("chunk: overlap continuity, full coverage, no redundant tail chunk") {

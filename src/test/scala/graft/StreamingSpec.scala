@@ -45,6 +45,15 @@ class StreamingSpec extends AnyFunSuite {
     val keyIds = spark.read.parquet(s"$dir/keys")
       .select($"doc_id").distinct().as[Long].collect().toSet
     assert(keyIds == corpus.map(_._1).toSet - 5L) // 5 has no shingles
+    // crash window between the keys append and the docs append: wipe the
+    // docs table (docs look new again) and retry — band keys already in
+    // the index must NOT be appended a second time
+    val keyRows = spark.read.parquet(s"$dir/keys").count()
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/docs"), true)
+    sink(df(corpus.drop(5)), 2L)
+    assert(spark.read.parquet(s"$dir/keys").count() == keyRows)
+    assert(pairs() == expected)
   }
 
   test("ST5 windowed engagement over MemoryStream matches the batch twin") {

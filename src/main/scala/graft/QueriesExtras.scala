@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline queries (dedup, similarity search, text analysis)
   * with DuckDB oracles. Same determinism rules as [[Queries]]; count-typed
@@ -692,6 +692,104 @@ object QueriesExtras {
       "CAST(SUM(total_events) AS DOUBLE) / count(*) AS avg_events, " +
       "max(max_v) AS max_value FROM r"))
 
+  // ---------------------------------------------------------------------
+  // Corpus-hygiene suite (operators.Corpus): the cross-document cleanup
+  // passes of a training-data pipeline, each gated end-to-end.
+  // ---------------------------------------------------------------------
+
+  /** CCNet-style corpus-wide paragraph dedup: 32-word paragraphs, first
+    * occurrence (min (doc, pos)) survives, documents reconstructed from
+    * their surviving paragraphs. The oracle rebuilds the identical strings
+    * with a window + ordered string_agg. */
+  private val qParagraphDedup = Q(
+    (s, d) => Corpus.paragraphDedup(Tables.load(s, d, "documents"),
+        "doc_id", "text", size = 32)
+      .orderBy(col("doc_id")),
+    Some("WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
+      // chunk-index bound: supports 65536-word documents at size=32 (2048
+      // chunks); same regeneration contract as ShingleCte's position bound
+      "pos AS (SELECT unnest(range(0, 2048)) AS j), " +
+      "chunks AS (SELECT doc_id, j AS pos, array_to_string(list_slice(w, j*32+1, j*32+32), ' ') AS chunk " +
+      "FROM words JOIN pos ON pos.j <= (len(w)-1)//32), " +
+      "ranked AS (SELECT doc_id, pos, chunk, " +
+      "row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, pos) AS rk FROM chunks), " +
+      "tot AS (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY 1), " +
+      "reb AS (SELECT doc_id, count(*) AS n_kept, string_agg(chunk, ' ' ORDER BY pos) AS clean_text " +
+      "FROM ranked WHERE rk = 1 GROUP BY doc_id) " +
+      "SELECT t.doc_id, t.n_chunks, COALESCE(r.n_kept, 0) AS n_kept, " +
+      "COALESCE(r.clean_text, '') AS clean_text " +
+      "FROM tot t LEFT JOIN reb r USING (doc_id) ORDER BY t.doc_id"))
+
+  /** Gopher-style repetition gates (word-based). Every ratio is a single
+    * int→double division with identical operands on both engines — no
+    * rounding needed. */
+  private val qRepetitionStats = Q(
+    (s, d) => Corpus.repetitionStats(Tables.load(s, d, "documents"),
+        "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
+      "base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, " +
+      "CAST(len(list_distinct(w)) AS DOUBLE)/len(w) AS distinct_word_ratio FROM words), " +
+      "pos AS (SELECT unnest(range(1, 65536)) AS i), " +
+      "g2 AS (SELECT doc_id, array_to_string(list_slice(w, i, i+1), ' ') AS g " +
+      "FROM words JOIN pos ON pos.i <= len(w)-1), " +
+      "c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2), " +
+      "s2 AS (SELECT doc_id, max(c) AS bi_max FROM c2 GROUP BY 1), " +
+      "g3 AS (SELECT doc_id, array_to_string(list_slice(w, i, i+2), ' ') AS g " +
+      "FROM words JOIN pos ON pos.i <= len(w)-2), " +
+      "c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2), " +
+      "s3 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS tri_dup, sum(c) AS tri_tot " +
+      "FROM c3 GROUP BY 1) " +
+      "SELECT b.doc_id, b.n_words, b.distinct_word_ratio, " +
+      "COALESCE(CAST(s2.bi_max*2 AS DOUBLE)/b.n_words, 0e0) AS top_bigram_frac, " +
+      "COALESCE(CAST(s3.tri_dup AS DOUBLE)/s3.tri_tot, 0e0) AS dup_trigram_frac " +
+      "FROM base b LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id) ORDER BY b.doc_id"))
+
+  /** Bloom-accelerated benchmark decontamination (src0 plays the eval
+    * set, as in q_contamination). The bloom is a pre-filter with no false
+    * negatives and the exact semi-join removes its false positives, so the
+    * oracle is the plain exact anti-join — the gate proves the accelerated
+    * plan is semantics-preserving (the q_j1_salted / minhash pattern). */
+  private val qDecontaminateBloom = Q(
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      Corpus.decontaminate(
+          docs.filter(col("source") =!= "src0")
+            .select(col("doc_id"), col("source"), col("lang"), col("text")),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", n = 5)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+    Some("WITH words AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
+      "pos AS (SELECT unnest(range(1, 65536)) AS i), " +
+      "sh AS (SELECT DISTINCT doc_id, source, array_to_string(list_slice(w, i, i+4), ' ') AS g " +
+      "FROM words JOIN pos ON pos.i <= len(w) - 4), " +
+      "bench AS (SELECT DISTINCT g FROM sh WHERE source = 'src0'), " +
+      "hits AS (SELECT DISTINCT doc_id FROM sh WHERE source <> 'src0' AND g IN (SELECT g FROM bench)) " +
+      "SELECT doc_id, source, lang FROM documents " +
+      "WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM hits) ORDER BY doc_id"))
+
+  /** Near-dup purge: the corpus that remains after collapsing each
+    * duplicate cluster (LSH pairs → connected components) to its min-id
+    * canonical. The oracle derives the same survivor set from the
+    * recursive-CTE components. */
+  private val qNeardupPurge = Q(
+    (s, d) => Corpus.nearDupPurge(Tables.load(s, d, "documents"),
+        "doc_id", "text", n = 5, threshold = 0.8)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .orderBy(col("doc_id")),
+    Some("WITH RECURSIVE " + ShingleCte.stripPrefix("WITH ") +
+      ", jp AS (SELECT doc_a, doc_b " +
+      "FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b " +
+      "WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.8e0), " +
+      "edges AS (SELECT doc_a AS id, doc_b AS nbr FROM jp UNION ALL SELECT doc_b, doc_a FROM jp), " +
+      "reach(id, r) AS (SELECT id, id FROM (SELECT DISTINCT id FROM edges) t " +
+      "UNION SELECT e.id, reach.r FROM edges e JOIN reach ON e.nbr = reach.id), " +
+      "losers AS (SELECT id FROM reach GROUP BY id HAVING min(r) < id) " +
+      "SELECT doc_id, source, lang FROM documents " +
+      "WHERE doc_id NOT IN (SELECT id FROM losers) ORDER BY doc_id"))
+
   val registry: Seq[(String, Q)] = Seq(
     "q_j1_linkage_salted" -> qJ1Salted,
     "q_a9_engagement_map" -> qA9EngagementMap,
@@ -731,5 +829,9 @@ object QueriesExtras {
     "q_pack_sequences" -> qPackSequences,
     "q_quality_flags" -> qQualityFlags,
     "q_social_tags" -> qSocialTags,
+    "q_paragraph_dedup" -> qParagraphDedup,
+    "q_repetition_stats" -> qRepetitionStats,
+    "q_decontaminate_bloom" -> qDecontaminateBloom,
+    "q_neardup_purge" -> qNeardupPurge,
   )
 }

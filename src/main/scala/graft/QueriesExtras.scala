@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Corpus, Dedup, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Fuzzy, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline queries (dedup, similarity search, text analysis)
   * with DuckDB oracles. Same determinism rules as [[Queries]]; count-typed
@@ -790,6 +790,21 @@ object QueriesExtras {
       "SELECT doc_id, source, lang FROM documents " +
       "WHERE doc_id NOT IN (SELECT id FROM losers) ORDER BY doc_id"))
 
+  /** FastSS fuzzy entity matching over customer names. The Spark plan is
+    * the deletion-neighborhood blocked join ([[Fuzzy.fuzzySelfMatch]]); the
+    * oracle is the exhaustive all-pairs levenshtein — the gate proves the
+    * blocking loses no pair (FastSS is exact for lev <= maxDist, and both
+    * engines implement classic unit-cost edit distance). */
+  private val qFuzzyMatch = Q(
+    (s, d) => Fuzzy.fuzzySelfMatch(Tables.load(s, d, "customer"),
+        "c_custkey", "c_name", maxDist = 1)
+      .orderBy(col("id_a"), col("id_b")),
+    Some("SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, " +
+      "CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist " +
+      "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey " +
+      "WHERE levenshtein(a.c_name, b.c_name) <= 1 " +
+      "ORDER BY id_a, id_b"))
+
   val registry: Seq[(String, Q)] = Seq(
     "q_j1_linkage_salted" -> qJ1Salted,
     "q_a9_engagement_map" -> qA9EngagementMap,
@@ -833,5 +848,6 @@ object QueriesExtras {
     "q_repetition_stats" -> qRepetitionStats,
     "q_decontaminate_bloom" -> qDecontaminateBloom,
     "q_neardup_purge" -> qNeardupPurge,
+    "q_fuzzy_match" -> qFuzzyMatch,
   )
 }

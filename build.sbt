@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runMain output normally round-trips through sbt's logger, which
+// prefixes every stdout line with "[info] " — corrupting the one-JSON-line
+// contract of graft.Bench/Verify. Inherit the parent's streams instead so
+// the harness reads exactly what the program printed.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

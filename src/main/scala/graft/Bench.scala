@@ -80,14 +80,37 @@ object Bench {
       }.flatten
       name -> (if (samples.nonEmpty) samples.min else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def toJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // methodology is stamped INTO the result line so cross-round comparisons
     // can't silently mix warm and cold numbers: timings are the steady-state
     // second run after a full-workload warmup at the bench sf, through the
     // noop sink, with the IVF index pre-built (ingest-phase work).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup":"full-sf","timing":"steady-state-noop-sink-min-of-2","queries":$qs,"sf":"$sfDir"}""")
+    val meta = s""""unit":"sec","warmup":"full-sf","timing":"steady-state-noop-sink-min-of-2","sf":"$sfDir""""
+    // The harness that invokes this main keeps only the LAST ~2000 chars of
+    // output, and sbt appends a [success] trailer after us — a single line
+    // carrying every per-query timing outgrew that window and arrived
+    // truncated (unparseable) in every prior round. So: full detail goes to
+    // a file (and an early stdout line for humans), and the FINAL stdout
+    // line is a compact summary — headline queries only — that always fits
+    // intact inside the tail window.
+    val detailLine =
+      s"""{"metric":"detail","value":${fmt(total)},$meta,"queries":${toJson(results)}}"""
+    println(detailLine)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"), detailLine + "\n"): Unit
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_DETAIL.json: ${e.getMessage}")
+    }
+    val headline = Seq("q1_pricing_summary", "q3_top_revenue", "q5_region_revenue",
+      "q6_revenue_forecast", "q_a1_rollup", "q_j1_linkage", "q_sessionize",
+      "q_dedup_exact", "q_dedup_minhash_lsh", "q_emb_neardup_lsh",
+      "q_ann_brute_topk", "q_ann_ivf_topk", "q_text_stats", "q_tfidf_top_terms")
+    val headlined = results.filter { case (n, _) => headline.contains(n) }
+    println(s"""{"metric":"total","value":${fmt(total)},$meta,"n_queries":${results.size},"detail":"BENCH_DETAIL.json","queries":${toJson(headlined)}}""")
     spark.stop()
   }
 }

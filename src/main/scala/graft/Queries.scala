@@ -558,7 +558,7 @@ object Queries {
     "q_rank_functions" -> qRankFunctions,
     "q_grouped_quantiles" -> qGroupedQuantiles,
     "q_pivot_event_counts" -> qPivotEventCounts,
-  ) ++ QueriesExtras.registry
+  ) ++ QueriesTpch.registry ++ QueriesExtras.registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { case (n, q) =>

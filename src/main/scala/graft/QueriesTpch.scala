@@ -1,0 +1,279 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TPC-H-shaped relational breadth pack: the classic analytic query shapes
+  * (beyond the q1/q3/q5/q6 headliners in [[Queries]]) re-expressed over the
+  * driver testdata, each with a DuckDB oracle. The point is PLAN coverage —
+  * every shape here exercises a distinct Catalyst capability a reference
+  * user would expect from a full analytics engine:
+  *
+  *  - q2 shape:  per-group argmax via a correlated scalar subquery —
+  *               planned as ONE window over the group, not a self-join
+  *  - q4 shape:  EXISTS with a non-equi conjunct → left-semi join
+  *  - q10 shape: fact-dim-fact join + agg + top-k
+  *  - q12 shape: conditional aggregation (CASE inside SUM)
+  *  - q14 shape: promo share — two conditional sums in one pass, no re-scan
+  *  - q15 shape: agg-of-agg (ties-exact argmax over an aggregated view)
+  *  - q16 shape: count(DISTINCT) under a dim filter with IN-list pushdown
+  *  - q18 shape: HAVING over a grouped fact, enriched after the filter
+  *  - q19 shape: OR-of-ANDs disjunctive predicate — pushdown-hostile shape
+  *  - q22 shape: global scalar subquery (broadcast) + anti join
+  *
+  * Determinism: money sums through DECIMAL (see [[Queries]] header);
+  * l_quantity holds integer-valued doubles (exact under double summation in
+  * any order, < 2^53), so plain SUM is order-safe there; every query ends
+  * in a mirrored total-order ORDER BY.
+  */
+object QueriesTpch {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+  private val SqlDsum = (x: String) => s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+  private def revSum(price: Column, disc: Column): Column =
+    sum((price * (lit(1.0) - disc)).cast("decimal(18,4)")).cast("double")
+  private val SqlRevSum =
+    "CAST(SUM(CAST(l_extendedprice * (1.0e0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
+
+  /** q2 shape — suppliers carrying their nation's maximum account balance.
+    * The reference formulation is a correlated scalar subquery (max within
+    * the outer row's nation); the Spark-first plan is a single window max
+    * over s_nationkey — one shuffle on the group key, no self-join, no
+    * correlated re-execution. */
+  private val qTop1PerGroup = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("s_nationkey"))
+      t(s, d, "supplier")
+        .withColumn("nation_max", max(col("s_acctbal")).over(w))
+        .filter(col("s_acctbal") === col("nation_max"))
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier s " +
+      "WHERE s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2 " +
+      "WHERE s2.s_nationkey = s.s_nationkey) ORDER BY s_suppkey"))
+
+  /** q4 shape — order-priority checking: orders with at least one line item
+    * shipped after the order date, counted by priority. EXISTS with a
+    * non-equi conjunct plans as a LEFT SEMI join (shuffle on the order key,
+    * the extra predicate evaluated inside the join), then a 5-group agg. */
+  private val q4PriorityCheck = Q(
+    (s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      o.join(li, o("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > o("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("SELECT o_orderpriority, count(*) AS n_orders FROM orders " +
+      "WHERE EXISTS (SELECT 1 FROM lineitem " +
+      "WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) " +
+      "GROUP BY o_orderpriority ORDER BY o_orderpriority"))
+
+  /** q10 shape — revenue lost to returns, per customer, top 20. The order
+    * of operations matters at scale: lineitem is FILTERED to returns before
+    * the join (pushdown), aggregated revenue flows through the two joins,
+    * and the customer dim is broadcast. */
+  private val q10ReturnedRevenue = Q(
+    (s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(revSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("SELECT c_custkey, c_name, " + SqlRevSum + " AS revenue " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey WHERE l_returnflag = 'R' " +
+      "GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey LIMIT 20"))
+
+  /** q12 shape — conditional aggregation: per line status, how many items
+    * belong to critical-priority orders vs not. One join, one pass, two
+    * CASE-sums — the "pivot a flag into two counters" primitive. */
+  private val q12PriorityByStatus = Q(
+    (s, d) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_linestatus"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    },
+    Some("SELECT l_linestatus, " +
+      "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+      "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "GROUP BY l_linestatus ORDER BY l_linestatus"))
+
+  /** q14 shape — promo revenue share: both the conditional and the total
+    * sum come out of ONE aggregation pass (no second scan for the
+    * denominator). The part dim is broadcast; the division's operand order
+    * is mirrored in the oracle so the double arithmetic is bit-identical. */
+  private val q14PromoShare = Q(
+    (s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      val p = t(s, d, "part").select(col("p_partkey"), col("p_type"))
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO",
+              (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double").as("promo_revenue"),
+          revSum(col("l_extendedprice"), col("l_discount")).as("total_revenue"))
+        .select(
+          (lit(100.0) * col("promo_revenue") / col("total_revenue")).as("promo_share"),
+          col("promo_revenue"), col("total_revenue"))
+    },
+    Some("SELECT 100.0e0 * promo_revenue / total_revenue AS promo_share, promo_revenue, total_revenue FROM (" +
+      "SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' " +
+      "THEN CAST(l_extendedprice * (1.0e0 - l_discount) AS DECIMAL(18,4)) " +
+      "ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue, " +
+      SqlRevSum + " AS total_revenue " +
+      "FROM lineitem JOIN part ON l_partkey = p_partkey)"))
+
+  /** q15 shape — the top supplier(s) by shipped revenue: an aggregation
+    * (revenue per supplier) consumed twice, once for the global max and
+    * once for the final rows. Decimal sums make revenue ties EXACT — the
+    * argmax can't flap with partition order. Spark computes the aggregated
+    * view once and joins its scalar max back (broadcast); the oracle uses
+    * the reference's correlated formulation over a CTE. */
+  private val q15TopSupplier = Q(
+    (s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      val sup = t(s, d, "supplier").select(col("s_suppkey"), col("s_name"))
+      val rev = li.groupBy(col("l_suppkey"))
+        .agg(revSum(col("l_extendedprice"), col("l_discount")).as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
+      rev.join(broadcast(mx), rev("total_revenue") === mx("max_revenue"))
+        .join(broadcast(sup), rev("l_suppkey") === sup("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("WITH rev AS (SELECT l_suppkey, " + SqlRevSum + " AS total_revenue " +
+      "FROM lineitem GROUP BY l_suppkey) " +
+      "SELECT s_suppkey, s_name, total_revenue FROM rev JOIN supplier ON l_suppkey = s_suppkey " +
+      "WHERE total_revenue = (SELECT max(total_revenue) FROM rev) ORDER BY s_suppkey"))
+
+  /** q16 shape — supplier variety per part segment: count(DISTINCT) under a
+    * dimension filter with an IN-list. The brand exclusion and size IN-list
+    * push into the part scan; the distinct-count shuffles once on the group
+    * keys with the supplier key as the distinct child. */
+  private val q16SupplierCount = Q(
+    (s, d) => {
+      val p = t(s, d, "part")
+        .filter(col("p_brand") =!= "Brand#45" &&
+          col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 49))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      val li = t(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    },
+    Some("SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt " +
+      "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+      "WHERE p_brand <> 'Brand#45' AND p_size IN (1,4,9,14,19,23,36,49) " +
+      "GROUP BY p_brand, p_type, p_size " +
+      "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"))
+
+  /** q18 shape — large-volume orders: HAVING over a grouped fact, customer
+    * enrichment AFTER the filter (the group-filter-join order that keeps
+    * the join input small at scale — joining first would enrich every order
+    * only to discard almost all of them). */
+  private val q18LargeOrders = Q(
+    (s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"))
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 150.0)
+      big.join(o, big("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty FROM " +
+      "(SELECT l_orderkey, sum(l_quantity) AS total_qty FROM lineitem " +
+      "GROUP BY l_orderkey HAVING sum(l_quantity) > 150.0e0) " +
+      "JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"))
+
+  /** q19 shape — disjunctive (OR-of-ANDs) predicate revenue: the
+    * pushdown-hostile shape. The part-side conjuncts can't prune the fact
+    * scan, but the common `p_partkey` equi-join still broadcasts, and the
+    * disjunction evaluates post-join in one codegen stage. */
+  private val q19DisjunctiveRevenue = Q(
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      val p = t(s, d, "part").select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val cond =
+        (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11) && col("p_size").between(1, 5)) ||
+        (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20) && col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30) && col("p_size").between(1, 15))
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .filter(cond)
+        .agg(revSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("SELECT " + SqlRevSum + " AS revenue, count(*) AS n_items " +
+      "FROM lineitem JOIN part ON l_partkey = p_partkey WHERE " +
+      "(p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5) OR " +
+      "(p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10) OR " +
+      "(p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)"))
+
+  /** q22 shape — well-funded customers with no urgent orders: a GLOBAL
+    * scalar subquery (the positive-balance average, one row, broadcast to
+    * every partition) gates the fact filter, then an anti join removes
+    * customers holding any urgent-priority order. (The reference shape
+    * anti-joins on order EXISTENCE; in this testdata every customer has
+    * orders, which would verify an always-empty result — the priority
+    * restriction keeps the identical plan with live rows.) The exact
+    * decimal average keeps the threshold — and so the row set — identical
+    * at any partitioning. */
+  private val q22IdleBalances = Q(
+    (s, d) => {
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
+      val avgPos = c.filter(col("c_acctbal") > 0.0)
+        .agg((dsum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+      val o = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      c.crossJoin(broadcast(avgPos))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("SELECT c_custkey, c_acctbal FROM customer " +
+      "WHERE c_acctbal > (SELECT " + SqlDsum("c_acctbal") + " / count(*) " +
+      "FROM customer WHERE c_acctbal > 0.0e0) " +
+      "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+      "AND o_orderpriority = '1-URGENT') " +
+      "ORDER BY c_custkey"))
+
+  val registry: Seq[(String, Q)] = Seq(
+    "q2_top1_per_group" -> qTop1PerGroup,
+    "q4_priority_check" -> q4PriorityCheck,
+    "q10_returned_revenue" -> q10ReturnedRevenue,
+    "q12_priority_by_status" -> q12PriorityByStatus,
+    "q14_promo_share" -> q14PromoShare,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q16_supplier_count" -> q16SupplierCount,
+    "q18_large_orders" -> q18LargeOrders,
+    "q19_disjunctive_revenue" -> q19DisjunctiveRevenue,
+    "q22_idle_balances" -> q22IdleBalances,
+  )
+}

@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
   *  - q18 shape: HAVING over a grouped fact, enriched after the filter
   *  - q19 shape: OR-of-ANDs disjunctive predicate — pushdown-hostile shape
   *  - q22 shape: global scalar subquery (broadcast) + anti join
+  *  - q13 shape: left-outer count distribution — zero-match groups survive
+  *  - q17 shape: correlated scalar AVG gate → window avg, one shuffle
+  *  - q20 shape: chained IN + correlated aggregate threshold → window total
+  *  - q21 shape: chained EXISTS/NOT EXISTS multi-correlation → one
+  *               per-order aggregation joined back at line grain
   *
   * Determinism: money sums through DECIMAL (see [[Queries]] header);
   * l_quantity holds integer-valued doubles (exact under double summation in
@@ -264,6 +269,141 @@ object QueriesTpch {
       "AND o_orderpriority = '1-URGENT') " +
       "ORDER BY c_custkey"))
 
+  /** q13 shape — customer order-count distribution with a join-condition
+    * filter: customers with ZERO qualifying orders MUST appear in the
+    * c_count=0 group, which is exactly what an inner join would lose. The
+    * priority restriction lives in the LEFT OUTER join's ON clause (pushed
+    * to the right side before the join — equivalent, and prunes the fact
+    * scan); `count(o_orderkey)` counts matches only (NULL-skipping), then a
+    * second tiny aggregation folds customers into count-of-counts. */
+  private val q13OrderDistribution = Q(
+    (s, d) => {
+      val c = t(s, d, "customer").select(col("c_custkey"))
+      val o = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("SELECT c_count, count(*) AS custdist FROM (" +
+      "SELECT c_custkey, count(o_orderkey) AS c_count FROM customer " +
+      "LEFT OUTER JOIN orders ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT' " +
+      "GROUP BY c_custkey) GROUP BY c_count ORDER BY custdist DESC, c_count DESC"))
+
+  /** q17 shape — small-quantity-order revenue: the correlated scalar AVG
+    * gate (`l_quantity < 0.5 * avg over the same part`). The reference
+    * formulation re-executes a subquery per row; the Spark-first plan is a
+    * single window avg over l_partkey — ONE shuffle, no self-join, no
+    * re-scan. Brand parts are broadcast before the window so only the
+    * relevant partitions shuffle (filtering whole partkey-partitions does
+    * not change any per-part average). Determinism: l_quantity sums are
+    * integer-valued doubles (exact), revenue goes through DECIMAL, and the
+    * threshold's operand order (0.5 * (sum/cnt)) is mirrored in the oracle
+    * so the boundary comparison is bit-identical. */
+  private val q17SmallQtyRevenue = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_partkey"))
+      val p = t(s, d, "part").filter(col("p_brand") === "Brand#12").select(col("p_partkey"))
+      val li = t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .withColumn("thr",
+          lit(0.5) * (sum(col("l_quantity")).over(w) / count(lit(1)).over(w)))
+        .filter(col("l_quantity") < col("thr"))
+        .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("SELECT " + SqlDsum("l_extendedprice") + " / 7.0e0 AS avg_yearly, " +
+      "count(*) AS n_items FROM lineitem JOIN part ON p_partkey = l_partkey " +
+      "WHERE p_brand = 'Brand#12' AND l_quantity < " +
+      "(SELECT 0.5e0 * (sum(l_quantity) / count(*)) FROM lineitem l2 " +
+      "WHERE l2.l_partkey = p_partkey)"))
+
+  /** q20 shape — dominant suppliers of a part family: the chained
+    * IN / correlated-aggregate-threshold shape (the testdata has no
+    * partsupp, so the supply relation is lineitem aggregated to
+    * (part, supplier) grain — same nesting, live data). A supplier
+    * qualifies if, for some 'small%' part, its shipped quantity exceeds
+    * 15% of that part's total across all suppliers. Spark plan: one
+    * groupBy to supply grain, a window total per part (no second
+    * aggregation or self-join — the partition-total is computed in the
+    * same shuffle the semi-filtered supply already sits in), then two
+    * semi joins. Quantity sums are integer-valued doubles → exact, so the
+    * 15% boundary cannot flap with partition order. */
+  private val q20DominantSuppliers = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wp = Window.partitionBy(col("l_partkey"))
+      val qualParts = t(s, d, "part").filter(col("p_name").like("small%"))
+        .select(col("p_partkey"))
+      val supply = t(s, d, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      val dominant = supply
+        .join(broadcast(qualParts), supply("l_partkey") === qualParts("p_partkey"), "left_semi")
+        .withColumn("part_total", sum(col("qty")).over(wp))
+        .filter(col("qty") > lit(0.15) * col("part_total"))
+        .select(col("l_suppkey"))
+      val sup = t(s, d, "supplier").select(col("s_suppkey"), col("s_name"))
+      sup.join(dominant, sup("s_suppkey") === dominant("l_suppkey"), "left_semi")
+        .orderBy(col("s_suppkey"))
+    },
+    Some("SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (" +
+      "SELECT l_suppkey FROM (SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty " +
+      "FROM lineitem GROUP BY 1, 2) sp " +
+      "WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%') " +
+      "AND qty > 0.15e0 * (SELECT sum(l_quantity) FROM lineitem l2 " +
+      "WHERE l2.l_partkey = sp.l_partkey)) ORDER BY s_suppkey"))
+
+  /** q21 shape — suppliers who kept orders waiting: chained EXISTS /
+    * NOT EXISTS with multi-correlation (same order, DIFFERENT supplier).
+    * The testdata has no receipt/commit dates, so "late" is shipping more
+    * than a year after the order date. The reference formulation is two
+    * correlated subqueries per lineitem row; the Spark-first rewrite
+    * computes per-order supplier counts ONCE (countDistinct + conditional
+    * countDistinct in one aggregation) and joins them back — EXISTS
+    * becomes `n_supp >= 2`, NOT EXISTS becomes `n_late_supp = 1` (the row
+    * itself is late, so its supplier being the only late one is exactly
+    * the NOT-EXISTS-other-late-supplier condition). Keeps lineitem grain
+    * throughout, so numwait counts late LINES exactly like the oracle's
+    * count(*) over l1. */
+  private val q21WaitingSuppliers = Q(
+    (s, d) => {
+      val o = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val j = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .withColumn("late", col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 365 DAYS"))
+      val perOrder = j.groupBy(col("l_orderkey").as("po_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      val sup = t(s, d, "supplier").select(col("s_suppkey"), col("s_name"))
+      j.filter(col("late"))
+        .join(perOrder, col("l_orderkey") === col("po_orderkey"))
+        .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+        .join(broadcast(sup), col("l_suppkey") === sup("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(10)
+    },
+    Some("SELECT s_name, count(*) AS numwait " +
+      "FROM supplier, lineitem l1, orders " +
+      "WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey " +
+      "AND o_orderstatus = 'F' " +
+      "AND l1.l_shipdate > o_orderdate + INTERVAL 365 DAY " +
+      "AND EXISTS (SELECT 1 FROM lineitem l2 " +
+      "WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) " +
+      "AND NOT EXISTS (SELECT 1 FROM lineitem l3 " +
+      "JOIN orders o2 ON o2.o_orderkey = l3.l_orderkey " +
+      "WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey " +
+      "AND l3.l_shipdate > o2.o_orderdate + INTERVAL 365 DAY) " +
+      "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10"))
+
   val registry: Seq[(String, Q)] = Seq(
     "q2_top1_per_group" -> qTop1PerGroup,
     "q4_priority_check" -> q4PriorityCheck,
@@ -275,5 +415,9 @@ object QueriesTpch {
     "q18_large_orders" -> q18LargeOrders,
     "q19_disjunctive_revenue" -> q19DisjunctiveRevenue,
     "q22_idle_balances" -> q22IdleBalances,
+    "q13_order_distribution" -> q13OrderDistribution,
+    "q17_small_qty_revenue" -> q17SmallQtyRevenue,
+    "q20_dominant_suppliers" -> q20DominantSuppliers,
+    "q21_waiting_suppliers" -> q21WaitingSuppliers,
   )
 }

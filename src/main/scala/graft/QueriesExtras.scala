@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Corpus, Dedup, Fuzzy, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Fuzzy, PqIndex, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline queries (dedup, similarity search, text analysis)
   * with DuckDB oracles. Same determinism rules as [[Queries]]; count-typed
@@ -359,6 +359,46 @@ object QueriesExtras {
         anchorId = 0L, k = 10, nprobe = 8)
     },
     qAnnBruteTopk.sql)
+
+  /** The anchor's raw vector as query metadata (one-row bounded collect —
+    * the same driver-side anchor resolution PQ/IVF-PQ would do in a
+    * vector-search service; never a corpus-sized collect). */
+  private def anchorVec(emb: org.apache.spark.sql.DataFrame): Array[Double] =
+    emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+
+  /** PQ ANN — asymmetric-distance search over seeded m×k codebooks
+    * ([[PqIndex]]): the lossy-compression path is approximate by
+    * construction, so like q_ann_lsh_topk it gets the rows-only driver
+    * check; exactness properties (lossless on-codebook corpus ≡ brute
+    * force, recall floor) are spec-verified in PqIndexSpec. Deterministic:
+    * seeded k-means on the id-ordered training prefix, distance ties break
+    * on id. */
+  private val qAnnPqTopk = Q(
+    (s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val cb = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 16)
+      PqIndex.searchTopK(
+        PqIndex.encode(emb.filter(col("vec_id") =!= 0L), "vec_id", "embedding", cb),
+        "vec_id", cb, anchorVec(emb), topK = 10)
+    },
+    None)
+
+  /** IVF-PQ — the production ANN index shape (coarse cells prune WHICH
+    * rows are scanned, PQ codes compress WHAT is scanned). The coarse
+    * quantizer is an m=1 codebook: k cells over the full vector — the
+    * same seeded training path as the subspace codebooks. Rows-only, as
+    * above. */
+  private val qAnnIvfpqTopk = Q(
+    (s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val cb = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 16)
+      val coarse = PqIndex.train(emb, "vec_id", "embedding", m = 1, k = 8).centroids(0)
+      PqIndex.ivfPqTopK(emb.filter(col("vec_id") =!= 0L), "vec_id", "embedding",
+        cb, coarse, anchorVec(emb), topK = 10, nprobe = 4)
+    },
+    None)
 
   private val qTextStats = Q(
     (s, d) => {
@@ -826,6 +866,8 @@ object QueriesExtras {
     "q_ann_brute_topk" -> qAnnBruteTopk,
     "q_ann_lsh_topk" -> qAnnLshTopk,
     "q_ann_ivf_topk" -> qAnnIvfTopk,
+    "q_ann_pq_topk" -> qAnnPqTopk,
+    "q_ann_ivfpq_topk" -> qAnnIvfpqTopk,
     "q_emb_neardup_pairs" -> qEmbNeardupPairs,
     "q_emb_neardup_lsh" -> qEmbNeardupLsh,
     "q_f2_rename_nested" -> qF2RenameNested,

@@ -168,59 +168,28 @@ object Similarity {
     transform(asD(c), x => when(n === 0, lit(0.0)).otherwise(x / n))
   }
 
-  /** IVF (inverted-file) ANN: a spherical k-means coarse quantizer
-    * partitions the corpus into `nlist` cells; a query scores only the
-    * `nprobe` cells whose centroids are nearest its vector. The clustered,
-    * cell-partitioned table is the persistable index — at 100 TB you write
-    * it once (`Scale.writePartitioned` by cell) and every query touches
-    * ~nprobe/nlist of the data.
-    *
-    * Because the metric is COSINE, training/assignment/probing run on
-    * L2-NORMALIZED vectors (spherical k-means): on raw vectors, a
-    * high-cosine neighbor with a different magnitude lands in a far cell
-    * and partial-probe recall collapses. Final scoring still uses the raw
-    * vectors through [[scoreTopK]], so results carry the exact oracle
-    * arithmetic.
-    *
-    * Training fits on a bounded, deterministic corpus prefix
-    * (`trainLimit`); assignment is a per-row argmin over centroid literals
-    * — no shuffle, no join (the [[withLshBucket]] pattern).
-    */
+  /** IVF (inverted-file) ANN, one-shot convenience form: a spherical
+    * k-means coarse quantizer partitions the corpus into `nlist` cells; a
+    * query scores only the `nprobe` cells whose centroids are nearest its
+    * vector. This wrapper is for tests and ad-hoc exploration ONLY — it
+    * builds a throwaway index on every call. The real entry point is
+    * [[IvfIndex]]: `ensure` builds once per (corpus, params) with an
+    * atomic publish, `topK` is the probe-only query path; this method
+    * delegates to those same two functions, so there is exactly one
+    * quantizer/assignment/probe implementation (see [[IvfIndex]]'s header
+    * for the spherical-normalization and determinism rationale). */
   def ivfTopK(emb: DataFrame, id: String, vec: String, anchorId: Long, k: Int,
               nlist: Int = 16, nprobe: Int = 4, trainLimit: Int = 10000): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
-    def normalized(c: Column): Column = normalizedSafe(c)
-
-    // deterministic training prefix: TakeOrdered on the id, not a bare
-    // limit (whose rows depend on scan order / partition layout). Null
-    // vectors are excluded — KMeans.fit dies on null features.
-    val train = emb.filter(col(vec).isNotNull).orderBy(col(id)).limit(trainLimit)
-      .select(array_to_vector(normalized(col(vec))).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(train)
-    val centroids = model.clusterCenters.map(_.toArray)
-
-    // per-row nearest-centroid cell over unit vectors: argmax of dot with
-    // each centroid literal (|v|=|c|≈1 ⇒ argmin L2 == argmax dot); pure
-    // expression, first index wins ties deterministically
-    def cellOf(c: Column): Column = {
-      val dots = array(centroids.map(ct => dot(normalized(c), array(ct.map(lit): _*))): _*)
-      (array_position(dots, array_max(dots)) - 1).cast("int")
-    }
-
-    val assigned = emb.withColumn("cell", cellOf(col(vec)))
-    val anchorRow = anchorOf(emb, id, vec, anchorId)
-      .withColumn("q_cell_dots",
-        array(centroids.map(ct => dot(normalized(col("q_vec")), array(ct.map(lit): _*))): _*))
-    // probe set: the nprobe highest-dot cells for the anchor (tiny: nlist entries)
-    val probeCells = anchorRow
-      .select(posexplode(col("q_cell_dots")).as(Seq("cell", "d")))
-      .orderBy(col("d").desc, col("cell")).limit(nprobe)
-      .select(col("cell"))
-    scoreTopK(
-      assigned.join(broadcast(probeCells), "cell").drop("cell"),
-      anchorRow.select(col("q_vec")), id, vec, anchorId, k)
+    // ONE code path: this convenience form delegates to the offline/online
+    // split ([[IvfIndex.build]] + [[IvfIndex.topK]]) through a fresh
+    // scratch dir, so the train-in-query shape cannot drift from the real
+    // index. It rebuilds per call — anything repeated (the registered
+    // gate query, a service) must use [[IvfIndex.ensure]], which
+    // content-fingerprints the corpus and reuses the published index.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-adhoc-")
+      .toAbsolutePath.toString
+    IvfIndex.build(emb, id, vec, dir, nlist, trainLimit)
+    IvfIndex.topK(emb.sparkSession, dir, id, vec, anchorId, k, nprobe)
   }
 
   /** Per-group embedding centroids in FIXED-POINT micro-units: each

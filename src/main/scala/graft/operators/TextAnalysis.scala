@@ -341,12 +341,21 @@ object TextAnalysis {
     * with the smallest id as survivor — one map-side-combined shuffle on
     * the (short) canonical string. Rows whose canonicalization is empty
     * or NULL (no `scheme://` / null input) are NOT urls and are dropped
-    * rather than collapsed into one bogus mega-group; the filter runs on
-    * the aggregated group keys (one row per group), so it costs nothing
-    * per input row. */
+    * rather than collapsed into one bogus mega-group.
+    *
+    * The not-a-url filter runs BEFORE the aggregation, on the RAW url:
+    * [[canonicalUrl]] yields "" exactly when no `://` appears before the
+    * first `/?#` (the scheme://host extract comes up empty; fragment
+    * stripping can't create or destroy such a match because `[^/?#]*`
+    * never crosses the `#`). An equivalent post-agg filter on `canon_url`
+    * gets pushed back through the projection by Catalyst, landing the
+    * canonicalization's interpreted filter()-HOF inside a Filter node
+    * (re-evaluated as a predicate — the plan-audit HOF-IN-FILTER trap);
+    * the rlike form is a plain codegen'd predicate that reaches the
+    * scan. */
   def urlDedup(df: DataFrame, id: String, url: String): DataFrame =
-    df.withColumn("canon_url", canonicalUrl(col(url))) // staged: canon once per row
+    df.filter(col(url).rlike("^[^/?#]*://"))
+      .withColumn("canon_url", canonicalUrl(col(url))) // staged: canon once per row
       .groupBy(col("canon_url"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_copies"))
-      .filter(col("canon_url").isNotNull && col("canon_url") =!= "")
 }

@@ -56,6 +56,37 @@ object QueriesExtras {
       .orderBy(col("doc_a"), col("doc_b")),
     Some(JaccardPairsSql))
 
+  /** The INCREMENTAL near-dup path over N arriving batches ≡ the batch
+    * LSH oracle: the corpus is split into 4 deterministic micro-batches
+    * (doc_id mod 4) and fed through the persisted band-key index sink
+    * ([[graft.streaming.Streaming.incrementalNearDupSink]]: new docs join
+    * their band keys against new ∪ indexed keys, exact-verify, append);
+    * the accumulated pairs state must equal the all-at-once
+    * q_dedup_minhash_lsh result — same exact-Jaccard SQL oracle. The
+    * state build is ingest-phase work (like the IVF index): built once
+    * per (corpus, params) via [[graft.operators.StateCache]] and reused
+    * across calls AND JVMs, so gate and bench execute the pairs
+    * read-back against published state. Incremental
+    * completeness argument: a pair (a,b) with a arriving before b is
+    * found in b's batch — b's new keys join against the index that
+    * already holds a's keys — and same-batch pairs join within newKeys;
+    * the same ~5e-8 LSH miss probability as the batch twin applies. */
+  private val qNeardupIncremental = Q(
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
+      val stateDir = graft.operators.StateCache.ensure(s,
+        s"$d/documents.parquet", s"$d|n=5|t=0.8|batches=4",
+        "graft-incdedup", Seq("docs", "keys", "pairs")) { tmp =>
+        (0L until 4L).foreach(b => graft.streaming.Streaming.incrementalNearDupSink(
+          "doc_id", "text", tmp, ngram = 5, threshold = 0.8)(
+          docs.filter(col("doc_id") % 4 === b), b))
+      }
+      s.read.parquet(s"$stateDir/pairs")
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(JaccardPairsSql))
+
   /** Duplicate-CLUSTER resolution over the exact near-dup pairs: connected
     * components via distributed min-label propagation
     * ([[Dedup.dupGroups]]). The oracle computes the same components with a
@@ -852,6 +883,7 @@ object QueriesExtras {
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_ngram_pairs" -> qDedupNgramPairs,
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
+    "q_neardup_incremental" -> qNeardupIncremental,
     "q_dedup_groups" -> qDedupGroups,
     "q_dedup_groups_lsh" -> qDedupGroupsLsh,
     "q_boilerplate_purge" -> qBoilerplatePurge,

@@ -93,68 +93,13 @@ object IvfIndex {
   // measures the probe, which is the honest split: index build is ingest.
   // -------------------------------------------------------------------
 
-  /** Content fingerprint of the embeddings source: md5 over every data
-    * file's (path, length, mtime) plus the build params. Regenerated data
-    * at the same path changes length/mtime → a different index dir, so a
-    * stale index can never serve queries for new data; and the 128-bit key
-    * makes cross-corpus collisions (the 32-bit `String.hashCode` hazard)
-    * a non-issue. */
-  private def indexDirFor(spark: SparkSession, sfDir: String,
-                          nlist: Int, trainLimit: Int): String = {
-    val src = new org.apache.hadoop.fs.Path(s"$sfDir/embeddings.parquet")
-    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val entries =
-      if (!fs.exists(src)) Seq(s"absent:$src")
-      else {
-        val it = fs.listFiles(src, true)
-        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-        while (it.hasNext) { val st = it.next()
-          buf += s"${st.getPath}|${st.getLen}|${st.getModificationTime}" }
-        // single-file table: listFiles on a file path yields that file
-        buf.toSeq.sorted
-      }
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest((s"$sfDir|$nlist|$trainLimit|" + entries.mkString(";"))
-        .getBytes("UTF-8")).map("%02x".format(_)).mkString
-    new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-ivf-$key-n$nlist").getAbsolutePath
-  }
-
-  /** Build-if-absent; returns the index dir. Presence is detected by the
-    * _SUCCESS markers of both index tables. The build goes into a private
-    * temp dir and is PUBLISHED by a single filesystem rename, so a reader
-    * never sees a half-written index and two concurrent builders (Verify +
-    * Bench JVMs) can't interleave writes: whoever renames second just
-    * discards its copy and uses the published one. */
+  /** Build-if-absent; returns the index dir. Content fingerprint, atomic
+    * publish, and concurrent-builder safety all come from [[StateCache]]
+    * (one publish protocol for every cached-state user). */
   def ensure(emb: DataFrame, id: String, vec: String, sfDir: String,
-             nlist: Int = 16, trainLimit: Int = 10000): String = {
-    val dir = indexDirFor(emb.sparkSession, sfDir, nlist, trainLimit)
-    def published: Boolean = Seq("corpus", "centroids")
-      .forall(t => new java.io.File(s"$dir/$t/_SUCCESS").exists())
-    if (!published) {
-      val tmp = dir + "-build-" + java.util.UUID.randomUUID().toString.take(8)
-      build(emb, id, vec, tmp, nlist, trainLimit)
-      val fs = new org.apache.hadoop.fs.Path(dir)
-        .getFileSystem(emb.sparkSession.sparkContext.hadoopConfiguration)
-      // a corrupt partial occupying the target (pre-atomic-publish crash
-      // debris) blocks the rename; clear it — but never a complete index
-      if (fs.exists(new org.apache.hadoop.fs.Path(dir)) && !published)
-        fs.delete(new org.apache.hadoop.fs.Path(dir), true): Unit
-      // Hadoop rename onto an EXISTING dir does not fail — local FS moves
-      // tmp INSIDE it as a child and reports success — so "the target
-      // appeared" must be detected by existence, not by the rename result:
-      // a concurrent builder that published while we trained wins, and our
-      // copy is discarded rather than nested into the winner's index.
-      val ok = !fs.exists(new org.apache.hadoop.fs.Path(dir)) &&
-        fs.rename(new org.apache.hadoop.fs.Path(tmp),
-          new org.apache.hadoop.fs.Path(dir))
-      if (!ok) {
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true): Unit
-        if (!published)
-          throw new java.io.IOException(
-            s"IvfIndex: could not publish index to $dir and no complete index is present")
-      }
-    }
-    dir
-  }
+             nlist: Int = 16, trainLimit: Int = 10000): String =
+    StateCache.ensure(emb.sparkSession, s"$sfDir/embeddings.parquet",
+      s"$sfDir|$nlist|$trainLimit", s"graft-ivf-n$nlist",
+      Seq("corpus", "centroids"))(
+      tmp => build(emb, id, vec, tmp, nlist, trainLimit))
 }

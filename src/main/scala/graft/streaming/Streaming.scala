@@ -469,24 +469,37 @@ object Streaming {
 
   // -------------------------------------------------------------------
   // Kafka wiring (S2/S4, consumer1.py:41-48 / producer.py:43-66). The
-  // spark-sql-kafka connector jar is not in this container, so these
-  // builders are compile-level contracts: correct options and JSON
-  // envelope handling, exercised only where the connector is deployed.
+  // spark-sql-kafka connector jar is not in this container, so the
+  // transport (format("kafka") + options) is a compile-level contract —
+  // but the TRANSFORMS the builders apply are factored out below and
+  // spec-verified over synthetic connector-shaped frames: the source
+  // projection is asserted equal to the file-source path and the sink
+  // envelope round-trips through the projection, so S2/S4 are
+  // transform-verified, transport-untested.
   // -------------------------------------------------------------------
 
-  /** S4 — multi-topic Kafka JSON source: subscribe list, earliest offsets,
-    * value parsed per-topic with the fixed schema (S9 discipline — no
-    * inference pass against a 100 TB topic). */
+  /** The S4 projection over the connector's raw output frame
+    * (key/value binary, topic, partition, offset, timestamp,
+    * timestampType): value parsed with the fixed schema (S9 discipline —
+    * no inference pass against a 100 TB topic). Pure transform —
+    * testable without a broker on any frame with those columns. */
+  def kafkaJsonProjection(raw: DataFrame,
+                          schema: org.apache.spark.sql.types.StructType): DataFrame =
+    raw.select(col("topic"),
+      from_json(col("value").cast("string"), schema).as("doc"),
+      col("timestamp").as("kafka_ts"))
+
+  /** S4 — multi-topic Kafka JSON source: subscribe list, earliest
+    * offsets, then [[kafkaJsonProjection]]. */
   def kafkaJsonSource(spark: SparkSession, servers: String, topics: Seq[String],
                       schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", servers)
-      .option("subscribe", topics.mkString(","))
-      .option("startingOffsets", "earliest")
-      .load()
-      .select(col("topic"),
-        from_json(col("value").cast("string"), schema).as("doc"),
-        col("timestamp").as("kafka_ts"))
+    kafkaJsonProjection(
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("subscribe", topics.mkString(","))
+        .option("startingOffsets", "earliest")
+        .load(),
+      schema)
 
   /** ST6 on the SPARK 4 arbitrary-state API — the same per-key ledger as
     * [[statefulRunningTotals]] expressed as a `StatefulProcessor` with a
@@ -523,9 +536,15 @@ object Streaming {
       .toDF()
   }
 
-  /** S2 — Kafka JSON sink: whole-row JSON envelope, topic routed. */
-  def kafkaJsonSink(df: DataFrame, servers: String, topic: String): DataStreamWriter[Row] =
+  /** The S2 whole-row JSON envelope — the pure transform half of the
+    * sink, spec-verified to round-trip through [[kafkaJsonProjection]]
+    * (produce → consume composes losslessly). */
+  def kafkaJsonEnvelope(df: DataFrame): DataFrame =
     df.selectExpr("to_json(struct(*)) AS value")
+
+  /** S2 — Kafka JSON sink: [[kafkaJsonEnvelope]], topic routed. */
+  def kafkaJsonSink(df: DataFrame, servers: String, topic: String): DataStreamWriter[Row] =
+    kafkaJsonEnvelope(df)
       .writeStream.format("kafka")
       .option("kafka.bootstrap.servers", servers)
       .option("topic", topic)

@@ -519,6 +519,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(back.filter($"topic" === "tweets").count() == 2)
   }
 
+  test("S2/S4 Kafka transforms: projection ≡ file-source path, envelope round-trips") {
+    // The connector jar isn't in this container, so the TRANSPORT stays a
+    // compile-level contract — but the transforms are fully exercised here
+    // over a frame with the connector's exact output shape (key/value
+    // BINARY, topic, partition, offset, timestamp, timestampType).
+    val jsons = Seq(
+      ("tweets", """{"_id":"t1","author":"u1","authorName":"Alice","views":10,"likes":2,"replyCounts":1,"retweetCounts":0,"timestamp":1700000000}"""),
+      ("tweets", """{"_id":"t2","author":"u2","authorName":"Bob","views":5,"likes":null,"replyCounts":0,"retweetCounts":3,"timestamp":1700000100}"""),
+      ("tweets", """{"_id":"t3","author":"u3"}"""), // partial doc: absent fields null, not a row error
+      ("tweets", """not json at all""")) // corrupt record: doc NULL, row preserved
+    val raw = jsons.zipWithIndex.toDF("tv", "off")
+      .select(lit(null).cast("binary").as("key"),
+        $"tv._2".cast("binary").as("value"),
+        $"tv._1".as("topic"),
+        lit(0).as("partition"),
+        $"off".cast("long").as("offset"),
+        lit(ts(1)).as("timestamp"),
+        lit(0).as("timestampType"))
+    val projected = Streaming.kafkaJsonProjection(raw, Tables.tweetsSchema)
+    assert(projected.columns.toSeq == Seq("topic", "doc", "kafka_ts"))
+    // parity with the file-source path: the same payloads read through the
+    // schema'd JSON scan (S9) must parse to the same structs
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kafka_parity").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/payload.json"),
+      jsons.map(_._2).mkString("\n").getBytes("UTF-8"))
+    val viaFile = spark.read.schema(Tables.tweetsSchema).json(tmp)
+      .select(to_json(struct($"*")).as("j")).as[String].collect().sorted.toSeq
+    val viaKafka = projected
+      .select(to_json($"doc").as("j")).as[String].collect().sorted.toSeq
+    assert(viaKafka == viaFile && viaKafka.size == jsons.size)
+    // S2 envelope → S4 projection composes losslessly: producing rows
+    // through the sink envelope and consuming them through the source
+    // projection returns the original rows
+    val rows = Seq(("a", 1L, 2.5), ("b", 2L, -1.0)).toDF("_id", "n", "v")
+    val wire = Streaming.kafkaJsonEnvelope(rows)
+      .select(lit(null).cast("binary").as("key"),
+        $"value".cast("binary").as("value"),
+        lit("echo").as("topic"), lit(0).as("partition"),
+        lit(0L).as("offset"), lit(ts(2)).as("timestamp"),
+        lit(0).as("timestampType"))
+    val back = Streaming.kafkaJsonProjection(wire,
+        org.apache.spark.sql.types.StructType(rows.schema.fields))
+      .select($"doc._id", $"doc.n", $"doc.v")
+      .orderBy($"_id").as[(String, Long, Double)].collect().toSeq
+    assert(back == Seq(("a", 1L, 2.5), ("b", 2L, -1.0)))
+  }
+
   test("streaming upsert query end-to-end with checkpoint") {
     implicit val sq = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString

@@ -19,10 +19,10 @@ object QueriesExtras {
   // "[ \t\n\f\r]+" on BOTH sides.
   private val ShingleCte =
     "WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
-    // position table bound: supports documents up to 65k words (testdata max
-    // is ~100); the Spark side is unbounded, so regenerate this bound if the
-    // corpus ever carries longer documents
-    "pos AS (SELECT unnest(range(1, 65536)) AS i), " +
+    // position table sized from the CORPUS (max words + 1), so there is no
+    // hard-coded bound to go stale: longer documents automatically widen
+    // the table, exactly like the unbounded Spark side
+    "pos AS (SELECT unnest(range(1, (SELECT COALESCE(max(len(w)), 0) + 1 FROM words))) AS i), " +
     "sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i+4), ' ') AS g " +
     "FROM words JOIN pos ON pos.i <= len(w) - 4), " +
     "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
@@ -121,10 +121,10 @@ object QueriesExtras {
           "doc_id", "text", n = 5)
         .orderBy(col("doc_id"))
     },
-    // inlined variant of ShingleCte carrying `source`; shares its 65536-word
-    // position bound — regenerate both if the corpus ever carries longer docs
+    // inlined variant of ShingleCte carrying `source`; same corpus-sized
+    // position table (no hard-coded bound)
     Some("WITH words AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
-      "pos AS (SELECT unnest(range(1, 65536)) AS i), " +
+      "pos AS (SELECT unnest(range(1, (SELECT COALESCE(max(len(w)), 0) + 1 FROM words))) AS i), " +
       "sh AS (SELECT DISTINCT doc_id, source, array_to_string(list_slice(w, i, i+4), ' ') AS g " +
       "FROM words JOIN pos ON pos.i <= len(w) - 4), " +
       "bs AS (SELECT DISTINCT g FROM sh WHERE source = 'src0'), " +
@@ -172,9 +172,10 @@ object QueriesExtras {
     (s, d) => Dedup.purgeBoilerplate(Tables.load(s, d, "documents"),
         "doc_id", "text", segWords = 10, minDocs = 3)
       .orderBy(col("doc_id")),
-    // same 65536 position-table bound caveat as ShingleCte
+    // segment-index table sized from the corpus (max segments at 10
+    // words each) — no hard-coded bound (same contract as ShingleCte)
     Some("WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
-      "pos AS (SELECT unnest(range(0, 65536)) AS j), " +
+      "pos AS (SELECT unnest(range(0, (SELECT COALESCE(max(len(w)), 0) // 10 + 1 FROM words))) AS j), " +
       "segs AS (SELECT doc_id, j AS seg_idx, array_to_string(list_slice(w, j*10+1, j*10+10), ' ') AS seg " +
       "FROM words JOIN pos ON j*10 < len(w)), " +
       "common AS (SELECT seg FROM (SELECT DISTINCT seg, doc_id FROM segs) GROUP BY seg HAVING count(*) >= 3), " +
@@ -486,7 +487,7 @@ object QueriesExtras {
     (s, d) => TextAnalysis.winnowFingerprint(Tables.load(s, d, "documents"), "doc_id", "text")
       .orderBy(col("doc_id")),
     Some("WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
-      "pos AS (SELECT unnest(range(1, 65536)) AS i), " +
+      "pos AS (SELECT unnest(range(1, (SELECT COALESCE(max(len(w)), 0) + 1 FROM words))) AS i), " +
       "sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i+4), ' ') AS g " +
       "FROM words JOIN pos ON pos.i <= len(w) - 4) " +
       "SELECT doc_id, min(('0x' || substr(md5(g), 1, 8))::BIGINT) AS winnow_fp " +
@@ -621,12 +622,11 @@ object QueriesExtras {
     (s, d) => TextAnalysis.qualityFlags(
         Tables.load(s, d, "documents"), "doc_id", "text", minWords = 50)
       .orderBy(col("doc_id")),
-    // pos bound is 100001, NOT the shared 65536: this query's own
-    // ok_word_count domain admits documents up to 100000 words, so the
-    // oracle's bigram table must cover every in-domain document or the
-    // repetition flags would diverge on a 70k-word doc
+    // bigram position table sized from the corpus, so ok_repetition is
+    // computed over EVERY document's full bigram set — no domain cap to
+    // go stale (same contract as ShingleCte)
     Some("WITH words AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
-      "pos AS (SELECT unnest(range(1, 100001)) AS i), " +
+      "pos AS (SELECT unnest(range(1, (SELECT COALESCE(max(len(w)), 0) + 1 FROM words))) AS i), " +
       "bi AS (SELECT doc_id, array_to_string(list_slice(w, i, i+1), ' ') AS g " +
       "FROM words JOIN pos ON pos.i <= len(w) - 1), " +
       "bistats AS (SELECT doc_id, count(*) AS nbi, count(DISTINCT g) AS nbid FROM bi GROUP BY 1), " +
@@ -653,11 +653,9 @@ object QueriesExtras {
         "doc_id", "text", size = 200, overlap = 40)
       .orderBy(col("doc_id"), col("chunk_id")),
     Some("WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents WHERE length(text) > 0), " +
-      // start-position table bound: supports documents up to ~100k chars
-      // (testdata max is ~1k); the Spark side is unbounded — regenerate
-      // this bound if the corpus ever carries longer documents (same
-      // caveat as ShingleCte's 65536-word bound)
-      "r AS (SELECT unnest(range(1, 100000, 160)) AS start), " +
+      // start-position table sized from the corpus (max chars + 1) —
+      // no hard-coded bound (same contract as ShingleCte)
+      "r AS (SELECT unnest(range(1, (SELECT COALESCE(max(len), 0) + 1 FROM d), 160)) AS start), " +
       "s AS (SELECT doc_id, text, start, (start - 1) // 160 + 1 AS cid " +
       "FROM d JOIN r ON r.start <= greatest(len - 40, 1)) " +
       "SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id, substr(text, start, 200) AS chunk " +
@@ -777,9 +775,9 @@ object QueriesExtras {
         "doc_id", "text", size = 32)
       .orderBy(col("doc_id")),
     Some("WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
-      // chunk-index bound: supports 65536-word documents at size=32 (2048
-      // chunks); same regeneration contract as ShingleCte's position bound
-      "pos AS (SELECT unnest(range(0, 2048)) AS j), " +
+      // chunk-index table sized from the corpus (max chunks at size=32) —
+      // no hard-coded bound to go stale (same contract as ShingleCte)
+      "pos AS (SELECT unnest(range(0, (SELECT COALESCE(max(len(w)), 0) // 32 + 1 FROM words))) AS j), " +
       "chunks AS (SELECT doc_id, j AS pos, array_to_string(list_slice(w, j*32+1, j*32+32), ' ') AS chunk " +
       "FROM words JOIN pos ON pos.j <= (len(w)-1)//32), " +
       "ranked AS (SELECT doc_id, pos, chunk, " +
@@ -801,7 +799,7 @@ object QueriesExtras {
     Some("WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
       "base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, " +
       "CAST(len(list_distinct(w)) AS DOUBLE)/len(w) AS distinct_word_ratio FROM words), " +
-      "pos AS (SELECT unnest(range(1, 65536)) AS i), " +
+      "pos AS (SELECT unnest(range(1, (SELECT COALESCE(max(len(w)), 0) + 1 FROM words))) AS i), " +
       "g2 AS (SELECT doc_id, array_to_string(list_slice(w, i, i+1), ' ') AS g " +
       "FROM words JOIN pos ON pos.i <= len(w)-1), " +
       "c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2), " +
@@ -833,7 +831,7 @@ object QueriesExtras {
         .orderBy(col("doc_id"))
     },
     Some("WITH words AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
-      "pos AS (SELECT unnest(range(1, 65536)) AS i), " +
+      "pos AS (SELECT unnest(range(1, (SELECT COALESCE(max(len(w)), 0) + 1 FROM words))) AS i), " +
       "sh AS (SELECT DISTINCT doc_id, source, array_to_string(list_slice(w, i, i+4), ' ') AS g " +
       "FROM words JOIN pos ON pos.i <= len(w) - 4), " +
       "bench AS (SELECT DISTINCT g FROM sh WHERE source = 'src0'), " +
@@ -844,7 +842,12 @@ object QueriesExtras {
   /** Near-dup purge: the corpus that remains after collapsing each
     * duplicate cluster (LSH pairs → connected components) to its min-id
     * canonical. The oracle derives the same survivor set from the
-    * recursive-CTE components. */
+    * recursive-CTE components. Probabilistic gate, same terms as
+    * q_dedup_minhash_lsh: the Spark side's candidates are MinHash+LSH
+    * (P(missed pair | j>=0.8) ≈ 5e-8, growing with corpus size) while
+    * the oracle is exact Jaccard, so an astronomically unlikely missed
+    * candidate — or dupGroups hitting maxIter on a >20-diameter chain,
+    * which throws loudly rather than passing — would fail this row. */
   private val qNeardupPurge = Q(
     (s, d) => Corpus.nearDupPurge(Tables.load(s, d, "documents"),
         "doc_id", "text", n = 5, threshold = 0.8)

@@ -205,9 +205,13 @@ object Corpus {
     * them with the final anti-join. */
   def nearDupPurge(df: DataFrame, id: String, text: String, n: Int,
                    threshold: Double): DataFrame = {
+    // dupGroups has a FIXED output contract — (doc_id, group_id),
+    // whatever the caller's id column is named (its pair input is always
+    // doc_a/doc_b) — so the loser set is selected by that contract and
+    // aliased back to the caller's id for the anti-join
     val losers = Dedup.dupGroups(Dedup.nearDupPairs(df, id, text, n, threshold))
-      .filter(col("group_id") =!= col(id))
-      .select(col(id))
+      .filter(col("group_id") =!= col("doc_id"))
+      .select(col("doc_id").as(id))
     df.join(losers, Seq(id), "left_anti")
   }
 }

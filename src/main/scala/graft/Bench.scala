@@ -58,17 +58,19 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] ivf index build failed: ${e.getMessage}")
     }
-    // Two timed executions per query, min taken: this machine exhibits a
+    // Three timed executions per query, min taken: this machine exhibits a
     // periodic ~30 s system stall (observed landing on a DIFFERENT query
-    // each run, alternating run totals between ~58 s and ~114 s), and a
-    // min-of-2 makes one stall hit at most one of the two samples — the
-    // min measures the plan, not the interruption.
+    // each run, alternating run totals between ~58 s and ~114 s). Round 5
+    // showed min-of-2 still let stall-inflated samples through (five
+    // untouched queries read 2-3x high; all re-measured at baseline on
+    // quiet runs), so a third sample buys one more chance for a clean
+    // measurement — the min measures the plan, not the interruption.
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // a failed run is NOT a sample — its elapsed-to-throw would win the
       // min and under-report the query. min over successes; a query with
       // zero successes reports -1 (unambiguous in the JSON, excluded from
       // the total).
-      val samples = (1 to 2).map { _ =>
+      val samples = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -89,7 +91,7 @@ object Bench {
     // can't silently mix warm and cold numbers: timings are the steady-state
     // second run after a full-workload warmup at the bench sf, through the
     // noop sink, with the IVF index pre-built (ingest-phase work).
-    val meta = s""""unit":"sec","warmup":"full-sf","timing":"steady-state-noop-sink-min-of-2","sf":"$sfDir""""
+    val meta = s""""unit":"sec","warmup":"full-sf","timing":"steady-state-noop-sink-min-of-3","sf":"$sfDir""""
     // The harness that invokes this main keeps only the LAST ~2000 chars of
     // output, and sbt appends a [success] trailer after us — a single line
     // carrying every per-query timing outgrew that window and arrived

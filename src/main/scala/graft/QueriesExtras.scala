@@ -406,14 +406,18 @@ object QueriesExtras {
     * check; exactness properties (lossless on-codebook corpus ≡ brute
     * force, recall floor) are spec-verified in PqIndexSpec. Deterministic:
     * seeded k-means on the id-ordered training prefix, distance ties break
-    * on id. */
+    * on id. Codebook training + corpus encoding are OFFLINE
+    * ([[PqIndex.ensure]], the IvfIndex discipline): published once per
+    * (corpus, params), so this query is the probe path — codebook
+    * metadata read + LUT scoring over the persisted codes. */
   private val qAnnPqTopk = Q(
     (s, d) => {
       val emb = Tables.load(s, d, "embeddings")
-      val cb = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 16)
-      PqIndex.searchTopK(
-        PqIndex.encode(emb.filter(col("vec_id") =!= 0L), "vec_id", "embedding", cb),
-        "vec_id", cb, anchorVec(emb), topK = 10)
+      val dir = PqIndex.ensure(emb, "vec_id", "embedding", d,
+        m = 8, k = 16, coarseNlist = 8)
+      // nprobe = all cells: pure-PQ mode — every code is LUT-scored
+      PqIndex.topKFromIndex(s, dir, "vec_id", anchorVec(emb),
+        anchorId = 0L, topK = 10, nprobe = 8)
     },
     None)
 
@@ -425,10 +429,12 @@ object QueriesExtras {
   private val qAnnIvfpqTopk = Q(
     (s, d) => {
       val emb = Tables.load(s, d, "embeddings")
-      val cb = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 16)
-      val coarse = PqIndex.train(emb, "vec_id", "embedding", m = 1, k = 8).centroids(0)
-      PqIndex.ivfPqTopK(emb.filter(col("vec_id") =!= 0L), "vec_id", "embedding",
-        cb, coarse, anchorVec(emb), topK = 10, nprobe = 4)
+      val dir = PqIndex.ensure(emb, "vec_id", "embedding", d,
+        m = 8, k = 16, coarseNlist = 8)
+      // nprobe < nlist: coarse cells prune the scan (partition pruning on
+      // the published cell layout), PQ codes compress what remains
+      PqIndex.topKFromIndex(s, dir, "vec_id", anchorVec(emb),
+        anchorId = 0L, topK = 10, nprobe = 4)
     },
     None)
 

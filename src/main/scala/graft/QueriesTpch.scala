@@ -25,6 +25,9 @@ import org.apache.spark.sql.functions._
   *  - q20 shape: chained IN + correlated aggregate threshold → window total
   *  - q21 shape: chained EXISTS/NOT EXISTS multi-correlation → one
   *               per-order aggregation joined back at line grain
+  *  - q7 shape:  dual-role dimension (nation ×2) + disjunctive pair filter
+  *  - q8 shape:  share-of-total over the deepest join tree (6 tables)
+  *  - q9 shape:  profit arithmetic inside the agg over a LIKE-filtered dim
   *
   * Determinism: money sums through DECIMAL (see [[Queries]] header);
   * l_quantity holds integer-valued doubles (exact under double summation in
@@ -404,6 +407,141 @@ object QueriesTpch {
       "AND l3.l_shipdate > o2.o_orderdate + INTERVAL 365 DAY) " +
       "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10"))
 
+  /** q7 shape — volume shipping between two nations, by direction and
+    * year: the two-dimension-role join (nation joined TWICE, once through
+    * supplier and once through customer) with a disjunctive pair filter.
+    * Scale order: both dim sides are pre-filtered to the two nations and
+    * broadcast, so ~2/25 of lineitem survives the first (broadcast) join
+    * BEFORE the only shuffle (the fact-fact join with orders). */
+  private val q7VolumeShipping = Q(
+    (s, d) => {
+      val n = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+      val sup = t(s, d, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = t(s, d, "customer")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+        col("l_shipdate"), col("l_extendedprice"), col("l_discount"))
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(revSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+    Some("SELECT supp_nation, cust_nation, l_year, " + SqlRevSum + " AS revenue FROM (" +
+      "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+      "year(l_shipdate) AS l_year, l_extendedprice, l_discount " +
+      "FROM supplier JOIN lineitem ON s_suppkey = l_suppkey " +
+      "JOIN orders ON o_orderkey = l_orderkey " +
+      "JOIN customer ON c_custkey = o_custkey " +
+      "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+      "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+      "WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') " +
+      "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) " +
+      "GROUP BY supp_nation, cust_nation, l_year " +
+      "ORDER BY supp_nation, cust_nation, l_year"))
+
+  /** q8 shape — national market share: the share-of-total aggregation
+    * (conditional numerator and full denominator from ONE pass — the q14
+    * primitive) on top of the deepest join tree in the pack (part →
+    * lineitem → orders → customer → nation → region, plus the supplier
+    * nation as the share dimension). Customer-side region filter and the
+    * part-type filter both push to their dim scans and broadcast. */
+  private val q8MarketShare = Q(
+    (s, d) => {
+      val n = t(s, d, "nation").select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val r = t(s, d, "region").filter(col("r_name") === "ASIA").select(col("r_regionkey"))
+      val custAsia = t(s, d, "customer")
+        .join(broadcast(n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))), col("c_nationkey") === col("n_nationkey"), "left_semi")
+        .select(col("c_custkey"))
+      val sup = t(s, d, "supplier")
+        .join(broadcast(n.select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val p = t(s, d, "part").filter(col("p_type") === "PROMO").select(col("p_partkey"))
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"),
+        col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      val vol = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custAsia), col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_1", vol)
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double").as("nation_volume"),
+          sum(vol).cast("double").as("total_volume"))
+        .select(col("o_year"),
+          (col("nation_volume") / col("total_volume")).as("mkt_share"),
+          col("nation_volume"), col("total_volume"))
+        .orderBy(col("o_year"))
+    },
+    Some("SELECT o_year, nation_volume / total_volume AS mkt_share, nation_volume, total_volume FROM (" +
+      "SELECT year(o_orderdate) AS o_year, " +
+      "CAST(SUM(CASE WHEN n2.n_name = 'NATION_1' " +
+      "THEN CAST(l_extendedprice * (1.0e0 - l_discount) AS DECIMAL(18,4)) " +
+      "ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS nation_volume, " +
+      "CAST(SUM(CAST(l_extendedprice * (1.0e0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_volume " +
+      "FROM part JOIN lineitem ON p_partkey = l_partkey " +
+      "JOIN supplier ON s_suppkey = l_suppkey " +
+      "JOIN orders ON o_orderkey = l_orderkey " +
+      "JOIN customer ON c_custkey = o_custkey " +
+      "JOIN nation n1 ON c_nationkey = n1.n_nationkey " +
+      "JOIN region ON n1.n_regionkey = r_regionkey " +
+      "JOIN nation n2 ON s_nationkey = n2.n_nationkey " +
+      "WHERE r_name = 'ASIA' AND p_type = 'PROMO' " +
+      "GROUP BY o_year) ORDER BY o_year"))
+
+  /** q9 shape — product-type profit by nation and year: profit arithmetic
+    * inside the aggregation over a part-name LIKE filter (no partsupp in
+    * the testdata, so supply cost is retail price × quantity — same
+    * expression shape as the reference's ps_supplycost term). The profit
+    * expression's two double products and their difference are mirrored
+    * verbatim in the oracle before the DECIMAL cast, so the sum is
+    * bit-identical at any partitioning. */
+  private val q9ProductProfit = Q(
+    (s, d) => {
+      val p = t(s, d, "part").filter(col("p_name").like("%widget%"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val n = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+      val sup = t(s, d, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate"))
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      val amount = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        - col("p_retailprice") * col("l_quantity")).cast("decimal(18,4)")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(amount).cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+    Some("SELECT n_name AS nation, year(o_orderdate) AS o_year, " +
+      "CAST(SUM(CAST(l_extendedprice * (1.0e0 - l_discount) " +
+      "- p_retailprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit " +
+      "FROM part JOIN lineitem ON p_partkey = l_partkey " +
+      "JOIN supplier ON s_suppkey = l_suppkey " +
+      "JOIN orders ON o_orderkey = l_orderkey " +
+      "JOIN nation ON s_nationkey = n_nationkey " +
+      "WHERE p_name LIKE '%widget%' " +
+      // grouped by the raw expressions: the alias `nation` would resolve
+      // to the TABLE nation, not the select-list alias
+      "GROUP BY n_name, year(o_orderdate) ORDER BY nation, o_year DESC"))
+
   val registry: Seq[(String, Q)] = Seq(
     "q2_top1_per_group" -> qTop1PerGroup,
     "q4_priority_check" -> q4PriorityCheck,
@@ -419,5 +557,8 @@ object QueriesTpch {
     "q17_small_qty_revenue" -> q17SmallQtyRevenue,
     "q20_dominant_suppliers" -> q20DominantSuppliers,
     "q21_waiting_suppliers" -> q21WaitingSuppliers,
+    "q7_volume_shipping" -> q7VolumeShipping,
+    "q8_market_share" -> q8MarketShare,
+    "q9_product_profit" -> q9ProductProfit,
   )
 }

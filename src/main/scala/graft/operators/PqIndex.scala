@@ -152,6 +152,74 @@ object PqIndex {
     searchTopK(encode(pruned, id, vec, cb), id, cb, anchor, topK)
   }
 
+  /** Offline PQ/IVF-PQ index build via [[StateCache]] (the
+    * [[IvfIndex.ensure]] discipline — codebook training and corpus
+    * encoding are ingest-phase work, done once per (corpus, params)):
+    *  - `codebooks`: (sub, code, centroid) — m×k rows of metadata
+    *  - `coarse`: (cell, centroid) — the IVF-PQ coarse quantizer (an m=1
+    *    codebook over the full vector)
+    *  - `codes`: (id, code, cell), PARTITIONED BY cell — the compressed
+    *    corpus; a probe-limited query reads only its nprobe cell dirs */
+  def ensure(emb: DataFrame, id: String, vec: String, sfDir: String,
+             m: Int, k: Int, coarseNlist: Int, trainLimit: Int = 10000): String = {
+    val spark = emb.sparkSession
+    StateCache.ensure(spark, s"$sfDir/embeddings.parquet",
+      s"$sfDir|pq|$m|$k|$coarseNlist|$trainLimit", s"graft-pq-m$m",
+      Seq("codebooks", "coarse", "codes")) { tmp =>
+      import spark.implicits._
+      val cb = train(emb, id, vec, m, k, trainLimit)
+      val coarse = train(emb, id, vec, 1, coarseNlist, trainLimit).centroids(0)
+      cb.centroids.zipWithIndex.flatMap { case (book, s) =>
+        book.zipWithIndex.map { case (ct, c) => (s, c, ct.toSeq) }
+      }.toSeq.toDF("sub", "code", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/codebooks")
+      coarse.zipWithIndex.map { case (ct, i) => (i, ct.toSeq) }
+        .toSeq.toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/coarse")
+      val v = col(vec).cast("array<double>")
+      val cellDists = array(coarse.map(ct => sqDist(v, ct)): _*)
+      val withCell = emb
+        .filter(col(vec).isNotNull && size(col(vec)) === cb.dim)
+        .withColumn("__cell", (array_position(cellDists, array_min(cellDists)) - 1).cast("int"))
+      encode(withCell, id, vec, cb)
+        .join(withCell.select(col(id), col("__cell").as("cell")), id)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/codes")
+    }
+  }
+
+  /** Read the published codebooks back (bounded metadata: m×k rows). */
+  private def loadCodebooks(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Codebooks = {
+    val rows = spark.read.parquet(s"$dir/codebooks")
+      .orderBy(col("sub"), col("code")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val books = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, g) => g.sortBy(_._2).map(_._3) }.toArray
+    Codebooks(books.head.head.length, books)
+  }
+
+  /** Probe-only query over a published index: nearest `nprobe` coarse
+    * cells by the anchor's distance to the (collected, bounded) centroid
+    * table, then LUT-score ONLY those cells' codes — the cell filter is
+    * partition pruning on the codes layout. `nprobe` = the coarse cell
+    * count scans every code (pure-PQ mode). The anchor row itself is
+    * excluded (ANN-query convention, as [[Similarity.scoreTopK]]). */
+  def topKFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    id: String, anchor: Array[Double], anchorId: Long,
+                    topK: Int, nprobe: Int): DataFrame = {
+    val cb = loadCodebooks(spark, dir)
+    val coarse = spark.read.parquet(s"$dir/coarse")
+      .orderBy(col("cell")).collect().map(_.getSeq[Double](1).toArray)
+    val probed = coarse.zipWithIndex
+      .map { case (ct, i) =>
+        (i, ct.zip(anchor).map { case (c, a) => (c - a) * (c - a) }.sum) }
+      .sortBy { case (i, dSq) => (dSq, i) }.take(nprobe).map(_._1)
+    val codes = spark.read.parquet(s"$dir/codes")
+      .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
+      .filter(col(id) =!= anchorId)
+    searchTopK(codes, id, cb, anchor, topK)
+  }
+
   /** Asymmetric-distance top-k: LUT(sub)(code) = ||anchor_sub − centroid||²
     * computed once driver-side from the codebooks (m × k doubles — query
     * metadata), then every encoded row costs m array lookups + m-1 adds.

@@ -56,4 +56,28 @@ class FuzzySpec extends AnyFunSuite {
       .as[Seq[String]].head()
     assert(got == Seq(""))
   }
+
+  test("dist-1 path edge cases: equal strings, empties, single chars, transposition excluded") {
+    val rows = Seq(
+      (1L, "spark"),
+      (2L, "spark"),  // identical -> dist 0
+      (3L, ""),       // empty
+      (4L, ""),       // empty twin -> dist 0 to 3
+      (5L, "a"),      // one char: dist 1 to empty (insertion)
+      (6L, "b"),      // substitution of 5 at pos 1 -> dist 1; dist 1 to empties
+      (7L, "ab"),     // dist 1 to "a" and "b" (insertion); dist 2 to "ba"
+      (8L, "ba")      // transposition of 7 = dist 2 -> must NOT match 7
+    ).toDF("id", "name")
+    val got = Fuzzy.fuzzySelfMatch(rows, "id", "name", maxDist = 1)
+      .orderBy($"id_a", $"id_b").as[(Long, Long, Long)].collect().toSeq
+    val expected = Seq(
+      (1L, 2L, 0L),             // equal non-empty
+      (3L, 4L, 0L),             // equal empty
+      (3L, 5L, 1L), (3L, 6L, 1L), (4L, 5L, 1L), (4L, 6L, 1L), // empty ↔ one char
+      (5L, 6L, 1L),             // substitution at the only position
+      (5L, 7L, 1L), (6L, 8L, 1L), // one-char ↔ two-char insertions
+      (6L, 7L, 1L), (5L, 8L, 1L)) // "b"→"ab" prepend, "a"→"ba" prepend
+      .sorted
+    assert(got == expected) // notably absent: (7,8) — transposition is dist 2
+  }
 }

@@ -93,4 +93,26 @@ class PqIndexSpec extends AnyFunSuite {
       .as[(Long, Double)].collect()
     assert(partial.length == 10 && partial.map(_._2).sameElements(partial.map(_._2).sorted))
   }
+
+  test("published index probe path ≡ in-memory composition (full probe)") {
+    val d = "/root/testdata/sf0.001"
+    val emb = Tables.load(spark, d, "embeddings")
+    val dir = PqIndex.ensure(emb, "vec_id", "embedding", d,
+      m = 8, k = 16, coarseNlist = 8)
+    val anchor = emb.filter($"vec_id" === 0L)
+      .select($"embedding".cast("array<double>")).as[Seq[Double]].head().toArray
+    val got = PqIndex.topKFromIndex(spark, dir, "vec_id", anchor,
+        anchorId = 0L, topK = 10, nprobe = 8)
+      .as[(Long, Double)].collect().toSeq
+    // same codebooks trained the same seeded way, scored in memory;
+    // encode is per-row deterministic so filtering the anchor before or
+    // after encoding is equivalent
+    val cb = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 16)
+    val mem = PqIndex.searchTopK(
+        PqIndex.encode(emb, "vec_id", "embedding", cb).filter($"vec_id" =!= 0L),
+        "vec_id", cb, anchor, topK = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == mem) // ids AND distances: the parquet round-trip of the
+                       // codebooks is exact, so the LUTs are bit-identical
+  }
 }

@@ -418,11 +418,11 @@ object QueriesTpch {
       val n = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
       val sup = t(s, d, "supplier")
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .filter(col("n_name").isin("NATION_18", "NATION_19"))
         .select(col("s_suppkey"), col("n_name").as("supp_nation"))
       val cust = t(s, d, "customer")
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .filter(col("n_name").isin("NATION_18", "NATION_19"))
         .select(col("c_custkey"), col("n_name").as("cust_nation"))
       val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
       val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
@@ -430,8 +430,8 @@ object QueriesTpch {
       li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .filter((col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
+          (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("long").as("l_year"))
         .agg(revSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
@@ -445,8 +445,8 @@ object QueriesTpch {
       "JOIN customer ON c_custkey = o_custkey " +
       "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
       "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
-      "WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') " +
-      "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) " +
+      "WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19') " +
+      "OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')) " +
       "GROUP BY supp_nation, cust_nation, l_year " +
       "ORDER BY supp_nation, cust_nation, l_year"))
 

@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
   *  - q18 shape: HAVING over a grouped fact, enriched after the filter
   *  - q19 shape: OR-of-ANDs disjunctive predicate — pushdown-hostile shape
   *  - q22 shape: global scalar subquery (broadcast) + anti join
+  *  - q11 shape: HAVING against a fraction-of-total global scalar
   *  - q13 shape: left-outer count distribution — zero-match groups survive
   *  - q17 shape: correlated scalar AVG gate → window avg, one shuffle
   *  - q20 shape: chained IN + correlated aggregate threshold → window total
@@ -407,6 +408,50 @@ object QueriesTpch {
       "AND l3.l_shipdate > o2.o_orderdate + INTERVAL 365 DAY) " +
       "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10"))
 
+  /** q11 shape — important part stock: per-group value sums gated by a
+    * GLOBAL threshold derived from the same aggregate (HAVING sum >
+    * fraction-of-total). The last of the 22 classic shapes: unlike q22
+    * (scalar gates a ROW filter) the scalar here gates the GROUP filter,
+    * and unlike q15 (argmax against the view) the threshold is a scaled
+    * mean, so the aggregated view feeds BOTH the scalar and the final rows.
+    * Spark computes the per-part view once, derives the one-row threshold
+    * from it (broadcast), and filters — no re-aggregation, no self-join.
+    * The testdata has no partsupp, so supply value is lineitem's
+    * price×quantity restricted to one nation's suppliers (q20's supply
+    * mapping). The threshold is 2× the mean per-part value — the
+    * scale-invariant form of the reference's `FRACTION × total` (TPC-H
+    * scales its fraction by 1/SF for exactly this reason). Determinism:
+    * per-row double products mirror operand order, sums go through
+    * DECIMAL (exact at any partitioning), and the threshold comparison
+    * `2.0 * (total / n)` is mirrored token-for-token in the oracle. */
+  private val q11ImportantStock = Q(
+    (s, d) => {
+      val supp = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation").filter(col("n_name") === "NATION_18")
+          .select(col("n_nationkey"))), col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .select(col("s_suppkey"))
+      val perPart = t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice") * col("l_quantity")).cast("decimal(18,2)").as("v"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("v")).as("value_dec"))
+      val thr = perPart.agg(
+        (lit(2.0) * (sum(col("value_dec")).cast("double") / count(lit(1)))).as("threshold"))
+      perPart.crossJoin(broadcast(thr))
+        .filter(col("value_dec").cast("double") > col("threshold"))
+        .select(col("l_partkey"), col("value_dec").cast("double").as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    },
+    Some("WITH supp AS (SELECT s_suppkey FROM supplier " +
+      "JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_18'), " +
+      "pp AS (SELECT l_partkey, SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2))) AS value_dec " +
+      "FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM supp) GROUP BY l_partkey) " +
+      "SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value FROM pp " +
+      "WHERE CAST(value_dec AS DOUBLE) > " +
+      "2.0e0 * ((SELECT CAST(SUM(value_dec) AS DOUBLE) FROM pp) / (SELECT count(*) FROM pp)) " +
+      "ORDER BY value DESC, l_partkey"))
+
   /** q7 shape — volume shipping between two nations, by direction and
     * year: the two-dimension-role join (nation joined TWICE, once through
     * supplier and once through customer) with a disjunctive pair filter.
@@ -557,6 +602,7 @@ object QueriesTpch {
     "q17_small_qty_revenue" -> q17SmallQtyRevenue,
     "q20_dominant_suppliers" -> q20DominantSuppliers,
     "q21_waiting_suppliers" -> q21WaitingSuppliers,
+    "q11_important_stock" -> q11ImportantStock,
     "q7_volume_shipping" -> q7VolumeShipping,
     "q8_market_share" -> q8MarketShare,
     "q9_product_profit" -> q9ProductProfit,

@@ -573,6 +573,38 @@ object QueriesExtras {
       "ORDER BY o.ts DESC, o.event_id DESC LIMIT 1) l ON TRUE " +
       "ORDER BY event_id"))
 
+  /** INTERVAL JOIN — view→click attribution: every (view, click) pair of
+    * the same user where the click lands within two hours AFTER the view
+    * (exclusive of the view instant). Unlike [[qAsofAttrib]] (one match
+    * per row) this emits ALL window matches. The Spark plan is
+    * [[graft.operators.Ops.intervalJoin]]'s time-bucketed equi-join —
+    * the shuffle key is (user_id, time-bucket), so a hot user's pairs
+    * scatter across its time range instead of one task — while the oracle
+    * is the declarative theta-join; the gate proves bucket replication +
+    * residual filtering loses and duplicates nothing at the bucket
+    * boundaries. Both sides compare epoch MICROS (the parquet nanos
+    * truncate identically in Tables.load and epoch_us). */
+  private val qIntervalJoin = Q(
+    (s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("v_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+      graft.operators.Ops.intervalJoin(views, clicks, Seq("user_id"),
+          "v_ts", "c_ts", lowerUs = 0L, upperUs = 2L * 3600L * 1000000L)
+        .select(col("view_id"), col("click_id"), col("user_id"),
+          (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("delta_us"))
+        .orderBy(col("view_id"), col("click_id"))
+    },
+    Some("SELECT v.event_id AS view_id, c.event_id AS click_id, " +
+      "v.user_id AS user_id, epoch_us(c.ts) - epoch_us(v.ts) AS delta_us " +
+      "FROM events v JOIN events c ON v.user_id = c.user_id " +
+      "AND v.event_type = 'view' AND c.event_type = 'click' " +
+      "AND epoch_us(c.ts) > epoch_us(v.ts) " +
+      "AND epoch_us(c.ts) <= epoch_us(v.ts) + 7200000000 " +
+      "ORDER BY view_id, click_id"))
+
   /** Deterministic train/val/test split assignment over the portable salted
     * hash ([[graft.operators.Sampling]]) — membership is a pure per-row
     * function of (id, salt), so it is stable across reruns, partitionings
@@ -920,6 +952,7 @@ object QueriesExtras {
     "q_binary_meta" -> qBinaryMeta,
     "q_redact_pii" -> qRedactPii,
     "q_asof_attrib" -> qAsofAttrib,
+    "q_interval_join" -> qIntervalJoin,
     "q_split_assign" -> qSplitAssign,
     "q_stratified_sample" -> qStratifiedSample,
     "q_tfidf_top_terms" -> qTfidfTopTerms,

@@ -105,6 +105,50 @@ object Ops {
       .select(col("__l.*"), col("__m").as("asof"))
   }
 
+  /** Interval (range) join: every (left, right) pair sharing `keys` with
+    * `rightTs` in the half-open window `(leftTs + lowerUs, leftTs + upperUs]`
+    * — the temporal join behind view→click attribution, sensor alignment
+    * and session stitching. Unlike [[asofJoin]] (one match per left row)
+    * this emits ALL matches in the window.
+    *
+    * Scale shape: a plain `keys` equi-join with the range as a residual
+    * filter degenerates to a per-key cross product on hot keys (one bot
+    * user with 10^6 events → 10^12 candidate pairs in one task). Instead
+    * both sides are TIME-BUCKETED at the window span W = upperUs - lowerUs:
+    * a right row lands in bucket floor(ts/W); a left row's window spans at
+    * most two such buckets, so it is replicated to exactly those (≤2)
+    * buckets. The shuffle key becomes (keys…, bucket) — a hot key's pairs
+    * scatter across its time range instead of piling into one task, and
+    * per-task candidate work is bounded by how many events fall in 2W of
+    * wall time, not by the key's total history. The exact range predicate
+    * then prunes candidates inside the join.
+    *
+    * Timestamps are compared at micro precision (`unix_micros`), matching
+    * what [[graft.Tables]] loads and what DuckDB's `epoch_us` sees.
+    * Right-side payload columns must not collide with left columns
+    * (pre-select/rename at the call site). */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String,
+                   lowerUs: Long, upperUs: Long): DataFrame = {
+    require(upperUs > lowerUs, s"empty interval: ($lowerUs, $upperUs]")
+    val w = upperUs - lowerUs
+    // `div` is integer floor-division for the non-negative epochs here;
+    // array_distinct collapses the two bucket ids when the window happens
+    // to sit inside a single bucket.
+    val l = left
+      .withColumn("__lus", unix_micros(col(leftTs)))
+      .withColumn("__bkt", explode(array_distinct(array(
+        expr(s"(__lus + ${lowerUs + 1}L) div ${w}L"),
+        expr(s"(__lus + ${upperUs}L) div ${w}L")))))
+    val r = right
+      .withColumn("__rus", unix_micros(col(rightTs)))
+      .withColumn("__bkt", expr(s"__rus div ${w}L"))
+    l.join(r, keys :+ "__bkt")
+      .filter(col("__rus") > col("__lus") + lowerUs &&
+        col("__rus") <= col("__lus") + upperUs)
+      .drop("__bkt", "__lus", "__rus")
+  }
+
   /** A2 — partial/final merge property: combining per-subkey partial
     * aggregates must equal the direct aggregate. `sum(cnt)` merges counts,
     * `max(mx)` merges maxes — exactly the reference's `$inc`/`$max`

@@ -107,6 +107,43 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("intervalJoin: window is exclusive at lower, inclusive at upper") {
+    val left = Seq((1L, 100L, 10L)).toDF("k", "lid", "lus")
+      .withColumn("lts", timestamp_micros($"lus")).select("k", "lid", "lts")
+    val right = Seq((1L, 200L, 10L), (1L, 201L, 11L), (1L, 202L, 15L), (1L, 203L, 16L))
+      .toDF("k", "rid", "rus")
+      .withColumn("rts", timestamp_micros($"rus")).select("k", "rid", "rts")
+    // window (10+0, 10+5] = (10, 15]: 10 out (lower exclusive), 11 and 15
+    // in, 16 out (upper inclusive ends at 15)
+    val got = Ops.intervalJoin(left, right, Seq("k"), "lts", "rts", 0L, 5L)
+      .select($"rid").as[Long].collect().sorted
+    assert(got sameElements Array(201L, 202L))
+  }
+
+  test("intervalJoin ≡ brute force on seeded random data (no loss or dup at bucket edges)") {
+    // window span 14 over ts range 200 → every pair straddles bucket
+    // boundaries somewhere; equality with the brute-force theta-join proves
+    // the ≤2-bucket replication loses nothing and duplicates nothing
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      val left = (1 to 50).map(i => (rnd.nextInt(4).toLong, rnd.nextInt(200).toLong, i.toLong))
+      val right = (1 to 70).map(i => (rnd.nextInt(4).toLong, rnd.nextInt(200).toLong, (1000 + i).toLong))
+      val (lo, hi) = (3L, 17L)
+      val lDf = left.toDF("k", "lus", "lid")
+        .withColumn("lts", timestamp_micros($"lus")).select("k", "lid", "lts")
+      val rDf = right.toDF("k", "rus", "rid")
+        .withColumn("rts", timestamp_micros($"rus")).select("k", "rid", "rts")
+      val got = Ops.intervalJoin(lDf, rDf, Seq("k"), "lts", "rts", lo, hi)
+        .select($"lid", $"rid").as[(Long, Long)].collect().toSeq.sorted
+      val expect = (for {
+        (lk, lt, lid) <- left
+        (rk, rt, rid) <- right
+        if lk == rk && rt > lt + lo && rt <= lt + hi
+      } yield (lid, rid)).sorted
+      assert(got == expect)
+    }
+  }
+
   test("union tolerates asymmetric schemas") {
     val a = Seq(("x", 1)).toDF("name", "extra")
     val b = Seq("y").toDF("name")

@@ -605,6 +605,45 @@ object QueriesExtras {
       "AND epoch_us(c.ts) <= epoch_us(v.ts) + 7200000000 " +
       "ORDER BY view_id, click_id"))
 
+  /** K-MEANS cluster assignment ([[graft.operators.Clustering]]): Lloyd's
+    * algorithm, k=8, 2 update iterations from the 8 smallest-id seeds, in
+    * FIXED-POINT arithmetic (trunc(x·10⁶) int64 vectors, exact integer
+    * distances, floor-divided integer centroid means) — so the full
+    * iterative algorithm is bit-identical in any engine and the oracle is
+    * the same two Lloyd iterations written as SQL CTEs. This is the
+    * curation primitive behind semantic dedup and diversity-balanced
+    * sampling; determinism-by-construction is what makes a 100 TB
+    * clustering job reproducible. */
+  private val qKmeansAssign = Q(
+    (s, d) => graft.operators.Clustering.kmeansAssign(
+        Tables.load(s, d, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
+      .orderBy(col("vec_id")),
+    Some {
+      // one Lloyd round: distances to the given centroids, argmin
+      // assignment (ties → smallest cluster), floor-mean update with
+      // empty clusters keeping their previous centroid
+      def round(n: Int, cdims: String): String =
+        s"d$n AS (SELECT d.vec_id, cd.c, SUM((d.x - cd.y) * (d.x - cd.y)) AS dd " +
+        s"FROM dims d JOIN $cdims cd USING (i) GROUP BY d.vec_id, cd.c), " +
+        s"a$n AS (SELECT vec_id, c FROM (SELECT vec_id, c, " +
+        s"row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) AS rn FROM d$n) WHERE rn = 1), " +
+        s"m$n AS (SELECT a.c, d.i, CAST(floor(CAST(SUM(d.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS y " +
+        s"FROM dims d JOIN a$n a USING (vec_id) GROUP BY a.c, d.i), " +
+        s"c$n AS (SELECT s.c, s.i, COALESCE(m.y, s.y) AS y " +
+        s"FROM $cdims s LEFT JOIN m$n m ON s.c = m.c AND s.i = m.i)"
+      "WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[], " +
+        "x -> CAST(trunc(x * 1000000e0) AS BIGINT)) AS v FROM embeddings), " +
+        "dims AS (SELECT vec_id, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS i FROM q), " +
+        "c0 AS (SELECT c, unnest(v) AS y, unnest(range(1, len(v) + 1)) AS i " +
+        "FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v FROM q) WHERE c < 8), " +
+        round(1, "c0") + ", " + round(2, "c1") + ", " +
+        "df AS (SELECT d.vec_id, cd.c, SUM((d.x - cd.y) * (d.x - cd.y)) AS dd " +
+        "FROM dims d JOIN c2 cd USING (i) GROUP BY d.vec_id, cd.c) " +
+        "SELECT vec_id, CAST(c AS INT) AS cluster, CAST(dd AS BIGINT) AS dist2 " +
+        "FROM (SELECT vec_id, c, dd, row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) AS rn " +
+        "FROM df) WHERE rn = 1 ORDER BY vec_id"
+    })
+
   /** Deterministic train/val/test split assignment over the portable salted
     * hash ([[graft.operators.Sampling]]) — membership is a pure per-row
     * function of (id, salt), so it is stable across reruns, partitionings
@@ -953,6 +992,7 @@ object QueriesExtras {
     "q_redact_pii" -> qRedactPii,
     "q_asof_attrib" -> qAsofAttrib,
     "q_interval_join" -> qIntervalJoin,
+    "q_kmeans_assign" -> qKmeansAssign,
     "q_split_assign" -> qSplitAssign,
     "q_stratified_sample" -> qStratifiedSample,
     "q_tfidf_top_terms" -> qTfidfTopTerms,

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over an embedding column — clustering as a
+  * QUERY, for the corpus-curation jobs that need cluster ids in a pipeline
+  * (semantic dedup by cluster, diversity-balanced sampling, IVF-style
+  * sharding) rather than a fitted model object.
+  *
+  * The twist that makes it gate-able: FIXED-POINT arithmetic. Vectors are
+  * quantized to integers (trunc(x·10⁶), the same quantization the LSH
+  * oracle uses), distances are exact int64 sums of squares, and centroid
+  * updates floor-divide integer sums — so every assignment and every
+  * centroid is EXACTLY representable and bit-identical in any engine at
+  * any partitioning. Float k-means results depend on summation order;
+  * this one is deterministic by construction, which is also what you want
+  * from a 100 TB curation job that must be reproducible run-to-run.
+  * (The /1e6 quantization error is far below any distance that matters
+  * for clustering unit-scale embeddings.)
+  *
+  * Scale shape per iteration:
+  *  - assignment: centroids ship as LITERALS inside one codegen'd
+  *    projection (k·dim doubles — metadata, like [[IvfIndex]]'s probe) —
+  *    a map-only pass, no shuffle, no join;
+  *  - update: posexplode to (cluster, dim) grain then ONE partial+final
+  *    hash aggregation — k·dim result rows regardless of corpus size.
+  *    The k·dim driver collect per iteration is bounded index metadata
+  *    (512 values at k=8, dim=64), never corpus rows.
+  * The quantized projection is localCheckpoint'ed once so the `iters`
+  * passes re-scan a materialized narrow table, not the source plan.
+  *
+  * Empty-cluster rule: a cluster that captures no points keeps its
+  * previous centroid (the standard Lloyd fallback), mirrored in the
+  * oracle via LEFT JOIN + COALESCE.
+  */
+object Clustering {
+
+  /** trunc-toward-zero integer quantization, mirroring the oracle's
+    * `CAST(trunc(x * 1000000e0) AS BIGINT)` (long cast truncates). */
+  private def quantize(vec: Column, scale: Double): Column =
+    transform(vec.cast("array<double>"), x => (x * scale).cast("long"))
+
+  /** Exact squared L2 distance between the quantized vector column and one
+    * integer centroid literal: a codegen'd zip_with/aggregate fold. */
+  private def dist2(v: Column, ct: Array[Long]): Column =
+    aggregate(
+      zip_with(v, array(ct.map(lit): _*), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  private def assignCols(centroids: Array[Array[Long]]): (Column, Column) = {
+    val ds = array(centroids.map(ct => dist2(col("__qv"), ct)): _*)
+    // array_position is 1-based and returns the FIRST match: ties resolve
+    // to the smallest cluster id, deterministically
+    ((array_position(ds, array_min(ds)) - 1).cast("int"), array_min(ds))
+  }
+
+  /** Lloyd's k-means, `iters` iterations from deterministic seeds (the k
+    * rows with the smallest `id`). Returns `(id, cluster, dist2)`:
+    * cluster = 0-based index of the nearest final centroid, dist2 = exact
+    * squared quantized distance to it. */
+  def kmeansAssign(emb: DataFrame, id: String, vec: String,
+                   k: Int, iters: Int, scale: Double = 1e6): DataFrame = {
+    require(k > 0 && iters > 0, s"need k > 0 and iters > 0, got k=$k iters=$iters")
+    val q = emb.filter(col(vec).isNotNull)
+      .select(col(id), quantize(col(vec), scale).as("__qv"))
+      .localCheckpoint()
+    val seeds: Array[Array[Long]] = q.orderBy(col(id)).limit(k)
+      .select(col("__qv")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    require(seeds.length == k, s"corpus has ${seeds.length} rows, need k=$k seeds")
+    var centroids = seeds
+    for (_ <- 1 to iters) {
+      val (cluster, _) = assignCols(centroids)
+      val sums = q.select(cluster.as("__c"), posexplode(col("__qv")).as(Seq("__pos", "__x")))
+        .groupBy(col("__c"), col("__pos"))
+        .agg(sum(col("__x")).as("__sx"), count(lit(1)).as("__n"))
+        .collect() // k·dim rows: index metadata, not corpus data
+      val byCluster = sums.groupBy(_.getInt(0))
+      centroids = centroids.zipWithIndex.map { case (prev, c) =>
+        byCluster.get(c).fold(prev) { rows => // empty cluster keeps its centroid
+          val next = prev.clone()
+          rows.foreach { r =>
+            // floor(sum/count) in double: exact for |sum| < 2^53, and the
+            // quotient can't sit within an ulp of an integer (denominator
+            // bounds the fractional part away from 0), so the floor is the
+            // true integer mean — identical in any engine
+            next(r.getInt(1)) = math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong
+          }
+          next
+        }
+      }
+    }
+    val (cluster, d2) = assignCols(centroids)
+    q.select(col(id), cluster.as("cluster"), d2.as("dist2"))
+  }
+}

@@ -605,6 +605,20 @@ object QueriesExtras {
       "AND epoch_us(c.ts) <= epoch_us(v.ts) + 7200000000 " +
       "ORDER BY view_id, click_id"))
 
+  /** Corpus vocabulary ([[graft.operators.TextAnalysis.vocabulary]]):
+    * token term/doc frequencies at min-count 5, the tokenizer-training
+    * corpus-stats pass. One map-side-combined aggregation; output is
+    * vocabulary-sized regardless of corpus size. */
+  private val qVocabulary = Q(
+    (s, d) => graft.operators.TextAnalysis.vocabulary(
+        Tables.load(s, d, "documents"), "doc_id", "text", minCount = 5L)
+      .orderBy(col("term_freq").desc, col("tok")),
+    Some("WITH toks AS (SELECT doc_id, " +
+      "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok FROM documents) " +
+      "SELECT tok, count(*) AS term_freq, count(DISTINCT doc_id) AS doc_freq " +
+      "FROM toks WHERE tok <> '' GROUP BY tok HAVING count(*) >= 5 " +
+      "ORDER BY term_freq DESC, tok"))
+
   /** K-MEANS cluster assignment ([[graft.operators.Clustering]]): Lloyd's
     * algorithm, k=8, 2 update iterations from the 8 smallest-id seeds, in
     * FIXED-POINT arithmetic (trunc(x·10⁶) int64 vectors, exact integer
@@ -993,6 +1007,7 @@ object QueriesExtras {
     "q_asof_attrib" -> qAsofAttrib,
     "q_interval_join" -> qIntervalJoin,
     "q_kmeans_assign" -> qKmeansAssign,
+    "q_vocabulary" -> qVocabulary,
     "q_split_assign" -> qSplitAssign,
     "q_stratified_sample" -> qStratifiedSample,
     "q_tfidf_top_terms" -> qTfidfTopTerms,

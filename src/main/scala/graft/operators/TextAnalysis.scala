@@ -337,6 +337,26 @@ object TextAnalysis {
       when(keptQuery === "", lit("")).otherwise(concat(lit("?"), keptQuery)))
   }
 
+  /** VOCABULARY extraction — corpus-wide token term/document frequencies
+    * with a minimum-count threshold: the tokenizer-training prep step (BPE
+    * corpus stats, stopword mining, OOV analysis) and the feeder for
+    * [[unigramLogProb]]'s frequency table.
+    *
+    * Scale shape: explode to token grain, ONE partial+final hash
+    * aggregation keyed by token (map-side combine collapses each
+    * partition's token multiset before the shuffle, so shuffled bytes are
+    * per-partition VOCABULARY size, not corpus token count), and the
+    * min-count filter prunes the long hapax tail right after the
+    * aggregate. Output is vocabulary-sized — bounded, whatever the corpus
+    * size. `countDistinct(id)` plans as a two-phase distinct-aggregate in
+    * the same shuffle. */
+  def vocabulary(df: DataFrame, id: String, text: String, minCount: Long): DataFrame =
+    df.select(col(id), explode(words(lower(col(text)))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("term_freq"), countDistinct(col(id)).as("doc_freq"))
+      .filter(col("term_freq") >= minCount)
+
   /** First-wins dedup over the canonical URL: one row per canonical key
     * with the smallest id as survivor — one map-side-combined shuffle on
     * the (short) canonical string. Rows whose canonicalization is empty

@@ -558,7 +558,8 @@ object Queries {
     "q_rank_functions" -> qRankFunctions,
     "q_grouped_quantiles" -> qGroupedQuantiles,
     "q_pivot_event_counts" -> qPivotEventCounts,
-  ) ++ QueriesTpch.registry ++ QueriesExtras.registry
+  ) ++ QueriesTpch.registry ++ QueriesExtras.registry ++
+    QueriesRelational.registry ++ QueriesCuration.registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { case (n, q) =>

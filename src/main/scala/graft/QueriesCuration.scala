@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Changelog, Dsir, Sampling}
+
+/** Round-6 curation / table-maintenance pack: changelog materialization
+  * (SCD2 history, CDC snapshot), reproducible weighted sampling, and
+  * DSIR-style importance weighting — the operators a lakehouse-grade
+  * training-data pipeline runs between ingestion and tokenization.
+  * Determinism follows the [[Queries]] header rules; the `events` table
+  * plays the role of a keyed change stream (user_id = key, ts/event_id =
+  * total version order, event_type = op code).
+  */
+object QueriesCuration {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  /** SCD2 history build ([[Changelog.scd2]]): purchase events as attribute
+    * changes of their user; every version becomes a validity interval
+    * `[valid_from, valid_to)` with the open interval flagged current. One
+    * window pass on the key — no self-join, no driver state. */
+  private val qScd2Build = Q(
+    (s, d) => Changelog.scd2(
+        t(s, d, "events").filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value")),
+        key = Seq("user_id"), seq = Seq("ts", "event_id"))
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id")),
+    Some("SELECT user_id, event_id, value, ts AS valid_from, " +
+      "lead(ts) OVER w AS valid_to, " +
+      "(lead(ts) OVER w IS NULL) AS is_current " +
+      "FROM events WHERE event_type = 'purchase' " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+      "ORDER BY user_id, valid_from, event_id"))
+
+  /** CDC snapshot ([[Changelog.cdcApply]]): latest change per user wins,
+    * users whose latest record is the delete op ('error' here) vanish —
+    * the Debezium-style compaction semantics. Same single key-shuffle. */
+  private val qCdcApply = Q(
+    (s, d) => Changelog.cdcApply(
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"), col("value")),
+        key = Seq("user_id"), seq = Seq("ts", "event_id"),
+        opCol = col("event_type"), deleteOp = "error")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("user_id")),
+    Some("SELECT user_id, event_id, event_type, value FROM (" +
+      "SELECT user_id, event_id, event_type, value, " +
+      "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+      "FROM events) WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id"))
+
+  /** Weighted sample, 5 docs per language, inclusion probability ∝ doc
+    * length ([[Sampling.weightedSamplePerGroup]]): the deterministic
+    * Efraimidis–Spirakis draw — the oracle re-derives the exact same
+    * sample from the portable hash, proving reproducibility-by-
+    * construction across engines. */
+  private val qWeightedSample = Q(
+    (s, d) => Sampling.weightedSamplePerGroup(
+        t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        id = "doc_id", weight = "n_chars", group = "lang", k = 5)
+      .orderBy(col("doc_id")),
+    Some("SELECT doc_id, lang, n_chars FROM (" +
+      "SELECT doc_id, lang, n_chars, row_number() OVER (PARTITION BY lang ORDER BY " +
+      "ln((('0x' || substr(md5(doc_id::VARCHAR || 'graft-es'), 1, 8))::BIGINT + 1.0) / 4294967296.0) " +
+      "/ CAST(n_chars AS DOUBLE) DESC, doc_id) AS rn FROM documents) " +
+      "WHERE rn <= 5 ORDER BY doc_id"))
+
+  /** DSIR importance weights ([[Dsir.importanceWeights]]): hashed-unigram
+    * log importance of every document toward the English subset as the
+    * target domain. The oracle rebuilds the full hashed-feature estimator
+    * in SQL — bucket hash, add-one smoothing, and the per-doc log-ratio
+    * sum (round(6) soaks cross-libm ln drift, the repo convention). */
+  private val qDsirWeights = Q(
+    (s, d) => Dsir.importanceWeights(
+        t(s, d, "documents"), id = "doc_id", text = "text",
+        isTarget = col("lang") === "en", buckets = 1024)
+      .orderBy(col("doc_id")),
+    Some("WITH toks AS (SELECT doc_id, lang = 'en' AS it, " +
+      "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok FROM documents), " +
+      "tk AS (SELECT doc_id, it, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS b " +
+      "FROM toks WHERE tok <> ''), " +
+      "bs AS (SELECT b, count(*) AS cnt_c, " +
+      "CAST(SUM(CASE WHEN it THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t FROM tk GROUP BY b), " +
+      "tot AS (SELECT CAST(SUM(cnt_c) AS BIGINT) AS tot_c, " +
+      "CAST(SUM(cnt_t) AS BIGINT) AS tot_t FROM bs) " +
+      "SELECT doc_id, count(*) AS n_tokens, " +
+      "round(SUM(ln((cnt_t + 1.0) / (tot_t + 1024.0)) - ln((cnt_c + 1.0) / (tot_c + 1024.0))), 6) AS log_weight " +
+      "FROM tk JOIN bs USING (b), tot GROUP BY doc_id ORDER BY doc_id"))
+
+  val registry: Seq[(String, Q)] = Seq(
+    "q_scd2_build" -> qScd2Build,
+    "q_cdc_apply" -> qCdcApply,
+    "q_weighted_sample" -> qWeightedSample,
+    "q_dsir_weights" -> qDsirWeights,
+  )
+}

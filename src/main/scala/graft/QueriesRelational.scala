@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational-breadth pack beyond the TPC-H shapes in [[QueriesTpch]]:
+  * the remaining ANSI-SQL surface a reference user would expect from a
+  * complete analytics engine, each with a DuckDB oracle.
+  *
+  *  - explicit GROUPING SETS (rollup/cube are in [[Queries]]; the free-form
+  *    set list is its own Catalyst shape — `Expand` with an arbitrary
+  *    projection list, one pass, no union-of-aggregates re-scan)
+  *  - INTERSECT / EXCEPT set semantics (distinct-based set ops plan as
+  *    left-semi / left-anti over aggregated children, NOT row unions)
+  *  - FULL OUTER join reconciliation (both-sides-preserved merge with
+  *    coalesced keys — the "compare two pipeline versions" primitive)
+  *  - EXISTS as a COLUMN (existence flag on every row, not a filter —
+  *    plans as a left join against the distinct key set)
+  *  - distribution window functions (ntile / percent_rank / cume_dist)
+  *
+  * Determinism follows the [[Queries]] header rules: total-order sorts
+  * mirrored in the oracle, exact DECIMAL money sums, and window orderings
+  * made total with the unique key so tie order cannot flap.
+  */
+object QueriesRelational {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+  private val SqlDsum = (x: String) => s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** Free-form GROUPING SETS: revenue by (nation, priority), by nation,
+    * and the grand total — one `Expand`-based aggregation pass (NOT a
+    * union of three scans; at 100 TB re-scanning the fact per set is the
+    * difference between one shuffle and three). Margin rows are relabeled
+    * via grouping() exactly like the cube query, so NULL group values and
+    * NULL margins cannot collide. */
+  private val qGroupingSets = Q(
+    (s, d) => {
+      val n = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val o = t(s, d, "orders").select(col("o_custkey"), col("o_orderpriority"), col("o_totalprice"))
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupingSets(
+          Seq(Seq(col("n_name"), col("o_orderpriority")), Seq(col("n_name")), Seq()),
+          col("n_name"), col("o_orderpriority"))
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"),
+          grouping(col("n_name")).as("g_n"), grouping(col("o_orderpriority")).as("g_p"))
+        .select(
+          when(col("g_n") === 1, "ALL").otherwise(col("n_name")).as("nation"),
+          when(col("g_p") === 1, "ALL").otherwise(col("o_orderpriority")).as("priority"),
+          col("revenue"), col("n_orders"))
+        .orderBy(col("nation"), col("priority"))
+    },
+    Some("SELECT CASE WHEN GROUPING(n_name) = 1 THEN 'ALL' ELSE n_name END AS nation, " +
+      "CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority, " +
+      SqlDsum("o_totalprice") + " AS revenue, count(*) AS n_orders " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey " +
+      "JOIN nation ON c_nationkey = n_nationkey " +
+      "GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), ()) " +
+      "ORDER BY nation, priority"))
+
+  /** INTERSECT / EXCEPT set semantics over two derived key sets (customers
+    * holding urgent orders vs customers holding low-priority orders).
+    * Spark plans set ops as aggregate + left-semi / left-anti — distinct
+    * first, so the join inputs are already key-grain (at scale: the semi
+    * join shuffles |keys|, not |orders|). Both branches come back in one
+    * tagged frame so the single oracle covers both semantics. */
+  private val qSetOps = Q(
+    (s, d) => {
+      def keysOf(p: String): DataFrame =
+        t(s, d, "orders").filter(col("o_orderpriority") === p)
+          .select(col("o_custkey").as("c_key"))
+      val urgent = keysOf("1-URGENT")
+      val low = keysOf("5-LOW")
+      urgent.intersect(low).withColumn("tag", lit("both"))
+        .unionByName(urgent.except(low).withColumn("tag", lit("urgent_only")))
+        .select(col("tag"), col("c_key"))
+        .orderBy(col("tag"), col("c_key"))
+    },
+    Some("SELECT 'both' AS tag, c_key FROM (" +
+      "SELECT o_custkey AS c_key FROM orders WHERE o_orderpriority = '1-URGENT' " +
+      "INTERSECT SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW') " +
+      "UNION ALL SELECT 'urgent_only', c_key FROM (" +
+      "SELECT o_custkey AS c_key FROM orders WHERE o_orderpriority = '1-URGENT' " +
+      "EXCEPT SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW') " +
+      "ORDER BY tag, c_key"))
+
+  /** FULL OUTER reconciliation: per-customer revenue from urgent vs
+    * low-priority orders, both sides preserved (a customer with only one
+    * kind appears with the other side zeroed). The two aggregations reduce
+    * to customer grain BEFORE the full join — at scale the outer join
+    * shuffles |customers|, not |orders| — and the coalesced key keeps one
+    * key column. */
+  private val qFullOuterRecon = Q(
+    (s, d) => {
+      def rev(p: String, out: String): DataFrame =
+        t(s, d, "orders").filter(col("o_orderpriority") === p)
+          .groupBy(col("o_custkey")).agg(dsum(col("o_totalprice")).as(out))
+      val u = rev("1-URGENT", "urgent_rev").withColumnRenamed("o_custkey", "u_key")
+      val l = rev("5-LOW", "low_rev").withColumnRenamed("o_custkey", "l_key")
+      u.join(l, u("u_key") === l("l_key"), "full_outer")
+        .select(
+          coalesce(col("u_key"), col("l_key")).as("c_key"),
+          coalesce(col("urgent_rev"), lit(0.0)).as("urgent_rev"),
+          coalesce(col("low_rev"), lit(0.0)).as("low_rev"))
+        .withColumn("delta", col("urgent_rev") - col("low_rev"))
+        .orderBy(col("c_key"))
+    },
+    Some("SELECT COALESCE(u_key, l_key) AS c_key, " +
+      "COALESCE(urgent_rev, 0.0e0) AS urgent_rev, COALESCE(low_rev, 0.0e0) AS low_rev, " +
+      "COALESCE(urgent_rev, 0.0e0) - COALESCE(low_rev, 0.0e0) AS delta FROM (" +
+      "SELECT o_custkey AS u_key, " + SqlDsum("o_totalprice") + " AS urgent_rev " +
+      "FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1) u " +
+      "FULL OUTER JOIN (" +
+      "SELECT o_custkey AS l_key, " + SqlDsum("o_totalprice") + " AS low_rev " +
+      "FROM orders WHERE o_orderpriority = '5-LOW' GROUP BY 1) l ON u_key = l_key " +
+      "ORDER BY c_key"))
+
+  /** EXISTS as a column: every customer, flagged with whether they hold an
+    * urgent order — existence as DATA, not as a filter (the "enrich with a
+    * boolean, let downstream decide" shape). Plans as a left join against
+    * the DISTINCT urgent key set: the distinct runs first so the join
+    * probe is key-grain, and the flag is a null-check on the joined key —
+    * no row multiplication even for customers with many urgent orders. */
+  private val qExistsFlag = Q(
+    (s, d) => {
+      val urgent = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")).distinct()
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
+      c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_outer")
+        .select(col("c_custkey"), col("c_acctbal"),
+          col("o_custkey").isNotNull.as("has_urgent"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("SELECT c_custkey, c_acctbal, " +
+      "EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+      "AND o_orderpriority = '1-URGENT') AS has_urgent " +
+      "FROM customer ORDER BY c_custkey"))
+
+  /** Distribution window functions — ntile(4) / percent_rank / cume_dist
+    * over customers within their market segment, by account balance. The
+    * window ordering includes the unique key, making it TOTAL: ntile's
+    * bucket boundaries and cume_dist's tie plateaus are then identical on
+    * any engine and any partitioning (ntile over a tied, non-total order
+    * is nondeterministic by definition). One shuffle on the segment key
+    * serves all three functions. */
+  private val qWindowDist = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, d, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .orderBy(col("c_mktsegment"), col("c_custkey"))
+    },
+    Some("SELECT c_mktsegment, c_custkey, c_acctbal, " +
+      "CAST(ntile(4) OVER w AS BIGINT) AS quartile, " +
+      "percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume " +
+      "FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) " +
+      "ORDER BY c_mktsegment, c_custkey"))
+
+  val registry: Seq[(String, Q)] = Seq(
+    "q_grouping_sets" -> qGroupingSets,
+    "q_setops" -> qSetOps,
+    "q_full_outer_recon" -> qFullOuterRecon,
+    "q_exists_flag" -> qExistsFlag,
+    "q_window_dist" -> qWindowDist,
+  )
+}

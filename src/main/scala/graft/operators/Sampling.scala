@@ -91,6 +91,35 @@ object Sampling {
       .drop("keep_ppm")
   }
 
+  /** WEIGHTED sampling without replacement, k per group — deterministic
+    * Efraimidis–Spirakis (A-ES): each row draws u ∈ (0,1] from the salted
+    * portable hash of its id and scores `ln(u)/w`; the k highest scores
+    * per group win. That is exactly sampling without replacement with
+    * inclusion probability proportional to weight — but REPRODUCIBLE: the
+    * draw is a pure function of (id, salt), so membership survives reruns,
+    * repartitioning, and engine changes (the oracle re-derives it in SQL).
+    *
+    * Scale shape: one shuffle on the group key (the row_number window);
+    * no global sort, no driver state. Scores are CONTINUOUS (distinct
+    * 32-bit hashes, distinct weights ⇒ ties have ~2⁻³² probability, and
+    * the id tie-breaker makes even those deterministic), and the score
+    * itself is not emitted, so cross-libm `ln` drift in the last ulp
+    * cannot flap a rank — gaps between order statistics of a continuous
+    * draw dwarf 1e-16 relative error. */
+  def weightedSamplePerGroup(df: DataFrame, id: String, weight: String,
+                             group: String, k: Int,
+                             salt: String = "graft-es"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(concat(col(id).cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("double")
+    val u = (h + lit(1.0)) / lit(4294967296.0)
+    val score = log(u) / col(weight).cast("double")
+    val w = Window.partitionBy(col(group)).orderBy(score.desc, col(id))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Split assignment by cumulative percentage cuts (must sum to 100).
     * Adds `bucket` (0-99) and `split` columns; every id maps to exactly one
     * split, forever, on any engine. */

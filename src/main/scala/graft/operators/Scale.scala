@@ -131,4 +131,54 @@ object Scale {
     df.repartitionByRange(files, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
       .write.mode("overwrite").parquet(path)
+
+  /** Z-value of up to four numeric columns: each column is min/max-scaled
+    * to a 16-bit code and the codes' bits are INTERLEAVED (Morton order),
+    * so nearby z-values are nearby in EVERY dimension at once. The scaling
+    * bounds come in as literals (one tiny agg upstream) so the expression
+    * stays pure-codegen per row. */
+  def zValue(codes: Seq[(Column, Double, Double)]): Column = {
+    require(codes.nonEmpty && codes.size <= 4,
+      s"zValue interleaves 1-4 columns, got ${codes.size}")
+    val n = codes.size
+    val scaled = codes.map { case (c, lo, hi) =>
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      // clamp handles out-of-range stragglers (e.g. data appended after
+      // the bounds were sampled) instead of wrapping their bits
+      least(greatest(floor((c.cast("double") - lit(lo)) / lit(span) * 65535.0)
+        .cast("long"), lit(0L)), lit(65535L))
+    }
+    (0 until 16).flatMap { bit =>
+      scaled.zipWithIndex.map { case (s, j) =>
+        shiftleft(shiftright(s, bit).bitwiseAND(lit(1L)), bit * n + j)
+      }
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-ORDERED write — multi-column data skipping: rows are clustered
+    * along the Morton curve of `cols`, so each output file covers a small
+    * HYPER-RECTANGLE of the key space rather than a thin slice of one
+    * column. Parquet min/max footer stats then prune files for predicates
+    * on ANY of the clustered columns (a single-column range-cluster prunes
+    * only its own column; with F files and c columns, a z-ordered file's
+    * per-dimension extent shrinks ~F^(-1/c) of the domain). Bounds are one
+    * cheap min/max aggregate over the input; the z-value itself is a
+    * per-row codegen expression, and the layout is one range shuffle —
+    * exactly the cost of the single-column writer. */
+  def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
+                    files: Int): Unit = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+    require(!bounds.anyNull,
+      "writeZOrdered: empty input or all-null clustering column — no bounds")
+    val codes = cols.zipWithIndex.map { case (c, i) =>
+      (col(c), bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+    }
+    df.withColumn("__z", zValue(codes))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

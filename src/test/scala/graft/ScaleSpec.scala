@@ -120,6 +120,52 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("z-ordered write shrinks per-file extent on BOTH dimensions (multi-column skipping)") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 8000).map(_ => (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+      .toDF("x", "y")
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fileExtents(dir: String): Array[(Double, Double)] = {
+      val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+      files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(max($"x") - min($"x"), max($"y") - min($"y")).head()
+        (r.getLong(0).toDouble, r.getLong(1).toDouble)
+      }
+    }
+    val zDir = java.nio.file.Files.createTempDirectory("graft_z2").toString + "/z"
+    val rDir = java.nio.file.Files.createTempDirectory("graft_z2").toString + "/r"
+    Scale.writeZOrdered(df, zDir, Seq("x", "y"), files = 16)
+    Scale.writeRangeClustered(df, rDir, Seq("x"), files = 16)
+    val zExt = fileExtents(zDir)
+    val rExt = fileExtents(rDir)
+    assert(zExt.length == 16)
+    def avg(a: Array[Double]) = a.sum / a.length
+    val (zx, zy) = (avg(zExt.map(_._1)), avg(zExt.map(_._2)))
+    val (rx, ry) = (avg(rExt.map(_._1)), avg(rExt.map(_._2)))
+    // 16 files over a 2-D Morton curve → per-file extent ~1/4 of the domain
+    // on EACH axis (F^(-1/c)); give it slack to 45%
+    assert(zx < 65536 * 0.45 && zy < 65536 * 0.45, s"z extents: $zx, $zy")
+    // the single-column clustering prunes x hard but leaves y unclustered —
+    // exactly the failure mode z-order exists to fix
+    assert(rx < 65536 * 0.15, s"range-clustered x extent: $rx")
+    assert(ry > 65536 * 0.8, s"range-clustered y should span the domain: $ry")
+    assert(zy < ry * 0.5, s"z-order must beat single-column clustering on y: $zy vs $ry")
+  }
+
+  test("z-ordered layout round-trips the data unchanged") {
+    val rnd = new scala.util.Random(13)
+    val df = (1 to 3000).map(i => (i.toLong, rnd.nextInt(1000).toDouble, rnd.nextInt(1000).toLong))
+      .toDF("id", "a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("graft_z3").toString + "/t"
+    Scale.writeZOrdered(df, dir, Seq("a", "b"), files = 8)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 3000)
+    assert(df.exceptAll(back).isEmpty && back.exceptAll(df).isEmpty)
+  }
+
   test("A9 Aggregator builds the engagement map in one pass, merge-safe") {
     val rows = Seq(
       ("u1", (100L, 1L, 2L, 3L)), ("u1", (100L, 1L, 0L, 0L)), ("u1", (200L, 5L, 5L, 5L)),

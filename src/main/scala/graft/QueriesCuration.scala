@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Changelog, Dsir, Sampling}
+import graft.operators.{Bpe, Changelog, Dsir, Sampling}
 
 /** Round-6 curation / table-maintenance pack: changelog materialization
   * (SCD2 history, CDC snapshot), reproducible weighted sampling, and
@@ -90,7 +90,29 @@ object QueriesCuration {
       "round(SUM(ln((cnt_t + 1.0) / (tot_t + 1024.0)) - ln((cnt_c + 1.0) / (tot_c + 1024.0))), 6) AS log_weight " +
       "FROM tk JOIN bs USING (b), tot GROUP BY doc_id ORDER BY doc_id"))
 
+  /** BPE tokenization ([[Bpe]]): train 64 merges on the corpus' own
+    * word-frequency table (distributed stats, vocabulary-bounded driver
+    * iteration), then encode every document in the scan stage via the
+    * `bpe_encode` codegen expression. NO SQL ORACLE by design — the merge
+    * table is data-dependent and its greedy application is iterative, which
+    * ANSI SQL cannot express; the driver records the rows-only check (the
+    * q_ann_lsh_topk precedent) and BpeSpec pins semantics against an
+    * independent reference implementation, including losslessness. Tokens
+    * are emitted pipe-joined so the gate hashes a flat deterministic
+    * column. */
+  private val qBpeEncode = Q(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val model = Bpe.train(docs, "text", numMerges = 64)
+      Bpe.encode(docs, "doc_id", "text", model)
+        .select(col("doc_id"), col("n_tokens"),
+          concat_ws("|", col("tokens")).as("tokens_str"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
   val registry: Seq[(String, Q)] = Seq(
+    "q_bpe_encode" -> qBpeEncode,
     "q_scd2_build" -> qScd2Build,
     "q_cdc_apply" -> qCdcApply,
     "q_weighted_sample" -> qWeightedSample,

@@ -88,7 +88,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => LshBandKeys(exprs(0), exprs(1), exprs(2), exprs(3))),
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      (exprs: Seq[Expression]) => MinHashSig(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => MinHashSig(exprs(0), exprs(1))),
+    (FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
+      (exprs: Seq[Expression]) => BpeEncode(exprs(0), exprs(1))))
 
   /** Idempotent per-session registration (for library callers that don't
     * control session construction). */

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bpe, Changelog, Dsir, Sampling}
+import graft.operators.{Bpe, Changelog, Dsir, Graph, Profiler, Sampling}
 
 /** Round-6 curation / table-maintenance pack: changelog materialization
   * (SCD2 history, CDC snapshot), reproducible weighted sampling, and
@@ -111,8 +111,68 @@ object QueriesCuration {
     },
     None)
 
+  /** PAGERANK over the customer↔supplier trade graph ([[Graph.pageRank]]):
+    * 3 exact fixed-point iterations (integer micro-unit ranks, floor'd
+    * divisions — the kmeans determinism construction), symmetric distinct
+    * edges from orders⋈lineitem with namespaced node ids. The oracle
+    * unrolls the SAME three rounds as SQL CTEs, so the driver gate proves
+    * the distributed iteration bit-matches a sequential engine. */
+  private val qPageRank = Q(
+    (s, d) => {
+      val base = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("c"),
+          concat(lit("s"), col("l_suppkey")).as("su"))
+        .distinct()
+      val edges = base.select(col("c").as("src"), col("su").as("dst"))
+        .union(base.select(col("su"), col("c")))
+      Graph.pageRank(edges, iters = 3)
+        .orderBy(col("rank").desc, col("node"))
+    },
+    Some("WITH base AS (SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS su " +
+      "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+      "e AS (SELECT c AS src, su AS dst FROM base UNION ALL SELECT su, c FROM base), " +
+      "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+      "od AS (SELECT src, count(*) AS od FROM e GROUP BY src), " +
+      "r0 AS (SELECT node, CAST(1000000 AS DOUBLE) AS rank FROM nodes), " +
+      "c1 AS (SELECT e.dst, SUM(FLOOR(r.rank / od.od)) AS m FROM e " +
+      "JOIN r0 r ON e.src = r.node JOIN od ON e.src = od.src GROUP BY e.dst), " +
+      "r1 AS (SELECT n.node, 150000 + FLOOR(85.0 * COALESCE(c1.m, 0) / 100.0) AS rank " +
+      "FROM nodes n LEFT JOIN c1 ON n.node = c1.dst), " +
+      "c2 AS (SELECT e.dst, SUM(FLOOR(r.rank / od.od)) AS m FROM e " +
+      "JOIN r1 r ON e.src = r.node JOIN od ON e.src = od.src GROUP BY e.dst), " +
+      "r2 AS (SELECT n.node, 150000 + FLOOR(85.0 * COALESCE(c2.m, 0) / 100.0) AS rank " +
+      "FROM nodes n LEFT JOIN c2 ON n.node = c2.dst), " +
+      "c3 AS (SELECT e.dst, SUM(FLOOR(r.rank / od.od)) AS m FROM e " +
+      "JOIN r2 r ON e.src = r.node JOIN od ON e.src = od.src GROUP BY e.dst), " +
+      "r3 AS (SELECT n.node, 150000 + FLOOR(85.0 * COALESCE(c3.m, 0) / 100.0) AS rank " +
+      "FROM nodes n LEFT JOIN c3 ON n.node = c3.dst) " +
+      "SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY rank DESC, node"))
+
+  /** Table profile ([[Profiler.profile]]) of `customer`: one aggregation
+    * pass → column-grain quality summary. The oracle is the literal
+    * per-column UNION ALL — same stats, table-scan-per-column — which the
+    * single-pass Expand plan must match number for number. */
+  private val qProfileTable = Q(
+    (s, d) => Profiler.profile(t(s, d, "customer")).orderBy(col("col_name")),
+    Some {
+      def num(c: String) =
+        s"SELECT '$c' AS col_name, count(*) AS n_rows, " +
+          s"count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct, " +
+          s"CAST(min($c) AS DOUBLE) AS min_val, CAST(max($c) AS DOUBLE) AS max_val FROM customer"
+      def str(c: String) =
+        s"SELECT '$c', count(*), count(*) - count($c), count(DISTINCT $c), " +
+          s"CAST(min(length($c)) AS DOUBLE), CAST(max(length($c)) AS DOUBLE) FROM customer"
+      Seq(num("c_custkey"), str("c_name"), num("c_nationkey"),
+        num("c_acctbal"), str("c_mktsegment"))
+        .mkString("", " UNION ALL ", " ORDER BY col_name")
+    })
+
   val registry: Seq[(String, Q)] = Seq(
     "q_bpe_encode" -> qBpeEncode,
+    "q_pagerank" -> qPageRank,
+    "q_profile_table" -> qProfileTable,
     "q_scd2_build" -> qScd2Build,
     "q_cdc_apply" -> qCdcApply,
     "q_weighted_sample" -> qWeightedSample,

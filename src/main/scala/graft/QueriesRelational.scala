@@ -164,8 +164,59 @@ object QueriesRelational {
       "FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) " +
       "ORDER BY c_mktsegment, c_custkey"))
 
+  /** Time-RANGE window frame: per-user rolling 1-hour event count and
+    * value sum — `RANGE BETWEEN <interval> PRECEDING AND CURRENT ROW`, the
+    * frame shape none of the existing window queries exercise (ROWS frames
+    * count rows; RANGE frames cut on the ORDER key's VALUE, so the frame
+    * widens and narrows with event density — the standard trailing-window
+    * feature for fraud/rate monitoring). The order key is epoch
+    * MICROSECONDS (integer, identical in both engines — interval frames
+    * on raw timestamps would drag in engine time semantics); value sums
+    * pass through DECIMAL(18,4), exact for this data's ≤3-decimal values,
+    * so the rolling sum cannot drift with evaluation order. One shuffle
+    * on the user key serves both aggregates. */
+  private val qRollingRange = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("es"))
+        .rangeBetween(-3600000000L, 0L)
+      t(s, d, "events")
+        .withColumn("es", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_id"), col("es"),
+          count(lit(1)).over(w).as("cnt_1h"),
+          sum(col("value").cast("decimal(18,4)")).over(w).cast("double").as("sum_1h"))
+        .orderBy(col("user_id"), col("es"), col("event_id"))
+    },
+    Some("SELECT user_id, event_id, epoch_us(ts) AS es, " +
+      "count(*) OVER w AS cnt_1h, " +
+      "CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h " +
+      "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) " +
+      "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) " +
+      "ORDER BY user_id, es, event_id"))
+
+  /** UNPIVOT (wide → long): the inverse of the pivot query — measure
+    * columns melt into (metric, val) rows, the normalization step before
+    * generic per-metric aggregation or ML feature long-tables. Map-only
+    * (each input row emits one row per measure in the scan stage — no
+    * shuffle, no join against a metric dimension). */
+  private val qUnpivot = Q(
+    (s, d) => t(s, d, "customer")
+      .select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("acctbal"),
+        col("c_nationkey").cast("double").as("nationkey"))
+      .unpivot(Array(col("c_custkey")), Array(col("acctbal"), col("nationkey")),
+        "metric", "val")
+      .orderBy(col("c_custkey"), col("metric")),
+    Some("SELECT c_custkey, metric, val FROM (" +
+      "SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal, " +
+      "CAST(c_nationkey AS DOUBLE) AS nationkey FROM customer) " +
+      "UNPIVOT (val FOR metric IN (acctbal, nationkey)) " +
+      "ORDER BY c_custkey, metric"))
+
   val registry: Seq[(String, Q)] = Seq(
     "q_grouping_sets" -> qGroupingSets,
+    "q_rolling_range" -> qRollingRange,
+    "q_unpivot" -> qUnpivot,
     "q_setops" -> qSetOps,
     "q_full_outer_recon" -> qFullOuterRecon,
     "q_exists_flag" -> qExistsFlag,

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{NumericType, StringType}
+
+/** Table profiling — the `ANALYZE`-style data-quality summary every
+  * ingestion pipeline runs before trusting a new drop: per column, the
+  * null count, exact distinct count, and a min/max envelope (the value
+  * range for numeric columns, the LENGTH range for strings — a 0-length
+  * min or a 10⁶-length max is the classic malformed-row smell).
+  *
+  * Plan shape: ONE aggregation pass over the table produces a single wide
+  * row (Catalyst plans the multiple exact `countDistinct`s as one Expand —
+  * each input row fans out per distinct column, map-side combines, one
+  * shuffle); the wide row then melts to column-grain rows with an
+  * `inline` of per-column structs — driver never sees the data, and the
+  * output is #columns rows whatever the table size. Exact distincts are
+  * the point of a profiling pass; for a monitoring cadence where
+  * approximation is fine, swap `countDistinct` for the HLL sketch in
+  * [[Sketches]].
+  */
+object Profiler {
+
+  /** Long-form profile of `cols` (default: every string/numeric column in
+    * schema order): (column, n_rows, n_nulls, n_distinct, min_val,
+    * max_val). */
+  def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val picked = (if (cols.nonEmpty) cols else df.schema.collect {
+      case f if f.dataType.isInstanceOf[NumericType] || f.dataType == StringType => f.name
+    }).map { n =>
+      val numeric = df.schema(n).dataType.isInstanceOf[NumericType]
+      (n, numeric)
+    }
+    require(picked.nonEmpty, "profile: no string/numeric columns to profile")
+    val aggs = picked.flatMap { case (n, numeric) =>
+      val envelope = if (numeric) col(n).cast("double") else length(col(n)).cast("double")
+      Seq(
+        sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"${n}__nulls"),
+        countDistinct(col(n)).as(s"${n}__dist"),
+        min(envelope).as(s"${n}__min"),
+        max(envelope).as(s"${n}__max"))
+    } :+ count(lit(1)).as("__rows")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    wide.select(inline(array(picked.map { case (n, _) =>
+      struct(
+        lit(n).as("col_name"),
+        col("__rows").as("n_rows"),
+        col(s"${n}__nulls").as("n_nulls"),
+        col(s"${n}__dist").as("n_distinct"),
+        col(s"${n}__min").as("min_val"),
+        col(s"${n}__max").as("max_val"))
+    }: _*)))
+  }
+}

@@ -36,6 +36,17 @@ object Streaming {
       topic -> Pipelines.preprocessTopic(topic, df, ingestTs)
     }
 
+  /** STREAM-STATIC enrichment: join each micro-batch against a broadcast
+    * dimension — stateless (no watermark, no join state store: the static
+    * side is re-resolvable per batch, so Spark plans an ordinary broadcast
+    * hash join inside every trigger). Left-outer keeps stream rows whose
+    * key misses the dim (flag-and-forward beats silent drop in a
+    * pipeline); at scale the ONLY requirement is that `dim` stays
+    * broadcast-able — a big dim belongs in [[streamStreamAttribution]]'s
+    * stateful form or a pre-bucketed lake table instead. */
+  def staticEnrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left_outer")
+
   /** ST5 — the event-time showcase the reference lacks: watermarked tumbling
     * window over event time. Batch twin is q_a9_engagement_series, so the
     * streaming results are checkable against a verified batch plan. */

@@ -84,6 +84,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment matches the batch join, misses survive") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = Streaming.staticEnrich(mem.toDF(), dim, "user_id")
+      .writeStream.outputMode("append").format("memory").queryName("enrich").start()
+    try {
+      mem.addData(Ev(1, ts(1), 2.0), Ev(3, ts(2), 5.0)) // user 3 not in dim
+      q.processAllAvailable()
+      mem.addData(Ev(2, ts(3), 1.0))
+      q.processAllAvailable()
+      val got = spark.table("enrich")
+        .select($"user_id", $"value", $"tier")
+        .orderBy($"user_id").as[(Long, Double, Option[String])].collect()
+      assert(got.toSeq == Seq((1L, 2.0, Some("gold")),
+        (2L, 1.0, Some("silver")), (3L, 5.0, None)))
+      // batch twin: identical rows through the same operator
+      val batch = Streaming.staticEnrich(
+          Seq(Ev(1, ts(1), 2.0), Ev(3, ts(2), 5.0), Ev(2, ts(3), 1.0)).toDF(), dim, "user_id")
+        .select($"user_id", $"value", $"tier")
+        .orderBy($"user_id").as[(Long, Double, Option[String])].collect()
+      assert(batch.toSeq == got.toSeq)
+    } finally q.stop()
+  }
+
   test("insert-if-absent sink: at-least-once replay degrades to exactly-once") {
     val dir = java.nio.file.Files.createTempDirectory("graft_state").toString + "/state"
     val b1 = Seq(("a", 1), ("b", 2), ("a", 0)).toDF("_id", "v") // intra-batch dup

@@ -628,35 +628,62 @@ object QueriesExtras {
     * curation primitive behind semantic dedup and diversity-balanced
     * sampling; determinism-by-construction is what makes a 100 TB
     * clustering job reproducible. */
+  /** Shared k-means oracle CTE chain (k=8, 2 Lloyd iterations — must match
+    * every registered kmeans query's parameters): quantized vectors `q`,
+    * dimension table `dims`, seed centroids `c0`, two unrolled rounds
+    * (d/a/m/c per round: distances, argmin assignment with ties → smallest
+    * cluster, floor-mean update, empty clusters keeping their previous
+    * centroid), final distances `df`, and the final assignment `asg`. */
+  private val KmeansSqlWith: String = {
+    def round(n: Int, cdims: String): String =
+      s"d$n AS (SELECT d.vec_id, cd.c, SUM((d.x - cd.y) * (d.x - cd.y)) AS dd " +
+      s"FROM dims d JOIN $cdims cd USING (i) GROUP BY d.vec_id, cd.c), " +
+      s"a$n AS (SELECT vec_id, c FROM (SELECT vec_id, c, " +
+      s"row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) AS rn FROM d$n) WHERE rn = 1), " +
+      s"m$n AS (SELECT a.c, d.i, CAST(floor(CAST(SUM(d.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS y " +
+      s"FROM dims d JOIN a$n a USING (vec_id) GROUP BY a.c, d.i), " +
+      s"c$n AS (SELECT s.c, s.i, COALESCE(m.y, s.y) AS y " +
+      s"FROM $cdims s LEFT JOIN m$n m ON s.c = m.c AND s.i = m.i)"
+    "WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[], " +
+      "x -> CAST(trunc(x * 1000000e0) AS BIGINT)) AS v FROM embeddings), " +
+      "dims AS (SELECT vec_id, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS i FROM q), " +
+      "c0 AS (SELECT c, unnest(v) AS y, unnest(range(1, len(v) + 1)) AS i " +
+      "FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v FROM q) WHERE c < 8), " +
+      round(1, "c0") + ", " + round(2, "c1") + ", " +
+      "df AS (SELECT d.vec_id, cd.c, SUM((d.x - cd.y) * (d.x - cd.y)) AS dd " +
+      "FROM dims d JOIN c2 cd USING (i) GROUP BY d.vec_id, cd.c), " +
+      "asg AS (SELECT vec_id, CAST(c AS INT) AS cluster, CAST(dd AS BIGINT) AS dist2 " +
+      "FROM (SELECT vec_id, c, dd, row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) AS rn " +
+      "FROM df) WHERE rn = 1)"
+  }
+
   private val qKmeansAssign = Q(
     (s, d) => graft.operators.Clustering.kmeansAssign(
         Tables.load(s, d, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
       .orderBy(col("vec_id")),
-    Some {
-      // one Lloyd round: distances to the given centroids, argmin
-      // assignment (ties → smallest cluster), floor-mean update with
-      // empty clusters keeping their previous centroid
-      def round(n: Int, cdims: String): String =
-        s"d$n AS (SELECT d.vec_id, cd.c, SUM((d.x - cd.y) * (d.x - cd.y)) AS dd " +
-        s"FROM dims d JOIN $cdims cd USING (i) GROUP BY d.vec_id, cd.c), " +
-        s"a$n AS (SELECT vec_id, c FROM (SELECT vec_id, c, " +
-        s"row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) AS rn FROM d$n) WHERE rn = 1), " +
-        s"m$n AS (SELECT a.c, d.i, CAST(floor(CAST(SUM(d.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS y " +
-        s"FROM dims d JOIN a$n a USING (vec_id) GROUP BY a.c, d.i), " +
-        s"c$n AS (SELECT s.c, s.i, COALESCE(m.y, s.y) AS y " +
-        s"FROM $cdims s LEFT JOIN m$n m ON s.c = m.c AND s.i = m.i)"
-      "WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[], " +
-        "x -> CAST(trunc(x * 1000000e0) AS BIGINT)) AS v FROM embeddings), " +
-        "dims AS (SELECT vec_id, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS i FROM q), " +
-        "c0 AS (SELECT c, unnest(v) AS y, unnest(range(1, len(v) + 1)) AS i " +
-        "FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v FROM q) WHERE c < 8), " +
-        round(1, "c0") + ", " + round(2, "c1") + ", " +
-        "df AS (SELECT d.vec_id, cd.c, SUM((d.x - cd.y) * (d.x - cd.y)) AS dd " +
-        "FROM dims d JOIN c2 cd USING (i) GROUP BY d.vec_id, cd.c) " +
-        "SELECT vec_id, CAST(c AS INT) AS cluster, CAST(dd AS BIGINT) AS dist2 " +
-        "FROM (SELECT vec_id, c, dd, row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) AS rn " +
-        "FROM df) WHERE rn = 1 ORDER BY vec_id"
-    })
+    Some(KmeansSqlWith +
+      " SELECT vec_id, cluster, dist2 FROM asg ORDER BY vec_id"))
+
+  /** SEMDEDUP ([[graft.operators.Similarity.semDedup]]): k-means clusters
+    * (the exact fixed-point construction gated by q_kmeans_assign), then
+    * within each cluster every vector with a smaller-id neighbor at rounded
+    * cosine ≥ 0.45 is dropped. The oracle reuses the same unrolled-Lloyd
+    * CTEs plus a correlated NOT EXISTS over raw double cosines — the gate
+    * proves the whole pipeline (clustering + cluster-restricted pair stage
+    * + survivor anti-join) is bit-identical cross-engine. The quadratic
+    * compare is cluster-bounded (Σ|cluster|² ≈ n²/k), which is the entire
+    * point of SemDeDup at 100 TB. */
+  private val qSemDedup = Q(
+    (s, d) => Similarity.semDedup(Tables.load(s, d, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 2, threshold = 0.45)
+      .orderBy(col("vec_id")),
+    Some(KmeansSqlWith +
+      ", e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) " +
+      "SELECT a.vec_id AS vec_id, a.cluster FROM asg a JOIN e ea ON ea.vec_id = a.vec_id " +
+      "WHERE NOT EXISTS (SELECT 1 FROM asg b JOIN e eb ON eb.vec_id = b.vec_id " +
+      "WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id " +
+      "AND " + cosSql("ea.v", "eb.v") + " >= 0.45e0) " +
+      "ORDER BY a.vec_id"))
 
   /** Deterministic train/val/test split assignment over the portable salted
     * hash ([[graft.operators.Sampling]]) — membership is a pure per-row
@@ -1007,6 +1034,7 @@ object QueriesExtras {
     "q_asof_attrib" -> qAsofAttrib,
     "q_interval_join" -> qIntervalJoin,
     "q_kmeans_assign" -> qKmeansAssign,
+    "q_semdedup" -> qSemDedup,
     "q_vocabulary" -> qVocabulary,
     "q_split_assign" -> qSplitAssign,
     "q_stratified_sample" -> qStratifiedSample,

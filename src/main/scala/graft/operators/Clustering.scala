@@ -41,18 +41,18 @@ object Clustering {
   private def quantize(vec: Column, scale: Double): Column =
     transform(vec.cast("array<double>"), x => (x * scale).cast("long"))
 
-  /** Exact squared L2 distance between the quantized vector column and one
-    * integer centroid literal: a codegen'd zip_with/aggregate fold. */
-  private def dist2(v: Column, ct: Array[Long]): Column =
-    aggregate(
-      zip_with(v, array(ct.map(lit): _*), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
-
+  /** Nearest-centroid assignment via the native codegen expression
+    * [[graft.plans.ArgminDist2]] (exact integer distances, ties → smallest
+    * cluster id — the semantics of the k-column `aggregate(zip_with(...))`
+    * + `array_position(ds, array_min(ds))` construction it replaces, which
+    * ran interpreted per centroid per row and made the assignment pass the
+    * most expensive query in the bench). One tight generated loop over the
+    * cached centroid matrix; returns (cluster, dist2) field columns. */
   private def assignCols(centroids: Array[Array[Long]]): (Column, Column) = {
-    val ds = array(centroids.map(ct => dist2(col("__qv"), ct)): _*)
-    // array_position is 1-based and returns the FIRST match: ties resolve
-    // to the smallest cluster id, deterministically
-    ((array_position(ds, array_min(ds)) - 1).cast("int"), array_min(ds))
+    graft.plans.GraftFunctions.register(org.apache.spark.sql.SparkSession.active)
+    val s = call_function("argmin_dist2", col("__qv"),
+      typedlit(centroids.flatten.toIndexedSeq), lit(centroids.length))
+    (s.getField("cluster"), s.getField("dist2").cast("long"))
   }
 
   /** Lloyd's k-means, `iters` iterations from deterministic seeds (the k

@@ -214,6 +214,52 @@ object Similarity {
       .select(col(groupCol), col("dim"),
         (col("s").cast("double") / 1e6 / col("n")).as("centroid"))
 
+  /** SemDeDup — semantic deduplication by cluster-restricted cosine
+    * (public recipe: Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): k-means the embedding
+    * space ([[Clustering.kmeansAssign]] — fixed-point, bit-reproducible),
+    * then WITHIN each cluster drop every vector that has a smaller-id
+    * neighbor at rounded cosine ≥ `threshold`. The min-id survivor rule is
+    * evaluated against ALL smaller-id cluster members (not just survivors),
+    * so the predicate is a pure per-pair EXISTS — embarrassingly parallel,
+    * no sequential greedy pass, and expressible as one SQL EXISTS for the
+    * oracle.
+    *
+    * This is the scale answer to [[cosinePairs]]' O(n²): the quadratic
+    * compare runs per-cluster, so total work is Σ|cluster|² ≈ n²/k — at
+    * 100 TB you pick k ∝ n (bounded cluster size) and the compare stage is
+    * linear with a bounded constant, while the clustering itself is
+    * map-only assignment + k·dim aggregation per iteration. The shuffle
+    * key is the cluster id; a pathologically hot cluster (k too small for
+    * the corpus) shows up as one oversized task — the fix is more
+    * clusters, which is also what dedup quality wants.
+    *
+    * Returns the SURVIVORS as (id, cluster). Cross-cluster near-dups are
+    * intentionally kept — that is SemDeDup's contract (the clustering is
+    * what bounds the compare); run [[lshCosinePairs]]-based purge when
+    * global pairs are required. */
+  def semDedup(emb: DataFrame, id: String, vec: String, k: Int, iters: Int,
+               threshold: Double): DataFrame = {
+    val assign = Clustering.kmeansAssign(emb, id, vec, k, iters)
+      .select(col(id), col("cluster"))
+    val withVec = emb.filter(col(vec).isNotNull)
+      .select(col(id), asD(col(vec)).as("__v"), norm(col(vec)).as("__n"))
+      .join(assign, Seq(id))
+    val a = withVec.select(col(id).as("__ida"), col("cluster"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val b = withVec.select(col(id).as("__idb"), col("cluster"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
+    // per-cluster pair stage: equi-join on the cluster id (never a global
+    // cartesian), smaller-id side only, exact oracle arithmetic
+    val dropped = a.join(b, "cluster")
+      .filter(col("__idb") < col("__ida"))
+      .select(col("__ida"),
+        round(safeDiv(dot(col("__va"), col("__vb")), col("__na") * col("__nb")), 6).as("__cos"))
+      .filter(col("__cos") >= threshold)
+      .select(col("__ida").as(id)).distinct()
+    withVec.join(dropped, Seq(id), "left_anti").select(col(id), col("cluster"))
+  }
+
   /** Approximate top-k: score only vectors whose bucket is within
     * `maxHammingProbe` bits of the anchor's bucket (multi-probe LSH).
     * Trades recall for touching ~(Σ C(nPlanes,d)) / 2^nPlanes of the data. */

@@ -91,7 +91,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => MinHashSig(exprs(0), exprs(1))),
     (FunctionIdentifier("bpe_encode"),
       new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
-      (exprs: Seq[Expression]) => BpeEncode(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => BpeEncode(exprs(0), exprs(1))),
+    (FunctionIdentifier("argmin_dist2"),
+      new ExpressionInfo(classOf[ArgminDist2].getName, "argmin_dist2"),
+      (exprs: Seq[Expression]) => ArgminDist2(exprs(0), exprs(1), exprs(2))))
 
   /** Idempotent per-session registration (for library callers that don't
     * control session construction). */

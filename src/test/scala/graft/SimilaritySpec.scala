@@ -161,6 +161,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again sameElements got)
   }
 
+  test("semDedup drops smaller-id near-dups within a cluster, keeps cross-cluster dups") {
+    // two tight direction groups; k=2 seeds are ids 0 and 1 (one from each
+    // group), so the two groups land in different clusters
+    val emb = Seq(
+      (0L, Array(1.0f, 0.01f, 0.0f)),   // cluster A seed
+      (1L, Array(0.0f, 1.0f, 0.01f)),   // cluster B seed
+      (2L, Array(1.0f, 0.02f, 0.0f)),   // ≈0 → dropped (0 < 2, same cluster)
+      (3L, Array(0.0f, 1.0f, 0.02f)),   // ≈1 → dropped
+      (4L, Array(-1.0f, 0.5f, 0.0f))    // similar to nothing → survives
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(emb, "vec_id", "embedding",
+        k = 2, iters = 2, threshold = 0.9)
+      .orderBy($"vec_id").select($"vec_id").as[Long].collect()
+    assert(got sameElements Array(0L, 1L, 4L))
+    // survivors are partitioning-independent (fixed-point clustering +
+    // exact pair predicate)
+    val again = Similarity.semDedup(emb.repartition(7), "vec_id", "embedding",
+        k = 2, iters = 2, threshold = 0.9)
+      .orderBy($"vec_id").select($"vec_id").as[Long].collect()
+    assert(again sameElements got)
+  }
+
   test("LSH bucket assignment is deterministic and colinear vectors share a bucket") {
     val planes = Similarity.hyperplanes(8, 3)
     val b1 = Similarity.withLshBucket(vecs, "embedding", planes)

@@ -150,6 +150,36 @@ object QueriesCuration {
       "FROM nodes n LEFT JOIN c3 ON n.node = c3.dst) " +
       "SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY rank DESC, node"))
 
+  /** TRIANGLE COUNTING ([[Graph.triangleCounts]]) over the part
+    * co-purchase graph (parts appearing in the same order, restricted to
+    * p_size ≤ 15 to keep the gate-sized graph honest — ~10k edges at
+    * sf0.01). The Spark plan is the DEGREE-ORIENTED construction — wedges
+    * only from each node's (deg,id)-ordered out-neighbors, closed with a
+    * semi join, so a hub node cannot blow up the wedge count — while the
+    * oracle is the declarative id-ordered 3-way self-join; the gate proves
+    * the oriented plan finds exactly the same triangles. */
+  private val qTriangles = Q(
+    (s, d) => {
+      val smallParts = t(s, d, "part").filter(col("p_size") <= 15)
+        .select(col("p_partkey"))
+      val le = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      val x = le.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+      val y = le.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+      val edges = x.join(y, "ok").filter(col("pa") < col("pb"))
+        .select(col("pa").as("src"), col("pb").as("dst"))
+      Graph.triangleCounts(edges).orderBy(col("node"))
+    },
+    Some("WITH le AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem " +
+      "WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 15)), " +
+      "e AS (SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a, " +
+      "greatest(x.l_partkey, y.l_partkey) AS b " +
+      "FROM le x JOIN le y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey), " +
+      "t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 " +
+      "JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+      "n AS (SELECT x AS node FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t) " +
+      "SELECT node, count(*) AS triangles FROM n GROUP BY node ORDER BY node"))
+
   /** Table profile ([[Profiler.profile]]) of `customer`: one aggregation
     * pass → column-grain quality summary. The oracle is the literal
     * per-column UNION ALL — same stats, table-scan-per-column — which the
@@ -172,6 +202,7 @@ object QueriesCuration {
   val registry: Seq[(String, Q)] = Seq(
     "q_bpe_encode" -> qBpeEncode,
     "q_pagerank" -> qPageRank,
+    "q_triangles" -> qTriangles,
     "q_profile_table" -> qProfileTable,
     "q_scd2_build" -> qScd2Build,
     "q_cdc_apply" -> qCdcApply,

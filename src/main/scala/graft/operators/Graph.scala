@@ -30,6 +30,56 @@ object Graph {
     * mass). Each round is two shuffles (join ranks onto edge sources,
     * re-aggregate onto destinations); the out-degree table is computed
     * once. Output: (node, rank) in micro-units. */
+  /** Per-node triangle counts via DEGREE-ORDERED edge orientation (the
+    * standard distributed construction, e.g. Cohen's MapReduce formulation
+    * / Suri & Vassilvitskii WWW'11): normalize to undirected distinct
+    * edges, orient each edge from its (degree, id)-smaller endpoint to the
+    * larger, generate wedges only from each node's oriented out-neighbors,
+    * and close them against the oriented edge set. Every triangle is
+    * emitted EXACTLY once (its (deg,id)-minimal vertex is the only wedge
+    * apex), and the wedge count is Σ outdeg(v)² with outdeg bounded by
+    * O(√m) under this orientation — the reason a 100 TB edge list gets
+    * Σ outdeg² ≈ m^1.5 wedge work instead of the Σ deg² blow-up a hub
+    * node causes without orientation (a celebrity node with 10⁸ followers
+    * generates zero wedges as a destination).
+    *
+    * All stages are equi-joins keyed by vertex (shuffle-bounded, AQE
+    * sizeable); no driver state. Returns (node, triangles) for every node
+    * on ≥1 triangle — counted per ROLE (apex or closure endpoint), i.e.
+    * the number of triangles the node participates in. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val deg = und.select(col("a").as("node")).union(und.select(col("b")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val da = deg.select(col("node").as("a"), col("deg").as("da"))
+    val db = deg.select(col("node").as("b"), col("deg").as("db"))
+    // orient low-(deg,id) → high-(deg,id); carry the destination's degree
+    // so wedge pairs can be ordered by the SAME total order without a
+    // second degree join
+    val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = und.join(da, "a").join(db, "b")
+      .select(
+        when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+    // wedges from each apex's out-neighbors, ordered by (deg, id) so the
+    // closing edge is oriented v1 → v2 by construction
+    val o1 = oriented.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
+    val o2 = oriented.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
+    val wedges = o1.join(o2, "u")
+      .filter(col("dv1") < col("dv2") || (col("dv1") === col("dv2") && col("v1") < col("v2")))
+      .select(col("u"), col("v1"), col("v2"))
+    val closing = oriented.select(col("v").as("v2"), col("u").as("v1"))
+    val triangles = wedges.join(closing, Seq("v1", "v2"), "left_semi")
+    triangles.select(col("u").as("node"))
+      .union(triangles.select(col("v1")))
+      .union(triangles.select(col("v2")))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+  }
+
   def pageRank(edges: DataFrame, iters: Int, dampingPct: Int = 85,
                scale: Long = 1000000L): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)

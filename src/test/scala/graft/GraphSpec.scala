@@ -28,6 +28,33 @@ class GraphSpec extends AnyFunSuite {
     assert(r("y") == 150000L + (85L * 150000L) / 100L)
   }
 
+  test("triangleCounts: K4 + pendant, duplicate/reversed edges collapse") {
+    // K4 on {1,2,3,4} has 4 triangles, each node on 3 of them; node 5 is a
+    // pendant (no triangle); duplicates and reversed edges must not double
+    val k4 = for (a <- 1 to 4; b <- 1 to 4 if a < b) yield (a.toLong, b.toLong)
+    val edges = (k4 ++ k4.map(_.swap) ++ Seq((4L, 5L), (1L, 2L))).toDF("src", "dst")
+    val got = Graph.triangleCounts(edges).orderBy($"node")
+      .as[(Long, Long)].collect()
+    assert(got sameElements Array((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+
+  test("triangleCounts: brute-force parity on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 300).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val got = Graph.triangleCounts(edges).as[(Long, Long)].collect().toMap
+    // brute force over the normalized edge set
+    val und = edges.as[(Long, Long)].collect()
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val exp = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      x <- nodes; y <- nodes if y > x && und((x, y))
+      z <- nodes if z > y && und((y, z)) && und((x, z))
+    } { exp(x) += 1; exp(y) += 1; exp(z) += 1 }
+    assert(got == exp.toMap)
+  }
+
   test("pageRank is partitioning-independent (exact fixed-point)") {
     val rnd = new scala.util.Random(5)
     val edges = (1 to 400).map(_ => (s"n${rnd.nextInt(40)}", s"n${rnd.nextInt(40)}"))

@@ -255,6 +255,31 @@ object QueriesExtras {
       "FROM toks JOIN freq USING (tok) CROSS JOIN tot " +
       "GROUP BY doc_id ORDER BY doc_id"))
 
+  /** Bigram LM with unigram interpolation
+    * ([[TextAnalysis.bigramLogProb]], λ=0.7): the oracle rebuilds the full
+    * Jelinek–Mercer estimator in SQL — parallel-unnest slices zip the
+    * bigram instances, both count tables, and the interpolation formula
+    * mirrored token-for-token (the `(1.0e0 - 0.7e0)` form matches Spark's
+    * `lit(1.0) - lit(0.7)` bit-exactly). Docs with < 2 tokens have no
+    * bigram and are absent on both sides. */
+  private val qBigramLogprob = Q(
+    (s, d) => TextAnalysis.bigramLogProb(Tables.load(s, d, "documents"),
+        "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("WITH w AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS ws FROM documents), " +
+      "toks AS (SELECT doc_id, unnest(ws) AS tok FROM w), " +
+      "uni AS (SELECT tok, count(*) AS ucnt FROM toks GROUP BY tok), " +
+      "tot AS (SELECT CAST(SUM(ucnt) AS DOUBLE) AS n_total FROM uni), " +
+      "bg AS (SELECT doc_id, unnest(list_slice(ws, 1, len(ws) - 1)) AS w1, " +
+      "unnest(list_slice(ws, 2, len(ws))) AS w2 FROM w WHERE len(ws) >= 2), " +
+      "bi AS (SELECT w1, w2, count(*) AS bcnt FROM bg GROUP BY w1, w2) " +
+      "SELECT doc_id, count(*) AS n_bigrams, " +
+      "round(avg(ln(0.7e0 * (CAST(bcnt AS DOUBLE) / CAST(c1.ucnt AS DOUBLE)) " +
+      "+ (1.0e0 - 0.7e0) * (CAST(c2.ucnt AS DOUBLE) / n_total))), 6) AS avg_logprob " +
+      "FROM bg JOIN bi USING (w1, w2) JOIN uni c1 ON c1.tok = bg.w1 " +
+      "JOIN uni c2 ON c2.tok = bg.w2 CROSS JOIN tot " +
+      "GROUP BY doc_id ORDER BY doc_id"))
+
   /** Data mixing: subsample sources to a 1:2:3:4:5 target over
     * src0..src4 (other sources weight zero → dropped). Rates are derived
     * in-plan from actual counts; the hash filter is the portable salted
@@ -1011,6 +1036,7 @@ object QueriesExtras {
     "q_url_dedup" -> qUrlDedup,
     "q_hll_distinct" -> qHllDistinct,
     "q_unigram_logprob" -> qUnigramLogprob,
+    "q_bigram_logprob" -> qBigramLogprob,
     "q_mix_sources" -> qMixSources,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_simhash_pairs" -> qSimhashPairs,

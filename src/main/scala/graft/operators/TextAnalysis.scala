@@ -301,6 +301,48 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** BIGRAM LM quality score with unigram interpolation — the next model
+    * up from [[unigramLogProb]] (Jelinek–Mercer smoothing, the classic
+    * public construction): per adjacent token pair,
+    * `p = λ·cnt(w1,w2)/cnt(w1) + (1−λ)·cnt(w2)/total`, averaged in log
+    * space per document. Trained on the corpus itself, so every observed
+    * bigram has count ≥ 1 and the interpolated probability is never zero;
+    * the unigram back-off term is what separates "common words in a rare
+    * order" from "rare words" (repetitive spam scores high under a
+    * unigram model but low here).
+    *
+    * Scale shape: bigram instances are built in the SCAN stage (zip_with
+    * over two slices of the word array — no self-join on position), the
+    * bigram/unigram count tables are vocabulary-bounded aggregations, and
+    * the scoring pass is three token-keyed equi-joins + one doc-grain
+    * aggregation. Nothing is quadratic; nothing collects to the driver.
+    *
+    * Output: (id, n_bigrams, avg_logprob), docs with ≥ 2 tokens only
+    * (a 0/1-token doc has no bigram — callers treat absence as
+    * "unscorable"). round(6) soaks cross-libm ln drift, the repo
+    * convention. */
+  def bigramLogProb(df: DataFrame, id: String, text: String,
+                    lambda: Double = 0.7): DataFrame = {
+    val ws = filter(words(lower(col(text))), w => w =!= "")
+    val toks = df.select(col(id), explode(ws).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("ucnt"))
+    val total = uni.agg(sum(col("ucnt")).cast("double").as("n_total"))
+    val bg = df.select(col(id),
+        explode(zip_with(
+          slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(id), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bi = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bcnt"))
+    val p = lit(lambda) * (col("bcnt").cast("double") / col("c1").cast("double")) +
+      (lit(1.0) - lit(lambda)) * (col("c2").cast("double") / col("n_total"))
+    bg.join(bi, Seq("w1", "w2"))
+      .join(uni.select(col("tok").as("w1"), col("ucnt").as("c1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("ucnt").as("c2")), "w2")
+      .crossJoin(broadcast(total))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(log(p)), 6).as("avg_logprob"))
+  }
+
   /** URL CANONICALIZATION — the key-normalization step of web-corpus dedup
     * (CCNet/C4 keep one document per canonical URL). Rules, applied to a
     * `scheme://host[:port][/path][?query][#fragment]` URL:

@@ -147,6 +147,28 @@ class SamplingSpec extends AnyFunSuite {
     assert(scores.values.forall(_ < 0))
   }
 
+  test("bigramLogProb: shuffled word order scores below natural order") {
+    import graft.operators.TextAnalysis
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the rug"),
+      (3L, "the cat sat on the hat"),
+      (4L, "mat the on sat cat the"), // same unigrams, unseen-order bigrams
+      (5L, "solo")) // single token: no bigram, absent from output
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(corpus, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Double)].collect()
+    assert(got.map(_._1) sameElements Array(1L, 2L, 3L, 4L))
+    assert(got.forall(_._2 == 5L)) // 6 tokens -> 5 bigram instances
+    val scores = got.map(r => r._1 -> r._3).toMap
+    // doc 4 shares every unigram with docs 1-3 but none of the common
+    // bigrams: only the interpolated back-off saves it from -inf, and it
+    // must score strictly below the naturally-ordered docs
+    assert(scores(4L) < scores(1L) && scores(4L) < scores(2L) && scores(4L) < scores(3L),
+      scores.toString)
+    assert(scores.values.forall(_ < 0))
+  }
+
   test("tfIdfTopTerms ranks rare terms above ubiquitous ones") {
     val docs = Seq(
       (1L, "common zebra zebra"),

@@ -213,8 +213,29 @@ object QueriesRelational {
       "UNPIVOT (val FOR metric IN (acctbal, nationkey)) " +
       "ORDER BY c_custkey, metric"))
 
+  /** Sort-free exact discrete quantiles
+    * ([[graft.operators.Ops.histogramQuantiles]]): value-count histogram +
+    * cumulative window over DISTINCT values — the scale twin of
+    * `q_grouped_quantiles`' sort-based `percentile` (shuffle bounded by
+    * bins, not rows). The oracle derives the same lower-rank element via
+    * `row_number`: with ties, the VALUE at any rank is deterministic even
+    * though the row is not. */
+  private val qHistQuantiles = Q(
+    (s, d) => graft.operators.Ops.histogramQuantiles(
+        t(s, d, "events"), "event_type", "value", Seq(0.5, 0.95))
+      .orderBy(col("event_type")),
+    Some("WITH r AS (SELECT event_type, value AS v, " +
+      "row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn, " +
+      "count(*) OVER (PARTITION BY event_type) AS n " +
+      "FROM events WHERE value IS NOT NULL) " +
+      "SELECT event_type, " +
+      "max(CASE WHEN rn = CAST(floor((n - 1) * 0.5e0) AS BIGINT) + 1 THEN v END) AS p50, " +
+      "max(CASE WHEN rn = CAST(floor((n - 1) * 0.95e0) AS BIGINT) + 1 THEN v END) AS p95, " +
+      "count(*) AS n_valued FROM r GROUP BY event_type ORDER BY event_type"))
+
   val registry: Seq[(String, Q)] = Seq(
     "q_grouping_sets" -> qGroupingSets,
+    "q_hist_quantiles" -> qHistQuantiles,
     "q_rolling_range" -> qRollingRange,
     "q_unpivot" -> qUnpivot,
     "q_setops" -> qSetOps,

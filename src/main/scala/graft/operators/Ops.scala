@@ -57,6 +57,44 @@ object Ops {
   def unionAll(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
 
+  /** EXACT per-group discrete quantiles WITHOUT sorting the rows — the
+    * frequency-histogram selection plan. `percentile`-style exact
+    * quantiles sort every group's raw rows; this operator first collapses
+    * to (group, value) → count grain (ONE partial+final hash aggregation —
+    * map-side combine does the heavy lifting), then runs a cumulative-count
+    * window over the DISTINCT values only. At 100 TB of metrics with a
+    * bounded value domain (latencies in ms, scores in [0,1] at fixed
+    * precision, ratings), the shuffle and sort are bounded by
+    * |distinct values| per group, not |rows| — the difference between
+    * sorting billions of rows and thousands of bins.
+    *
+    * Quantile definition: lower-rank discrete — `p_q` = the value at
+    * 1-based sorted rank `floor((n−1)·q) + 1`, i.e. the smallest value
+    * whose cumulative count reaches that rank (an ELEMENT of the data,
+    * never an interpolation — partitioning-independent and exactly
+    * mirrorable in any engine). All requested quantiles come out of the
+    * same single window pass. Output: (group, p<q·100>..., n_valued);
+    * null values are excluded from rank space. */
+  def histogramQuantiles(df: DataFrame, group: String, value: String,
+                         qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0), s"bad quantiles: $qs")
+    val vc = df.filter(col(value).isNotNull)
+      .groupBy(col(group), col(value).as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val wCum = Window.partitionBy(col(group)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(group))
+    val cum = vc
+      .withColumn("__cum", sum(col("__cnt")).over(wCum))
+      .withColumn("__n", sum(col("__cnt")).over(wAll))
+    val picks = qs.map { q =>
+      val rank = floor((col("__n") - 1) * lit(q)).cast("long") + 1
+      min(when(col("__cum") >= rank, col("__v"))).as(s"p${math.round(q * 100)}")
+    }
+    cum.groupBy(col(group))
+      .agg(picks.head, picks.tail :+ sum(col("__cnt")).as("n_valued"): _*)
+  }
+
   /** As-of join (point-in-time lookup): for every left row, the single
     * right row with the same key and the greatest `rightTs` <= `leftTs` —
     * the temporal join behind purchase attribution, slowly-changing-

@@ -144,6 +144,24 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("histogramQuantiles picks exact lower-rank elements, ties and nulls handled") {
+    // group a: sorted [1,1,2,3,10] n=5 -> p50 rank floor(4*.5)+1=3 -> 2;
+    //          p95 rank floor(4*.95)+1=4 -> 3; p0 rank 1 -> 1; p100 rank 5 -> 10
+    // group b: [5,5,5] all ties -> every quantile = 5
+    val df = (Seq(("a", 1.0), ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 10.0)) ++
+      Seq(("b", 5.0), ("b", 5.0), ("b", 5.0)))
+      .toDF("g", "v")
+      .unionByName(Seq(("a", Option.empty[Double])).toDF("g", "v"))
+    val got = Ops.histogramQuantiles(df, "g", "v", Seq(0.0, 0.5, 0.95, 1.0))
+      .orderBy($"g").as[(String, Double, Double, Double, Double, Long)].collect()
+    assert(got sameElements Array(
+      ("a", 1.0, 2.0, 3.0, 10.0, 5L), ("b", 5.0, 5.0, 5.0, 5.0, 3L)))
+    // distinct-value grain means repartitioning can't change the result
+    val again = Ops.histogramQuantiles(df.repartition(7), "g", "v", Seq(0.0, 0.5, 0.95, 1.0))
+      .orderBy($"g").as[(String, Double, Double, Double, Double, Long)].collect()
+    assert(again sameElements got)
+  }
+
   test("union tolerates asymmetric schemas") {
     val a = Seq(("x", 1)).toDF("name", "extra")
     val b = Seq("y").toDF("name")

@@ -255,6 +255,44 @@ object QueriesExtras {
       "FROM toks JOIN freq USING (tok) CROSS JOIN tot " +
       "GROUP BY doc_id ORDER BY doc_id"))
 
+  /** Text normalization ([[TextAnalysis.normalizeText]]) over a PLANTED
+    * messy variant (the corpus text is already clean, so the query wraps
+    * it in uppercase, typographic quotes, a tab and an em-dash — the
+    * planting is mirrored in the oracle, the normalization chain is what
+    * the gate verifies: translate → lower → whitespace collapse → trim,
+    * identical in java.util.regex and RE2). */
+  private val qNormalizeText = Q(
+    (s, d) => Tables.load(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.normalizeText(concat(
+          lit("  “"), upper(substring(col("text"), 1, 40)),
+          lit("”\t— "), col("text"))).as("norm"))
+      .orderBy(col("doc_id")),
+    Some("SELECT doc_id, trim(regexp_replace(lower(translate(" +
+      "'  “' || upper(substring(text, 1, 40)) || '”' || chr(9) || '— ' || text, " +
+      "'’‘“”—–', '''''\"\"--')), " +
+      "'[\\s\\x00-\\x1f]+', ' ', 'g')) AS norm " +
+      "FROM documents ORDER BY doc_id"))
+
+  /** Sentence segmentation ([[TextAnalysis.sentences]]) over planted
+    * punctuation (the corpus has none): three terminated sentences plus an
+    * unterminated tail per doc; the oracle rebuilds the same
+    * extract-trim-filter-posexplode chain with parallel unnest. */
+  private val qSentences = Q(
+    (s, d) => TextAnalysis.sentences(
+        Tables.load(s, d, "documents").select(col("doc_id"),
+          concat(substring(col("text"), 1, 50), lit(". "), col("source"),
+            lit(" excels! Is "), col("lang"), lit(" ok? "),
+            substring(col("text"), 51, 40)).as("planted")),
+        "doc_id", "planted")
+      .orderBy(col("doc_id"), col("sent_idx")),
+    Some("WITH planted AS (SELECT doc_id, substring(text, 1, 50) || '. ' || source || " +
+      "' excels! Is ' || lang || ' ok? ' || substring(text, 51, 40) AS p FROM documents), " +
+      "ss AS (SELECT doc_id, list_filter(list_transform(" +
+      "regexp_extract_all(p, '[^.!?]*[.!?]+|[^.!?]+$'), x -> trim(x)), x -> x <> '') AS l " +
+      "FROM planted) " +
+      "SELECT doc_id, unnest(range(0, len(l))) AS sent_idx, unnest(l) AS sentence " +
+      "FROM ss ORDER BY doc_id, sent_idx"))
+
   /** Bigram LM with unigram interpolation
     * ([[TextAnalysis.bigramLogProb]], λ=0.7): the oracle rebuilds the full
     * Jelinek–Mercer estimator in SQL — parallel-unnest slices zip the
@@ -1037,6 +1075,8 @@ object QueriesExtras {
     "q_hll_distinct" -> qHllDistinct,
     "q_unigram_logprob" -> qUnigramLogprob,
     "q_bigram_logprob" -> qBigramLogprob,
+    "q_normalize_text" -> qNormalizeText,
+    "q_sentences" -> qSentences,
     "q_mix_sources" -> qMixSources,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_simhash_pairs" -> qSimhashPairs,

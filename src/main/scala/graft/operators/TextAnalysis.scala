@@ -301,6 +301,35 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** TEXT NORMALIZATION — the canonical-form pass that runs before any
+    * hash-keyed dedup (exact, paragraph, MinHash): typographic quotes and
+    * dashes folded to ASCII, lowercase, every whitespace/control run
+    * collapsed to one space, trimmed. Two documents differing only in
+    * typography or spacing then share a fingerprint. Per-row, shuffle-free,
+    * codegen'd; every regex is RE2-compatible (no lookarounds) so Spark's
+    * java.util.regex and a RE2 engine (the DuckDB oracle) agree byte for
+    * byte. Deliberately ASCII-conservative: no locale-dependent case
+    * folding beyond `lower`, no unicode NFC/NFKC (that needs ICU — out of
+    * scope for a cross-engine-deterministic pass). */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      lower(translate(text, "’‘“”—–", "''\"\"--")),
+      "[\\s\\x00-\\x1f]+", " "))
+
+  /** SENTENCE SEGMENTATION — regex runs of non-terminators closed by a
+    * `.!?` run, plus the unterminated tail: the deterministic pre-pass for
+    * sentence-grain dedup/packing. One `regexp_extract_all` in the scan
+    * stage, trimmed and de-emptied in the same projection, then a
+    * posexplode to (id, sent_idx, sentence) grain — no shuffle. The
+    * pattern's two alternation branches cannot match at the same position,
+    * so leftmost-first (Java) and RE2 agree. */
+  def sentences(df: DataFrame, id: String, text: String): DataFrame = {
+    val parts = regexp_extract_all(col(text), lit("[^.!?]*[.!?]+|[^.!?]+$"), lit(0))
+    val cleaned = filter(transform(parts, p => trim(p)), p => p =!= "")
+    df.select(col(id), posexplode(cleaned).as(Seq("sent_idx", "sentence")))
+      .select(col(id), col("sent_idx").cast("long").as("sent_idx"), col("sentence"))
+  }
+
   /** BIGRAM LM quality score with unigram interpolation — the next model
     * up from [[unigramLogProb]] (Jelinek–Mercer smoothing, the classic
     * public construction): per adjacent token pair,

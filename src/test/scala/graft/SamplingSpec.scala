@@ -147,6 +147,31 @@ class SamplingSpec extends AnyFunSuite {
     assert(scores.values.forall(_ < 0))
   }
 
+  test("normalizeText folds typography, case, and whitespace runs") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "  “Hello—World”\t\tIt’s   FINE \n"),
+      (2L, "already clean"),
+      (3L, "")).toDF("id", "t")
+    val got = df.select($"id", TextAnalysis.normalizeText($"t").as("n"))
+      .orderBy($"id").as[(Long, String)].collect()
+    assert(got sameElements Array(
+      (1L, "\"hello-world\" it's fine"), (2L, "already clean"), (3L, "")))
+  }
+
+  test("sentences splits on terminator runs and keeps the unterminated tail") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "One. Two!! Three?  tail no dot"),
+      (2L, "no punctuation at all"),
+      (3L, "...")).toDF("id", "t")
+    val got = TextAnalysis.sentences(df, "id", "t")
+      .orderBy($"id", $"sent_idx").as[(Long, Long, String)].collect()
+    assert(got sameElements Array(
+      (1L, 0L, "One."), (1L, 1L, "Two!!"), (1L, 2L, "Three?"), (1L, 3L, "tail no dot"),
+      (2L, 0L, "no punctuation at all"), (3L, 0L, "...")))
+  }
+
   test("bigramLogProb: shuffled word order scores below natural order") {
     import graft.operators.TextAnalysis
     val corpus = Seq(

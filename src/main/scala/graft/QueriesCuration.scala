@@ -150,6 +150,20 @@ object QueriesCuration {
       "FROM nodes n LEFT JOIN c3 ON n.node = c3.dst) " +
       "SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY rank DESC, node"))
 
+  /** Shared triangle-oracle CTE chain over the p_size ≤ 15 part
+    * co-purchase graph: `e` = normalized distinct edges, `t` = id-ordered
+    * 3-way-join triangles, `tc` = per-node triangle counts. */
+  private val TriangleSqlWith: String =
+    "WITH le AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem " +
+      "WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 15)), " +
+      "e AS (SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a, " +
+      "greatest(x.l_partkey, y.l_partkey) AS b " +
+      "FROM le x JOIN le y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey), " +
+      "t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 " +
+      "JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+      "n AS (SELECT x AS node FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t), " +
+      "tc AS (SELECT node, count(*) AS triangles FROM n GROUP BY node)"
+
   /** TRIANGLE COUNTING ([[Graph.triangleCounts]]) over the part
     * co-purchase graph (parts appearing in the same order, restricted to
     * p_size ≤ 15 to keep the gate-sized graph honest — ~10k edges at
@@ -170,15 +184,31 @@ object QueriesCuration {
         .select(col("pa").as("src"), col("pb").as("dst"))
       Graph.triangleCounts(edges).orderBy(col("node"))
     },
-    Some("WITH le AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem " +
-      "WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 15)), " +
-      "e AS (SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a, " +
-      "greatest(x.l_partkey, y.l_partkey) AS b " +
-      "FROM le x JOIN le y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey), " +
-      "t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 " +
-      "JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), " +
-      "n AS (SELECT x AS node FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t) " +
-      "SELECT node, count(*) AS triangles FROM n GROUP BY node ORDER BY node"))
+    Some(TriangleSqlWith + " SELECT node, triangles FROM tc ORDER BY node"))
+
+  /** LOCAL CLUSTERING COEFFICIENT ([[Graph.clusteringCoefficient]]) on the
+    * same graph: per node, 2·triangles / (deg·(deg−1)) — one integer
+    * division mirrored operand-for-operand, so no rounding tolerance is
+    * needed. Degree-1 nodes report 0.0 on both sides. */
+  private val qClusteringCoef = Q(
+    (s, d) => {
+      val smallParts = t(s, d, "part").filter(col("p_size") <= 15)
+        .select(col("p_partkey"))
+      val le = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      val x = le.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+      val y = le.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+      val edges = x.join(y, "ok").filter(col("pa") < col("pb"))
+        .select(col("pa").as("src"), col("pb").as("dst"))
+      Graph.clusteringCoefficient(edges).orderBy(col("node"))
+    },
+    Some(TriangleSqlWith +
+      ", deg AS (SELECT node, count(*) AS deg FROM " +
+      "(SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node) " +
+      "SELECT d.node AS node, d.deg AS deg, COALESCE(tc.triangles, 0) AS triangles, " +
+      "CASE WHEN d.deg >= 2 THEN (2.0e0 * COALESCE(tc.triangles, 0)) / (d.deg * (d.deg - 1)) " +
+      "ELSE 0.0e0 END AS lcc " +
+      "FROM deg d LEFT JOIN tc ON d.node = tc.node ORDER BY node"))
 
   /** Table profile ([[Profiler.profile]]) of `customer`: one aggregation
     * pass → column-grain quality summary. The oracle is the literal
@@ -203,6 +233,7 @@ object QueriesCuration {
     "q_bpe_encode" -> qBpeEncode,
     "q_pagerank" -> qPageRank,
     "q_triangles" -> qTriangles,
+    "q_clustering_coef" -> qClusteringCoef,
     "q_profile_table" -> qProfileTable,
     "q_scd2_build" -> qScd2Build,
     "q_cdc_apply" -> qCdcApply,

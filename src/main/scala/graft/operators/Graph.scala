@@ -80,6 +80,32 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
   }
 
+  /** LOCAL CLUSTERING COEFFICIENT per node:
+    * `lcc = 2·triangles / (deg·(deg−1))` — how close a node's
+    * neighborhood is to a clique (the cohesion metric behind community
+    * screening and spam-graph detection). Triangles come from the
+    * degree-oriented [[triangleCounts]] plan; degrees from one
+    * vertex-keyed aggregation; the division is a single exactly-rounded
+    * IEEE op on integers, so the value is bit-identical in any engine
+    * with the operand order mirrored. Nodes of degree 1 (no possible
+    * triangle) report 0.0. Output: (node, deg, triangles, lcc) for every
+    * node on ≥ 1 edge. */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val deg = und.select(col("a").as("node")).union(und.select(col("b")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    deg.join(triangleCounts(edges), Seq("node"), "left_outer")
+      .select(col("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("lcc",
+        when(col("deg") >= 2,
+          (lit(2.0) * col("triangles")) / (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0)))
+  }
+
   def pageRank(edges: DataFrame, iters: Int, dampingPct: Int = 85,
                scale: Long = 1000000L): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)

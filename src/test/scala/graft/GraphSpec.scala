@@ -55,6 +55,16 @@ class GraphSpec extends AnyFunSuite {
     assert(got == exp.toMap)
   }
 
+  test("clusteringCoefficient: clique=1, pendant=0, bridge in between") {
+    // triangle {1,2,3} + pendant 4 on node 3
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.clusteringCoefficient(edges).orderBy($"node")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got sameElements Array(
+      (1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0),
+      (3L, 3L, 1L, (2.0 * 1) / (3 * 2)), (4L, 1L, 0L, 0.0)))
+  }
+
   test("pageRank is partitioning-independent (exact fixed-point)") {
     val rnd = new scala.util.Random(5)
     val edges = (1 to 400).map(_ => (s"n${rnd.nextInt(40)}", s"n${rnd.nextInt(40)}"))

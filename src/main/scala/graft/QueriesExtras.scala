@@ -748,6 +748,24 @@ object QueriesExtras {
       "AND " + cosSql("ea.v", "eb.v") + " >= 0.45e0) " +
       "ORDER BY a.vec_id"))
 
+  /** Cluster-balanced diversity sample
+    * ([[graft.operators.Sampling.clusterBalancedSample]]): 5 vectors per
+    * k-means cluster via the deterministic Efraimidis–Spirakis draw. The
+    * oracle chains the unrolled-Lloyd CTEs with the same portable-hash
+    * rank — the whole composition (clustering + per-cluster draw) is
+    * re-derived in SQL, proving the sample is a pure function of
+    * (corpus, salt) on any engine. */
+  private val qClusterSample = Q(
+    (s, d) => graft.operators.Sampling.clusterBalancedSample(
+        Tables.load(s, d, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 2, perCluster = 5)
+      .orderBy(col("vec_id")),
+    Some(KmeansSqlWith +
+      " SELECT vec_id, cluster FROM (SELECT vec_id, cluster, " +
+      "row_number() OVER (PARTITION BY cluster ORDER BY " +
+      "ln((('0x' || substr(md5(vec_id::VARCHAR || 'graft-es'), 1, 8))::BIGINT + 1.0) / 4294967296.0) / 1.0e0 DESC, " +
+      "vec_id) AS rn FROM asg) WHERE rn <= 5 ORDER BY vec_id"))
+
   /** Deterministic train/val/test split assignment over the portable salted
     * hash ([[graft.operators.Sampling]]) — membership is a pure per-row
     * function of (id, salt), so it is stable across reruns, partitionings
@@ -1101,6 +1119,7 @@ object QueriesExtras {
     "q_interval_join" -> qIntervalJoin,
     "q_kmeans_assign" -> qKmeansAssign,
     "q_semdedup" -> qSemDedup,
+    "q_cluster_sample" -> qClusterSample,
     "q_vocabulary" -> qVocabulary,
     "q_split_assign" -> qSplitAssign,
     "q_stratified_sample" -> qStratifiedSample,

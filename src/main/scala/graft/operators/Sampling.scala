@@ -120,6 +120,26 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** CLUSTER-BALANCED (diversity) sampling — the SemDeDup-companion
+    * curation op: k-means the embedding space
+    * ([[Clustering.kmeansAssign]], fixed-point ⇒ reproducible), then draw
+    * `perCluster` rows per cluster with the deterministic
+    * Efraimidis–Spirakis sample ([[weightedSamplePerGroup]], uniform
+    * weights). Guarantees every semantic region contributes equally to the
+    * sample regardless of how skewed the corpus is toward its dominant
+    * mode — the opposite failure mode of uniform sampling, which
+    * oversamples whatever dominates. Scale: map-only assignment passes +
+    * one window shuffle on the cluster id; membership is a pure function
+    * of (id, salt, corpus), stable across reruns and engines. */
+  def clusterBalancedSample(emb: DataFrame, id: String, vec: String,
+                            k: Int, iters: Int, perCluster: Int,
+                            salt: String = "graft-es"): DataFrame = {
+    val assign = Clustering.kmeansAssign(emb, id, vec, k, iters)
+      .select(col(id), col("cluster"))
+    weightedSamplePerGroup(assign.withColumn("__w", lit(1.0)),
+      id, "__w", "cluster", perCluster, salt).drop("__w")
+  }
+
   /** Split assignment by cumulative percentage cuts (must sum to 100).
     * Adds `bucket` (0-99) and `split` columns; every id maps to exactly one
     * split, forever, on any engine. */

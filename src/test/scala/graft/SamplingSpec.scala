@@ -147,6 +147,23 @@ class SamplingSpec extends AnyFunSuite {
     assert(scores.values.forall(_ < 0))
   }
 
+  test("clusterBalancedSample takes exactly perCluster per cluster, reproducibly") {
+    import graft.operators.Sampling
+    // two tight direction groups of 6 vectors each; k=2 seeds are ids 0/1
+    val emb = ((0 to 10 by 2).map(i => (i.toLong, Array(1.0f, 0.001f * i, 0.0f))) ++
+      (1 to 11 by 2).map(i => (i.toLong, Array(0.001f * i, 1.0f, 0.0f))))
+      .toDF("vec_id", "embedding")
+    val got = Sampling.clusterBalancedSample(emb, "vec_id", "embedding",
+        k = 2, iters = 2, perCluster = 3)
+      .orderBy($"vec_id").as[(Long, Int)].collect()
+    assert(got.length == 6)
+    assert(got.groupBy(_._2).view.mapValues(_.length).toMap == Map(0 -> 3, 1 -> 3))
+    val again = Sampling.clusterBalancedSample(emb.repartition(5), "vec_id", "embedding",
+        k = 2, iters = 2, perCluster = 3)
+      .orderBy($"vec_id").as[(Long, Int)].collect()
+    assert(again sameElements got)
+  }
+
   test("normalizeText folds typography, case, and whitespace runs") {
     import graft.operators.TextAnalysis
     val df = Seq(

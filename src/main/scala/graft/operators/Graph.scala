@@ -52,7 +52,7 @@ object Graph {
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
       .distinct()
-    val deg = und.select(col("a").as("node")).union(und.select(col("b")))
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     val da = deg.select(col("node").as("a"), col("deg").as("da"))
     val db = deg.select(col("node").as("b"), col("deg").as("db"))
@@ -60,11 +60,20 @@ object Graph {
     // so wedge pairs can be ordered by the SAME total order without a
     // second degree join
     val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    // MATERIALIZED (localCheckpoint): the oriented adjacency is consumed
+    // three times below (both wedge sides + the closing probe); left lazy,
+    // each consumer re-derives the whole edges→distinct→degree→orient
+    // subtree and the plan balloons to ~100 redundant stages (PlanAudit
+    // caught 180 scans). Materializing the O(m) oriented edge list is also
+    // what a production graph pipeline does — it IS the index. Same
+    // decision as [[graft.operators.Clustering.kmeansAssign]]'s quantized
+    // projection.
     val oriented = und.join(da, "a").join(db, "b")
       .select(
         when(aFirst, col("a")).otherwise(col("b")).as("u"),
         when(aFirst, col("b")).otherwise(col("a")).as("v"),
         when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+      .localCheckpoint()
     // wedges from each apex's out-neighbors, ordered by (deg, id) so the
     // closing edge is oriented v1 → v2 by construction
     val o1 = oriented.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
@@ -74,9 +83,10 @@ object Graph {
       .select(col("u"), col("v1"), col("v2"))
     val closing = oriented.select(col("v").as("v2"), col("u").as("v1"))
     val triangles = wedges.join(closing, Seq("v1", "v2"), "left_semi")
-    triangles.select(col("u").as("node"))
-      .union(triangles.select(col("v1")))
-      .union(triangles.select(col("v2")))
+    // one triangles subtree, roles exploded in place (a 3-way union would
+    // re-derive the whole join three times)
+    triangles
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
   }
 
@@ -95,7 +105,7 @@ object Graph {
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
       .distinct()
-    val deg = und.select(col("a").as("node")).union(und.select(col("b")))
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     deg.join(triangleCounts(edges), Seq("node"), "left_outer")
       .select(col("node"), col("deg"),

@@ -748,6 +748,58 @@ object QueriesExtras {
       "AND " + cosSql("ea.v", "eb.v") + " >= 0.45e0) " +
       "ORDER BY a.vec_id"))
 
+  /** Int8 symmetric embedding quantization
+    * ([[Similarity.quantizeInt8]]): scale = max|x|/127, codes =
+    * trunc(x/scale) — truncation toward zero on both engines (the
+    * established [[graft.operators.Clustering]] convention; round()'s
+    * half-way rule differs cross-engine), plus the per-vector max
+    * reconstruction error. Codes are emitted pipe-joined (the gate hashes
+    * flat columns), the scale and error as mirrored-arithmetic doubles. */
+  private val qEmbQuantize = Q(
+    (s, d) => Similarity.quantizeInt8(Tables.load(s, d, "embeddings"),
+        "vec_id", "embedding")
+      .select(col("vec_id"), col("scale"),
+        concat_ws("|", transform(col("codes"), c => c.cast("string"))).as("codes_str"),
+        col("max_abs_err"))
+      .orderBy(col("vec_id")),
+    Some("WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "q AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS am FROM v), " +
+      "s AS (SELECT vec_id, v, am, am / 127.0e0 AS scale FROM q), " +
+      "c AS (SELECT vec_id, v, am, scale, CASE WHEN am = 0.0e0 " +
+      "THEN list_transform(v, x -> CAST(0 AS BIGINT)) " +
+      "ELSE list_transform(v, x -> CAST(trunc(x / scale) AS BIGINT)) END AS codes FROM s) " +
+      "SELECT vec_id, scale, " +
+      "array_to_string(list_transform(codes, x -> x::VARCHAR), '|') AS codes_str, " +
+      "round(list_max(list_transform(range(1, len(v) + 1), " +
+      "i -> abs(v[i] - CAST(codes[i] AS DOUBLE) * scale))), 6) AS max_abs_err " +
+      "FROM c ORDER BY vec_id"))
+
+  /** MAD outlier detection ([[graft.operators.Profiler.madOutliers]],
+    * k=3) over event values per type: both medians are the exact discrete
+    * lower-rank element, re-derived in the oracle with two row_number
+    * rank-picks; the flag comparison is exact mirrored arithmetic. */
+  private val qMadOutliers = Q(
+    (s, d) => graft.operators.Profiler.madOutliers(
+        Tables.load(s, d, "events").select(
+          col("event_id"), col("event_type"), col("value")),
+        "event_type", "value")
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("med"), col("mad"), col("is_outlier"))
+      .orderBy(col("event_id")),
+    Some("WITH e AS (SELECT event_id, event_type AS g, value AS v FROM events WHERE value IS NOT NULL), " +
+      "r1 AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn, " +
+      "count(*) OVER (PARTITION BY g) AS n FROM e), " +
+      "med AS (SELECT g, max(CASE WHEN rn = CAST(floor((n - 1) * 0.5e0) AS BIGINT) + 1 THEN v END) AS med " +
+      "FROM r1 GROUP BY g), " +
+      "d AS (SELECT e.event_id, e.g, e.v, med.med, abs(e.v - med.med) AS absdev FROM e JOIN med USING (g)), " +
+      "r2 AS (SELECT g, absdev, row_number() OVER (PARTITION BY g ORDER BY absdev) AS rn, " +
+      "count(*) OVER (PARTITION BY g) AS n FROM d), " +
+      "mad AS (SELECT g, max(CASE WHEN rn = CAST(floor((n - 1) * 0.5e0) AS BIGINT) + 1 THEN absdev END) AS mad " +
+      "FROM r2 GROUP BY g) " +
+      "SELECT d.event_id, d.g AS event_type, d.v AS value, d.med, mad.mad, " +
+      "(mad.mad > 0.0e0 AND d.absdev > 3.0e0 * mad.mad) AS is_outlier " +
+      "FROM d JOIN mad USING (g) ORDER BY event_id"))
+
   /** Cluster-balanced diversity sample
     * ([[graft.operators.Sampling.clusterBalancedSample]]): 5 vectors per
     * k-means cluster via the deterministic Efraimidis–Spirakis draw. The
@@ -1120,6 +1172,8 @@ object QueriesExtras {
     "q_kmeans_assign" -> qKmeansAssign,
     "q_semdedup" -> qSemDedup,
     "q_cluster_sample" -> qClusterSample,
+    "q_emb_quantize" -> qEmbQuantize,
+    "q_mad_outliers" -> qMadOutliers,
     "q_vocabulary" -> qVocabulary,
     "q_split_assign" -> qSplitAssign,
     "q_stratified_sample" -> qStratifiedSample,

@@ -52,4 +52,30 @@ object Profiler {
         col(s"${n}__max").as("max_val"))
     }: _*)))
   }
+
+  /** ROBUST OUTLIER DETECTION per group — median absolute deviation, the
+    * estimator that survives the outliers it hunts (a mean/stddev z-score
+    * is dragged by the very rows it should flag; the median and MAD have
+    * a 50% breakdown point). Both medians are the EXACT discrete
+    * lower-rank element via [[Ops.histogramQuantiles]] — shuffle bounded
+    * by distinct values per group, not rows, and deterministic at any
+    * partitioning (no interpolation, no float accumulation).
+    *
+    * A row is an outlier when `|v − median| > k·MAD` and MAD > 0 (an
+    * all-equal group has MAD 0 — flagging everything there would be
+    * noise, flagging deviants is [[profile]]'s min/max envelope's job).
+    * Output: every non-null-value row plus (med, absdev, mad,
+    * is_outlier). */
+  def madOutliers(df: DataFrame, group: String, value: String,
+                  k: Double = 3.0): DataFrame = {
+    val med = Ops.histogramQuantiles(df, group, value, Seq(0.5))
+      .select(col(group), col("p50").as("med"))
+    val withDev = df.filter(col(value).isNotNull)
+      .join(med, group)
+      .withColumn("absdev", abs(col(value) - col("med")))
+    val mad = Ops.histogramQuantiles(withDev, group, "absdev", Seq(0.5))
+      .select(col(group), col("p50").as("mad"))
+    withDev.join(mad, group)
+      .withColumn("is_outlier", col("mad") > 0.0 && col("absdev") > lit(k) * col("mad"))
+  }
 }

@@ -161,6 +161,32 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** INT8 SYMMETRIC QUANTIZATION of an embedding column — the storage-
+    * compression pass an embedding lake runs before persisting billions of
+    * vectors (4 bytes/dim → 1, the public int8 recipe every vector store
+    * ships): per vector, `scale = max|x| / 127` and
+    * `code_i = trunc(x_i / scale)` (truncation toward zero — the shared
+    * semantics of Spark's double→long cast and DuckDB's trunc(), the
+    * [[Clustering]] convention — so codes are bit-identical cross-engine;
+    * no round(), whose half-way rule differs between engines). The max
+    * reconstruction error `max_i |x_i − code_i·scale|` is emitted per
+    * vector so a pipeline can gate on quantization loss. A zero vector
+    * quantizes to all-zero codes with scale 0 (no division executes).
+    * Per-row, shuffle-free, one scan. */
+  def quantizeInt8(emb: DataFrame, id: String, vec: String): DataFrame = {
+    val v = asD(col(vec))
+    val absmax = array_max(transform(v, x => abs(x)))
+    val scale = absmax / lit(127.0)
+    val codes = when(absmax === 0.0,
+        transform(v, _ => lit(0L)))
+      .otherwise(transform(v, x => (x / scale).cast("long")))
+    val err = when(absmax === 0.0, array_max(transform(v, x => abs(x))))
+      .otherwise(array_max(zip_with(v, codes,
+        (x, c) => abs(x - c.cast("double") * scale))))
+    emb.filter(col(vec).isNotNull)
+      .select(col(id), scale.as("scale"), codes.as("codes"), round(err, 6).as("max_abs_err"))
+  }
+
   /** L2-normalize, zero-safe: a zero vector maps to the zero vector instead
     * of 0/0 → NULL (which would abort k-means training downstream). */
   private[operators] def normalizedSafe(c: Column): Column = {

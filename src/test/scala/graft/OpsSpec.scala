@@ -162,6 +162,21 @@ class OpsSpec extends AnyFunSuite {
     assert(again sameElements got)
   }
 
+  test("madOutliers flags spikes, not the bulk; all-equal group flags nothing") {
+    import graft.operators.Profiler
+    // group a: bulk around 10 (med 10, MAD 1), one spike at 100
+    // group b: all equal -> MAD 0 -> nothing flagged
+    val df = (Seq(9.0, 10.0, 10.0, 11.0, 100.0).zipWithIndex.map {
+      case (v, i) => (i.toLong, "a", v)
+    } ++ Seq((10L, "b", 5.0), (11L, "b", 5.0), (12L, "b", 5.0)))
+      .toDF("id", "g", "v")
+    val got = Profiler.madOutliers(df, "g", "v").orderBy($"id")
+      .select($"id", $"is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(got(4L)) // the spike
+    assert((0L to 3L).forall(!got(_)))
+    assert((10L to 12L).forall(!got(_)))
+  }
+
   test("union tolerates asymmetric schemas") {
     val a = Seq(("x", 1)).toDF("name", "extra")
     val b = Seq("y").toDF("name")

@@ -183,6 +183,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again sameElements got)
   }
 
+  test("quantizeInt8: codes bounded, reconstruction within scale, zero vector safe") {
+    val df = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(-2.0f, 2.0f, 1.0f, -1.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .orderBy($"vec_id")
+      .as[(Long, Double, Array[Long], Double)].collect()
+    // codes stay within int8 range; the max component maps to +/-127
+    assert(got.forall(_._3.forall(c => c >= -127 && c <= 127)))
+    assert(got(0)._3(0) == 127L && got(2)._3.take(2).sameElements(Array(-127L, 127L)))
+    // reconstruction error bounded by one quantization step
+    assert(got.forall(r => r._4 <= r._2 + 1e-12))
+    // zero vector: scale 0, all-zero codes, zero error
+    assert(got(1)._2 == 0.0 && got(1)._3.forall(_ == 0L) && got(1)._4 == 0.0)
+  }
+
   test("LSH bucket assignment is deterministic and colinear vectors share a bucket") {
     val planes = Similarity.hyperplanes(8, 3)
     val b1 = Similarity.withLshBucket(vecs, "embedding", planes)

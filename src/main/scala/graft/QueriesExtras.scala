@@ -748,6 +748,40 @@ object QueriesExtras {
       "AND " + cosSql("ea.v", "eb.v") + " >= 0.45e0) " +
       "ORDER BY a.vec_id"))
 
+  /** Token entropy ([[TextAnalysis.tokenEntropy]]): Shannon entropy of
+    * each doc's own token distribution — the repetition signal that needs
+    * no corpus pass. round(6) soaks ln/summation-order noise (the
+    * q_unigram_logprob precedent). */
+  private val qTokenEntropy = Q(
+    (s, d) => TextAnalysis.tokenEntropy(Tables.load(s, d, "documents"),
+        "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok FROM documents), " +
+      "tc AS (SELECT doc_id, tok, count(*) AS c FROM toks WHERE tok <> '' GROUP BY doc_id, tok), " +
+      "tn AS (SELECT doc_id, tok, c, CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM tc) " +
+      "SELECT doc_id, max(n) AS n_tokens, count(*) AS n_distinct, " +
+      "round(-SUM((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS entropy " +
+      "FROM tn GROUP BY doc_id ORDER BY doc_id"))
+
+  /** OOV rate ([[TextAnalysis.oovRate]]) against the min-count-5 corpus
+    * vocabulary ([[TextAnalysis.vocabulary]] — the q_vocabulary table):
+    * the tokenizer-coverage audit, oracle re-deriving vocab membership and
+    * the instance-share division in SQL. */
+  private val qOovRate = Q(
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      TextAnalysis.oovRate(docs, "doc_id", "text",
+          TextAnalysis.vocabulary(docs, "doc_id", "text", minCount = 5L))
+        .orderBy(col("doc_id"))
+    },
+    Some("WITH toks AS (SELECT doc_id, tok FROM (SELECT doc_id, " +
+      "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok FROM documents) WHERE tok <> ''), " +
+      "v AS (SELECT tok FROM (SELECT tok, count(*) AS tf FROM toks GROUP BY tok) WHERE tf >= 5) " +
+      "SELECT doc_id, count(*) AS n_tokens, " +
+      "CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
+      "CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate " +
+      "FROM toks LEFT JOIN v ON toks.tok = v.tok GROUP BY doc_id ORDER BY doc_id"))
+
   /** Int8 symmetric embedding quantization
     * ([[Similarity.quantizeInt8]]): scale = max|x|/127, codes =
     * trunc(x/scale) — truncation toward zero on both engines (the
@@ -1174,6 +1208,8 @@ object QueriesExtras {
     "q_cluster_sample" -> qClusterSample,
     "q_emb_quantize" -> qEmbQuantize,
     "q_mad_outliers" -> qMadOutliers,
+    "q_token_entropy" -> qTokenEntropy,
+    "q_oov_rate" -> qOovRate,
     "q_vocabulary" -> qVocabulary,
     "q_split_assign" -> qSplitAssign,
     "q_stratified_sample" -> qStratifiedSample,

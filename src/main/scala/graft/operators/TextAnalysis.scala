@@ -301,6 +301,45 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** TOKEN ENTROPY per document — Shannon entropy of the doc's own token
+    * distribution, in nats: `H = −Σ (c/n)·ln(c/n)` over the doc's distinct
+    * tokens. The third classic repetition signal next to
+    * [[unigramLogProb]] (corpus-typicality) and the Gopher gates
+    * (rule-based): near-zero entropy = one token repeated (spam), high
+    * entropy = all-distinct tokens. Plan: explode → (doc, token) count →
+    * one doc-grain aggregation; round(6) soaks cross-libm ln drift and
+    * sub-ulp summation-order noise (the [[unigramLogProb]] precedent).
+    * Output: (id, n_tokens, n_distinct, entropy). */
+  def tokenEntropy(df: DataFrame, id: String, text: String): DataFrame = {
+    val toks = df.select(col(id), explode(words(lower(col(text)))).as("tok"))
+      .filter(col("tok") =!= "")
+    toks.groupBy(col(id), col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(id))))
+      .groupBy(col(id))
+      .agg(max(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        round(-sum((col("c").cast("double") / col("n").cast("double")) *
+          log(col("c").cast("double") / col("n").cast("double"))), 6).as("entropy"))
+  }
+
+  /** OOV RATE per document against a [[vocabulary]] table — the
+    * tokenizer-coverage audit run before committing to a vocab: the share
+    * of token INSTANCES a min-count vocabulary cannot represent. One
+    * explode, one left join keyed by token (broadcast-able — the vocab is
+    * bounded), one doc-grain aggregation. Output: (id, n_tokens, n_oov,
+    * oov_rate). */
+  def oovRate(df: DataFrame, id: String, text: String, vocab: DataFrame): DataFrame = {
+    val toks = df.select(col(id), explode(words(lower(col(text)))).as("tok"))
+      .filter(col("tok") =!= "")
+    toks.join(broadcast(vocab.select(col("tok"), lit(true).as("__in"))), Seq("tok"), "left_outer")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** TEXT NORMALIZATION — the canonical-form pass that runs before any
     * hash-keyed dedup (exact, paragraph, MinHash): typographic quotes and
     * dashes folded to ASCII, lowercase, every whitespace/control run

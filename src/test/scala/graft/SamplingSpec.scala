@@ -164,6 +164,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(again sameElements got)
   }
 
+  test("tokenEntropy: repeated token ~0, uniform distinct = ln(n)") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "spam spam spam spam"),
+      (2L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(df, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(got(0) == ((1L, 4L, 1L, -0.0)) || got(0) == ((1L, 4L, 1L, 0.0)))
+    assert(got(1)._2 == 4L && got(1)._3 == 4L)
+    assert(math.abs(got(1)._4 - math.log(4.0)) < 1e-5)
+  }
+
+  test("oovRate counts token instances outside the vocabulary") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "known known rare"),
+      (2L, "known known known")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.vocabulary(docs, "doc_id", "text", minCount = 3L)
+    // only 'known' (5 instances) clears minCount=3; 'rare' is OOV
+    val got = TextAnalysis.oovRate(docs, "doc_id", "text", vocab)
+      .orderBy($"doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(got sameElements Array((1L, 3L, 1L, 1.0 / 3.0), (2L, 3L, 0L, 0.0)))
+  }
+
   test("normalizeText folds typography, case, and whitespace runs") {
     import graft.operators.TextAnalysis
     val df = Seq(

@@ -748,6 +748,16 @@ object QueriesExtras {
       "AND " + cosSql("ea.v", "eb.v") + " >= 0.45e0) " +
       "ORDER BY a.vec_id"))
 
+  /** Compression-ratio signal ([[TextAnalysis.compressionRatio]]):
+    * rows-only BY DESIGN — zlib output is deterministic per zlib build
+    * but no SQL engine can mirror it (the q_ann_lsh_topk precedent);
+    * ordering and determinism contracts live in the spec. */
+  private val qCompressRatio = Q(
+    (s, d) => TextAnalysis.compressionRatio(Tables.load(s, d, "documents"),
+        "doc_id", "text")
+      .orderBy(col("doc_id")),
+    None)
+
   /** Token entropy ([[TextAnalysis.tokenEntropy]]): Shannon entropy of
     * each doc's own token distribution — the repetition signal that needs
     * no corpus pass. round(6) soaks ln/summation-order noise (the
@@ -1210,6 +1220,7 @@ object QueriesExtras {
     "q_mad_outliers" -> qMadOutliers,
     "q_token_entropy" -> qTokenEntropy,
     "q_oov_rate" -> qOovRate,
+    "q_compress_ratio" -> qCompressRatio,
     "q_vocabulary" -> qVocabulary,
     "q_split_assign" -> qSplitAssign,
     "q_stratified_sample" -> qStratifiedSample,

@@ -301,6 +301,17 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** COMPRESSION-RATIO quality signal ([[graft.plans.DeflateRatio]]):
+    * Deflate bytes over raw bytes per document — the model-free
+    * redundancy detector (repeated paragraphs compress well even when
+    * token entropy looks healthy). Scan-stage, shuffle-free; rows-only in
+    * the gate (no SQL engine can mirror zlib), semantics pinned by spec. */
+  def compressionRatio(df: DataFrame, id: String, text: String): DataFrame = {
+    graft.plans.GraftFunctions.register(org.apache.spark.sql.SparkSession.active)
+    df.select(col(id), length(col(text)).cast("long").as("n_chars"),
+      call_function("deflate_ratio", col(text)).as("deflate_ratio"))
+  }
+
   /** TOKEN ENTROPY per document — Shannon entropy of the doc's own token
     * distribution, in nats: `H = −Σ (c/n)·ln(c/n)` over the doc's distinct
     * tokens. The third classic repetition signal next to

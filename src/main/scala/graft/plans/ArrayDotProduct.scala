@@ -94,7 +94,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => BpeEncode(exprs(0), exprs(1))),
     (FunctionIdentifier("argmin_dist2"),
       new ExpressionInfo(classOf[ArgminDist2].getName, "argmin_dist2"),
-      (exprs: Seq[Expression]) => ArgminDist2(exprs(0), exprs(1), exprs(2))))
+      (exprs: Seq[Expression]) => ArgminDist2(exprs(0), exprs(1), exprs(2))),
+    (FunctionIdentifier("deflate_ratio"),
+      new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
+      (exprs: Seq[Expression]) => DeflateRatio(exprs(0))))
 
   /** Idempotent per-session registration (for library callers that don't
     * control session construction). */

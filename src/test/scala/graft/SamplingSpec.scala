@@ -164,6 +164,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(again sameElements got)
   }
 
+  test("compressionRatio: repetitive < prose < random; empty is null; deterministic") {
+    import graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(11)
+    val random = rnd.alphanumeric.take(400).mkString
+    val df = Seq(
+      (1L, "spam ham " * 50),                               // repetitive
+      (2L, ("the quick brown fox jumps over the lazy dog " +
+        "a stitch in time saves nine all that glitters is not gold ") * 4),
+      (3L, random),                                          // incompressible-ish
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.compressionRatio(df, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Option[Double])].collect()
+    val r = got.map(x => x._1 -> x._3).toMap
+    assert(r(1L).get < r(2L).get && r(2L).get < r(3L).get, r.toString)
+    assert(r(4L).isEmpty)
+    // pure per-row function: repartitioning changes nothing
+    val again = TextAnalysis.compressionRatio(df.repartition(5), "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Option[Double])].collect()
+    assert(again sameElements got)
+  }
+
   test("tokenEntropy: repeated token ~0, uniform distinct = ln(n)") {
     import graft.operators.TextAnalysis
     val df = Seq(

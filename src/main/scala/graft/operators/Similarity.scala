@@ -174,17 +174,15 @@ object Similarity {
     * quantizes to all-zero codes with scale 0 (no division executes).
     * Per-row, shuffle-free, one scan. */
   def quantizeInt8(emb: DataFrame, id: String, vec: String): DataFrame = {
-    val v = asD(col(vec))
-    val absmax = array_max(transform(v, x => abs(x)))
-    val scale = absmax / lit(127.0)
-    val codes = when(absmax === 0.0,
-        transform(v, _ => lit(0L)))
-      .otherwise(transform(v, x => (x / scale).cast("long")))
-    val err = when(absmax === 0.0, array_max(transform(v, x => abs(x))))
-      .otherwise(array_max(zip_with(v, codes,
-        (x, c) => abs(x - c.cast("double") * scale))))
+    // one generated loop per row (graft.plans.Int8Quantize) — the three
+    // transform/zip_with HOF columns this replaces ran interpreted and
+    // made the query one of the slowest shuffle-free scans in the bench
+    graft.plans.GraftFunctions.register(org.apache.spark.sql.SparkSession.active)
+    val q = call_function("int8_quantize", asD(col(vec)))
     emb.filter(col(vec).isNotNull)
-      .select(col(id), scale.as("scale"), codes.as("codes"), round(err, 6).as("max_abs_err"))
+      .select(col(id), q.as("__q"))
+      .select(col(id), col("__q.scale").as("scale"), col("__q.codes").as("codes"),
+        round(col("__q.max_abs_err"), 6).as("max_abs_err"))
   }
 
   /** L2-normalize, zero-safe: a zero vector maps to the zero vector instead

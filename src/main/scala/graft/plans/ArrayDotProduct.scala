@@ -97,7 +97,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => ArgminDist2(exprs(0), exprs(1), exprs(2))),
     (FunctionIdentifier("deflate_ratio"),
       new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
-      (exprs: Seq[Expression]) => DeflateRatio(exprs(0))))
+      (exprs: Seq[Expression]) => DeflateRatio(exprs(0))),
+    (FunctionIdentifier("int8_quantize"),
+      new ExpressionInfo(classOf[Int8Quantize].getName, "int8_quantize"),
+      (exprs: Seq[Expression]) => Int8Quantize(exprs(0))))
 
   /** Idempotent per-session registration (for library callers that don't
     * control session construction). */

@@ -119,10 +119,17 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int, dampingPct: Int = 85,
                scale: Long = 1000000L): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    // MATERIALIZED once (localCheckpoint): every iteration references the
+    // edge list twice and nodes/outdeg once — left lazy, round i re-derives
+    // the whole upstream edge-construction plan ~4i times (the
+    // triangleCounts lesson; q_pagerank spent 4.3 s at sf0.1 mostly
+    // re-planning its own base). The adjacency is what a production graph
+    // job persists anyway; iteration state stays fully distributed.
     val e = edges.select(col("src").cast("string"), col("dst").cast("string"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      .union(e.select(col("dst"))).distinct().localCheckpoint()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od")).localCheckpoint()
     val base = math.floorDiv(scale * (100L - dampingPct), 100L).toDouble
     var ranks = nodes.withColumn("rank", lit(scale.toDouble))
     (1 to iters).foreach { _ =>

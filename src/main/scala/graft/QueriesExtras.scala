@@ -748,6 +748,57 @@ object QueriesExtras {
       "AND " + cosSql("ea.v", "eb.v") + " >= 0.45e0) " +
       "ORDER BY a.vec_id"))
 
+  /** END-TO-END CURATION PIPELINE — the flagship composition query: the
+    * four stages a real corpus run chains, as ONE plan, each stage an
+    * already-gated operator:
+    *
+    *   1. normalize ([[TextAnalysis.normalizeText]] over a planted messy
+    *      wrapper — typography/case/whitespace)
+    *   2. exact dedup on the md5 of the NORMALIZED text, first-wins by
+    *      doc_id (the [[graft.operators.Ops.dedupFirstWins]] window form)
+    *   3. quality gate: 5 ≤ token count ≤ 1000 on the normalized text
+    *   4. deterministic split assignment ([[graft.operators.Sampling]])
+    *
+    * The oracle chains the same four stages as CTEs — what the gate
+    * proves here is not any single operator (each has its own row) but
+    * that the COMPOSITION is lossless: normalization feeds the dedup
+    * fingerprint, the survivor set feeds the gate, the gate feeds the
+    * split, with no stage reordering or column drift. One scan, one
+    * fingerprint shuffle, one window — the whole pipeline is two
+    * exchanges at any corpus size. */
+  private val qCurationPipeline = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val planted = Tables.load(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.normalizeText(concat(
+          lit("  “"), upper(substring(col("text"), 1, 30)), lit("”  "), col("text")))
+          .as("norm"))
+      val deduped = planted
+        .withColumn("fp", md5(col("norm")))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+        .filter(col("__rn") === 1)
+        .withColumn("n_tokens",
+          size(filter(split(col("norm"), "\\s+"), t => t =!= "")).cast("long"))
+        .filter(col("n_tokens").between(5L, 1000L))
+      graft.operators.Sampling.splitAssign(deduped, "doc_id")
+        .select(col("doc_id"), col("fp"), col("n_tokens"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some("WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(translate(" +
+      "'  “' || upper(substring(text, 1, 30)) || '”  ' || text, " +
+      "'’‘“”—–', '''''\"\"--')), '[\\s\\x00-\\x1f]+', ' ', 'g')) AS norm FROM documents), " +
+      "fp AS (SELECT doc_id, norm, md5(norm) AS fp FROM norm), " +
+      "ded AS (SELECT doc_id, norm, fp FROM (SELECT doc_id, norm, fp, " +
+      "row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fp) WHERE rn = 1), " +
+      "gated AS (SELECT doc_id, fp, CAST(len(list_filter(string_split_regex(norm, '\\s+'), " +
+      "x -> x <> '')) AS BIGINT) AS n_tokens FROM ded) " +
+      "SELECT doc_id, fp, n_tokens, " +
+      "CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split " +
+      "FROM (SELECT doc_id, fp, n_tokens, " +
+      "('0x' || substr(md5(doc_id::VARCHAR || 'graft'), 1, 8))::BIGINT % 100 AS b " +
+      "FROM gated WHERE n_tokens BETWEEN 5 AND 1000) ORDER BY doc_id"))
+
   /** Compression-ratio signal ([[TextAnalysis.compressionRatio]]):
     * rows-only BY DESIGN — zlib output is deterministic per zlib build
     * but no SQL engine can mirror it (the q_ann_lsh_topk precedent);
@@ -1221,6 +1272,7 @@ object QueriesExtras {
     "q_token_entropy" -> qTokenEntropy,
     "q_oov_rate" -> qOovRate,
     "q_compress_ratio" -> qCompressRatio,
+    "q_curation_pipeline" -> qCurationPipeline,
     "q_vocabulary" -> qVocabulary,
     "q_split_assign" -> qSplitAssign,
     "q_stratified_sample" -> qStratifiedSample,

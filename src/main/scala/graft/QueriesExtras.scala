@@ -748,6 +748,23 @@ object QueriesExtras {
       "AND " + cosSql("ea.v", "eb.v") + " >= 0.45e0) " +
       "ORDER BY a.vec_id"))
 
+  /** Exact kNN graph ([[Similarity.knnGraph]], k=3): every vector's three
+    * nearest neighbors with deterministic (cosine desc, id) ranks; the
+    * oracle is the declarative window over all pairs. At corpus scale the
+    * same scoring+window tail runs on banded-LSH / IVF candidates. */
+  private val qKnnGraph = Q(
+    (s, d) => Similarity.knnGraph(Tables.load(s, d, "embeddings"),
+        "vec_id", "embedding", k = 3)
+      .orderBy(col("vec_id"), col("rank")),
+    Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "s AS (SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id, " +
+      cosSql("q.v", "c.v") + " AS cosine " +
+      "FROM e q JOIN e c ON c.vec_id <> q.vec_id) " +
+      "SELECT q_id AS vec_id, neighbor_id, cosine, rank FROM (" +
+      "SELECT q_id, neighbor_id, cosine, " +
+      "CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank " +
+      "FROM s) WHERE rank <= 3 ORDER BY vec_id, rank"))
+
   /** END-TO-END CURATION PIPELINE — the flagship composition query: the
     * four stages a real corpus run chains, as ONE plan, each stage an
     * already-gated operator:
@@ -1273,6 +1290,7 @@ object QueriesExtras {
     "q_oov_rate" -> qOovRate,
     "q_compress_ratio" -> qCompressRatio,
     "q_curation_pipeline" -> qCurationPipeline,
+    "q_knn_graph" -> qKnnGraph,
     "q_vocabulary" -> qVocabulary,
     "q_split_assign" -> qSplitAssign,
     "q_stratified_sample" -> qStratifiedSample,

@@ -185,6 +185,32 @@ object Similarity {
         round(col("__q.max_abs_err"), 6).as("max_abs_err"))
   }
 
+  /** Exact k-NEAREST-NEIGHBOR GRAPH over an embedding corpus: for every
+    * vector, its k most cosine-similar neighbors with ranks — the input
+    * structure of graph-based curation (kNN-graph clustering, mutual-kNN
+    * dedup, diversity scoring). Output: (id, neighbor_id, cosine, rank),
+    * rank 1..k by (cosine desc, neighbor id) — fully deterministic.
+    *
+    * This is the quadratic VERIFICATION TWIN (the [[cosinePairs]]
+    * contract): the stream side is repartitioned so the O(n²) scoring
+    * runs at full parallelism, and the per-id top-k is one window on the
+    * scored pairs. At corpus scale, build candidates with
+    * [[lshCosinePairs]]-style band joins or [[IvfIndex]] cells first and
+    * run the SAME scoring+window tail on candidates only. */
+  def knnGraph(emb: DataFrame, id: String, vec: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism, col(id))
+      .select(col(id).as("__qid"), asD(col(vec)).as("qv"), norm(col(vec)).as("qn"))
+    val c = emb.select(col(id).as("neighbor_id"), asD(col(vec)).as("cv"), norm(col(vec)).as("cn"))
+    val w = Window.partitionBy(col("__qid")).orderBy(col("cosine").desc, col("neighbor_id"))
+    q.crossJoin(c).filter(col("__qid") =!= col("neighbor_id"))
+      .select(col("__qid"), col("neighbor_id"),
+        round(safeDiv(dot(col("qv"), col("cv")), col("qn") * col("cn")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as(id), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** L2-normalize, zero-safe: a zero vector maps to the zero vector instead
     * of 0/0 → NULL (which would abort k-means training downstream). */
   private[operators] def normalizedSafe(c: Column): Column = {

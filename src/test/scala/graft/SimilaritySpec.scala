@@ -183,6 +183,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again sameElements got)
   }
 
+  test("knnGraph: deterministic ranked neighbors, self excluded") {
+    val got = Similarity.knnGraph(vecs, "vec_id", "embedding", k = 2)
+      .orderBy($"vec_id", $"rank")
+      .select($"vec_id", $"neighbor_id", $"rank").as[(Long, Long, Long)].collect()
+    // vec 0: colinear 4 first (cos 1), then 1 (cos ~.9934)
+    assert(got.take(2) sameElements Array((0L, 4L, 1L), (0L, 1L, 2L)))
+    // every vector has exactly k neighbors, never itself
+    assert(got.length == 5 * 2 && got.forall { case (a, b, _) => a != b })
+  }
+
   test("quantizeInt8: codes bounded, reconstruction within scale, zero vector safe") {
     val df = Seq(
       (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),

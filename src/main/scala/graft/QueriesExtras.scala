@@ -748,6 +748,38 @@ object QueriesExtras {
       "AND " + cosSql("ea.v", "eb.v") + " >= 0.45e0) " +
       "ORDER BY a.vec_id"))
 
+  /** Exact-sum Pearson correlation
+    * ([[graft.operators.Profiler.pearson]]) over three lineitem pairs in
+    * one pass: the six moments per pair go through DECIMAL (exact at any
+    * partitioning), the final formula is mirrored operand-for-operand,
+    * round(6) soaks sqrt ulp drift. */
+  private val qCorrelation = Q(
+    (s, d) => graft.operators.Profiler.pearson(
+        Tables.load(s, d, "lineitem"),
+        Seq(("l_quantity", "l_extendedprice"),
+          ("l_quantity", "l_discount"),
+          ("l_extendedprice", "l_discount")))
+      .orderBy(col("x_col"), col("y_col")),
+    Some {
+      def m(x: String, y: String) =
+        s"SELECT '$x' AS x_col, '$y' AS y_col, count(*) AS n, " +
+        s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE) AS sx, " +
+        s"CAST(SUM(CAST($y AS DECIMAL(18,2))) AS DOUBLE) AS sy, " +
+        s"CAST(SUM(CAST($x AS DECIMAL(18,2)) * CAST($y AS DECIMAL(18,2))) AS DOUBLE) AS sxy, " +
+        s"CAST(SUM(CAST($x AS DECIMAL(18,2)) * CAST($x AS DECIMAL(18,2))) AS DOUBLE) AS sxx, " +
+        s"CAST(SUM(CAST($y AS DECIMAL(18,2)) * CAST($y AS DECIMAL(18,2))) AS DOUBLE) AS syy " +
+        s"FROM lineitem WHERE $x IS NOT NULL AND $y IS NOT NULL"
+      "WITH mom AS (" +
+        Seq(m("l_quantity", "l_extendedprice"), m("l_quantity", "l_discount"),
+          m("l_extendedprice", "l_discount")).mkString(" UNION ALL ") + ") " +
+        "SELECT x_col, y_col, n, " +
+        "round(CASE WHEN (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * " +
+        "sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) = 0.0e0 THEN NULL " +
+        "ELSE (CAST(n AS DOUBLE) * sxy - sx * sy) / " +
+        "(sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) END, 6) AS corr " +
+        "FROM mom ORDER BY x_col, y_col"
+    })
+
   /** Exact kNN graph ([[Similarity.knnGraph]], k=3): every vector's three
     * nearest neighbors with deterministic (cosine desc, id) ranks; the
     * oracle is the declarative window over all pairs. At corpus scale the
@@ -1291,6 +1323,7 @@ object QueriesExtras {
     "q_compress_ratio" -> qCompressRatio,
     "q_curation_pipeline" -> qCurationPipeline,
     "q_knn_graph" -> qKnnGraph,
+    "q_correlation" -> qCorrelation,
     "q_vocabulary" -> qVocabulary,
     "q_split_assign" -> qSplitAssign,
     "q_stratified_sample" -> qStratifiedSample,

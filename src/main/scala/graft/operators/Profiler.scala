@@ -53,6 +53,43 @@ object Profiler {
     }: _*)))
   }
 
+  /** PAIRWISE PEARSON CORRELATION in ONE aggregation pass — the
+    * profiling step after [[profile]]: which numeric columns move
+    * together. All six moments per pair (n, Σx, Σy, Σxy, Σx², Σy²) come
+    * out of a single partial+final hash aggregation; sums run through
+    * DECIMAL (exact and associative for ≤2-decimal inputs — the money-sum
+    * rule), so the moments are bit-identical at any partitioning and the
+    * final double formula, mirrored operand-for-operand in the oracle, is
+    * deterministic cross-engine (round(6) soaks final-ulp sqrt drift).
+    * Rows with a NULL on either side of a pair drop from THAT pair's
+    * moments only. Output: (x_col, y_col, n, corr) — one row per pair. */
+  def pearson(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "pearson: need at least one column pair")
+    def dec(c: String) = col(c).cast("decimal(18,2)")
+    val aggs = pairs.zipWithIndex.flatMap { case ((x, y), i) =>
+      val ok = col(x).isNotNull && col(y).isNotNull
+      Seq(
+        count(when(ok, 1)).as(s"__n_$i"),
+        sum(when(ok, dec(x))).cast("double").as(s"__sx_$i"),
+        sum(when(ok, dec(y))).cast("double").as(s"__sy_$i"),
+        sum(when(ok, dec(x) * dec(y))).cast("double").as(s"__sxy_$i"),
+        sum(when(ok, dec(x) * dec(x))).cast("double").as(s"__sxx_$i"),
+        sum(when(ok, dec(y) * dec(y))).cast("double").as(s"__syy_$i"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    wide.select(inline(array(pairs.zipWithIndex.map { case ((x, y), i) =>
+      val nd = col(s"__n_$i").cast("double")
+      val num = nd * col(s"__sxy_$i") - col(s"__sx_$i") * col(s"__sy_$i")
+      val den = sqrt(nd * col(s"__sxx_$i") - col(s"__sx_$i") * col(s"__sx_$i")) *
+        sqrt(nd * col(s"__syy_$i") - col(s"__sy_$i") * col(s"__sy_$i"))
+      struct(
+        lit(x).as("x_col"), lit(y).as("y_col"),
+        col(s"__n_$i").as("n"),
+        round(when(den === 0.0, lit(null).cast("double")).otherwise(num / den), 6)
+          .as("corr"))
+    }: _*)))
+  }
+
   /** ROBUST OUTLIER DETECTION per group — median absolute deviation, the
     * estimator that survives the outliers it hunts (a mean/stddev z-score
     * is dragged by the very rows it should flag; the median and MAD have

@@ -177,6 +177,19 @@ class OpsSpec extends AnyFunSuite {
     assert((10L to 12L).forall(!got(_)))
   }
 
+  test("pearson: perfect linear = 1, inverse = -1, constant = null") {
+    import graft.operators.Profiler
+    val df = Seq((1.0, 2.0, -1.0, 7.0), (2.0, 4.0, -2.0, 7.0),
+      (3.0, 6.0, -3.0, 7.0), (4.0, 8.0, -4.0, 7.0))
+      .toDF("x", "y2", "yneg", "const")
+    val got = Profiler.pearson(df, Seq(("x", "y2"), ("x", "yneg"), ("x", "const")))
+      .select($"x_col", $"y_col", $"corr").as[(String, String, Option[Double])]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("x", "y2")).contains(1.0))
+    assert(got(("x", "yneg")).contains(-1.0))
+    assert(got(("x", "const")).isEmpty) // zero variance -> undefined
+  }
+
   test("union tolerates asymmetric schemas") {
     val a = Seq(("x", 1)).toDF("name", "extra")
     val b = Seq("y").toDF("name")

@@ -748,6 +748,96 @@ object QueriesExtras {
       "AND " + cosSql("ea.v", "eb.v") + " >= 0.45e0) " +
       "ORDER BY a.vec_id"))
 
+  /** Per-user OLS value trend ([[graft.operators.Profiler.groupTrend]]):
+    * slope/intercept of event value over the hour index, from exact
+    * DECIMAL(18,4) moments (value carries ≤3 decimals — the
+    * q_rolling_range precision note) in one grouped pass. */
+  private val qUserTrend = Q(
+    // DAY index, not hour: the hour index's decimal square overflows
+    // DuckDB's int64 decimal arithmetic (internal 4.7e9² > 2⁶³); day
+    // squares stay comfortably inside for both engines
+    (s, d) => graft.operators.Profiler.groupTrend(
+        Tables.load(s, d, "events").filter(col("value").isNotNull)
+          .select(col("user_id"),
+            floor(unix_micros(col("ts")) / lit(86400000000L)).as("day"),
+            col("value")),
+        "user_id", "day", "value", yScale = 4)
+      .orderBy(col("user_id")),
+    Some("WITH e AS (SELECT user_id, floor(epoch_us(ts) / 86400000000) AS x, value AS y " +
+      "FROM events WHERE value IS NOT NULL), " +
+      "mom AS (SELECT user_id, count(*) AS n, " +
+      "CAST(SUM(CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sx, " +
+      "CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS sy, " +
+      "CAST(SUM(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS sxy, " +
+      "CAST(SUM(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sxx " +
+      "FROM e GROUP BY user_id) " +
+      "SELECT user_id, n, " +
+      "round(CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) = 0.0e0 THEN NULL " +
+      "ELSE (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) END, 6) AS slope, " +
+      "round(CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) = 0.0e0 THEN NULL " +
+      "ELSE (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) " +
+      "/ CAST(n AS DOUBLE) END, 6) AS intercept " +
+      "FROM mom ORDER BY user_id"))
+
+  /** FUNNEL ANALYSIS — the ordered-step conversion staple: how many users
+    * viewed, then clicked AFTER their first view, then purchased AFTER
+    * that click. Per user: first view ts, first click ts strictly after
+    * it, first purchase ts strictly after that — three conditional
+    * min-aggregations, the middle two needing the previous stage's
+    * result, so the plan is one user-grain aggregation plus two
+    * user-keyed self-aggregation joins (each shuffles user grain, never
+    * event grain, after the first). The oracle chains the same three
+    * stages as CTEs. Output: one row of stage counts. */
+  private val qFunnel = Q(
+    (s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val va = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_view"))
+      val cb = ev.filter(col("event_type") === "click")
+        .join(va, "user_id").filter(col("us") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_click"))
+      val pc = ev.filter(col("event_type") === "purchase")
+        .join(cb, "user_id").filter(col("us") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_purchase"))
+      va.agg(count(lit(1)).as("n_view"))
+        .crossJoin(cb.agg(count(lit(1)).as("n_click_after")))
+        .crossJoin(pc.agg(count(lit(1)).as("n_purchase_after")))
+    },
+    Some("WITH va AS (SELECT user_id, min(epoch_us(ts)) AS t_view FROM events " +
+      "WHERE event_type = 'view' GROUP BY user_id), " +
+      "cb AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_click FROM events e " +
+      "JOIN va ON e.user_id = va.user_id " +
+      "WHERE e.event_type = 'click' AND epoch_us(e.ts) > va.t_view GROUP BY e.user_id), " +
+      "pc AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase FROM events e " +
+      "JOIN cb ON e.user_id = cb.user_id " +
+      "WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > cb.t_click GROUP BY e.user_id) " +
+      "SELECT (SELECT count(*) FROM va) AS n_view, " +
+      "(SELECT count(*) FROM cb) AS n_click_after, " +
+      "(SELECT count(*) FROM pc) AS n_purchase_after"))
+
+  /** COHORT RETENTION — the other dashboard staple: users grouped by
+    * first-activity week (cohort), counted by distinct activity in each
+    * subsequent week offset. One user-grain first-activity aggregation,
+    * joined back (user-keyed) onto events, then a (cohort, offset)
+    * distinct-count — the standard two-shuffle plan. Weeks are epoch
+    * days / 7 (integer, engine-independent — no calendar semantics). */
+  private val qCohortRetention = Q(
+    (s, d) => {
+      val ev = Tables.load(s, d, "events").select(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(86400000000L * 7L)).as("wk"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      ev.join(first, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_wk"), col("wk_offset"))
+    },
+    Some("WITH e AS (SELECT user_id, floor(epoch_us(ts) / 604800000000) AS wk FROM events), " +
+      "f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id) " +
+      "SELECT cohort_wk, wk - cohort_wk AS wk_offset, count(DISTINCT e.user_id) AS n_users " +
+      "FROM e JOIN f ON e.user_id = f.user_id GROUP BY cohort_wk, wk_offset " +
+      "ORDER BY cohort_wk, wk_offset"))
+
   /** Exact-sum Pearson correlation
     * ([[graft.operators.Profiler.pearson]]) over three lineitem pairs in
     * one pass: the six moments per pair go through DECIMAL (exact at any
@@ -1324,6 +1414,9 @@ object QueriesExtras {
     "q_curation_pipeline" -> qCurationPipeline,
     "q_knn_graph" -> qKnnGraph,
     "q_correlation" -> qCorrelation,
+    "q_user_trend" -> qUserTrend,
+    "q_funnel" -> qFunnel,
+    "q_cohort_retention" -> qCohortRetention,
     "q_vocabulary" -> qVocabulary,
     "q_split_assign" -> qSplitAssign,
     "q_stratified_sample" -> qStratifiedSample,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{NumericType, StringType}
 
@@ -88,6 +88,42 @@ object Profiler {
         round(when(den === 0.0, lit(null).cast("double")).otherwise(num / den), 6)
           .as("corr"))
     }: _*)))
+  }
+
+  /** PER-GROUP OLS TREND — simple linear regression y = a + b·x per
+    * group from the same exact DECIMAL moments as [[pearson]]:
+    * `slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx·Σx)`,
+    * `intercept = (Σy − slope·Σx) / n`. One partial+final hash
+    * aggregation keyed by the group — the "fit a trend per key" primitive
+    * (per-entity growth rate, per-source drift) without any ML runtime.
+    * Deterministic: exact integer/decimal moments at any partitioning,
+    * final double formula mirrored in the oracle, round(6). Groups with
+    * zero x-variance (or a single row) yield NULL slope/intercept. */
+  def groupTrend(df: DataFrame, group: String, x: String, y: String,
+                 yScale: Int = 2): DataFrame = {
+    // x is an INDEX (integral — day number, step count): scale-0 decimal.
+    // Besides matching the data, this keeps every sum's internal integer
+    // far below 2^53, where decimal→double conversion is exact in both
+    // engines — product sums at scale 8 were one ulp apart cross-engine
+    // near 2^53 and the intercept's cancellation amplified that to 1e-5.
+    def dx(c: Column) = c.cast("decimal(18,0)")
+    def dy(c: Column) = c.cast(s"decimal(18,$yScale)")
+    val ok = col(x).isNotNull && col(y).isNotNull
+    val agg = df.groupBy(col(group)).agg(
+      count(when(ok, 1)).as("n"),
+      sum(when(ok, dx(col(x)))).cast("double").as("sx"),
+      sum(when(ok, dy(col(y)))).cast("double").as("sy"),
+      sum(when(ok, dx(col(x)) * dy(col(y)))).cast("double").as("sxy"),
+      sum(when(ok, dx(col(x)) * dx(col(x)))).cast("double").as("sxx"))
+    val nd = col("n").cast("double")
+    val den = nd * col("sxx") - col("sx") * col("sx")
+    val slope = when(den === 0.0, lit(null).cast("double"))
+      .otherwise((nd * col("sxy") - col("sx") * col("sy")) / den)
+    agg.withColumn("slope", round(slope, 6))
+      .withColumn("intercept",
+        round(when(col("slope").isNull, lit(null).cast("double"))
+          .otherwise((col("sy") - slope * col("sx")) / nd), 6))
+      .select(col(group), col("n"), col("slope"), col("intercept"))
   }
 
   /** ROBUST OUTLIER DETECTION per group — median absolute deviation, the

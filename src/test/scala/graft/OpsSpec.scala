@@ -190,6 +190,17 @@ class OpsSpec extends AnyFunSuite {
     assert(got(("x", "const")).isEmpty) // zero variance -> undefined
   }
 
+  test("groupTrend recovers exact slopes per group; zero-variance x is null") {
+    import graft.operators.Profiler
+    val df = (Seq((1.0, 5.0), (2.0, 7.0), (3.0, 9.0)).map { case (x, y) => ("up", x, y) } ++
+      Seq(("flat", 4.0, 2.0), ("flat", 4.0, 8.0))) // same x for all rows
+      .toDF("g", "x", "y")
+    val got = Profiler.groupTrend(df, "g", "x", "y")
+      .orderBy($"g").as[(String, Long, Option[Double], Option[Double])].collect()
+    assert(got(0) == (("flat", 2L, None, None)))
+    assert(got(1) == (("up", 3L, Some(2.0), Some(3.0)))) // y = 3 + 2x
+  }
+
   test("union tolerates asymmetric schemas") {
     val a = Seq(("x", 1)).toDF("name", "extra")
     val b = Seq("y").toDF("name")

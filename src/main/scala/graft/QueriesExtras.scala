@@ -887,6 +887,32 @@ object QueriesExtras {
       "CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank " +
       "FROM s) WHERE rank <= 3 ORDER BY vec_id, rank"))
 
+  /** Mutual-kNN dedup ([[Similarity.mutualKnnDedup]], k=3, cos ≥ 0.4):
+    * edges only where both vectors rank each other top-3 AND clear the
+    * threshold, components via label propagation, min-id survives. The
+    * oracle chains the kNN window, the mutuality self-join, and the
+    * recursive-CTE components (the q_neardup_purge pattern) — the whole
+    * graph-based dedup composition re-derived declaratively. */
+  private val qMutualKnnDedup = Q(
+    (s, d) => Similarity.mutualKnnDedup(Tables.load(s, d, "embeddings"),
+        "vec_id", "embedding", k = 3, threshold = 0.4)
+      .select(col("vec_id"))
+      .orderBy(col("vec_id")),
+    Some("WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "s AS (SELECT q.vec_id AS a, c.vec_id AS b, " + cosSql("q.v", "c.v") + " AS cosine " +
+      "FROM e q JOIN e c ON c.vec_id <> q.vec_id), " +
+      "ranked AS (SELECT a, b, cosine, row_number() OVER (PARTITION BY a ORDER BY cosine DESC, b) AS rk FROM s), " +
+      "knn AS (SELECT a, b, cosine FROM ranked WHERE rk <= 3), " +
+      "m AS (SELECT k1.a AS doc_a, k1.b AS doc_b FROM knn k1 " +
+      "JOIN knn k2 ON k2.a = k1.b AND k2.b = k1.a " +
+      "WHERE k1.a < k1.b AND k1.cosine >= 0.4e0), " +
+      "edges AS (SELECT doc_a AS id, doc_b AS nbr FROM m UNION ALL SELECT doc_b, doc_a FROM m), " +
+      "reach(id, root) AS (SELECT id, id FROM (SELECT DISTINCT id FROM edges) t " +
+      "UNION SELECT ed.id, reach.root FROM edges ed JOIN reach ON ed.nbr = reach.id), " +
+      "losers AS (SELECT id FROM reach GROUP BY id HAVING min(root) < id) " +
+      "SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT id FROM losers) " +
+      "ORDER BY vec_id"))
+
   /** END-TO-END CURATION PIPELINE — the flagship composition query: the
     * four stages a real corpus run chains, as ONE plan, each stage an
     * already-gated operator:
@@ -1413,6 +1439,7 @@ object QueriesExtras {
     "q_compress_ratio" -> qCompressRatio,
     "q_curation_pipeline" -> qCurationPipeline,
     "q_knn_graph" -> qKnnGraph,
+    "q_mutual_knn_dedup" -> qMutualKnnDedup,
     "q_correlation" -> qCorrelation,
     "q_user_trend" -> qUserTrend,
     "q_funnel" -> qFunnel,

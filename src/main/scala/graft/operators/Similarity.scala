@@ -211,6 +211,32 @@ object Similarity {
       .select(col("__qid").as(id), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** MUTUAL-kNN DEDUP — the conservative graph-based near-dup purge
+    * (public recipe behind kNN-graph curation): an edge exists only when
+    * BOTH vectors rank each other in their top-k AND the cosine clears
+    * `threshold` — mutuality prunes the asymmetric "hub attracts
+    * everyone" edges a plain radius or one-sided-kNN rule admits. Edges
+    * feed the [[Dedup.dupGroups]] connected-components machinery; the
+    * min-id member of each component survives. Returns survivors with the
+    * input's columns.
+    *
+    * Plan: [[knnGraph]] (or its candidate-based scale twin) → self-join
+    * of the ranked edge list on the reversed pair (both sides already
+    * k-bounded, so the join input is n·k rows, not n²) → O(log d) label
+    * propagation → anti-join. */
+  def mutualKnnDedup(emb: DataFrame, id: String, vec: String, k: Int,
+                     threshold: Double): DataFrame = {
+    val knn = knnGraph(emb, id, vec, k)
+      .select(col(id).as("a"), col("neighbor_id").as("b"), col("cosine"))
+    val mutual = knn.filter(col("a") < col("b")).filter(col("cosine") >= threshold)
+      .join(knn.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"), "left_semi")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+    val losers = Dedup.dupGroups(mutual)
+      .filter(col("group_id") =!= col("doc_id"))
+      .select(col("doc_id").as(id))
+    emb.join(losers, Seq(id), "left_anti")
+  }
+
   /** L2-normalize, zero-safe: a zero vector maps to the zero vector instead
     * of 0/0 → NULL (which would abort k-means training downstream). */
   private[operators] def normalizedSafe(c: Column): Column = {

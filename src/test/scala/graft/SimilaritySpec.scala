@@ -193,6 +193,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.length == 5 * 2 && got.forall { case (a, b, _) => a != b })
   }
 
+  test("mutualKnnDedup purges mutual near-dups, keeps one-sided attractions") {
+    // tight pair {0,1}; 2 orthogonal; 3 far from everything but its top-k
+    // still includes others one-sidedly
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.999f, 0.01f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.5f, 0.5f, 0.7f))).toDF("vec_id", "embedding")
+    val got = Similarity.mutualKnnDedup(emb, "vec_id", "embedding", k = 1, threshold = 0.9)
+      .select($"vec_id").orderBy($"vec_id").as[Long].collect()
+    // 0 and 1 are each other's top-1 at cos>0.9 -> 1 purged; 2/3 survive
+    assert(got sameElements Array(0L, 2L, 3L))
+  }
+
   test("quantizeInt8: codes bounded, reconstruction within scale, zero vector safe") {
     val df = Seq(
       (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),

@@ -943,8 +943,12 @@ object QueriesExtras {
         .withColumn("__rn", row_number().over(
           Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
         .filter(col("__rn") === 1)
+        // norm is single-space-collapsed and trimmed, so the token count
+        // is a plain split on ' ' — no filter()-HOF for Catalyst to push
+        // into a Filter node (the urlDedup HOF-IN-FILTER lesson)
         .withColumn("n_tokens",
-          size(filter(split(col("norm"), "\\s+"), t => t =!= "")).cast("long"))
+          when(col("norm") === "", lit(0L))
+            .otherwise(size(split(col("norm"), " ", -1)).cast("long")))
         .filter(col("n_tokens").between(5L, 1000L))
       graft.operators.Sampling.splitAssign(deduped, "doc_id")
         .select(col("doc_id"), col("fp"), col("n_tokens"), col("split"))
@@ -956,8 +960,8 @@ object QueriesExtras {
       "fp AS (SELECT doc_id, norm, md5(norm) AS fp FROM norm), " +
       "ded AS (SELECT doc_id, norm, fp FROM (SELECT doc_id, norm, fp, " +
       "row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fp) WHERE rn = 1), " +
-      "gated AS (SELECT doc_id, fp, CAST(len(list_filter(string_split_regex(norm, '\\s+'), " +
-      "x -> x <> '')) AS BIGINT) AS n_tokens FROM ded) " +
+      "gated AS (SELECT doc_id, fp, CAST(CASE WHEN norm = '' THEN 0 " +
+      "ELSE len(string_split(norm, ' ')) END AS BIGINT) AS n_tokens FROM ded) " +
       "SELECT doc_id, fp, n_tokens, " +
       "CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split " +
       "FROM (SELECT doc_id, fp, n_tokens, " +

@@ -226,8 +226,11 @@ object Similarity {
     * propagation → anti-join. */
   def mutualKnnDedup(emb: DataFrame, id: String, vec: String, k: Int,
                      threshold: Double): DataFrame = {
+    // materialized: both sides of the mutuality join consume the kNN edge
+    // list — left lazy, the quadratic scoring subtree runs twice
     val knn = knnGraph(emb, id, vec, k)
       .select(col(id).as("a"), col("neighbor_id").as("b"), col("cosine"))
+      .localCheckpoint()
     val mutual = knn.filter(col("a") < col("b")).filter(col("cosine") >= threshold)
       .join(knn.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"), "left_semi")
       .select(col("a").as("doc_a"), col("b").as("doc_b"))

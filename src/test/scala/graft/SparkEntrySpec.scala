@@ -17,6 +17,24 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(qs.forall(_.matches("[a-z0-9_]+")))
   }
 
+  test("every query has an oracle unless it is a documented rows-only registration") {
+    // approximate or non-relational by NATURE — each Scaladoc'd as
+    // rows-only by design; anything else missing an oracle is a forgotten
+    // gate, not a decision
+    val rowsOnlyByDesign = Set(
+      "q_ann_lsh_topk",    // approximate ANN
+      "q_ann_pq_topk",     // lossy quantization
+      "q_ann_ivfpq_topk",  // lossy quantization
+      "q_hll_distinct",    // approximate sketch
+      "q_bpe_encode",      // iterative greedy merges — not expressible in SQL
+      "q_compress_ratio")  // zlib has no SQL mirror
+    val missing = SparkEntry.queries.keySet
+      .diff(SparkEntry.oracleSql.keySet).diff(rowsOnlyByDesign)
+    assert(missing.isEmpty, s"queries without an oracle or a rows-only rationale: $missing")
+    val stale = rowsOnlyByDesign.diff(SparkEntry.queries.keySet)
+    assert(stale.isEmpty, s"rows-only allowlist entries no longer registered: $stale")
+  }
+
   test("registry names are unique (a duplicate would silently shadow a query)") {
     val names = Queries.registry.map(_._1)
     val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }

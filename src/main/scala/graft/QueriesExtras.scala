@@ -887,6 +887,36 @@ object QueriesExtras {
       "CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank " +
       "FROM s) WHERE rank <= 3 ORDER BY vec_id, rank"))
 
+  /** Deterministic negative sampling
+    * ([[graft.operators.Sampling.negativeSample]], n=5) for a demo cohort
+    * (custkey < 100) against the part catalog: positives are the parts
+    * each customer actually ordered; negatives are the first five
+    * never-ordered parts in portable-hash order. The oracle re-derives
+    * hash order, anti-join, and ranks in SQL — the sample is a pure
+    * function of (user, catalog, salt) on any engine. */
+  private val qNegativeSample = Q(
+    (s, d) => {
+      val pos = Tables.load(s, d, "orders").filter(col("o_custkey") < 100)
+        .select(col("o_orderkey"), col("o_custkey").as("user_id"))
+        .join(Tables.load(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey").as("item_id")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("user_id"), col("item_id"))
+      graft.operators.Sampling.negativeSample(pos, "user_id", "item_id",
+          Tables.load(s, d, "part").select(col("p_partkey").as("item_id")), n = 5)
+        .orderBy(col("user_id"), col("rank"))
+    },
+    Some("WITH pos AS (SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id " +
+      "FROM orders JOIN lineitem ON o_orderkey = l_orderkey WHERE o_custkey < 100), " +
+      "users AS (SELECT DISTINCT user_id FROM pos), " +
+      "cand AS (SELECT user_id, p_partkey AS item_id, " +
+      "md5(user_id::VARCHAR || '|' || p_partkey::VARCHAR || '|graft-neg') AS h " +
+      "FROM users CROSS JOIN part), " +
+      "neg AS (SELECT user_id, item_id, h FROM cand c WHERE NOT EXISTS " +
+      "(SELECT 1 FROM pos WHERE pos.user_id = c.user_id AND pos.item_id = c.item_id)) " +
+      "SELECT user_id, item_id, CAST(rn AS BIGINT) AS rank FROM (" +
+      "SELECT user_id, item_id, row_number() OVER (PARTITION BY user_id ORDER BY h, item_id) AS rn " +
+      "FROM neg) WHERE rn <= 5 ORDER BY user_id, rank"))
+
   /** Mutual-kNN dedup ([[Similarity.mutualKnnDedup]], k=3, cos ≥ 0.4):
     * edges only where both vectors rank each other top-3 AND clear the
     * threshold, components via label propagation, min-id survives. The
@@ -1444,6 +1474,7 @@ object QueriesExtras {
     "q_curation_pipeline" -> qCurationPipeline,
     "q_knn_graph" -> qKnnGraph,
     "q_mutual_knn_dedup" -> qMutualKnnDedup,
+    "q_negative_sample" -> qNegativeSample,
     "q_correlation" -> qCorrelation,
     "q_user_trend" -> qUserTrend,
     "q_funnel" -> qFunnel,

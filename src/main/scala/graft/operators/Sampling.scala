@@ -140,6 +140,37 @@ object Sampling {
       id, "__w", "cluster", perCluster, salt).drop("__w")
   }
 
+  /** DETERMINISTIC NEGATIVE SAMPLING — the recsys / contrastive-training
+    * data op: for every user in `positives`, the first `n` catalog items
+    * the user has NOT interacted with, ordered by the portable salted
+    * hash of the (user, item) pair. Hash-ordering makes the negatives a
+    * pure function of (user, catalog, salt): stable across reruns,
+    * partitionings, and engines — resampling on every epoch-build is a
+    * classic source of irreproducible training runs.
+    *
+    * Plan: distinct users × BROADCAST catalog (the catalog is the small
+    * side by construction), anti-join the positive pairs, one window on
+    * the user key. The window sorts |catalog| rows per user; at a 10⁶+
+    * catalog, prefilter candidates by a hash-bucket cut (keep ≥ 4n
+    * expected survivors) before the window — the top-n set is unchanged
+    * whenever the cut keeps ≥ n survivors per user, and the cut is
+    * checkable per user at run time. Output: (user, item, rank). */
+  def negativeSample(positives: DataFrame, user: String, item: String,
+                     catalog: DataFrame, n: Int,
+                     salt: String = "graft-neg"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val users = positives.select(col(user)).distinct()
+    val cand = users.crossJoin(broadcast(catalog.select(col(item))))
+      .withColumn("__h", md5(concat(col(user).cast("string"), lit("|"),
+        col(item).cast("string"), lit("|"), lit(salt))))
+    val neg = cand.join(positives.select(col(user), col(item)).distinct(),
+      Seq(user, item), "left_anti")
+    val w = Window.partitionBy(col(user)).orderBy(col("__h"), col(item))
+    neg.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+      .select(col(user), col(item), col("rank"))
+  }
+
   /** Split assignment by cumulative percentage cuts (must sum to 100).
     * Adds `bucket` (0-99) and `split` columns; every id maps to exactly one
     * split, forever, on any engine. */

@@ -147,6 +147,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(scores.values.forall(_ < 0))
   }
 
+  test("negativeSample: n fresh items per user, no positives, reproducible") {
+    import graft.operators.Sampling
+    val pos = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("u", "it")
+    val catalog = (10L to 20L).toDF("it")
+    val got = Sampling.negativeSample(pos, "u", "it", catalog, n = 3)
+      .orderBy($"u", $"rank").as[(Long, Long, Long)].collect()
+    assert(got.length == 6)
+    val posSet = Set((1L, 10L), (1L, 11L), (2L, 10L))
+    assert(got.forall { case (u, it, _) => !posSet((u, it)) })
+    assert(got.map(_._3).toSeq == Seq(1L, 2L, 3L, 1L, 2L, 3L))
+    val again = Sampling.negativeSample(pos.repartition(4), "u", "it", catalog, n = 3)
+      .orderBy($"u", $"rank").as[(Long, Long, Long)].collect()
+    assert(again sameElements got)
+  }
+
   test("clusterBalancedSample takes exactly perCluster per cluster, reproducibly") {
     import graft.operators.Sampling
     // two tight direction groups of 6 vectors each; k=2 seeds are ids 0/1

@@ -233,9 +233,41 @@ object QueriesRelational {
       "max(CASE WHEN rn = CAST(floor((n - 1) * 0.95e0) AS BIGINT) + 1 THEN v END) AS p95, " +
       "count(*) AS n_valued FROM r GROUP BY event_type ORDER BY event_type"))
 
+  /** Year-over-year ratio — the BI staple the row-level lag queries don't
+    * cover: lag runs over the AGGREGATED grain (nation × year revenue),
+    * so the plan is one fact aggregation then a window on the tiny
+    * aggregate (the shuffle after the agg moves |nations × years| rows,
+    * not the fact). First year per nation has no prior → NULL ratio. The
+    * division's operand order is mirrored; revenue is decimal-exact. */
+  private val qYoyRevenue = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val o = t(s, d, "orders").select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      val w = Window.partitionBy(col("nation")).orderBy(col("yr"))
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+        .withColumn("yoy_ratio", round(col("revenue") / col("prev_revenue"), 6))
+        .orderBy(col("nation"), col("yr"))
+    },
+    Some("WITH agg AS (SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS yr, " +
+      SqlDsum("o_totalprice") + " AS revenue " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey " +
+      "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name, year(o_orderdate)) " +
+      "SELECT nation, yr, revenue, " +
+      "lag(revenue) OVER w AS prev_revenue, " +
+      "round(revenue / lag(revenue) OVER w, 6) AS yoy_ratio " +
+      "FROM agg WINDOW w AS (PARTITION BY nation ORDER BY yr) " +
+      "ORDER BY nation, yr"))
+
   val registry: Seq[(String, Q)] = Seq(
     "q_grouping_sets" -> qGroupingSets,
     "q_hist_quantiles" -> qHistQuantiles,
+    "q_yoy_revenue" -> qYoyRevenue,
     "q_rolling_range" -> qRollingRange,
     "q_unpivot" -> qUnpivot,
     "q_setops" -> qSetOps,

@@ -887,6 +887,25 @@ object QueriesExtras {
       "CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank " +
       "FROM s) WHERE rank <= 3 ORDER BY vec_id, rank"))
 
+  /** Span corruption ([[TextAnalysis.spanCorrupt]], spanLen=5): the
+    * T5-style denoising dataset, span position a pure hash function of
+    * the doc id. The oracle rebuilds slices and sentinels with DuckDB's
+    * inclusive-end list_slice mapped index-for-index onto Spark's
+    * length-based slice. */
+  private val qSpanCorrupt = Q(
+    (s, d) => TextAnalysis.spanCorrupt(Tables.load(s, d, "documents"),
+        "doc_id", "text", spanLen = 5)
+      .orderBy(col("doc_id")),
+    Some("WITH w AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws FROM documents), " +
+      "p AS (SELECT doc_id, ws, len(ws) AS n, " +
+      "('0x' || substr(md5(doc_id::VARCHAR || '|graft-span'), 1, 8))::BIGINT % (len(ws) - 5) AS st " +
+      "FROM w WHERE len(ws) > 6) " +
+      "SELECT doc_id, n AS n_tokens, st AS span_start, " +
+      "array_to_string(list_concat(list_concat(list_slice(ws, 1, st), ['<extra_id_0>']), " +
+      "list_slice(ws, st + 6, n)), ' ') AS input, " +
+      "array_to_string(list_concat(['<extra_id_0>'], list_slice(ws, st + 1, st + 5)), ' ') AS target " +
+      "FROM p ORDER BY doc_id"))
+
   /** Deterministic negative sampling
     * ([[graft.operators.Sampling.negativeSample]], n=5) for a demo cohort
     * (custkey < 100) against the part catalog: positives are the parts
@@ -1475,6 +1494,7 @@ object QueriesExtras {
     "q_knn_graph" -> qKnnGraph,
     "q_mutual_knn_dedup" -> qMutualKnnDedup,
     "q_negative_sample" -> qNegativeSample,
+    "q_span_corrupt" -> qSpanCorrupt,
     "q_correlation" -> qCorrelation,
     "q_user_trend" -> qUserTrend,
     "q_funnel" -> qFunnel,

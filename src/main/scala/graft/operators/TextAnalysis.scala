@@ -312,6 +312,41 @@ object TextAnalysis {
       call_function("deflate_ratio", col(text)).as("deflate_ratio"))
   }
 
+  /** SPAN CORRUPTION — the T5-style denoising-objective dataset builder
+    * (public recipe: Raffel et al. 2020): mask one `spanLen`-token span
+    * per document at a DETERMINISTIC hash-chosen position, emitting the
+    * sentinel-bearing input and the sentinel-prefixed target. Hash
+    * positioning (portable salted md5 of the id, mod the valid start
+    * range) makes every example a pure function of (doc, salt) — rebuild
+    * the dataset on any engine, any partitioning, and byte-identical
+    * examples come back, which is what makes training-data lineage
+    * auditable. Scan-stage only (split, two slices, concat) — no shuffle.
+    * Docs with ≤ spanLen+1 tokens are excluded (no valid interior span
+    * with a non-empty suffix). */
+  def spanCorrupt(df: DataFrame, id: String, text: String, spanLen: Int,
+                  salt: String = "graft-span"): DataFrame = {
+    require(spanLen >= 1, s"spanLen must be >= 1, got $spanLen")
+    val ws = filter(words(col(text)), w => w =!= "")
+    val n = size(ws)
+    val h = conv(substring(md5(concat(col(id).cast("string"), lit("|"), lit(salt))), 1, 8),
+      16, 10).cast("long")
+    // guarded: ANSI mode throws on % by a non-positive divisor, and the
+    // too-short rows are only dropped by the filter AFTER this projection
+    val start = when(n > spanLen + 1,
+      (h % (n - spanLen).cast("long")).cast("int")).otherwise(lit(0)) // 0..n-spanLen-1
+    df.select(col(id), ws.as("__ws"), n.as("n_tokens"), start.as("__st"))
+      .filter(col("n_tokens") > spanLen + 1)
+      .select(col(id), col("n_tokens").cast("long").as("n_tokens"),
+        col("__st").cast("long").as("span_start"),
+        concat_ws(" ", concat(
+          slice(col("__ws"), lit(1), col("__st")),
+          array(lit("<extra_id_0>")),
+          slice(col("__ws"), col("__st") + spanLen + 1, col("n_tokens") - col("__st") - spanLen)))
+          .as("input"),
+        concat_ws(" ", concat(array(lit("<extra_id_0>")),
+          slice(col("__ws"), col("__st") + 1, lit(spanLen)))).as("target"))
+  }
+
   /** TOKEN ENTROPY per document — Shannon entropy of the doc's own token
     * distribution, in nats: `H = −Σ (c/n)·ln(c/n)` over the doc's distinct
     * tokens. The third classic repetition signal next to

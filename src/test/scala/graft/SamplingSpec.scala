@@ -200,6 +200,29 @@ class SamplingSpec extends AnyFunSuite {
     assert(again sameElements got)
   }
 
+  test("spanCorrupt: lossless reassembly, sentinel placement, short docs dropped") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "one two three"), // 3 tokens <= spanLen+1 -> dropped
+      (3L, "w x y z q r s t")).toDF("doc_id", "text")
+    val got = TextAnalysis.spanCorrupt(df, "doc_id", "text", spanLen = 2)
+      .orderBy($"doc_id").as[(Long, Long, Long, String, String)].collect()
+    assert(got.map(_._1) sameElements Array(1L, 3L))
+    got.foreach { case (_, n, st, input, target) =>
+      assert(st >= 0 && st <= n - 2 - 1)
+      val masked = target.split(" ").drop(1) // after the sentinel
+      assert(masked.length == 2)
+      // splicing the target back into the sentinel recovers the original
+      val rebuilt = input.replace("<extra_id_0>", masked.mkString(" "))
+      assert(rebuilt.split(" ").length == n)
+    }
+    // deterministic: same ids -> same spans on any partitioning
+    val again = TextAnalysis.spanCorrupt(df.repartition(3), "doc_id", "text", spanLen = 2)
+      .orderBy($"doc_id").as[(Long, Long, Long, String, String)].collect()
+    assert(again sameElements got)
+  }
+
   test("tokenEntropy: repeated token ~0, uniform distinct = ln(n)") {
     import graft.operators.TextAnalysis
     val df = Seq(

@@ -48,6 +48,16 @@ object QueriesExtras {
       .orderBy(col("doc_a"), col("doc_b")),
     Some(JaccardPairsSql))
 
+  /** Same semantics and oracle as q_dedup_ngram_pairs via PREFIX
+    * FILTERING ([[Dedup.prefixJaccardPairs]]) — exact by construction
+    * (the prefix-filter lemma), unlike the probabilistic LSH twin below:
+    * three independent plans, one truth. */
+  private val qDedupPrefixJaccard = Q(
+    (s, d) => Dedup.prefixJaccardPairs(Tables.load(s, d, "documents"),
+        "doc_id", "text", n = 5, threshold = 0.8)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(JaccardPairsSql))
+
   /** Same semantics as q_dedup_ngram_pairs — and the same oracle — but via
     * the MinHash+LSH scale path (P(missed pair | j>=0.8) ≈ 5e-8). */
   private val qDedupMinhashLsh = Q(
@@ -1449,6 +1459,7 @@ object QueriesExtras {
     "q_a6_engagement_stats" -> qA6EngagementStats,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_ngram_pairs" -> qDedupNgramPairs,
+    "q_dedup_prefix_jaccard" -> qDedupPrefixJaccard,
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
     "q_neardup_incremental" -> qNeardupIncremental,
     "q_dedup_groups" -> qDedupGroups,

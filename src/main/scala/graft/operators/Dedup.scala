@@ -79,6 +79,53 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** PREFIX-FILTERING Jaccard join (the public all-pairs/PPJoin
+    * construction, Bayardo et al. WWW'07 / Xiao et al.): the third
+    * independent blocking family next to MinHash-LSH (probabilistic) and
+    * FastSS (edit-distance) — and unlike LSH it is EXACT by construction:
+    * with shingles globally ordered rarest-first, two sets with
+    * J(A,B) ≥ t MUST share a token within their first
+    * `|s| − ⌈t·|s|⌉ + 1` tokens (the prefix-filter lemma), so the
+    * candidate join touches only prefix tokens — and the rarest-first
+    * order makes those the LOW-frequency ones, shrinking the join's
+    * fan-out exactly where a shared-shingle join explodes (stopword-like
+    * shingles land in the suffix and never generate candidates).
+    *
+    * Plan: shingle → global (freq, shingle) rank (a vocabulary-sized
+    * window — bounded whatever the corpus), per-doc sorted rank array
+    * (materialized: consumed by the prefix explode and both verify
+    * sides), prefix explode + equi-join on the rank, then exact
+    * verification on the full rank arrays. Same output contract and same
+    * oracle as [[jaccardPairs]] — the gate proves the filter loses no
+    * pair. */
+  def prefixJaccardPairs(df: DataFrame, id: String, text: String, n: Int,
+                         threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles(df, id, text, n).select(col(id).as("doc"), col("shingle"))
+    val order = sh.groupBy(col("shingle")).agg(count(lit(1)).as("tf"))
+      .select(col("shingle"),
+        row_number().over(Window.orderBy(col("tf"), col("shingle"))).cast("long").as("rk"))
+    val docs = sh.join(order, "shingle")
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_list(col("rk"))).as("rks"))
+      .withColumn("sz", size(col("rks")))
+      .withColumn("plen", (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))
+      .localCheckpoint()
+    val pfx = docs.select(col("doc"), explode(slice(col("rks"), lit(1), col("plen"))).as("rk"))
+    val cand = pfx.select(col("doc").as("doc_a"), col("rk"))
+      .join(pfx.select(col("doc").as("doc_b"), col("rk")), "rk")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val va = docs.select(col("doc").as("doc_a"), col("rks").as("ra"), col("sz").as("sz_a"))
+    val vb = docs.select(col("doc").as("doc_b"), col("rks").as("rb"), col("sz").as("sz_b"))
+    cand.join(va, "doc_a").join(vb, "doc_b")
+      .withColumn("inter", size(array_intersect(col("ra"), col("rb"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** MinHash signatures: the variable-length shingle is hashed ONCE
     * (xxhash64), then the numHashes permutations re-hash that fixed 8-byte
     * value with the permutation index (`xxhash64(h, i)`) — numHashes

@@ -59,6 +59,16 @@ class DedupSpec extends AnyFunSuite {
     assert(!viaExpr.contains(5L)) // shingle-less doc absent on both paths
   }
 
+  test("prefixJaccardPairs ≡ exhaustive jaccard pairs (filter loses nothing)") {
+    val exhaustive = Dedup.jaccardPairs(
+        Dedup.shingles(docs, "doc_id", "text", 5), "doc_id", 0.5)
+      .orderBy($"doc_a", $"doc_b").as[(Long, Long, Double)].collect()
+    val prefix = Dedup.prefixJaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.5)
+      .orderBy($"doc_a", $"doc_b").as[(Long, Long, Double)].collect()
+    assert(prefix sameElements exhaustive)
+    assert(exhaustive.nonEmpty) // the planted pairs must actually be found
+  }
+
   test("nearDupPairs (scan-stage signatures) ≡ exhaustive jaccard pairs") {
     val exact = Dedup.jaccardPairs(
         Dedup.shingles(docs, "doc_id", "text", 5), "doc_id", 0.5)

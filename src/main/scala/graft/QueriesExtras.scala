@@ -906,7 +906,8 @@ object QueriesExtras {
     (s, d) => TextAnalysis.spanCorrupt(Tables.load(s, d, "documents"),
         "doc_id", "text", spanLen = 5)
       .orderBy(col("doc_id")),
-    Some("WITH w AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws FROM documents), " +
+    Some("WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws " +
+      "FROM documents WHERE trim(text) <> ''), " +
       "p AS (SELECT doc_id, ws, len(ws) AS n, " +
       "('0x' || substr(md5(doc_id::VARCHAR || '|graft-span'), 1, 8))::BIGINT % (len(ws) - 5) AS st " +
       "FROM w WHERE len(ws) > 6) " +

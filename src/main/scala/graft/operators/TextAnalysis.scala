@@ -326,7 +326,11 @@ object TextAnalysis {
   def spanCorrupt(df: DataFrame, id: String, text: String, spanLen: Int,
                   salt: String = "graft-span"): DataFrame = {
     require(spanLen >= 1, s"spanLen must be >= 1, got $spanLen")
-    val ws = filter(words(col(text)), w => w =!= "")
+    // no filter()-HOF: a regex \s+ split of TRIMMED non-empty text cannot
+    // contain empty tokens (the whitespace-only case is excluded below),
+    // and a HOF here lands in the length filter as an interpreted
+    // predicate (the PlanAudit HOF-IN-FILTER trap)
+    val ws = words(col(text))
     val n = size(ws)
     val h = conv(substring(md5(concat(col(id).cast("string"), lit("|"), lit(salt))), 1, 8),
       16, 10).cast("long")
@@ -334,7 +338,8 @@ object TextAnalysis {
     // too-short rows are only dropped by the filter AFTER this projection
     val start = when(n > spanLen + 1,
       (h % (n - spanLen).cast("long")).cast("int")).otherwise(lit(0)) // 0..n-spanLen-1
-    df.select(col(id), ws.as("__ws"), n.as("n_tokens"), start.as("__st"))
+    df.filter(trim(col(text)) =!= "")
+      .select(col(id), ws.as("__ws"), n.as("n_tokens"), start.as("__st"))
       .filter(col("n_tokens") > spanLen + 1)
       .select(col(id), col("n_tokens").cast("long").as("n_tokens"),
         col("__st").cast("long").as("span_start"),

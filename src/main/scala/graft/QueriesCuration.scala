@@ -164,26 +164,31 @@ object QueriesCuration {
       "n AS (SELECT x AS node FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t), " +
       "tc AS (SELECT node, count(*) AS triangles FROM n GROUP BY node)"
 
+  /** Part co-purchase graph (parts appearing in the same order,
+    * restricted to p_size ≤ 15 to keep the gate-sized graph honest — ~10k
+    * edges at sf0.01), shared by both graph-analytics queries so the edge
+    * definition cannot diverge from the single [[TriangleSqlWith]] oracle
+    * CTE they both cite. */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val smallParts = t(s, d, "part").filter(col("p_size") <= 15)
+      .select(col("p_partkey"))
+    val le = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
+    val x = le.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+    val y = le.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+    x.join(y, "ok").filter(col("pa") < col("pb"))
+      .select(col("pa").as("src"), col("pb").as("dst"))
+  }
+
   /** TRIANGLE COUNTING ([[Graph.triangleCounts]]) over the part
-    * co-purchase graph (parts appearing in the same order, restricted to
-    * p_size ≤ 15 to keep the gate-sized graph honest — ~10k edges at
-    * sf0.01). The Spark plan is the DEGREE-ORIENTED construction — wedges
-    * only from each node's (deg,id)-ordered out-neighbors, closed with a
-    * semi join, so a hub node cannot blow up the wedge count — while the
-    * oracle is the declarative id-ordered 3-way self-join; the gate proves
-    * the oriented plan finds exactly the same triangles. */
+    * co-purchase graph. The Spark plan is the DEGREE-ORIENTED
+    * construction — wedges only from each node's (deg,id)-ordered
+    * out-neighbors, closed with a semi join, so a hub node cannot blow up
+    * the wedge count — while the oracle is the declarative id-ordered
+    * 3-way self-join; the gate proves the oriented plan finds exactly the
+    * same triangles. */
   private val qTriangles = Q(
-    (s, d) => {
-      val smallParts = t(s, d, "part").filter(col("p_size") <= 15)
-        .select(col("p_partkey"))
-      val le = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
-      val x = le.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
-      val y = le.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
-      val edges = x.join(y, "ok").filter(col("pa") < col("pb"))
-        .select(col("pa").as("src"), col("pb").as("dst"))
-      Graph.triangleCounts(edges).orderBy(col("node"))
-    },
+    (s, d) => Graph.triangleCounts(coPurchaseEdges(s, d)).orderBy(col("node")),
     Some(TriangleSqlWith + " SELECT node, triangles FROM tc ORDER BY node"))
 
   /** LOCAL CLUSTERING COEFFICIENT ([[Graph.clusteringCoefficient]]) on the
@@ -191,17 +196,7 @@ object QueriesCuration {
     * division mirrored operand-for-operand, so no rounding tolerance is
     * needed. Degree-1 nodes report 0.0 on both sides. */
   private val qClusteringCoef = Q(
-    (s, d) => {
-      val smallParts = t(s, d, "part").filter(col("p_size") <= 15)
-        .select(col("p_partkey"))
-      val le = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
-      val x = le.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
-      val y = le.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
-      val edges = x.join(y, "ok").filter(col("pa") < col("pb"))
-        .select(col("pa").as("src"), col("pb").as("dst"))
-      Graph.clusteringCoefficient(edges).orderBy(col("node"))
-    },
+    (s, d) => Graph.clusteringCoefficient(coPurchaseEdges(s, d)).orderBy(col("node")),
     Some(TriangleSqlWith +
       ", deg AS (SELECT node, count(*) AS deg FROM " +
       "(SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node) " +

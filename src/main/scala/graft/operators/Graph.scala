@@ -47,13 +47,25 @@ object Graph {
     * sizeable); no driver state. Returns (node, triangles) for every node
     * on ≥1 triangle — counted per ROLE (apex or closure endpoint), i.e.
     * the number of triangles the node participates in. */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  /** Normalized undirected distinct edges + per-node degrees — shared by
+    * [[triangleCounts]] and [[clusteringCoefficient]] so the (possibly
+    * expensive) edge-construction subtree is written once. */
+  private def undDeg(edges: DataFrame): (DataFrame, DataFrame) = {
     val und = edges
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
       .distinct()
     val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    (und, deg)
+  }
+
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val (und, deg) = undDeg(edges)
+    triangleCountsFrom(und, deg)
+  }
+
+  private def triangleCountsFrom(und: DataFrame, deg: DataFrame): DataFrame = {
     val da = deg.select(col("node").as("a"), col("deg").as("da"))
     val db = deg.select(col("node").as("b"), col("deg").as("db"))
     // orient low-(deg,id) → high-(deg,id); carry the destination's degree
@@ -101,13 +113,11 @@ object Graph {
     * triangle) report 0.0. Output: (node, deg, triangles, lcc) for every
     * node on ≥ 1 edge. */
   def clusteringCoefficient(edges: DataFrame): DataFrame = {
-    val und = edges
-      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
-      .distinct()
-    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    deg.join(triangleCounts(edges), Seq("node"), "left_outer")
+    // und/deg computed ONCE and fed to the triangle plan — calling
+    // triangleCounts(edges) here would re-derive the whole (possibly
+    // expensive) edge-construction subtree a second time
+    val (und, deg) = undDeg(edges)
+    deg.join(triangleCountsFrom(und, deg), Seq("node"), "left_outer")
       .select(col("node"), col("deg"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
       .withColumn("lcc",

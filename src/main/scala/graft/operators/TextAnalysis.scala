@@ -446,9 +446,13 @@ object TextAnalysis {
     val toks = df.select(col(id), explode(ws).as("tok"))
     val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("ucnt"))
     val total = uni.agg(sum(col("ucnt")).cast("double").as("n_total"))
+    // slice length is clamped at 0: a 0/1-token doc would otherwise pass
+    // length -1 and Slice throws at runtime — one empty doc must not
+    // abort the whole corpus (such docs simply emit no bigram rows)
+    val bgLen = greatest(size(ws) - 1, lit(0))
     val bg = df.select(col(id),
         explode(zip_with(
-          slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+          slice(ws, lit(1), bgLen), slice(ws, lit(2), bgLen),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col(id), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val bi = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bcnt"))

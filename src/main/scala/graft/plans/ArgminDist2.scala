@@ -28,8 +28,11 @@ import org.apache.spark.sql.types._
   * reference object and the whole argmin is a tight two-level loop inside
   * the codegen'd stage (the [[LshBandKeys]] construction).
   *
-  * Null/ragged semantics: a NULL vector, or one whose length differs from
-  * the centroid dim, yields NULL — never a fake assignment to cluster 0.
+  * Null/ragged semantics: a NULL vector, one whose length differs from
+  * the centroid dim, or one containing a NULL element yields NULL —
+  * never a fake assignment to cluster 0 (the null-propagation contract
+  * of the fold this replaced). Distance overflow raises ArithmeticException
+  * loudly instead of wrapping into a wrong assignment.
   */
 case class ArgminDist2(vec: Expression, centroids: Expression, k: Expression)
     extends Expression {
@@ -68,16 +71,24 @@ case class ArgminDist2(vec: Expression, centroids: Expression, k: Expression)
     if (v == null) return null
     val a = v.asInstanceOf[ArrayData]
     if (a.numElements() != dim) return null
+    // null element → null result (the null-propagation semantics of the
+    // zip_with fold this replaced — a null component must not silently
+    // score as 0)
+    var i = 0
+    while (i < dim) { if (a.isNullAt(i)) return null; i += 1 }
     var best = 0
     var bestD = Long.MaxValue
     var c = 0
     while (c < kV) {
       var s = 0L
-      var i = 0
+      i = 0
       val off = c * dim
       while (i < dim) {
         val d = a.getLong(i) - centroidsV(off + i)
-        s += d * d
+        // exact arithmetic: wrap-around would deterministically pick a
+        // WRONG centroid; overflow must be loud (the ANSI-mode contract
+        // of the fold this replaced)
+        s = Math.addExact(s, Math.multiplyExact(d, d))
         i += 1
       }
       if (s < bestD) { bestD = s; best = c }
@@ -96,25 +107,32 @@ case class ArgminDist2(vec: Expression, centroids: Expression, k: Expression)
     val s = ctx.freshName("s")
     val d = ctx.freshName("d")
     val off = ctx.freshName("off")
+    val anyNull = ctx.freshName("anyNull")
     ev.copy(code = code"""
       ${vecGen.code}
       boolean ${ev.isNull} = true;
       org.apache.spark.sql.catalyst.InternalRow ${ev.value} = null;
       if (!${vecGen.isNull} && ${vecGen.value}.numElements() == $dim) {
-        int $best = 0;
-        long $bestD = Long.MAX_VALUE;
-        for (int $c = 0; $c < $kV; $c++) {
-          long $s = 0L;
-          int $off = $c * $dim;
-          for (int $i = 0; $i < $dim; $i++) {
-            long $d = ${vecGen.value}.getLong($i) - $ctRef[$off + $i];
-            $s += $d * $d;
-          }
-          if ($s < $bestD) { $bestD = $s; $best = $c; }
+        boolean $anyNull = false;
+        for (int $i = 0; $i < $dim; $i++) {
+          if (${vecGen.value}.isNullAt($i)) { $anyNull = true; break; }
         }
-        ${ev.isNull} = false;
-        ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          new Object[] { $best, $bestD });
+        if (!$anyNull) {
+          int $best = 0;
+          long $bestD = Long.MAX_VALUE;
+          for (int $c = 0; $c < $kV; $c++) {
+            long $s = 0L;
+            int $off = $c * $dim;
+            for (int $i = 0; $i < $dim; $i++) {
+              long $d = ${vecGen.value}.getLong($i) - $ctRef[$off + $i];
+              $s = java.lang.Math.addExact($s, java.lang.Math.multiplyExact($d, $d));
+            }
+            if ($s < $bestD) { $bestD = $s; $best = $c; }
+          }
+          ${ev.isNull} = false;
+          ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            new Object[] { $best, $bestD });
+        }
       }""")
   }
 

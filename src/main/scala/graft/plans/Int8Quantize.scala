@@ -20,7 +20,8 @@ import org.apache.spark.sql.types._
   * run interpreted and allocate per row — the Column form made
   * `q_emb_quantize` one of the slowest scans in the bench (2.5 s at
   * sf0.1 for a shuffle-free query). Identical arithmetic, so the same
-  * DuckDB oracle verifies both forms.
+  * DuckDB oracle verifies both forms. A NULL vector or a vector with a
+  * NULL element yields NULL (the replaced HOF chain's null propagation).
   */
 case class Int8Quantize(child: Expression) extends UnaryExpression {
 
@@ -40,6 +41,11 @@ case class Int8Quantize(child: Expression) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val n = a.numElements()
+    // null element → null result (the null-propagation contract of the
+    // transform/zip_with chain this replaced — a null component must not
+    // silently quantize as 0)
+    var j = 0
+    while (j < n) { if (a.isNullAt(j)) return null; j += 1 }
     var am = 0.0
     var i = 0
     while (i < n) { val v = math.abs(a.getDouble(i)); if (v > am) am = v; i += 1 }
@@ -71,10 +77,19 @@ case class Int8Quantize(child: Expression) extends UnaryExpression {
     val x = ctx.freshName("x")
     val c = ctx.freshName("c")
     val e = ctx.freshName("e")
+    val anyNull = ctx.freshName("anyNull")
     ev.copy(code = code"""
       ${childGen.code}
       boolean ${ev.isNull} = ${childGen.isNull};
       org.apache.spark.sql.catalyst.InternalRow ${ev.value} = null;
+      if (!${ev.isNull}) {
+        int $n = ${childGen.value}.numElements();
+        boolean $anyNull = false;
+        for (int $i = 0; $i < $n; $i++) {
+          if (${childGen.value}.isNullAt($i)) { $anyNull = true; break; }
+        }
+        ${ev.isNull} = $anyNull;
+      }
       if (!${ev.isNull}) {
         int $n = ${childGen.value}.numElements();
         double $am = 0.0;

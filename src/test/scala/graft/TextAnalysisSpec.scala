@@ -1,0 +1,218 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextAnalysis
+
+/** Text-operator semantics: chunking, packing, quality rules, LM scores,
+  * entropy/OOV/compression signals, normalization, segmentation, span
+  * corruption. (Moved out of SamplingSpec so coverage lives next to the
+  * module under test.) */
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("chunk: overlap continuity, full coverage, no redundant tail chunk") {
+    val text = ("abcdefghij" * 30) // 300 chars
+    val docs = Seq((1L, text), (2L, "tiny")).toDF("doc_id", "text")
+    val chunks = graft.operators.TextAnalysis.chunk(docs, "doc_id", "text",
+        size = 100, overlap = 20)
+      .orderBy($"doc_id", $"chunk_id").as[(Long, Long, String)].collect()
+    val d1 = chunks.filter(_._1 == 1L).map(_._3)
+    // starts at 1, 81, 161, 241 (bound: len-overlap = 280)
+    assert(d1.length == 4)
+    assert(d1(0) == text.substring(0, 100) && d1(1) == text.substring(80, 180))
+    // consecutive chunks share exactly `overlap` chars
+    assert(d1(0).takeRight(20) == d1(1).take(20))
+    // union of chunks reconstructs the document (dedup the overlaps)
+    assert(d1.head + d1.tail.map(_.drop(20)).mkString == text)
+    // short doc -> one whole-doc chunk
+    assert(chunks.filter(_._1 == 2L).map(_._3).toSeq == Seq("tiny"))
+  }
+
+  test("packSequences: packs cut at the budget, ids reproducible across partitionings") {
+    val docs = (1L to 100L).map(i => (i, "w " * 40, "g")).toDF("doc_id", "text", "lang")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextAnalysis.packSequences(df, "doc_id",
+        size(split(trim($"text"), "\\s+")), budget = 100L, groupCol = "lang")
+        .orderBy($"doc_id").as[(String, Long, Long, Long, Long)].collect()
+    val got = run(docs)
+    // 40 tokens/doc, budget 100: packs hold docs starting at offsets 0,40,80 ->
+    // pack 0 gets 3 docs (starts 0/40/80), then the stream continues
+    assert(got.take(3).map(_._5).toSeq == Seq(0L, 0L, 0L))
+    assert(got(3)._5 == 1L) // starts at cum 120 -> pack 1
+    // deterministic under repartitioning (window order is the contract)
+    assert(run(docs.repartition(7)) sameElements got)
+  }
+
+  test("qualityFlags: each rule trips on its own pathology") {
+    // 24 distinct words: unique bigrams, stopwords present, mean len ~4.8
+    val good = "the quick brown fox jumps over lazy dogs and runs into green " +
+      "fields while birds sing songs about bright morning sunshine near quiet rivers"
+    val docs = Seq(
+      (1L, good),                                   // passes everything
+      (2L, "too short to keep"),                    // word count
+      (3L, ("a b c d " * 20).trim),                 // mean word length < 3
+      (4L, good + " " + ("$$$ ###" * 40)),          // symbol share > 10%
+      (5L, ("lorem ipsum dolor " * 20).trim),       // no English stopwords
+      (6L, good + " " + ("spam spam " * 60).trim))  // bigram repetition
+      .toDF("doc_id", "text")
+    val flags = graft.operators.TextAnalysis.qualityFlags(docs, "doc_id", "text", minWords = 20)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"ok_word_count", $"ok_word_len", $"ok_symbols",
+        $"ok_stopwords", $"ok_repetition", $"keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+    assert(flags(0) == ((1L, true, true, true, true, true, true)))
+    assert(!flags(1)._2 && !flags(1)._7) // short
+    assert(!flags(2)._3)                 // tiny words
+    assert(!flags(3)._4)                 // symbol-heavy
+    assert(!flags(4)._5)                 // stopword-free
+    assert(!flags(5)._6 && !flags(5)._7) // repetitive
+  }
+
+  test("unigramLogProb: rare-token gibberish scores below typical text") {
+    import graft.operators.TextAnalysis
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (3L, "the cat and the dog sat"),
+      (4L, "zqxv jkwp mbfg tyhn qplz")) // tokens seen nowhere else
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(corpus, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Double)].collect()
+    assert(got.map(_._2).forall(_ >= 5L)) // token counts carried through
+    val scores = got.map(r => r._1 -> r._3).toMap
+    assert(scores(4L) < scores(1L) && scores(4L) < scores(2L) && scores(4L) < scores(3L),
+      scores.toString)
+    // sanity: probabilities, so every avg log-prob is negative
+    assert(scores.values.forall(_ < 0))
+  }
+
+  test("compressionRatio: repetitive < prose < random; empty is null; deterministic") {
+    import graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(11)
+    val random = rnd.alphanumeric.take(400).mkString
+    val df = Seq(
+      (1L, "spam ham " * 50),                               // repetitive
+      (2L, ("the quick brown fox jumps over the lazy dog " +
+        "a stitch in time saves nine all that glitters is not gold ") * 4),
+      (3L, random),                                          // incompressible-ish
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.compressionRatio(df, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Option[Double])].collect()
+    val r = got.map(x => x._1 -> x._3).toMap
+    assert(r(1L).get < r(2L).get && r(2L).get < r(3L).get, r.toString)
+    assert(r(4L).isEmpty)
+    // pure per-row function: repartitioning changes nothing
+    val again = TextAnalysis.compressionRatio(df.repartition(5), "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Option[Double])].collect()
+    assert(again sameElements got)
+  }
+
+  test("spanCorrupt: lossless reassembly, sentinel placement, short docs dropped") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "one two three"), // 3 tokens <= spanLen+1 -> dropped
+      (3L, "w x y z q r s t")).toDF("doc_id", "text")
+    val got = TextAnalysis.spanCorrupt(df, "doc_id", "text", spanLen = 2)
+      .orderBy($"doc_id").as[(Long, Long, Long, String, String)].collect()
+    assert(got.map(_._1) sameElements Array(1L, 3L))
+    got.foreach { case (_, n, st, input, target) =>
+      assert(st >= 0 && st <= n - 2 - 1)
+      val masked = target.split(" ").drop(1) // after the sentinel
+      assert(masked.length == 2)
+      // splicing the target back into the sentinel recovers the original
+      val rebuilt = input.replace("<extra_id_0>", masked.mkString(" "))
+      assert(rebuilt.split(" ").length == n)
+    }
+    // deterministic: same ids -> same spans on any partitioning
+    val again = TextAnalysis.spanCorrupt(df.repartition(3), "doc_id", "text", spanLen = 2)
+      .orderBy($"doc_id").as[(Long, Long, Long, String, String)].collect()
+    assert(again sameElements got)
+  }
+
+  test("tokenEntropy: repeated token ~0, uniform distinct = ln(n)") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "spam spam spam spam"),
+      (2L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(df, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(got(0) == ((1L, 4L, 1L, -0.0)) || got(0) == ((1L, 4L, 1L, 0.0)))
+    assert(got(1)._2 == 4L && got(1)._3 == 4L)
+    assert(math.abs(got(1)._4 - math.log(4.0)) < 1e-5)
+  }
+
+  test("oovRate counts token instances outside the vocabulary") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "known known rare"),
+      (2L, "known known known")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.vocabulary(docs, "doc_id", "text", minCount = 3L)
+    // only 'known' (5 instances) clears minCount=3; 'rare' is OOV
+    val got = TextAnalysis.oovRate(docs, "doc_id", "text", vocab)
+      .orderBy($"doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(got sameElements Array((1L, 3L, 1L, 1.0 / 3.0), (2L, 3L, 0L, 0.0)))
+  }
+
+  test("normalizeText folds typography, case, and whitespace runs") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "  “Hello—World”\t\tIt’s   FINE \n"),
+      (2L, "already clean"),
+      (3L, "")).toDF("id", "t")
+    val got = df.select($"id", TextAnalysis.normalizeText($"t").as("n"))
+      .orderBy($"id").as[(Long, String)].collect()
+    assert(got sameElements Array(
+      (1L, "\"hello-world\" it's fine"), (2L, "already clean"), (3L, "")))
+  }
+
+  test("sentences splits on terminator runs and keeps the unterminated tail") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "One. Two!! Three?  tail no dot"),
+      (2L, "no punctuation at all"),
+      (3L, "...")).toDF("id", "t")
+    val got = TextAnalysis.sentences(df, "id", "t")
+      .orderBy($"id", $"sent_idx").as[(Long, Long, String)].collect()
+    assert(got sameElements Array(
+      (1L, 0L, "One."), (1L, 1L, "Two!!"), (1L, 2L, "Three?"), (1L, 3L, "tail no dot"),
+      (2L, 0L, "no punctuation at all"), (3L, 0L, "...")))
+  }
+
+  test("bigramLogProb: shuffled word order scores below natural order") {
+    import graft.operators.TextAnalysis
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the rug"),
+      (3L, "the cat sat on the hat"),
+      (4L, "mat the on sat cat the"), // same unigrams, unseen-order bigrams
+      (5L, "solo")) // single token: no bigram, absent from output
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(corpus, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Double)].collect()
+    assert(got.map(_._1) sameElements Array(1L, 2L, 3L, 4L))
+    assert(got.forall(_._2 == 5L)) // 6 tokens -> 5 bigram instances
+    val scores = got.map(r => r._1 -> r._3).toMap
+    // doc 4 shares every unigram with docs 1-3 but none of the common
+    // bigrams: only the interpolated back-off saves it from -inf, and it
+    // must score strictly below the naturally-ordered docs
+    assert(scores(4L) < scores(1L) && scores(4L) < scores(2L) && scores(4L) < scores(3L),
+      scores.toString)
+    assert(scores.values.forall(_ < 0))
+  }
+
+  test("tfIdfTopTerms ranks rare terms above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "common zebra zebra"),
+      (2L, "common quartz quartz"),
+      (3L, "common plain words here")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 1)
+      .select($"doc_id", $"term").as[(Long, String)].collect().toMap
+    // 'common' appears in every doc (df=3); the doc-unique terms win even
+    // against tf=2 'common'
+    assert(top(1L) == "zebra")
+    assert(top(2L) == "quartz")
+  }
+}

@@ -348,6 +348,27 @@ object QueriesExtras {
       "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft-mix'), 1, 8))::BIGINT % 1000000 < keep_ppm " +
       "ORDER BY doc_id"))
 
+  /** Temperature-scaled language mix
+    * ([[graft.operators.Sampling.temperatureMix]], α=0.5): the mT5
+    * sampling rule with the per-group weights (n^α) derived in-plan; the
+    * oracle rebuilds counts, powers, the binding-group K, the floor'd ppm
+    * rates, and the hash filter — the whole self-adjusting mix re-derived
+    * declaratively. */
+  private val qTemperatureMix = Q(
+    (s, d) => graft.operators.Sampling.temperatureMix(
+        Tables.load(s, d, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", alpha = 0.5)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id")),
+    Some("WITH counts AS (SELECT lang AS g, count(*) AS n_g FROM documents GROUP BY 1), " +
+      "j AS (SELECT g, pow(CAST(n_g AS DOUBLE), 0.5e0) AS t_g, n_g FROM counts), " +
+      "k AS (SELECT min(CAST(n_g AS DOUBLE) / t_g) AS k_total FROM j), " +
+      "r AS (SELECT g, CAST(floor(t_g * k_total / n_g * 1000000) AS BIGINT) AS keep_ppm " +
+      "FROM j CROSS JOIN k) " +
+      "SELECT doc_id, lang FROM documents JOIN r ON lang = r.g " +
+      "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft-mix'), 1, 8))::BIGINT % 1000000 < keep_ppm " +
+      "ORDER BY doc_id"))
+
   private val qDedupSimhash = Q(
     (s, d) => Dedup.simhash32(Tables.load(s, d, "documents"), "doc_id", "text")
       .orderBy(col("doc_id")),
@@ -1507,6 +1528,7 @@ object QueriesExtras {
     "q_mutual_knn_dedup" -> qMutualKnnDedup,
     "q_negative_sample" -> qNegativeSample,
     "q_span_corrupt" -> qSpanCorrupt,
+    "q_temperature_mix" -> qTemperatureMix,
     "q_correlation" -> qCorrelation,
     "q_user_trend" -> qUserTrend,
     "q_funnel" -> qFunnel,

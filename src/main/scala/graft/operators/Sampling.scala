@@ -91,6 +91,35 @@ object Sampling {
       .drop("keep_ppm")
   }
 
+  /** TEMPERATURE-SCALED MIXING — the mT5/XLM-R multilingual sampling rule
+    * (public recipe: sample group i with probability ∝ n_i^α, α ∈ (0,1]):
+    * the smallest group keeps ~100% and every larger group downsamples to
+    * rate (n_min / n_g)^(1−α) — α=1 reproduces the natural distribution,
+    * α→0 approaches uniform-per-group. This is [[mixToTarget]] with the
+    * target weights derived IN-PLAN from the group counts themselves
+    * (t_g = n_g^α), so no weight map ships from the driver and the mix
+    * self-adjusts as the corpus grows. Same plan shape and membership
+    * contract: one group-keyed count, a #groups-row broadcast rate table,
+    * the portable salted-hash filter — membership is a pure function of
+    * (id, salt). The floor'd ppm rate sits a libm-pow last-ulp away from a
+    * boundary with probability ~2⁻³⁰ per group — the accepted ES-sampler
+    * risk class, noted here because pow (unlike sqrt) is not guaranteed
+    * correctly rounded. */
+  def temperatureMix(df: DataFrame, id: String, groupCol: String,
+                     alpha: Double, salt: String = "graft-mix"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
+      .withColumn("t_g", pow(col("n_g").cast("double"), lit(alpha)))
+    val kTotal = counts.agg(min(col("n_g").cast("double") / col("t_g")).as("k_total"))
+    val rates = counts.crossJoin(broadcast(kTotal))
+      .select(col(groupCol),
+        floor(col("t_g") * col("k_total") / col("n_g") * lit(1000000))
+          .cast("long").as("keep_ppm"))
+    df.join(broadcast(rates), groupCol)
+      .filter(hashBucket(col(id), salt, 1000000) < col("keep_ppm"))
+      .drop("keep_ppm")
+  }
+
   /** WEIGHTED sampling without replacement, k per group — deterministic
     * Efraimidis–Spirakis (A-ES): each row draws u ∈ (0,1] from the salted
     * portable hash of its id and scores `ln(u)/w`; the k highest scores

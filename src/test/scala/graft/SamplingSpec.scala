@@ -71,6 +71,26 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("temperatureMix: smallest group whole, larger groups at (n_min/n)^(1-a), a=1 natural") {
+    // groups: small=200, big=1800
+    val df = (1 to 2000).map(i => (i.toLong, if (i <= 200) "small" else "big"))
+      .toDF("id", "g")
+    val kept = Sampling.temperatureMix(df, "id", "g", alpha = 0.5)
+      .groupBy($"g").count().as[(String, Long)].collect().toMap
+    assert(kept("small") == 200L, s"smallest group must keep ~100%: $kept")
+    // big keeps (200/1800)^0.5 ~ 0.333 -> ~600 rows
+    assert(math.abs(kept("big") - 600L) < 80, kept.toString)
+    // alpha = 1 reproduces the natural distribution (everything kept)
+    val natural = Sampling.temperatureMix(df, "id", "g", alpha = 1.0).count()
+    assert(natural == 2000L)
+    // membership stable under repartitioning
+    val again = Sampling.temperatureMix(df.repartition(7), "id", "g", alpha = 0.5)
+      .select($"id").as[Long].collect().sorted
+    val first = Sampling.temperatureMix(df, "id", "g", alpha = 0.5)
+      .select($"id").as[Long].collect().sorted
+    assert(again sameElements first)
+  }
+
   test("negativeSample: n fresh items per user, no positives, reproducible") {
     import graft.operators.Sampling
     val pos = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("u", "it")

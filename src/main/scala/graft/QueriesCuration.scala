@@ -150,16 +150,21 @@ object QueriesCuration {
       "FROM nodes n LEFT JOIN c3 ON n.node = c3.dst) " +
       "SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY rank DESC, node"))
 
-  /** Shared triangle-oracle CTE chain over the p_size ≤ 15 part
-    * co-purchase graph: `e` = normalized distinct edges, `t` = id-ordered
-    * 3-way-join triangles, `tc` = per-node triangle counts. */
-  private val TriangleSqlWith: String =
+  /** Shared co-purchase-graph edge CTE (p_size ≤ 15): `e` = normalized
+    * distinct edges — the SQL twin of [[coPurchaseEdges]], cited by every
+    * graph-analytics oracle so the edge definition exists exactly once on
+    * each side. */
+  private val CoPurchaseEdgeCte: String =
     "WITH le AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem " +
       "WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 15)), " +
       "e AS (SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a, " +
       "greatest(x.l_partkey, y.l_partkey) AS b " +
-      "FROM le x JOIN le y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey), " +
-      "t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 " +
+      "FROM le x JOIN le y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey)"
+
+  /** Triangle CTE chain on top of [[CoPurchaseEdgeCte]]: `t` = id-ordered
+    * 3-way-join triangles, `tc` = per-node triangle counts. */
+  private val TriangleSqlWith: String = CoPurchaseEdgeCte +
+      ", t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 " +
       "JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), " +
       "n AS (SELECT x AS node FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t), " +
       "tc AS (SELECT node, count(*) AS triangles FROM n GROUP BY node)"
@@ -205,6 +210,56 @@ object QueriesCuration {
       "ELSE 0.0e0 END AS lcc " +
       "FROM deg d LEFT JOIN tc ON d.node = tc.node ORDER BY node"))
 
+  /** K-CORE PEELING ([[Graph.kCore]], k=3, 3 rounds) on the co-purchase
+    * graph: the oracle unrolls the same three synchronous peeling rounds
+    * as CTEs (a converged earlier round is idempotent, so early-break and
+    * full-unroll agree), with the convergence flag re-derived from the
+    * last two rounds' edge counts. */
+  private val qKcore = Q(
+    (s, d) => Graph.kCore(coPurchaseEdges(s, d), k = 3, rounds = 3)
+      .orderBy(col("node")),
+    Some {
+      def round(i: Int, prev: String): String =
+        s"d$i AS (SELECT node, count(*) AS deg FROM " +
+        s"(SELECT a AS node FROM $prev UNION ALL SELECT b FROM $prev) GROUP BY node), " +
+        s"k$i AS (SELECT node FROM d$i WHERE deg >= 3), " +
+        s"e$i AS (SELECT a, b FROM $prev WHERE a IN (SELECT node FROM k$i) " +
+        s"AND b IN (SELECT node FROM k$i))"
+      CoPurchaseEdgeCte +
+        ", " + round(1, "e") + ", " + round(2, "e1") + ", " + round(3, "e2") + " " +
+        "SELECT node, count(*) AS deg, " +
+        "((SELECT count(*) FROM e3) = (SELECT count(*) FROM e2)) AS converged " +
+        "FROM (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3) " +
+        "GROUP BY node ORDER BY node"
+    })
+
+  /** DEGREE ASSORTATIVITY ([[Graph.degreeAssortativity]]) of the
+    * co-purchase graph: Newman's r as an exact-moment Pearson pass over
+    * symmetrized endpoint-degree pairs; the oracle rebuilds degrees,
+    * pairs, and the six moments in SQL. */
+  private val qAssortativity = Q(
+    (s, d) => Graph.degreeAssortativity(coPurchaseEdges(s, d)),
+    Some(CoPurchaseEdgeCte +
+      ", deg AS (SELECT node, count(*) AS deg FROM " +
+      "(SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node), " +
+      "wd AS (SELECT da.deg AS da, db.deg AS db FROM e " +
+      "JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b), " +
+      "p AS (SELECT CAST(da AS DOUBLE) AS x, CAST(db AS DOUBLE) AS y FROM wd " +
+      "UNION ALL SELECT CAST(db AS DOUBLE), CAST(da AS DOUBLE) FROM wd), " +
+      "mom AS (SELECT count(*) AS n, " +
+      "CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx, " +
+      "CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy, " +
+      "CAST(SUM(CAST(x AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sxy, " +
+      "CAST(SUM(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sxx, " +
+      "CAST(SUM(CAST(y AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS syy " +
+      "FROM p WHERE x IS NOT NULL AND y IS NOT NULL) " +
+      "SELECT 'dx' AS x_col, 'dy' AS y_col, n, " +
+      "round(CASE WHEN (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * " +
+      "sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) = 0.0e0 THEN NULL " +
+      "ELSE (CAST(n AS DOUBLE) * sxy - sx * sy) / " +
+      "(sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) END, 6) AS corr " +
+      "FROM mom"))
+
   /** Table profile ([[Profiler.profile]]) of `customer`: one aggregation
     * pass → column-grain quality summary. The oracle is the literal
     * per-column UNION ALL — same stats, table-scan-per-column — which the
@@ -229,6 +284,8 @@ object QueriesCuration {
     "q_pagerank" -> qPageRank,
     "q_triangles" -> qTriangles,
     "q_clustering_coef" -> qClusteringCoef,
+    "q_kcore" -> qKcore,
+    "q_assortativity" -> qAssortativity,
     "q_profile_table" -> qProfileTable,
     "q_scd2_build" -> qScd2Build,
     "q_cdc_apply" -> qCdcApply,

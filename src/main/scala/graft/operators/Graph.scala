@@ -126,6 +126,64 @@ object Graph {
           .otherwise(lit(0.0)))
   }
 
+  /** DEGREE ASSORTATIVITY — Pearson correlation of the degrees at the two
+    * ends of every edge (Newman's r, the public definition): positive =
+    * hubs link to hubs (social graphs), negative = hubs link to leaves
+    * (bot/spam topologies — which is why it's a curation screening
+    * metric). Each undirected edge contributes its (da,db) pair BOTH ways
+    * (the standard symmetrization), then the exact-moment
+    * [[Profiler.pearson]] pass does the correlation — degrees are
+    * integers, so every moment is exact and the gate needs no tolerance
+    * beyond the shared round(6). Output: one (x_col, y_col, n, corr) row
+    * with n = 2·|edges|. */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val (und, deg) = undDeg(edges)
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    val pairs = withDeg.select(col("da").cast("double").as("dx"), col("db").cast("double").as("dy"))
+      .union(withDeg.select(col("db").cast("double"), col("da").cast("double")))
+    Profiler.pearson(pairs, Seq(("dx", "dy")))
+  }
+
+  /** K-CORE PEELING, bounded rounds: each round removes every node whose
+    * CURRENT degree is below `k` (the standard synchronous peeling step);
+    * after `rounds` rounds the surviving subgraph and its internal degrees
+    * are returned. With enough rounds this is exactly the k-core (the
+    * maximal subgraph of min-degree ≥ k) — the classic
+    * cohesion/spam-filtering decomposition; the bounded-round form is the
+    * same contract as [[pageRank]]'s `iters` (deterministic, oracle-able
+    * as unrolled SQL rounds) and `converged` in the result tells the
+    * caller whether the fixpoint was reached (no node removed in the last
+    * round). Each round is one degree aggregation + one semi join, both
+    * keyed by vertex; survivors are localCheckpoint'ed per round so plan
+    * size stays O(1) per round.
+    *
+    * Output: (node, deg, converged) for nodes surviving `rounds` rounds,
+    * deg = degree within the surviving subgraph. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k >= 1 and rounds >= 1, got k=$k rounds=$rounds")
+    var und = undDeg(edges)._1.localCheckpoint()
+    var removedAny = true
+    var r = 0
+    while (r < rounds && removedAny) {
+      val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("node"))
+      val next = und
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint()
+      removedAny = next.count() != und.count()
+      und = next
+      r += 1
+    }
+    val converged = !removedAny
+    und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .withColumn("converged", lit(converged))
+  }
+
   def pageRank(edges: DataFrame, iters: Int, dampingPct: Int = 85,
                scale: Long = 1000000L): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)

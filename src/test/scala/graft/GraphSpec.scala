@@ -65,6 +65,30 @@ class GraphSpec extends AnyFunSuite {
       (3L, 3L, 1L, (2.0 * 1) / (3 * 2)), (4L, 1L, 0L, 0.0)))
   }
 
+  test("kCore peels cascades to the maximal min-degree subgraph; converged flag honest") {
+    // K4 {1,2,3,4} + tail 4-5-6 at k=2: round 1 removes only 6 (deg 1),
+    // which drops 5 to deg 1; round 2 removes 5; round 3 removes nothing
+    // -> converged, survivors = the 2-core (K4, every deg 3)
+    val k4 = for (a <- 1 to 4; b <- 1 to 4 if a < b) yield (a.toLong, b.toLong)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    val got = Graph.kCore(edges, k = 2, rounds = 4).orderBy($"node")
+      .as[(Long, Long, Boolean)].collect()
+    assert(got sameElements Array(
+      (1L, 3L, true), (2L, 3L, true), (3L, 3L, true), (4L, 3L, true)))
+    // one round is not enough: 5 survives at deg 1 and the flag says so
+    val partial = Graph.kCore(edges, k = 2, rounds = 1).orderBy($"node")
+      .as[(Long, Long, Boolean)].collect()
+    assert(partial.exists(r => r._1 == 5L && r._2 == 1L) && partial.forall(!_._3))
+  }
+
+  test("degreeAssortativity: a star is perfectly disassortative (r = -1)") {
+    val star = (1 to 5).map(l => (0L, l.toLong)).toDF("src", "dst")
+    val r = Graph.degreeAssortativity(star)
+      .select($"n", $"corr").as[(Long, Option[Double])].collect().head
+    assert(r._1 == 10L) // 5 edges, symmetrized
+    assert(r._2.contains(-1.0))
+  }
+
   test("pageRank is partitioning-independent (exact fixed-point)") {
     val rnd = new scala.util.Random(5)
     val edges = (1 to 400).map(_ => (s"n${rnd.nextInt(40)}", s"n${rnd.nextInt(40)}"))

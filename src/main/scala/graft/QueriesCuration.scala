@@ -233,6 +233,29 @@ object QueriesCuration {
         "GROUP BY node ORDER BY node"
     })
 
+  /** BFS HOPS ([[Graph.bfsHops]], 3 rounds) on the symmetrized
+    * co-purchase graph from its min-id node: the oracle unrolls the same
+    * three min-propagation rounds as CTEs. */
+  private val qBfsHops = Q(
+    (s, d) => {
+      val und = coPurchaseEdges(s, d)
+      val sym = und.unionByName(und.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = und.agg(min(col("src")).as("node"))
+      Graph.bfsHops(sym, seeds, rounds = 3).orderBy(col("node"))
+    },
+    Some {
+      def round(i: Int, prev: String): String =
+        s"h$i AS (SELECT node, min(hop) AS hop FROM (" +
+        s"SELECT node, hop FROM $prev UNION ALL " +
+        s"SELECT es.v AS node, $prev.hop + 1 AS hop FROM es JOIN $prev ON es.u = $prev.node) " +
+        s"GROUP BY node)"
+      CoPurchaseEdgeCte +
+        ", es AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e), " +
+        "h0 AS (SELECT (SELECT min(a) FROM e) AS node, CAST(0 AS BIGINT) AS hop), " +
+        round(1, "h0") + ", " + round(2, "h1") + ", " + round(3, "h2") + " " +
+        "SELECT node, CAST(hop AS BIGINT) AS hop FROM h3 ORDER BY node"
+    })
+
   /** DEGREE ASSORTATIVITY ([[Graph.degreeAssortativity]]) of the
     * co-purchase graph: Newman's r as an exact-moment Pearson pass over
     * symmetrized endpoint-degree pairs; the oracle rebuilds degrees,
@@ -286,6 +309,7 @@ object QueriesCuration {
     "q_clustering_coef" -> qClusteringCoef,
     "q_kcore" -> qKcore,
     "q_assortativity" -> qAssortativity,
+    "q_bfs_hops" -> qBfsHops,
     "q_profile_table" -> qProfileTable,
     "q_scd2_build" -> qScd2Build,
     "q_cdc_apply" -> qCdcApply,

@@ -126,6 +126,32 @@ object Graph {
           .otherwise(lit(0.0)))
   }
 
+  /** MULTI-SOURCE BFS HOPS, bounded rounds: distance (in hops) from the
+    * nearest seed, via `rounds` rounds of min-propagation over the
+    * DIRECTED edge list — the reachability/coverage primitive ("how far
+    * is every node from a trusted seed set"). Round r discovers every
+    * node at distance r, so `rounds` ≥ the relevant radius gives exact
+    * distances within that radius; nodes not reached are absent. Same
+    * bounded-round contract as [[pageRank]]/[[kCore]] (deterministic,
+    * oracle-able as unrolled rounds); each round one edge join + one
+    * min-aggregation keyed by vertex, frontier state checkpointed so plan
+    * size stays O(1) per round. Output: (node, hop). */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    val e = edges.select(col("src").as("u"), col("dst").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull).distinct().localCheckpoint()
+    var hops = seeds.select(col("node")).distinct()
+      .select(col("node"), lit(0L).as("hop")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val step = e.join(hops.select(col("node").as("u"), col("hop")), "u")
+        .select(col("v").as("node"), (col("hop") + 1).as("hop"))
+      hops = hops.union(step)
+        .groupBy(col("node")).agg(min(col("hop")).as("hop"))
+        .localCheckpoint()
+    }
+    hops
+  }
+
   /** DEGREE ASSORTATIVITY — Pearson correlation of the degrees at the two
     * ends of every edge (Newman's r, the public definition): positive =
     * hubs link to hubs (social graphs), negative = hubs link to leaves

@@ -81,6 +81,20 @@ class GraphSpec extends AnyFunSuite {
     assert(partial.exists(r => r._1 == 5L && r._2 == 1L) && partial.forall(!_._3))
   }
 
+  test("bfsHops: exact hop distances within the round budget, multi-source min") {
+    // path 1->2->3->4->5, plus seed 10 one hop from 4
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 4L)).toDF("src", "dst")
+    val seeds = Seq(1L, 10L).toDF("node")
+    val got = Graph.bfsHops(edges, seeds, rounds = 3).orderBy($"node")
+      .as[(Long, Long)].collect().toMap
+    // 4 is distance 1 from seed 10 (not 3 from seed 1); 5 follows at 2
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L, 10L -> 0L))
+    // one round only reaches radius 1
+    val r1 = Graph.bfsHops(edges, seeds, rounds = 1).orderBy($"node")
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 10L -> 0L))
+  }
+
   test("degreeAssortativity: a star is perfectly disassortative (r = -1)") {
     val star = (1 to 5).map(l => (0L, l.toLong)).toDF("src", "dst")
     val r = Graph.degreeAssortativity(star)

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Empty-input robustness: a real pipeline regularly feeds an operator an
+  * empty slice (an empty ingest day, a filter that matched nothing). Every
+  * operator must either return an empty frame with the right schema or
+  * throw its DOCUMENTED loud error — never crash with an incidental
+  * exception deep in a plan. */
+class EmptyInputSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private val noEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+  private val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+
+  test("text operators: empty corpus -> empty result, schema intact") {
+    assert(TextAnalysis.bigramLogProb(noDocs, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.tokenEntropy(noDocs, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.spanCorrupt(noDocs, "doc_id", "text", 5).count() == 0)
+    assert(TextAnalysis.sentences(noDocs, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.compressionRatio(noDocs, "doc_id", "text").count() == 0)
+    val vocab = TextAnalysis.vocabulary(noDocs, "doc_id", "text", 1L)
+    assert(vocab.count() == 0)
+    assert(TextAnalysis.oovRate(noDocs, "doc_id", "text", vocab).count() == 0)
+  }
+
+  test("graph operators: empty edge list -> empty result") {
+    assert(Graph.triangleCounts(noEdges).count() == 0)
+    assert(Graph.clusteringCoefficient(noEdges).count() == 0)
+    assert(Graph.kCore(noEdges, k = 2, rounds = 2).count() == 0)
+    assert(Graph.pageRank(noEdges, iters = 2).count() == 0)
+    val r = Graph.degreeAssortativity(noEdges)
+      .select($"n", $"corr").as[(Long, Option[Double])].collect().head
+    assert(r._1 == 0L && r._2.isEmpty) // zero pairs -> undefined corr, not a crash
+    assert(Graph.bfsHops(noEdges, Seq(1L).toDF("node"), rounds = 2).count() == 1) // seed only
+  }
+
+  test("similarity/sampling: empty embeddings -> empty or documented loud failure") {
+    assert(Similarity.cosinePairs(noEmb, "vec_id", "embedding", 0.5).count() == 0)
+    assert(Similarity.knnGraph(noEmb, "vec_id", "embedding", 3).count() == 0)
+    assert(Similarity.quantizeInt8(noEmb, "vec_id", "embedding").count() == 0)
+    // kmeans-backed operators REQUIRE k seed rows — the documented loud contract
+    intercept[IllegalArgumentException] {
+      Clustering.kmeansAssign(noEmb, "vec_id", "embedding", k = 2, iters = 1)
+    }
+    val noPos = Seq.empty[(Long, Long)].toDF("u", "it")
+    assert(Sampling.negativeSample(noPos, "u", "it",
+      Seq(1L, 2L).toDF("it"), n = 2).count() == 0)
+    assert(Sampling.temperatureMix(Seq.empty[(Long, String)].toDF("id", "g"),
+      "id", "g", alpha = 0.5).count() == 0)
+  }
+
+  test("relational/profiling: empty input -> empty or single-row-null results") {
+    assert(Ops.histogramQuantiles(Seq.empty[(String, Double)].toDF("g", "v"),
+      "g", "v", Seq(0.5)).count() == 0)
+    assert(Profiler.madOutliers(Seq.empty[(String, Double)].toDF("g", "v"),
+      "g", "v").count() == 0)
+    val p = Profiler.pearson(Seq.empty[(Double, Double)].toDF("x", "y"), Seq(("x", "y")))
+      .select($"n", $"corr").as[(Long, Option[Double])].collect().head
+    assert(p._1 == 0L && p._2.isEmpty)
+    assert(Profiler.groupTrend(Seq.empty[(String, Double, Double)].toDF("g", "x", "y"),
+      "g", "x", "y").count() == 0)
+  }
+}

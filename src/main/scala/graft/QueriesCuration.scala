@@ -283,6 +283,31 @@ object QueriesCuration {
       "(sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) END, 6) AS corr " +
       "FROM mom"))
 
+  /** PMI co-occurrence ([[graft.operators.Ops.pmiPairs]], minCount 3) on
+    * the p_size ≤ 15 order/part baskets: association strength beyond
+    * independence, the stats twin of the triangle/Jaccard views of the
+    * same data. Oracle mirrors counts and the PMI formula
+    * operand-for-operand. */
+  private val qPmiPairs = Q(
+    (s, d) => {
+      val smallParts = t(s, d, "part").filter(col("p_size") <= 15)
+        .select(col("p_partkey"))
+      val baskets = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      graft.operators.Ops.pmiPairs(baskets, "l_orderkey", "l_partkey", minCount = 3L)
+        .orderBy(col("item_a"), col("item_b"))
+    },
+    Some("WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem " +
+      "WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 15)), " +
+      "tot AS (SELECT CAST(count(DISTINCT bk) AS DOUBLE) AS n_baskets FROM b), " +
+      "cnt AS (SELECT it, count(*) AS n_i FROM b GROUP BY it), " +
+      "p AS (SELECT x.it AS item_a, y.it AS item_b, count(*) AS n_ab FROM b x " +
+      "JOIN b y ON x.bk = y.bk AND x.it < y.it GROUP BY 1, 2) " +
+      "SELECT item_a, item_b, n_ab, " +
+      "round(ln((CAST(n_ab AS DOUBLE) * n_baskets) / (CAST(ca.n_i AS DOUBLE) * cb.n_i)), 6) AS pmi " +
+      "FROM p JOIN cnt ca ON ca.it = item_a JOIN cnt cb ON cb.it = item_b CROSS JOIN tot " +
+      "WHERE n_ab >= 3 ORDER BY item_a, item_b"))
+
   /** Table profile ([[Profiler.profile]]) of `customer`: one aggregation
     * pass → column-grain quality summary. The oracle is the literal
     * per-column UNION ALL — same stats, table-scan-per-column — which the
@@ -310,6 +335,7 @@ object QueriesCuration {
     "q_kcore" -> qKcore,
     "q_assortativity" -> qAssortativity,
     "q_bfs_hops" -> qBfsHops,
+    "q_pmi_pairs" -> qPmiPairs,
     "q_profile_table" -> qProfileTable,
     "q_scd2_build" -> qScd2Build,
     "q_cdc_apply" -> qCdcApply,

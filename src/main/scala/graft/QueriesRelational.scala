@@ -264,7 +264,32 @@ object QueriesRelational {
       "FROM agg WINDOW w AS (PARTITION BY nation ORDER BY yr) " +
       "ORDER BY nation, yr"))
 
+  /** TRENDING — time-bucketed top-k per group: the top-3 parts by shipped
+    * quantity within every ship-month. The composed shape none of the
+    * single-window queries cover: aggregate to (bucket, item) grain
+    * FIRST (partial+final hash agg — the fact never reaches the window),
+    * then rank within the bucket and cut at k. Quantity sums are
+    * integer-valued doubles (exact), and the rank order ties on the item
+    * key, so the top-3 set cannot flap. */
+  private val qTrending = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("month")).orderBy(col("qty").desc, col("l_partkey"))
+      t(s, d, "lineitem")
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"), col("l_partkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .orderBy(col("month"), col("rank"))
+    },
+    Some("SELECT month, l_partkey, qty, rank FROM (" +
+      "SELECT month, l_partkey, qty, " +
+      "CAST(row_number() OVER (PARTITION BY month ORDER BY qty DESC, l_partkey) AS BIGINT) AS rank " +
+      "FROM (SELECT strftime(l_shipdate, '%Y-%m') AS month, l_partkey, sum(l_quantity) AS qty " +
+      "FROM lineitem GROUP BY 1, 2)) WHERE rank <= 3 ORDER BY month, rank"))
+
   val registry: Seq[(String, Q)] = Seq(
+    "q_trending" -> qTrending,
     "q_grouping_sets" -> qGroupingSets,
     "q_hist_quantiles" -> qHistQuantiles,
     "q_yoy_revenue" -> qYoyRevenue,

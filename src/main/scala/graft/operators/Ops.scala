@@ -57,6 +57,40 @@ object Ops {
   def unionAll(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
 
+  /** PMI CO-OCCURRENCE pairs — pointwise mutual information over baskets
+    * (the public association-mining/distributional-similarity statistic):
+    * for items a, b with basket counts n_a, n_b, co-occurrence count
+    * n_ab over N baskets, `pmi = ln((n_ab·N) / (n_a·n_b))` — positive =
+    * appear together more than independence predicts (complements,
+    * related tags, collocations), negative = substitutes. `minCount`
+    * prunes the noisy singleton-pair tail BEFORE the count joins.
+    *
+    * Plan: distinct (basket, item) pairs, one item-count aggregation,
+    * one basket-keyed self-join for pair counts (fan-out bounded by
+    * basket sizes — the same shape as the shingle join), the one-row
+    * basket total broadcast. All counts exact longs; the PMI division's
+    * operand order is mirrored in the oracle and round(6) soaks ln
+    * drift. */
+  def pmiPairs(df: DataFrame, basket: String, item: String,
+               minCount: Long): DataFrame = {
+    val b = df.select(col(basket).as("bk"), col(item).as("it")).distinct()
+    val total = b.select(col("bk")).distinct()
+      .agg(count(lit(1)).cast("double").as("n_baskets"))
+    val cnt = b.groupBy(col("it")).agg(count(lit(1)).as("n_i"))
+    val pairs = b.select(col("bk"), col("it").as("item_a"))
+      .join(b.select(col("bk"), col("it").as("item_b")), "bk")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    pairs
+      .join(cnt.select(col("it").as("item_a"), col("n_i").as("n_a")), "item_a")
+      .join(cnt.select(col("it").as("item_b"), col("n_i").as("n_b")), "item_b")
+      .crossJoin(broadcast(total))
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        round(log((col("n_ab").cast("double") * col("n_baskets")) /
+          (col("n_a").cast("double") * col("n_b"))), 6).as("pmi"))
+  }
+
   /** EXACT per-group discrete quantiles WITHOUT sorting the rows — the
     * frequency-histogram selection plan. `percentile`-style exact
     * quantiles sort every group's raw rows; this operator first collapses

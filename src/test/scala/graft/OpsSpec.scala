@@ -201,6 +201,25 @@ class OpsSpec extends AnyFunSuite {
     assert(got(1) == (("up", 3L, Some(2.0), Some(3.0)))) // y = 3 + 2x
   }
 
+  test("pmiPairs: complements positive, near-independence near zero, minCount prunes") {
+    // items A,B co-occur in every basket (complements); C floats freely
+    val baskets = Seq(
+      (1L, "A"), (1L, "B"), (1L, "C"),
+      (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "B"), (3L, "C"),
+      (4L, "C"), (4L, "D")).toDF("bk", "it")
+    val got = Ops.pmiPairs(baskets, "bk", "it", minCount = 2L)
+      .orderBy($"item_a", $"item_b")
+      .as[(String, String, Long, Double)].collect()
+    val byPair = got.map(r => (r._1, r._2) -> r._4).toMap
+    // A,B: n_ab=3, n_a=n_b=3, N=4 -> pmi = ln(3*4/9) = ln(4/3) > 0
+    assert(math.abs(byPair(("A", "B")) - math.log(4.0 / 3.0)) < 1e-5)
+    // A,C: n_ab=2, n_a=3, n_c=3, N=4 -> ln(8/9) < 0 (less than independent)
+    assert(byPair(("A", "C")) < 0)
+    // C,D co-occur once -> pruned by minCount=2
+    assert(!byPair.contains(("C", "D")))
+  }
+
   test("union tolerates asymmetric schemas") {
     val a = Seq(("x", 1)).toDF("name", "extra")
     val b = Seq("y").toDF("name")

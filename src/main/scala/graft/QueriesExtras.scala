@@ -869,6 +869,24 @@ object QueriesExtras {
       "FROM e JOIN f ON e.user_id = f.user_id GROUP BY cohort_wk, wk_offset " +
       "ORDER BY cohort_wk, wk_offset"))
 
+  /** Gini concentration ([[graft.operators.Profiler.gini]]) of document
+    * character mass per source: the corpus-audit inequality metric; the
+    * oracle re-derives ranks, exact long sums, and the mirrored formula. */
+  private val qGini = Q(
+    (s, d) => graft.operators.Profiler.gini(
+        Tables.load(s, d, "documents").select(col("source"), col("n_chars")),
+        "source", "n_chars")
+      .orderBy(col("source")),
+    Some("WITH r AS (SELECT source, n_chars, " +
+      "CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) AS rk " +
+      "FROM documents WHERE n_chars IS NOT NULL), " +
+      "a AS (SELECT source, count(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sx, " +
+      "CAST(SUM(rk * n_chars) AS BIGINT) AS srx FROM r GROUP BY source) " +
+      "SELECT source, n, " +
+      "round((2.0e0 * CAST(srx AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) " +
+      "- CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini " +
+      "FROM a ORDER BY source"))
+
   /** Exact-sum Pearson correlation
     * ([[graft.operators.Profiler.pearson]]) over three lineitem pairs in
     * one pass: the six moments per pair go through DECIMAL (exact at any
@@ -1530,6 +1548,7 @@ object QueriesExtras {
     "q_span_corrupt" -> qSpanCorrupt,
     "q_temperature_mix" -> qTemperatureMix,
     "q_correlation" -> qCorrelation,
+    "q_gini" -> qGini,
     "q_user_trend" -> qUserTrend,
     "q_funnel" -> qFunnel,
     "q_cohort_retention" -> qCohortRetention,

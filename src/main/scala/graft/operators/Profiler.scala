@@ -126,6 +126,31 @@ object Profiler {
       .select(col(group), col("n"), col("slope"), col("intercept"))
   }
 
+  /** GINI CONCENTRATION per group — the inequality coefficient over a
+    * non-negative measure (`gini = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n` over the
+    * ascending-sorted values, the standard public formula): 0 = perfectly
+    * even, →1 = one row holds everything. The corpus-audit question it
+    * answers: is a source's token mass concentrated in a handful of
+    * documents (scraper artifact, single-site dump) or spread evenly?
+    * Ranks come from one window; tied values contribute a FIXED rank-sum
+    * whatever their internal order, so the result is deterministic
+    * without a tiebreak. Integer-valued measures make both sums exact
+    * longs; the final two divisions are mirrored; round(6). */
+  def gini(df: DataFrame, group: String, value: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(group)).orderBy(col(value))
+    df.filter(col(value).isNotNull)
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n"),
+        sum(col(value).cast("long")).as("__sx"),
+        sum(col("__r") * col(value).cast("long")).as("__srx"))
+      .select(col(group), col("n"),
+        round((lit(2.0) * col("__srx").cast("double")) /
+            (col("n").cast("double") * col("__sx").cast("double")) -
+          (col("n") + 1).cast("double") / col("n").cast("double"), 6).as("gini"))
+  }
+
   /** ROBUST OUTLIER DETECTION per group — median absolute deviation, the
     * estimator that survives the outliers it hunts (a mean/stddev z-score
     * is dragged by the very rows it should flag; the median and MAD have

@@ -201,6 +201,23 @@ class OpsSpec extends AnyFunSuite {
     assert(got(1) == (("up", 3L, Some(2.0), Some(3.0)))) // y = 3 + 2x
   }
 
+  test("gini: uniform = 0, total concentration -> (n-1)/n, tie-order-independent") {
+    import graft.operators.Profiler
+    val df = (Seq.fill(4)(("even", 10L)) ++
+      Seq(("conc", 0L), ("conc", 0L), ("conc", 0L), ("conc", 100L)))
+      .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "g", "v")
+    val vals = Profiler.gini(df, "g", "v").orderBy($"g")
+      .as[(String, Long, Double)].collect()
+    assert(vals.find(_._1 == "even").get._3 == 0.0)
+    // one row holds everything among n=4: gini = (n-1)/n = 0.75
+    assert(vals.find(_._1 == "conc").get._3 == 0.75)
+    // ties: any internal order of the three zeros gives the same result
+    val again = Profiler.gini(df.repartition(5), "g", "v").orderBy($"g")
+      .as[(String, Long, Double)].collect()
+    assert(again sameElements vals)
+  }
+
   test("pmiPairs: complements positive, near-independence near zero, minCount prunes") {
     // items A,B co-occur in every basket (complements); C floats freely
     val baskets = Seq(

@@ -1092,6 +1092,30 @@ object QueriesExtras {
       "round(-SUM((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS entropy " +
       "FROM tn GROUP BY doc_id ORDER BY doc_id"))
 
+  /** BM25 top-k retrieval ([[TextAnalysis.bm25TopK]]) for a 4-term topic
+    * probe over the document corpus — ranked retrieval with the Lucene idf
+    * variant, k1=1.2, b=0.75. The oracle recomputes the identical formula
+    * (mirrored operand order; `1.2e0 + 1e0` so both engines perform the
+    * same IEEE add rather than parsing `2.2`); the per-doc sum of ≤ 4
+    * ln-based contributions rounds to 6 places (q_unigram_logprob
+    * precedent) and the LIMIT-k frontier is total-ordered by
+    * (bm25 DESC, doc_id). */
+  private val qBm25TopK = Q(
+    (s, d) => TextAnalysis.bm25TopK(Tables.load(s, d, "documents"),
+      "doc_id", "text", Seq("hash", "join", "spark", "window"), k = 10),
+    Some("WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term FROM documents), " +
+      "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), " +
+      "st AS (SELECT count(*) AS n_docs FROM documents), " +
+      "av AS (SELECT CAST(SUM(dl) AS DOUBLE) / CAST((SELECT n_docs FROM st) AS DOUBLE) AS avgdl FROM dl), " +
+      "tfq AS (SELECT doc_id, term, count(*) AS tf FROM toks " +
+      "WHERE term IN ('hash', 'join', 'spark', 'window') GROUP BY 1, 2), " +
+      "dfq AS (SELECT term, count(*) AS dfreq FROM tfq GROUP BY 1) " +
+      "SELECT doc_id, count(*) AS n_terms, " +
+      "round(SUM(ln(1e0 + (CAST(n_docs AS DOUBLE) - CAST(dfreq AS DOUBLE) + 0.5e0) / (CAST(dfreq AS DOUBLE) + 0.5e0)) " +
+      "* (CAST(tf AS DOUBLE) * (1.2e0 + 1e0)) / (CAST(tf AS DOUBLE) + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 * CAST(dl AS DOUBLE) / avgdl))), 6) AS bm25 " +
+      "FROM tfq JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN av " +
+      "GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10"))
+
   /** OOV rate ([[TextAnalysis.oovRate]]) against the min-count-5 corpus
     * vocabulary ([[TextAnalysis.vocabulary]] — the q_vocabulary table):
     * the tokenizer-coverage audit, oracle re-deriving vocab membership and
@@ -1556,6 +1580,7 @@ object QueriesExtras {
     "q_split_assign" -> qSplitAssign,
     "q_stratified_sample" -> qStratifiedSample,
     "q_tfidf_top_terms" -> qTfidfTopTerms,
+    "q_bm25_topk" -> qBm25TopK,
     "q_chunk" -> qChunk,
     "q_pack_sequences" -> qPackSequences,
     "q_quality_flags" -> qQualityFlags,

@@ -543,4 +543,49 @@ object TextAnalysis {
       .withColumn("canon_url", canonicalUrl(col(url))) // staged: canon once per row
       .groupBy(col("canon_url"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** BM25 TOP-K RETRIEVAL (Okapi BM25, the public Robertson–Spärck Jones
+    * formula with the Lucene `ln(1 + (N−df+0.5)/(df+0.5))` idf variant):
+    * score every document containing ≥ 1 query term and return the k
+    * best. The ranked-retrieval primitive a curation stack uses for
+    * "find the docs most about X" (topic probes, eval-set seeding,
+    * targeted audits).
+    *
+    * Plan shape — an INVERTED-INDEX access pattern without materializing
+    * an index: the term filter (`isin` over the literal query terms) lands
+    * in the scan stage BEFORE the (id, term) aggregation, so only postings
+    * of the query terms ever shuffle; doc lengths aggregate separately off
+    * the same scan; per-term doc frequencies reduce from the filtered tf
+    * table (tiny — ≤ |terms| rows, broadcast); the global (N, avgdl) row
+    * is a broadcast cross join. Nothing quadratic, no full-vocabulary
+    * state: corpus-size work is one tokenize+filter pass.
+    *
+    * Determinism: tf/df/dl/N are exact longs; avgdl is one exact-operand
+    * division; per-term contributions are a fixed IEEE expression tree
+    * (mirrored operand order in the oracle); the per-doc sum of ≤ |terms|
+    * doubles rounds to 6 places (the q_unigram_logprob sum-of-ln
+    * precedent) and ties break by id, so the LIMIT-k frontier is total-
+    * ordered. Output: (id, n_terms, bm25) — the k highest scores. */
+  def bm25TopK(df: DataFrame, id: String, text: String, terms: Seq[String],
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && k >= 1, s"need terms and k >= 1, got $terms, $k")
+    val toks = df.select(col(id), explode(split(trim(lower(col(text))), "\\s+")).as("term"))
+    val dl = toks.groupBy(col(id)).agg(count(lit(1)).as("dl"))
+    val tfq = toks.filter(col("term").isin(terms: _*))
+      .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val dfq = tfq.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+    val stats = df.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum(col("dl")).as("__tdl")))
+      .select(col("n_docs"),
+        (col("__tdl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    val idf = log(lit(1.0) + (col("n_docs").cast("double") - col("dfreq").cast("double") + lit(0.5)) /
+      (col("dfreq").cast("double") + lit(0.5)))
+    val contrib = idf * (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    tfq.join(broadcast(dfq), "term").join(dl, id).crossJoin(broadcast(stats))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_terms"), round(sum(contrib), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col(id))
+      .limit(k)
+  }
 }

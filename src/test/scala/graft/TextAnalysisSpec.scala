@@ -203,6 +203,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(scores.values.forall(_ < 0))
   }
 
+  test("bm25TopK: term-bearing docs only, rare-term boost, length penalty") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "spark spark spark"),                         // high tf, short
+      (2L, "spark and a lot of other padding words here"), // tf=1, long
+      (3L, "quartz spark"),                              // rare term + spark
+      (4L, "nothing relevant at all")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        Seq("spark", "quartz"), k = 10)
+      .as[(Long, Long, Double)].collect()
+    // doc 4 contains no query term: absent
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L))
+    val byId = got.map(r => r._1 -> r._3).toMap
+    // doc 3 matches the rare term (df=1) plus spark: highest score
+    assert(got.head._1 == 3L && got.head._2 == 2L)
+    // same single term, higher tf and shorter doc wins
+    assert(byId(1L) > byId(2L))
+    // descending score order throughout
+    assert(got.map(_._3).toSeq == got.map(_._3).sortBy(-_).toSeq)
+  }
+
   test("tfIdfTopTerms ranks rare terms above ubiquitous ones") {
     val docs = Seq(
       (1L, "common zebra zebra"),

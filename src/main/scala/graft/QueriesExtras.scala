@@ -887,6 +887,27 @@ object QueriesExtras {
       "- CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini " +
       "FROM a ORDER BY source"))
 
+  /** Winsorized mean ([[graft.operators.Profiler.winsorizedMean]]) of
+    * document length per source at α = 1/20: the clip ranks are integer
+    * arithmetic (`(n+19) div 20` ≡ DuckDB `(n+19) // 20`), the bounds are
+    * rank-picked values (tie-safe), sums are exact longs, and only the
+    * final division is floating — mirrored, round(6). */
+  private val qWinsorized = Q(
+    (s, d) => graft.operators.Profiler.winsorizedMean(
+        Tables.load(s, d, "documents").select(col("source"), col("n_chars")),
+        "source", "n_chars")
+      .orderBy(col("source")),
+    Some("WITH r AS (SELECT source, n_chars, row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rk " +
+      "FROM documents WHERE n_chars IS NOT NULL), " +
+      "b AS (SELECT source, count(*) AS n, (count(*) + 19) // 20 AS klo FROM r GROUP BY source), " +
+      "bd AS (SELECT b.source, b.n, MAX(CASE WHEN r.rk = b.klo THEN r.n_chars END) AS lo, " +
+      "MAX(CASE WHEN r.rk = b.n + 1 - b.klo THEN r.n_chars END) AS hi " +
+      "FROM r JOIN b USING (source) GROUP BY b.source, b.n) " +
+      "SELECT d.source, n, lo, hi, " +
+      "round(CAST(SUM(LEAST(GREATEST(d.n_chars, lo), hi)) AS DOUBLE) / CAST(n AS DOUBLE), 6) AS winsorized_mean " +
+      "FROM documents d JOIN bd ON d.source = bd.source WHERE d.n_chars IS NOT NULL " +
+      "GROUP BY d.source, n, lo, hi ORDER BY d.source"))
+
   /** Exact-sum Pearson correlation
     * ([[graft.operators.Profiler.pearson]]) over three lineitem pairs in
     * one pass: the six moments per pair go through DECIMAL (exact at any
@@ -1573,6 +1594,7 @@ object QueriesExtras {
     "q_temperature_mix" -> qTemperatureMix,
     "q_correlation" -> qCorrelation,
     "q_gini" -> qGini,
+    "q_winsorized" -> qWinsorized,
     "q_user_trend" -> qUserTrend,
     "q_funnel" -> qFunnel,
     "q_cohort_retention" -> qCohortRetention,

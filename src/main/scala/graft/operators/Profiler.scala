@@ -176,4 +176,45 @@ object Profiler {
     withDev.join(mad, group)
       .withColumn("is_outlier", col("mad") > 0.0 && col("absdev") > lit(k) * col("mad"))
   }
+
+  /** WINSORIZED MEAN per group — the robust location estimate that CLIPS
+    * instead of dropping: values below the α-quantile rise to it, values
+    * above the (1−α) quantile fall to it, then the mean runs over the
+    * clipped column (tail-resistant like the trimmed mean, but every row
+    * still votes — the corpus-audit "typical doc length" that one crawler
+    * blow-up can't drag). α is a RATIONAL 1/alphaDenom, so the clip ranks
+    * are pure integer arithmetic (`klo = ⌈n/denom⌉` via `(n+denom−1) div
+    * denom`, `khi = n+1−klo`) — no float quantile position that could
+    * ceil() differently across engines.
+    *
+    * The bounds are rank-picked VALUES (row_number over the value order):
+    * the value at a rank is deterministic even when tied rows aren't (the
+    * discrete-quantile convention of [[Ops.histogramQuantiles]]). With an
+    * integral value column every sum is an exact long; the single final
+    * division is mirrored in the oracle. Two shuffles (rank window +
+    * bounds aggregate) plus one group-keyed join back — no per-group state
+    * beyond two scalars, any partitioning. Output: (group, n, lo, hi,
+    * winsorized_mean). */
+  def winsorizedMean(df: DataFrame, group: String, value: String,
+                     alphaDenom: Int = 20): DataFrame = {
+    require(alphaDenom >= 2, s"need alphaDenom >= 2, got $alphaDenom")
+    import org.apache.spark.sql.expressions.Window
+    val vals = df.filter(col(value).isNotNull)
+      .select(col(group), col(value).cast("long").as("__v"))
+    // rank and group-count share one partitioning: a single shuffle feeds
+    // both windows, and the bounds reduce out of the same pass
+    val rk = vals
+      .withColumn("__rk", row_number()
+        .over(Window.partitionBy(col(group)).orderBy(col("__v"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(group))))
+      .withColumn("__klo", expr(s"(n + ${alphaDenom - 1}) div $alphaDenom"))
+    val bounds = rk.groupBy(col(group), col("n"))
+      .agg(max(when(col("__rk") === col("__klo"), col("__v"))).as("lo"),
+        max(when(col("__rk") === col("n") + 1 - col("__klo"), col("__v"))).as("hi"))
+    vals.join(bounds, group)
+      .groupBy(col(group), col("n"), col("lo"), col("hi"))
+      .agg(round(sum(least(greatest(col("__v"), col("lo")), col("hi"))).cast("double") /
+        col("n").cast("double"), 6).as("winsorized_mean"))
+      .select(col(group), col("n"), col("lo"), col("hi"), col("winsorized_mean"))
+  }
 }

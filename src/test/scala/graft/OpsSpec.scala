@@ -218,6 +218,30 @@ class OpsSpec extends AnyFunSuite {
     assert(again sameElements vals)
   }
 
+  test("winsorizedMean: clips both tails, ignores nulls, exact on clean groups") {
+    import graft.operators.Profiler
+    // n=20, alphaDenom=4 -> klo=5, khi=16: clip at the 5th/16th values
+    val tailed = (1L to 18L).map(("t", _)) ++ Seq(("t", -1000L), ("t", 9999L))
+    val clean = Seq(("c", 10L), ("c", 20L), ("c", 30L), ("c", Long.MinValue))
+      .map { case (g, v) => (g, if (v == Long.MinValue) null else v.toString) }
+    val df = (tailed.map { case (g, v) => (g, v.toString) } ++ clean)
+      .toDF("g", "vs").select($"g", $"vs".cast("long").as("v"))
+    val got = Profiler.winsorizedMean(df, "g", "v", alphaDenom = 4)
+      .orderBy($"g").as[(String, Long, Long, Long, Double)].collect()
+    // clean group: n=3 (null dropped), klo=1 -> lo=min, hi=max, plain mean
+    assert(got.find(_._1 == "c").get == (("c", 3L, 10L, 30L, 20.0)))
+    val t = got.find(_._1 == "t").get
+    // sorted: -1000, 1..18, 9999; rank5 value=4, rank16 value=15
+    assert(t._3 == 4L && t._4 == 15L)
+    // clipped: -1000->4; 1,2,3->4; 4..15 stay; 16,17,18->15; 9999->15
+    // sum = 4 + 3*4 + (4..15).sum + 3*15 + 15 = 4+12+114+45+15 = 190
+    assert(t._5 == 190.0 / 20.0)
+    // partitioning independence
+    val again = Profiler.winsorizedMean(df.repartition(7), "g", "v", alphaDenom = 4)
+      .orderBy($"g").as[(String, Long, Long, Long, Double)].collect()
+    assert(again sameElements got)
+  }
+
   test("pmiPairs: complements positive, near-independence near zero, minCount prunes") {
     // items A,B co-occur in every basket (complements); C floats freely
     val baskets = Seq(

@@ -1538,6 +1538,39 @@ object QueriesExtras {
       "WHERE levenshtein(a.c_name, b.c_name) <= 1 " +
       "ORDER BY id_a, id_b"))
 
+  /** Multi-pass sorted-neighborhood linkage
+    * ([[graft.operators.Dedup.sortedNeighborhoodPairs]]) over a PLANTED
+    * dirty registry (every 7th part's name loses its 3rd character — the
+    * qNormalizeText planting pattern, mirrored in the oracle). The head
+    * typo defeats the forward sort pass by construction; the reverse pass
+    * recovers it — the property the query exists to pin. The oracle
+    * replays both rank windows as SQL, so the recall CONTRACT (window 4,
+    * first-char blocks) is part of the gate, as with every LSH-family
+    * query. */
+  private val qSnmPairs = Q(
+    (s, d) => Dedup.sortedNeighborhoodPairs(
+        Tables.load(s, d, "part").select(col("p_partkey"),
+          when(col("p_partkey") % 7 === 0,
+            concat(substring(col("p_name"), 1, 2),
+              col("p_name").substr(lit(4), length(col("p_name")))))
+            .otherwise(col("p_name")).as("nm")),
+        "p_partkey", "nm", window = 4, maxDist = 2)
+      .orderBy(col("id_a"), col("id_b")),
+    Some("WITH dirty AS (SELECT p_partkey, CASE WHEN p_partkey % 7 = 0 " +
+      "THEN substring(p_name, 1, 2) || substring(p_name, 4) ELSE p_name END AS nm FROM part), " +
+      "rf AS (SELECT p_partkey, nm, substring(nm, 1, 1) AS blk, " +
+      "row_number() OVER (PARTITION BY substring(nm, 1, 1) ORDER BY nm, p_partkey) AS rk FROM dirty), " +
+      "rr AS (SELECT p_partkey, nm, substring(reverse(nm), 1, 1) AS blk, " +
+      "row_number() OVER (PARTITION BY substring(reverse(nm), 1, 1) ORDER BY reverse(nm), p_partkey) AS rk FROM dirty), " +
+      "cf AS (SELECT least(a.p_partkey, b.p_partkey) AS id_a, greatest(a.p_partkey, b.p_partkey) AS id_b " +
+      "FROM rf a JOIN rf b ON a.blk = b.blk AND b.rk - a.rk BETWEEN 1 AND 3), " +
+      "cr AS (SELECT least(a.p_partkey, b.p_partkey) AS id_a, greatest(a.p_partkey, b.p_partkey) AS id_b " +
+      "FROM rr a JOIN rr b ON a.blk = b.blk AND b.rk - a.rk BETWEEN 1 AND 3), " +
+      "c AS (SELECT DISTINCT id_a, id_b FROM (SELECT * FROM cf UNION ALL SELECT * FROM cr)) " +
+      "SELECT c.id_a, c.id_b, CAST(levenshtein(x.nm, y.nm) AS BIGINT) AS dist " +
+      "FROM c JOIN dirty x ON c.id_a = x.p_partkey JOIN dirty y ON c.id_b = y.p_partkey " +
+      "WHERE levenshtein(x.nm, y.nm) <= 2 ORDER BY id_a, id_b"))
+
   val registry: Seq[(String, Q)] = Seq(
     "q_j1_linkage_salted" -> qJ1Salted,
     "q_a9_engagement_map" -> qA9EngagementMap,
@@ -1612,5 +1645,6 @@ object QueriesExtras {
     "q_decontaminate_bloom" -> qDecontaminateBloom,
     "q_neardup_purge" -> qNeardupPurge,
     "q_fuzzy_match" -> qFuzzyMatch,
+    "q_snm_pairs" -> qSnmPairs,
   )
 }

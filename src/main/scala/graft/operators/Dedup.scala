@@ -470,4 +470,54 @@ object Dedup {
         hamming(col("sh_a"), col("sh_b")).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** MULTI-PASS SORTED-NEIGHBORHOOD record linkage (Hernández–Stolfo):
+    * sort records by a key, compare only rows within a sliding rank
+    * window — the classic entity-resolution BLOCKING that trades the
+    * all-pairs square for O(n·window) comparisons. One sort order misses
+    * typos that perturb the sort PREFIX (a head edit teleports the row),
+    * so the standard multi-pass fix runs a second pass over the REVERSED
+    * string (head edits become tail edits) and unions the candidates.
+    * Complementary to [[graft.operators.Fuzzy.fuzzySelfMatch]]: FastSS is
+    * exhaustive within its distance bound; SNM is recall-bounded by the
+    * window but costs no variant explosion — the cheap first screen on a
+    * corpus too hot-keyed for variant joins.
+    *
+    * Scale shape: passes partition by a BLOCK key (the key's first
+    * `blockLen` chars), so each window ranks within a block — a
+    * distributed per-block window, never a single global-sort task; block
+    * granularity is the parallelism knob, and cross-block pairs are out
+    * of reach by construction (mirrored in the oracle — the recall
+    * contract is explicit, as with every LSH-family gate). Candidates
+    * carry IDS ONLY through the distinct (the Fuzzy shuffle lesson);
+    * strings re-attach for one BANDED thresholded levenshtein pass.
+    * Output: (id_a, id_b, dist) with id_a < id_b, dist ≤ maxDist. */
+  def sortedNeighborhoodPairs(df: DataFrame, id: String, str: String,
+                              window: Int = 4, maxDist: Int = 2,
+                              blockLen: Int = 1): DataFrame = {
+    require(window >= 2 && maxDist >= 0 && blockLen >= 1,
+      s"need window >= 2, maxDist >= 0, blockLen >= 1; got $window, $maxDist, $blockLen")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(str).isNotNull).select(col(id), col(str))
+    def pass(key: Column): DataFrame = {
+      val ranked = base
+        .select(col(id), substring(key, 1, blockLen).as("__blk"), key.as("__key"))
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy(col("__blk")).orderBy(col("__key"), col(id))).cast("long"))
+        .select(col(id), col("__blk"), col("__rk"))
+      ranked
+        .withColumn("__j", explode(sequence(lit(1), lit(window - 1))))
+        .select(col(id).as("__ia"), col("__blk"), (col("__rk") + col("__j")).as("__rk"))
+        .join(ranked.select(col(id).as("__ib"), col("__blk"), col("__rk")),
+          Seq("__blk", "__rk"))
+        .select(least(col("__ia"), col("__ib")).as("id_a"),
+          greatest(col("__ia"), col("__ib")).as("id_b"))
+    }
+    pass(col(str)).union(pass(reverse(col(str)))).distinct()
+      .join(base.select(col(id).as("id_a"), col(str).as("__sa")), "id_a")
+      .join(base.select(col(id).as("id_b"), col(str).as("__sb")), "id_b")
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

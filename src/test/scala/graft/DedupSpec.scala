@@ -189,4 +189,33 @@ class DedupSpec extends AnyFunSuite {
     assert(near < far, s"near=$near far=$far")
     assert(hs.values.forall(h => h >= 0 && h <= 0xffffffffL)) // 32-bit range
   }
+
+  test("sortedNeighborhoodPairs: tail typo via forward pass, head typo via reverse, window bounds recall") {
+    val names = Seq(
+      (1L, "alpha widget"),
+      (2L, "alpha widgex"),  // tail typo of 1: adjacent in FORWARD sort
+      (3L, "blpha widget"),  // head typo of 1: adjacent only in REVERSE sort
+      (4L, "alpha widget"),  // exact dup of 1
+      (5L, "zzz unrelated"),
+      (6L, null)             // null never matches
+    ).toDF("id", "nm")
+    val got = Dedup.sortedNeighborhoodPairs(names, "id", "nm",
+        window = 4, maxDist = 2)
+      .orderBy($"id_a", $"id_b").as[(Long, Long, Long)].collect()
+    val pairs = got.map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs.get((1L, 2L)).contains(1L)) // forward-pass tail typo
+    assert(pairs.get((1L, 3L)).contains(1L)) // reverse-pass head typo
+    assert(pairs.get((1L, 4L)).contains(0L)) // exact dup
+    assert(got.forall(r => r._1 < r._2 && r._3 <= 2))
+    assert(!pairs.keySet.exists(p => p._1 == 5L || p._2 == 5L || p._1 == 6L || p._2 == 6L))
+    // no duplicate pairs across the two passes
+    assert(got.map(r => (r._1, r._2)).distinct.length == got.length)
+    // window bound: with window=2 the head-typo pair needs the reverse
+    // pass AND direct adjacency there; widen only the count assertion —
+    // the pair set must be a subset of the window-4 run
+    val narrow = Dedup.sortedNeighborhoodPairs(names, "id", "nm",
+        window = 2, maxDist = 2)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(narrow.subsetOf(got.map(r => (r._1, r._2)).toSet))
+  }
 }

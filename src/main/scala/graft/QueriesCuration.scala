@@ -256,6 +256,30 @@ object QueriesCuration {
         "SELECT node, CAST(hop AS BIGINT) AS hop FROM h3 ORDER BY node"
     })
 
+  /** LABEL-PROPAGATION COMMUNITIES ([[Graph.labelPropagation]], 3 rounds)
+    * on the co-purchase graph: the deterministic synchronous LPA (most
+    * frequent neighbor+self label, ties to the smallest) whose every round
+    * is a pure function of the last — so the oracle unrolls the SAME three
+    * rounds as CTEs, each a join + count + row_number argmax, and the gate
+    * proves the distributed iteration matches a sequential engine label
+    * for label. */
+  private val qLabelProp = Q(
+    (s, d) => Graph.labelPropagation(coPurchaseEdges(s, d), rounds = 3)
+      .orderBy(col("node")),
+    Some {
+      def round(i: Int, prev: String): String =
+        s"v$i AS (SELECT und.v AS node, l.label FROM und JOIN $prev l ON und.u = l.node " +
+        s"UNION ALL SELECT node, label FROM $prev), " +
+        s"c$i AS (SELECT node, label, count(*) AS c FROM v$i GROUP BY 1, 2), " +
+        s"l$i AS (SELECT node, label FROM (SELECT node, label, " +
+        s"row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn FROM c$i) WHERE rn = 1)"
+      CoPurchaseEdgeCte +
+        ", und AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e), " +
+        "l0 AS (SELECT DISTINCT u AS node, u AS label FROM und), " +
+        round(1, "l0") + ", " + round(2, "l1") + ", " + round(3, "l2") + " " +
+        "SELECT node, label FROM l3 ORDER BY node"
+    })
+
   /** DEGREE ASSORTATIVITY ([[Graph.degreeAssortativity]]) of the
     * co-purchase graph: Newman's r as an exact-moment Pearson pass over
     * symmetrized endpoint-degree pairs; the oracle rebuilds degrees,
@@ -335,6 +359,7 @@ object QueriesCuration {
     "q_kcore" -> qKcore,
     "q_assortativity" -> qAssortativity,
     "q_bfs_hops" -> qBfsHops,
+    "q_label_prop" -> qLabelProp,
     "q_pmi_pairs" -> qPmiPairs,
     "q_profile_table" -> qProfileTable,
     "q_scd2_build" -> qScd2Build,

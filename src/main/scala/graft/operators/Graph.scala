@@ -210,6 +210,46 @@ object Graph {
       .withColumn("converged", lit(converged))
   }
 
+  /** LABEL-PROPAGATION COMMUNITIES, bounded rounds — the near-linear-time
+    * community detector (Raghavan–Albert–Kumara), in its DETERMINISTIC
+    * synchronous form: labels start as each node's own id; every round,
+    * each node adopts the most frequent label among its neighbors PLUS
+    * itself, ties broken by the SMALLEST label. The classic LPA draws
+    * random tiebreaks and a random visit order — useless under a
+    * cross-engine hash gate; the (count DESC, label ASC) total order makes
+    * every round a pure function of the previous labeling, so the whole
+    * iteration unrolls into SQL CTEs exactly like [[pageRank]]. The
+    * self-vote also damps the 2-cycle oscillation synchronous LPA is
+    * known for on bipartite-ish regions.
+    *
+    * Each round: one edge⋈labels join (vertex-keyed shuffle), one
+    * (node, label) count aggregation, one per-node window for the argmax
+    * — all distributed, label state one row per node, checkpointed per
+    * round so plan size stays O(1) per round (the bfsHops discipline).
+    * Output: (node, label) for every node on ≥ 1 edge. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    import org.apache.spark.sql.expressions.Window
+    val e0 = edges.select(col("src").as("u"), col("dst").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    val und = e0.union(e0.select(col("v"), col("u"))).distinct().localCheckpoint()
+    val nodes = und.select(col("u").as("node")).distinct()
+    var labels = nodes.select(col("node"), col("node").as("label")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val votes = und
+        .join(labels.select(col("node").as("u"), col("label")), "u")
+        .select(col("v").as("node"), col("label"))
+        .union(labels) // self-vote: damps oscillation, breaks isolation
+      val counts = votes.groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("node")).orderBy(col("c").desc, col("label"))
+      labels = counts.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).select(col("node"), col("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   def pageRank(edges: DataFrame, iters: Int, dampingPct: Int = 85,
                scale: Long = 1000000L): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)

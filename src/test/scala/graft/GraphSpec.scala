@@ -103,6 +103,25 @@ class GraphSpec extends AnyFunSuite {
     assert(r._2.contains(-1.0))
   }
 
+  test("labelPropagation: barbell splits into its two cliques, direction-independent") {
+    // clique {1,2,3} — bridge 3-10 — clique {10,11,12}, one direction only
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 10L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, rounds = 3)
+      .orderBy($"node").as[(Long, Long)].collect()
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 10L, 11L, 12L))
+    val lbl = got.toMap
+    // min-label tiebreak floods each clique from its smallest id; the
+    // bridge does not merge them within 3 rounds
+    assert(Seq(1L, 2L, 3L).map(lbl).toSet == Set(1L))
+    assert(Seq(10L, 11L, 12L).map(lbl).toSet == Set(10L))
+    // symmetrization: reversed edge list gives the identical labeling
+    val rev = Graph.labelPropagation(
+      edges.select($"dst".as("src"), $"src".as("dst")), rounds = 3)
+      .orderBy($"node").as[(Long, Long)].collect()
+    assert(rev sameElements got)
+  }
+
   test("pageRank is partitioning-independent (exact fixed-point)") {
     val rnd = new scala.util.Random(5)
     val edges = (1 to 400).map(_ => (s"n${rnd.nextInt(40)}", s"n${rnd.nextInt(40)}"))

@@ -1240,6 +1240,39 @@ object QueriesExtras {
       "FROM (SELECT doc_id, ('0x' || substr(md5(doc_id::VARCHAR || 'graft'), 1, 8))::BIGINT % 100 AS b " +
       "FROM documents) ORDER BY doc_id"))
 
+  /** Leakage-safe split ([[graft.operators.Sampling.leakageSafeSplit]]):
+    * split membership decided per near-dup CLUSTER (the q_dedup_groups
+    * component pass over exhaustive 0.8-Jaccard pairs), so no two
+    * near-identical docs straddle train/eval. The oracle chains the
+    * recursive-CTE components, the singleton fallback, and the
+    * q_split_assign portable-hash CASE — on `group_id` instead of
+    * `doc_id`. */
+  private val qLeakageSplit = Q(
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      graft.operators.Sampling.leakageSafeSplit(
+          docs.select(col("doc_id"), col("text")), "doc_id",
+          Dedup.jaccardPairs(Dedup.shingles(docs, "doc_id", "text", 5),
+            "doc_id", 0.8))
+        .select(col("doc_id"), col("group_id"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some("WITH RECURSIVE " + ShingleCte.stripPrefix("WITH ") +
+      ", jp AS (SELECT doc_a, doc_b " +
+      "FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b " +
+      "WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.8e0), " +
+      "edges AS (SELECT doc_a AS id, doc_b AS nbr FROM jp UNION ALL SELECT doc_b, doc_a FROM jp), " +
+      "reach(id, r) AS (SELECT id, id FROM (SELECT DISTINCT id FROM edges) t " +
+      "UNION SELECT e.id, reach.r FROM edges e JOIN reach ON e.nbr = reach.id), " +
+      "g AS (SELECT id, min(r) AS grp FROM reach GROUP BY id), " +
+      "ag AS (SELECT d.doc_id, COALESCE(g.grp, d.doc_id) AS group_id " +
+      "FROM documents d LEFT JOIN g ON d.doc_id = g.id) " +
+      "SELECT doc_id, group_id, b AS bucket, " +
+      "CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split " +
+      "FROM (SELECT doc_id, group_id, " +
+      "('0x' || substr(md5(group_id::VARCHAR || 'graft'), 1, 8))::BIGINT % 100 AS b FROM ag) " +
+      "ORDER BY doc_id"))
+
   /** Stratified (per-language) downsampling over the stable hash — keeps
     * 20% of English docs, 50% of German, everything else untouched. The
     * oracle re-derives membership from the same portable hash, proving the
@@ -1633,6 +1666,7 @@ object QueriesExtras {
     "q_cohort_retention" -> qCohortRetention,
     "q_vocabulary" -> qVocabulary,
     "q_split_assign" -> qSplitAssign,
+    "q_leakage_split" -> qLeakageSplit,
     "q_stratified_sample" -> qStratifiedSample,
     "q_tfidf_top_terms" -> qTfidfTopTerms,
     "q_bm25_topk" -> qBm25TopK,

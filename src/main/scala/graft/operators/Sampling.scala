@@ -214,4 +214,30 @@ object Sampling {
     }
     df.withColumn("bucket", b).withColumn("split", assign)
   }
+
+  /** LEAKAGE-SAFE SPLIT — split assignment at DUPLICATE-CLUSTER grain: two
+    * near-identical documents in different cuts are silent eval leakage (a
+    * training example that IS the test example up to a typo — the
+    * contamination mode per-doc hashing cannot see), so membership must be
+    * decided per duplicate GROUP, not per doc. `pairs` is any duplicate
+    * pair set (doc_a, doc_b) — exact, MinHash+LSH, SimHash, fuzzy or
+    * sorted-neighborhood; clusters are resolved with the O(log d)
+    * pointer-jumping components pass ([[Dedup.dupGroups]]), unpaired docs
+    * fall through as their own singleton group, and the [[splitAssign]]
+    * portable salted hash runs on `group_id`. Every member of a cluster
+    * therefore lands in the SAME cut, on any engine, forever; singleton
+    * assignments equal plain `splitAssign(df, id)` (same hash, group_id =
+    * id), so adopting the leakage-safe form migrates no unpaired doc.
+    * Output: df + (group_id, bucket, split); `df` must not already carry
+    * that column name. */
+  def leakageSafeSplit(df: DataFrame, id: String, pairs: DataFrame,
+                       cuts: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10),
+                       salt: String = "graft"): DataFrame = {
+    require(!df.columns.contains("group_id"),
+      "leakageSafeSplit adds a group_id column; the input already has one")
+    val groups = Dedup.dupGroups(pairs).select(col("doc_id").as(id), col("group_id"))
+    val withGroup = df.join(groups, Seq(id), "left")
+      .withColumn("group_id", coalesce(col("group_id"), col(id)))
+    splitAssign(withGroup, "group_id", cuts, salt)
+  }
 }

@@ -122,4 +122,24 @@ class SamplingSpec extends AnyFunSuite {
       .orderBy($"vec_id").as[(Long, Int)].collect()
     assert(again sameElements got)
   }
+
+  test("leakageSafeSplit: clusters co-assigned, singletons match splitAssign") {
+    val docs = (0L until 200L).toDF("doc_id")
+    // chain 0~1, 1~2 (one cluster) and pair 10~11; everything else singleton
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Sampling.leakageSafeSplit(docs, "doc_id", pairs)
+      .select($"doc_id", $"group_id", $"split")
+      .as[(Long, Long, String)].collect()
+    val byId = got.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.length == 200)
+    // whole chain collapses to min-id group 0, one split for all three
+    assert(Seq(0L, 1L, 2L).map(byId(_)._1).toSet == Set(0L))
+    assert(Seq(0L, 1L, 2L).map(byId(_)._2).toSet.size == 1)
+    assert(byId(10L) == byId(11L) && byId(10L)._1 == 10L)
+    // unpaired docs: own group, and the assignment equals plain splitAssign
+    val plain = Sampling.splitAssign(docs, "doc_id")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val singles = got.filter(r => !Set(0L, 1L, 2L, 10L, 11L).contains(r._1))
+    assert(singles.forall(r => r._2 == r._1 && r._3 == plain(r._1)))
+  }
 }

@@ -351,6 +351,29 @@ object QueriesCuration {
         .mkString("", " UNION ALL ", " ORDER BY col_name")
     })
 
+  /** Join-key skew report ([[Profiler.skewReport]]) over lineitem's three
+    * shuffle-key candidates — the pre-flight diagnostic for
+    * salting/AQE-skew decisions (l_returnflag's 3 values vs l_partkey's
+    * ~uniform spread must produce wildly different skew_ratios). Oracle:
+    * per-column window rank + share/skew arithmetic, UNION ALL'd —
+    * row_number-then-filter equals distributed-top-k-then-rerank because
+    * the (cnt DESC, key) order is total. */
+  private val qSkewReport = Q(
+    (s, d) => Profiler.skewReport(t(s, d, "lineitem"),
+        Seq("l_partkey", "l_suppkey", "l_returnflag"), topN = 5)
+      .orderBy(col("col_name"), col("rnk")),
+    Some {
+      def one(c: String) =
+        s"SELECT '$c' AS col_name, CAST(k AS VARCHAR) AS key_value, cnt, rn AS rnk, " +
+        "round(CAST(cnt AS DOUBLE) * 100.0e0 / CAST(total AS DOUBLE), 6) AS share_pct, " +
+        "round(CAST(cnt AS DOUBLE) * CAST(nd AS DOUBLE) / CAST(total AS DOUBLE), 6) AS skew_ratio " +
+        "FROM (SELECT k, cnt, row_number() OVER (ORDER BY cnt DESC, k) AS rn, " +
+        "CAST(SUM(cnt) OVER () AS BIGINT) AS total, COUNT(*) OVER () AS nd " +
+        s"FROM (SELECT $c AS k, count(*) AS cnt FROM lineitem GROUP BY 1)) WHERE rn <= 5"
+      Seq(one("l_partkey"), one("l_suppkey"), one("l_returnflag"))
+        .mkString("", " UNION ALL ", " ORDER BY col_name, rnk")
+    })
+
   val registry: Seq[(String, Q)] = Seq(
     "q_bpe_encode" -> qBpeEncode,
     "q_pagerank" -> qPageRank,
@@ -362,6 +385,7 @@ object QueriesCuration {
     "q_label_prop" -> qLabelProp,
     "q_pmi_pairs" -> qPmiPairs,
     "q_profile_table" -> qProfileTable,
+    "q_skew_report" -> qSkewReport,
     "q_scd2_build" -> qScd2Build,
     "q_cdc_apply" -> qCdcApply,
     "q_weighted_sample" -> qWeightedSample,

@@ -177,6 +177,45 @@ object Profiler {
       .withColumn("is_outlier", col("mad") > 0.0 && col("absdev") > lit(k) * col("mad"))
   }
 
+  /** JOIN-KEY SKEW REPORT — the diagnostic behind every salting/AQE
+    * decision in SCALE.md: for each candidate shuffle key, the hottest
+    * `topN` values with their absolute count, share of rows, and skew
+    * ratio (count ÷ rows-per-distinct-key mean — 1.0 = perfectly uniform;
+    * the factor by which the hottest task outweighs the average one at
+    * that partitioning). A key whose top value carries skew_ratio 500 is
+    * the key you salt ([[Scale.saltedJoin]]) or let AQE split; this query
+    * is how you find it BEFORE the 100 TB job stragglers, from one
+    * aggregation per key column (map-side combined, then a topN window
+    * over the tiny per-key count table).
+    *
+    * All counts are exact longs; share/skew divisions are mirrored and
+    * round(6); ranks break ties by key value, so the report is
+    * deterministic. Output: (col_name, key_value, cnt, rnk, share_pct,
+    * skew_ratio) — `key_value` stringified so heterogeneous key columns
+    * union into one report. */
+  def skewReport(df: DataFrame, keys: Seq[String], topN: Int = 5): DataFrame = {
+    require(keys.nonEmpty && topN >= 1, s"need keys and topN >= 1, got $keys, $topN")
+    import org.apache.spark.sql.expressions.Window
+    keys.map { k =>
+      val counts = df.groupBy(col(k)).agg(count(lit(1)).as("cnt"))
+      // total/distinct reduce to one broadcast row; the hottest keys come
+      // from a DISTRIBUTED top-k (TakeOrderedAndProject), so a
+      // billion-distinct-key column never funnels through one window
+      // task — the rank window only re-ranks the ≤ topN survivors
+      val stats = counts.agg(sum(col("cnt")).as("total"), count(lit(1)).as("nd"))
+      counts.orderBy(col("cnt").desc, col(k)).limit(topN)
+        .crossJoin(broadcast(stats))
+        .withColumn("rnk", row_number()
+          .over(Window.orderBy(col("cnt").desc, col(k))).cast("long"))
+        .select(lit(k).as("col_name"), col(k).cast("string").as("key_value"),
+          col("cnt"), col("rnk"),
+          round(col("cnt").cast("double") * lit(100.0) / col("total").cast("double"), 6)
+            .as("share_pct"),
+          round(col("cnt").cast("double") * col("nd").cast("double") / col("total").cast("double"), 6)
+            .as("skew_ratio"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** WINSORIZED MEAN per group — the robust location estimate that CLIPS
     * instead of dropping: values below the α-quantile rise to it, values
     * above the (1−α) quantile fall to it, then the mean runs over the

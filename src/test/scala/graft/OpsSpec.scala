@@ -218,6 +218,25 @@ class OpsSpec extends AnyFunSuite {
     assert(again sameElements vals)
   }
 
+  test("skewReport: hot key tops the report with exact share and skew ratio") {
+    import graft.operators.Profiler
+    // key k: 'hot' x 60, 'a'..'d' x 10 each -> 100 rows, 5 distinct
+    val rows = (Seq.fill(60)("hot") ++ Seq("a", "b", "c", "d").flatMap(Seq.fill(10)(_)))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "x")
+    val got = Profiler.skewReport(rows, Seq("k"), topN = 2)
+      .as[(String, String, Long, Long, Double, Double)].collect()
+    assert(got.length == 2)
+    val hot = got.head
+    // rank 1: 60/100 rows = 60% share; skew = 60 * 5 / 100 = 3x the mean key
+    assert(hot == (("k", "hot", 60L, 1L, 60.0, 3.0)))
+    // rank 2 ties at cnt=10 break by key value: 'a'
+    assert(got(1) == (("k", "a", 10L, 2L, 10.0, 0.5)))
+    // partitioning independence
+    val again = Profiler.skewReport(rows.repartition(7), Seq("k"), topN = 2)
+      .as[(String, String, Long, Long, Double, Double)].collect()
+    assert(again sameElements got)
+  }
+
   test("winsorizedMean: clips both tails, ignores nulls, exact on clean groups") {
     import graft.operators.Profiler
     // n=20, alphaDenom=4 -> klo=5, khi=16: clip at the 5th/16th values

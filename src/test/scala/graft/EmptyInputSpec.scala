@@ -65,4 +65,26 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Profiler.groupTrend(Seq.empty[(String, Double, Double)].toDF("g", "x", "y"),
       "g", "x", "y").count() == 0)
   }
+
+  test("round-6 finale operators: empty input -> empty result, schema intact") {
+    assert(TextAnalysis.bm25TopK(noDocs, "doc_id", "text",
+      Seq("spark"), k = 5).count() == 0)
+    assert(Profiler.winsorizedMean(Seq.empty[(String, Long)].toDF("g", "v"),
+      "g", "v").count() == 0)
+    assert(Profiler.skewReport(Seq.empty[(String, Long)].toDF("k", "x"),
+      Seq("k"), topN = 3).count() == 0)
+    assert(Dedup.sortedNeighborhoodPairs(noDocs, "doc_id", "text").count() == 0)
+    assert(Graph.labelPropagation(noEdges, rounds = 2).count() == 0)
+    // empty PAIRS: every doc is a singleton group and splits like splitAssign
+    val docs = Seq(7L, 8L).toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val safe = Sampling.leakageSafeSplit(docs, "doc_id", noPairs)
+      .select($"doc_id", $"group_id", $"split").as[(Long, Long, String)].collect()
+    val plain = Sampling.splitAssign(docs, "doc_id")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(safe.forall(r => r._2 == r._1 && r._3 == plain(r._1)))
+    // and empty DOCS with empty pairs -> empty
+    assert(Sampling.leakageSafeSplit(Seq.empty[Long].toDF("doc_id"),
+      "doc_id", noPairs).count() == 0)
+  }
 }

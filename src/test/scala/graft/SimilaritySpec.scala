@@ -207,6 +207,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got sameElements Array(0L, 2L, 3L))
   }
 
+  test("mutualKnnDedupLsh ≡ exhaustive mutualKnnDedup on the real corpus") {
+    // the rank lemma in practice: with total candidate recall above the
+    // threshold, ranking within banded-LSH candidates reproduces the
+    // exhaustive mutual-kNN survivor set row-for-row — at TWO thresholds,
+    // so equality isn't an artifact of one operating point
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    for (t <- Seq(0.4, 0.6)) {
+      val exact = Similarity.mutualKnnDedup(emb, "vec_id", "embedding", k = 3, threshold = t)
+        .select($"vec_id").orderBy($"vec_id").as[Long].collect()
+      val lsh = Similarity.mutualKnnDedupLsh(emb, "vec_id", "embedding", k = 3, threshold = t)
+        .select($"vec_id").orderBy($"vec_id").as[Long].collect()
+      assert(lsh sameElements exact, s"divergence at threshold $t")
+    }
+  }
+
+  test("withRecallAudit certifies true neighbors and raises on garbage rows") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+    // the exact result audits at recall 1.0
+    val ok = Similarity.withRecallAudit(brute, emb, "vec_id", "embedding", 0L, 10, 0.9)
+      .select($"recall_at_k").distinct().as[Double].collect()
+    assert(ok sameElements Array(1.0))
+    // ten arbitrary rows (the WORST ids by cosine) must fail the gate
+    val garbage = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 499)
+      .orderBy($"cosine".asc).limit(10)
+    val ex = intercept[Exception] {
+      Similarity.withRecallAudit(garbage, emb, "vec_id", "embedding", 0L, 10, 0.4)
+        .collect()
+    }
+    assert(ex.getMessage.contains("recall"), ex.getMessage)
+  }
+
   test("quantizeInt8: codes bounded, reconstruction within scale, zero vector safe") {
     val df = Seq(
       (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),

@@ -1040,6 +1040,40 @@ object QueriesExtras {
       "SELECT user_id, item_id, row_number() OVER (PARTITION BY user_id ORDER BY h, item_id) AS rn " +
       "FROM neg) WHERE rn <= 5 ORDER BY user_id, rank"))
 
+  /** Bounded-candidate negative sampling
+    * ([[graft.operators.Sampling.negativeSampleBounded]], n=5, 64 buckets,
+    * probe 8) on the same demo cohort as `q_negative_sample`. The oracle
+    * evaluates the SAME windowed rule exhaustively (all user×item pairs,
+    * window predicate `(b − u0) mod 64 < 8`, rank by probe position then
+    * pair hash) — so the gate proves the bounded equi-join plan
+    * row-identical to the declarative definition, the
+    * `q_emb_neardup_lsh` pattern applied to sampling. */
+  private val qNegativeSampleBounded = Q(
+    (s, d) => {
+      val pos = Tables.load(s, d, "orders").filter(col("o_custkey") < 100)
+        .select(col("o_orderkey"), col("o_custkey").as("user_id"))
+        .join(Tables.load(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey").as("item_id")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("user_id"), col("item_id"))
+      graft.operators.Sampling.negativeSampleBounded(pos, "user_id", "item_id",
+          Tables.load(s, d, "part").select(col("p_partkey").as("item_id")), n = 5)
+        .orderBy(col("user_id"), col("rank"))
+    },
+    Some("WITH pos AS (SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id " +
+      "FROM orders JOIN lineitem ON o_orderkey = l_orderkey WHERE o_custkey < 100), " +
+      "u AS (SELECT user_id, ('0x' || substr(md5(user_id::VARCHAR || 'graft-neg-probe'), 1, 8))::BIGINT % 64 AS u0 " +
+      "FROM (SELECT DISTINCT user_id FROM pos)), " +
+      "c AS (SELECT item_id, ('0x' || substr(md5(item_id::VARCHAR || 'graft-neg-bucket'), 1, 8))::BIGINT % 64 AS b " +
+      "FROM (SELECT DISTINCT p_partkey AS item_id FROM part)), " +
+      "cand AS (SELECT user_id, item_id, (b - u0 + 64) % 64 AS j, " +
+      "md5(user_id::VARCHAR || '|' || item_id::VARCHAR || '|graft-neg') AS h " +
+      "FROM u CROSS JOIN c WHERE (b - u0 + 64) % 64 < 8), " +
+      "neg AS (SELECT user_id, item_id, j, h FROM cand ca WHERE NOT EXISTS " +
+      "(SELECT 1 FROM pos WHERE pos.user_id = ca.user_id AND pos.item_id = ca.item_id)) " +
+      "SELECT user_id, item_id, CAST(rn AS BIGINT) AS rank FROM (" +
+      "SELECT user_id, item_id, row_number() OVER (PARTITION BY user_id ORDER BY j, h, item_id) AS rn " +
+      "FROM neg) WHERE rn <= 5 ORDER BY user_id, rank"))
+
   /** Mutual-kNN dedup ([[Similarity.mutualKnnDedup]], k=3, cos ≥ 0.4):
     * edges only where both vectors rank each other top-3 AND clear the
     * threshold, components via label propagation, min-id survives. The
@@ -1706,6 +1740,7 @@ object QueriesExtras {
     "q_mutual_knn_dedup" -> qMutualKnnDedup,
     "q_mutual_knn_dedup_lsh" -> qMutualKnnDedupLsh,
     "q_negative_sample" -> qNegativeSample,
+    "q_negative_sample_bounded" -> qNegativeSampleBounded,
     "q_span_corrupt" -> qSpanCorrupt,
     "q_temperature_mix" -> qTemperatureMix,
     "q_correlation" -> qCorrelation,

@@ -189,7 +189,14 @@ object Sampling {
                      salt: String = "graft-neg"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val users = positives.select(col(user)).distinct()
-    val cand = users.crossJoin(broadcast(catalog.select(col(item))))
+    // CONTRACT: `catalog` must be dimension-sized — the candidate set is
+    // O(|users| · |catalog|) rows and the catalog must fit in a broadcast.
+    // For an item universe beyond broadcast size use
+    // [[negativeSampleBounded]], whose candidates are O(n) per user.
+    // distinct(): duplicate catalog rows would become duplicate
+    // (user, item) candidates occupying multiple ranks — repeated
+    // negatives and a silently shrunken effective n.
+    val cand = users.crossJoin(broadcast(catalog.select(col(item)).distinct()))
       .withColumn("__h", md5(concat(col(user).cast("string"), lit("|"),
         col(item).cast("string"), lit("|"), lit(salt))))
     val neg = cand.join(positives.select(col(user), col(item)).distinct(),
@@ -198,6 +205,71 @@ object Sampling {
     neg.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= n)
       .select(col(user), col(item), col("rank"))
+  }
+
+  /** SCALE-SAFE NEGATIVE SAMPLING — bounded per-user candidates for an
+    * item universe too large to broadcast or to hash per user
+    * ([[negativeSample]]'s O(|users|·|catalog|) wall): the catalog is
+    * hash-bucketed ONCE (user-independent), each user probes a
+    * deterministic window of `probeBuckets` buckets starting at its own
+    * salted hash, and negatives are ranked by (probe position, pair hash)
+    * WITHIN the window. Candidates per user = probeBuckets·|catalog|/nBuckets
+    * — size nBuckets ∝ |catalog|/n and the whole query is O(n) rows per
+    * user end-to-end, with candidate generation an EQUI-JOIN on the bucket
+    * id (shuffle, AQE-sizeable), never a cartesian product.
+    *
+    * The sample is still a pure function of (user, catalog, salt) — a
+    * different order than [[negativeSample]]'s global pair-hash rank, but
+    * equally deterministic and uniform (both the item bucket and the
+    * user's probe start are salted hashes); the exhaustive evaluation of
+    * the SAME windowed rule is SQL-expressible, which is what the oracle
+    * gate verifies row-for-row.
+    *
+    * A user whose window holds fewer than `n` un-interacted items (window
+    * too small for its positives density) fails LOUDLY — a single-row
+    * audit over the materialized result raises instead of silently
+    * under-sampling; the fix is more probeBuckets (or fewer nBuckets). */
+  def negativeSampleBounded(positives: DataFrame, user: String, item: String,
+                            catalog: DataFrame, n: Int,
+                            salt: String = "graft-neg",
+                            nBuckets: Int = 64, probeBuckets: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(probeBuckets >= 1 && probeBuckets <= nBuckets,
+      s"probeBuckets must be in [1, nBuckets]: $probeBuckets/$nBuckets")
+    val users = positives.select(col(user)).distinct()
+      .withColumn("__u0", hashBucket(col(user), salt + "-probe", nBuckets))
+    val cat = catalog.select(col(item)).distinct()
+      .withColumn("__b", hashBucket(col(item), salt + "-bucket", nBuckets))
+    // the probe window: probeBuckets rows per user, bucket (u0 + j) % nBuckets
+    val probes = users.select(col(user),
+        explode(sequence(lit(0), lit(probeBuckets - 1))).as("__j"),
+        col("__u0"))
+      .withColumn("__b", (col("__u0") + col("__j")) % nBuckets)
+    val cand = probes.join(cat, "__b")
+      .withColumn("__h", md5(concat(col(user).cast("string"), lit("|"),
+        col(item).cast("string"), lit("|"), lit(salt))))
+    val neg = cand.join(positives.select(col(user), col(item)).distinct(),
+      Seq(user, item), "left_anti")
+    val w = Window.partitionBy(col(user)).orderBy(col("__j"), col("__h"), col(item))
+    // materialized: consumed by both the output and the shortfall audit —
+    // left lazy, the join+window subtree runs twice
+    val ranked = neg.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+      .select(col(user), col(item), col("rank"))
+      .localCheckpoint()
+    // shortfall audit: a single-row aggregate over the materialized result
+    // (bounded collect — the IvfIndex-metadata precedent). Deliberately
+    // DRIVER-side, not an in-plan raise_error guard column: a user whose
+    // window holds ZERO negatives contributes no output row at all, so a
+    // row-level guard would never evaluate on exactly the worst shortfall.
+    val minNegs = users.select(col(user))
+      .join(ranked.groupBy(col(user)).agg(count(lit(1)).as("__c")), Seq(user), "left")
+      .agg(min(coalesce(col("__c"), lit(0L))))
+      .head().getLong(0)
+    require(minNegs >= n,
+      s"negativeSampleBounded: a user has only $minNegs < $n negatives in its " +
+        s"$probeBuckets/$nBuckets-bucket probe window — raise probeBuckets")
+    ranked
   }
 
   /** Split assignment by cumulative percentage cuts (must sum to 100).

@@ -106,6 +106,45 @@ class SamplingSpec extends AnyFunSuite {
     assert(again sameElements got)
   }
 
+  test("negativeSample: duplicate catalog rows emit no repeated negatives") {
+    import graft.operators.Sampling
+    val pos = Seq((1L, 10L)).toDF("u", "it")
+    val dupCatalog = ((10L to 15L) ++ (10L to 15L)).toDF("it") // every item twice
+    val got = Sampling.negativeSample(pos, "u", "it", dupCatalog, n = 4)
+      .orderBy($"rank").as[(Long, Long, Long)].collect()
+    assert(got.map(_._2).distinct.length == 4, got.mkString(","))
+    assert(got.map(_._3).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("negativeSampleBounded: valid ranks, no positives, loud shortfall") {
+    import graft.operators.Sampling
+    val pos = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("u", "it")
+    val catalog = (10L to 40L).toDF("it")
+    // full window (probe = all buckets): every user gets n clean negatives
+    val got = Sampling.negativeSampleBounded(pos, "u", "it", catalog, n = 3,
+        nBuckets = 8, probeBuckets = 8)
+      .orderBy($"u", $"rank").as[(Long, Long, Long)].collect()
+    assert(got.length == 6)
+    val posSet = Set((1L, 10L), (1L, 11L), (2L, 10L))
+    assert(got.forall { case (u, it, _) => !posSet((u, it)) })
+    assert(got.map(_._3).toSeq == Seq(1L, 2L, 3L, 1L, 2L, 3L))
+    // reproducible under repartitioning
+    val again = Sampling.negativeSampleBounded(pos.repartition(4), "u", "it",
+        catalog, n = 3, nBuckets = 8, probeBuckets = 8)
+      .orderBy($"u", $"rank").as[(Long, Long, Long)].collect()
+    assert(again sameElements got)
+    // a probe window too small for n survivors raises loudly instead of
+    // silently under-sampling (31 items over 1024 buckets: a 1-bucket
+    // window holds ~0 items — including the zero-output-rows case a
+    // row-level guard column could never see)
+    val ex = intercept[Exception] {
+      Sampling.negativeSampleBounded(pos, "u", "it", catalog, n = 3,
+        nBuckets = 1024, probeBuckets = 1).collect()
+    }
+    assert(ex.getMessage.contains("probe window"),
+      ex.getMessage)
+  }
+
   test("clusterBalancedSample takes exactly perCluster per cluster, reproducibly") {
     import graft.operators.Sampling
     // two tight direction groups of 6 vectors each; k=2 seeds are ids 0/1

@@ -943,9 +943,13 @@ object QueriesExtras {
 
   /** Exact-sum Pearson correlation
     * ([[graft.operators.Profiler.pearson]]) over three lineitem pairs in
-    * one pass: the six moments per pair go through DECIMAL (exact at any
-    * partitioning), the final formula is mirrored operand-for-operand,
-    * round(6) soaks sqrt ulp drift. */
+    * one pass: correlation is scale-invariant, so values lift exactly to
+    * value·100 LONGs (≤2-decimal money/rate columns) and the six moments
+    * per pair are integer multiply-sums at DECIMAL scale 0 — exact at any
+    * partitioning, one correctly-rounded int→double conversion per moment
+    * on both engines, and ~5× cheaper than decimal-moment arithmetic. The
+    * final formula is mirrored operand-for-operand, round(6) soaks sqrt
+    * ulp drift. */
   private val qCorrelation = Q(
     (s, d) => graft.operators.Profiler.pearson(
         Tables.load(s, d, "lineitem"),
@@ -954,14 +958,20 @@ object QueriesExtras {
           ("l_extendedprice", "l_discount")))
       .orderBy(col("x_col"), col("y_col")),
     Some {
-      def m(x: String, y: String) =
+      def lng(c: String) = s"CAST(CAST($c AS DECIMAL(18,2)) * 100 AS BIGINT)"
+      // hi/lo split at 2^30 mirrored from Profiler.pearson: hi sums and lo
+      // sums are exact BIGINTs; hi*2^30 is an exact double multiply, so
+      // each rebuilt moment carries exactly one rounding on both engines
+      def m(x: String, y: String) = {
+        def p(a: String, b: String, n: String) =
+          s"CAST(SUM((${lng(a)} * ${lng(b)}) >> 30) AS DOUBLE) * 1073741824e0 + " +
+          s"CAST(SUM((${lng(a)} * ${lng(b)}) & 1073741823) AS DOUBLE) AS $n"
         s"SELECT '$x' AS x_col, '$y' AS y_col, count(*) AS n, " +
-        s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE) AS sx, " +
-        s"CAST(SUM(CAST($y AS DECIMAL(18,2))) AS DOUBLE) AS sy, " +
-        s"CAST(SUM(CAST($x AS DECIMAL(18,2)) * CAST($y AS DECIMAL(18,2))) AS DOUBLE) AS sxy, " +
-        s"CAST(SUM(CAST($x AS DECIMAL(18,2)) * CAST($x AS DECIMAL(18,2))) AS DOUBLE) AS sxx, " +
-        s"CAST(SUM(CAST($y AS DECIMAL(18,2)) * CAST($y AS DECIMAL(18,2))) AS DOUBLE) AS syy " +
+        s"CAST(SUM(${lng(x)}) AS DOUBLE) AS sx, " +
+        s"CAST(SUM(${lng(y)}) AS DOUBLE) AS sy, " +
+        s"${p(x, y, "sxy")}, ${p(x, x, "sxx")}, ${p(y, y, "syy")} " +
         s"FROM lineitem WHERE $x IS NOT NULL AND $y IS NOT NULL"
+      }
       "WITH mom AS (" +
         Seq(m("l_quantity", "l_extendedprice"), m("l_quantity", "l_discount"),
           m("l_extendedprice", "l_discount")).mkString(" UNION ALL ") + ") " +

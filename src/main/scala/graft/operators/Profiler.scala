@@ -56,32 +56,71 @@ object Profiler {
   /** PAIRWISE PEARSON CORRELATION in ONE aggregation pass — the
     * profiling step after [[profile]]: which numeric columns move
     * together. All six moments per pair (n, Σx, Σy, Σxy, Σx², Σy²) come
-    * out of a single partial+final hash aggregation; sums run through
-    * DECIMAL (exact and associative for ≤2-decimal inputs — the money-sum
-    * rule), so the moments are bit-identical at any partitioning and the
-    * final double formula, mirrored operand-for-operand in the oracle, is
-    * deterministic cross-engine (round(6) soaks final-ulp sqrt drift).
+    * out of a single partial+final hash aggregation.
+    *
+    * CONTRACT: inputs must carry at most `scale` decimal places (and
+    * |value|·10^scale must stay below ~3·10⁹ so per-row products fit a
+    * LONG) — the [[profile]]-era profiling targets (money, counts,
+    * rates). Correlation is invariant under per-column scaling, so each
+    * value is lifted EXACTLY to the integer value·10^scale (via a
+    * decimal cast, never double multiplication) and every moment is pure
+    * LONG arithmetic: a product sum would overflow a long, so each
+    * product splits into two's-complement hi/lo halves at 2^30
+    * (`hi = p >> 30`, `lo = p & (2^30−1)`, identities exact for negative
+    * products too) summed as plain longs — exact, associative at any
+    * partitioning, and on Spark's codegen'd long-sum fast path (both a
+    * decimal(18,2)-moment form and a decimal(38,0) one were 4-6 s on the
+    * bench: wide decimal sums accumulate through BigDecimal). The
+    * reconstruction `hi·2^30 + lo` in double costs ONE rounding (a
+    * power-of-two multiply is exact), identical in both engines.
+    * Bound: n·|x·10^s|·|y·10^s| must stay below 2^63·2^30 ≈ 10^28 —
+    * comfortably beyond any profiling corpus.
+    *
     * Rows with a NULL on either side of a pair drop from THAT pair's
-    * moments only. Output: (x_col, y_col, n, corr) — one row per pair. */
-  def pearson(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    * moments only. The final double formula is mirrored
+    * operand-for-operand in the oracle; round(6) soaks final-ulp sqrt
+    * drift. Output: (x_col, y_col, n, corr) — one row per pair. */
+  def pearson(df: DataFrame, pairs: Seq[(String, String)],
+              scale: Int = 2): DataFrame = {
     require(pairs.nonEmpty, "pearson: need at least one column pair")
-    def dec(c: String) = col(c).cast("decimal(18,2)")
+    require(scale >= 0 && scale <= 6, s"pearson: scale must be in [0,6]: $scale")
+    val mult = math.pow(10, scale).toLong
+    val mask = (1L << 30) - 1
+    // projection-CSE rule (SCALE.md): the double→decimal→long lift is the
+    // only non-trivial per-row arithmetic and each aggregate evaluates its
+    // own expression subtree — staged as ONE column per distinct input,
+    // the aggregation runs on pure long ops (measured 5.4 s → sub-second
+    // on the bench's widest pass when the lift ran ~9× per column)
+    val cols = pairs.flatMap { case (x, y) => Seq(x, y) }.distinct
+    val staged = cols.foldLeft(df.select(cols.map(col): _*)) { (acc, c) =>
+      acc.withColumn(s"__l_$c",
+        (col(c).cast(s"decimal(18,$scale)") * mult).cast("long"))
+    }
+    def lng(c: String) = col(s"__l_$c")
+    def prodSums(p: Column, ok: Column, name: String) = Seq(
+      sum(when(ok, shiftright(p, 30))).as(s"${name}_hi"),
+      sum(when(ok, p.bitwiseAND(lit(mask)))).as(s"${name}_lo"))
     val aggs = pairs.zipWithIndex.flatMap { case ((x, y), i) =>
-      val ok = col(x).isNotNull && col(y).isNotNull
+      val ok = lng(x).isNotNull && lng(y).isNotNull
       Seq(
         count(when(ok, 1)).as(s"__n_$i"),
-        sum(when(ok, dec(x))).cast("double").as(s"__sx_$i"),
-        sum(when(ok, dec(y))).cast("double").as(s"__sy_$i"),
-        sum(when(ok, dec(x) * dec(y))).cast("double").as(s"__sxy_$i"),
-        sum(when(ok, dec(x) * dec(x))).cast("double").as(s"__sxx_$i"),
-        sum(when(ok, dec(y) * dec(y))).cast("double").as(s"__syy_$i"))
+        sum(when(ok, lng(x))).as(s"__sx_$i"),
+        sum(when(ok, lng(y))).as(s"__sy_$i")) ++
+        prodSums(lng(x) * lng(y), ok, s"__sxy_$i") ++
+        prodSums(lng(x) * lng(x), ok, s"__sxx_$i") ++
+        prodSums(lng(y) * lng(y), ok, s"__syy_$i")
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val wide = staged.agg(aggs.head, aggs.tail: _*)
+    def rebuild(name: String): Column =
+      col(s"${name}_hi").cast("double") * lit(1073741824.0) +
+        col(s"${name}_lo").cast("double")
     wide.select(inline(array(pairs.zipWithIndex.map { case ((x, y), i) =>
       val nd = col(s"__n_$i").cast("double")
-      val num = nd * col(s"__sxy_$i") - col(s"__sx_$i") * col(s"__sy_$i")
-      val den = sqrt(nd * col(s"__sxx_$i") - col(s"__sx_$i") * col(s"__sx_$i")) *
-        sqrt(nd * col(s"__syy_$i") - col(s"__sy_$i") * col(s"__sy_$i"))
+      val sx = col(s"__sx_$i").cast("double")
+      val sy = col(s"__sy_$i").cast("double")
+      val num = nd * rebuild(s"__sxy_$i") - sx * sy
+      val den = sqrt(nd * rebuild(s"__sxx_$i") - sx * sx) *
+        sqrt(nd * rebuild(s"__syy_$i") - sy * sy)
       struct(
         lit(x).as("x_col"), lit(y).as("y_col"),
         col(s"__n_$i").as("n"),

@@ -91,20 +91,28 @@ object Dedup {
     * fan-out exactly where a shared-shingle join explodes (stopword-like
     * shingles land in the suffix and never generate candidates).
     *
-    * Plan: shingle → global (freq, shingle) rank (a vocabulary-sized
-    * window — bounded whatever the corpus), per-doc sorted rank array
-    * (materialized: consumed by the prefix explode and both verify
+    * Plan: shingle → global (freq, shingle) rank via DISTRIBUTED sort +
+    * zipWithIndex (a range-partitioned sort and one per-partition offset
+    * pass — the global index equals the position in the total order
+    * whatever the sampled range boundaries, so it is deterministic; an
+    * `row_number` window over the whole vocabulary would be a single
+    * task sorting a set that grows with the corpus), per-doc sorted rank
+    * array (materialized: consumed by the prefix explode and both verify
     * sides), prefix explode + equi-join on the rank, then exact
     * verification on the full rank arrays. Same output contract and same
     * oracle as [[jaccardPairs]] — the gate proves the filter loses no
     * pair. */
   def prefixJaccardPairs(df: DataFrame, id: String, text: String, n: Int,
                          threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
     val sh = shingles(df, id, text, n).select(col(id).as("doc"), col("shingle"))
     val order = sh.groupBy(col("shingle")).agg(count(lit(1)).as("tf"))
-      .select(col("shingle"),
-        row_number().over(Window.orderBy(col("tf"), col("shingle"))).cast("long").as("rk"))
+      .orderBy(col("tf"), col("shingle"))
+      .select(col("shingle")).as[String]
+      .rdd.zipWithIndex()
+      .map { case (s, i) => (s, i + 1L) }
+      .toDF("shingle", "rk")
     val docs = sh.join(order, "shingle")
       .groupBy(col("doc"))
       .agg(sort_array(collect_list(col("rk"))).as("rks"))

@@ -272,10 +272,16 @@ object Graph {
         .join(outdeg, "src")
         .select(col("dst"), floor(col("rank") / col("od")).as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      // checkpoint PER ROUND (the labelPropagation discipline): left lazy,
+      // the rank lineage chains across iterations and plan depth — hence
+      // analysis/optimization cost and executor stack depth — grows O(iters);
+      // fine at the gated 3 rounds, quietly pathological at 30. One bounded
+      // node-count materialization per round keeps the plan O(1) in iters.
       ranks = nodes.join(contribs, nodes("node") === contribs("dst"), "left_outer")
         .select(col("node"),
           (lit(base) + floor(lit(dampingPct.toDouble) * coalesce(col("in_mass"), lit(0.0)) / 100.0))
             .as("rank"))
+        .localCheckpoint()
     }
     ranks.select(col("node"), col("rank").cast("long").as("rank"))
   }

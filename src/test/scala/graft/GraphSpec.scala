@@ -122,6 +122,20 @@ class GraphSpec extends AnyFunSuite {
     assert(rev sameElements got)
   }
 
+  test("pageRank plan depth stays O(1) in iters (per-round checkpoint)") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    def planSize(iters: Int): Int =
+      Graph.pageRank(edges, iters).queryExecution.optimizedPlan.collect { case p => p }.size
+    val p2 = planSize(2)
+    val p20 = planSize(20)
+    // un-checkpointed, 20 rounds chain ~10x the nodes of 2 rounds; with the
+    // per-round checkpoint both plans hang off one materialized RDD scan
+    assert(p20 == p2, s"plan grew with iters: $p2 -> $p20")
+    // and the deeper run still computes (the iters=3 arithmetic is pinned
+    // by the oracle row + the tests above)
+    assert(Graph.pageRank(edges, iters = 20).count() == 3)
+  }
+
   test("pageRank is partitioning-independent (exact fixed-point)") {
     val rnd = new scala.util.Random(5)
     val edges = (1 to 400).map(_ => (s"n${rnd.nextInt(40)}", s"n${rnd.nextInt(40)}"))

@@ -1050,6 +1050,96 @@ object QueriesExtras {
       "SELECT user_id, item_id, row_number() OVER (PARTITION BY user_id ORDER BY h, item_id) AS rn " +
       "FROM neg) WHERE rn <= 5 ORDER BY user_id, rank"))
 
+  /** MaxSim late-interaction retrieval ([[Similarity.maxSimTopK]],
+    * ColBERT recipe): pseudo-docs of 5 token vectors (`vec_id div 5`),
+    * query = doc 0's tokens, score = Σ_q max_t cos(q,t) in exact
+    * micro-unit LONG arithmetic (trunc quantization — the
+    * [[Clustering]]/int8 convention), only the final /1e6 floating. The
+    * oracle re-derives the two-level max/sum declaratively. */
+  private val qMaxsimTopk = Q(
+    (s, d) => {
+      val toks = Tables.load(s, d, "embeddings")
+        .withColumn("doc", expr("vec_id div 5"))
+      Similarity.maxSimTopK(
+        toks.filter(col("doc") =!= 0).select(col("doc"), col("embedding")),
+        "doc", "embedding",
+        toks.filter(col("doc") === 0).select(col("vec_id"), col("embedding")),
+        "vec_id", k = 10)
+    },
+    Some("WITH t AS (SELECT vec_id // 5 AS doc, vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "q AS (SELECT vec_id AS qtok, v AS qv FROM t WHERE doc = 0), " +
+      "s AS (SELECT t.doc, q.qtok, " +
+      "CAST(trunc((list_dot_product(t.v, q.qv) / " +
+      "(sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(q.qv, q.qv)))) * 1000000e0) AS BIGINT) AS qc " +
+      "FROM t CROSS JOIN q WHERE t.doc <> 0), " +
+      "m AS (SELECT doc, qtok, max(qc) AS mx FROM s GROUP BY doc, qtok) " +
+      "SELECT doc, CAST(SUM(mx) AS DOUBLE) / 1000000e0 AS maxsim, count(*) AS n_qtok " +
+      "FROM m GROUP BY doc ORDER BY maxsim DESC, doc LIMIT 10"))
+
+  /** Hard-negative mining ([[Similarity.hardNegatives]], k=5) for a
+    * 20-anchor training batch: per anchor, the five most cosine-similar
+    * corpus vectors with a DIFFERENT label — the contrastive-training
+    * negatives near the decision boundary. Oracle: label-filtered join +
+    * the kNN window. */
+  private val qHardNegatives = Q(
+    (s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+          emb.filter(col("vec_id") < 20), k = 5)
+        .orderBy(col("anchor_id"), col("rank"))
+    },
+    Some("WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "a AS (SELECT vec_id AS anchor_id, label AS albl, v AS av FROM e WHERE vec_id < 20), " +
+      "s AS (SELECT a.anchor_id, e.vec_id AS neg_id, " +
+      cosSql("e.v", "a.av") + " AS cosine FROM e JOIN a ON e.label <> a.albl) " +
+      "SELECT anchor_id, neg_id, cosine, rank FROM (" +
+      "SELECT anchor_id, neg_id, cosine, " +
+      "CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, neg_id) AS BIGINT) AS rank " +
+      "FROM s) WHERE rank <= 5 ORDER BY anchor_id, rank"))
+
+  /** Hybrid-retrieval fusion ([[graft.operators.Ops.rrfFuse]]): the BM25
+    * lexical top-10 (the `q_bm25_topk` probe) ⊕ the cosine vector top-10
+    * (the `q_ann_brute_topk` anchor) merged by reciprocal rank — the
+    * public RRF recipe, rank-based so the incomparable score scales need
+    * no calibration. Shared id space: `vec_id` ≡ `doc_id` in the
+    * testdata. The oracle chains both ranking derivations as CTEs and
+    * the full-outer fusion arithmetic term-for-term. */
+  private val qRrfHybrid = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bm = TextAnalysis.bm25TopK(Tables.load(s, d, "documents"),
+          "doc_id", "text", Seq("hash", "join", "spark", "window"), k = 10)
+        .select(col("doc_id"), row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long").as("rank"))
+      val ann = Similarity.bruteForceTopK(Tables.load(s, d, "embeddings"),
+          "vec_id", "embedding", anchorId = 0L, k = 10)
+        .select(col("vec_id").as("doc_id"), row_number().over(
+          Window.orderBy(col("cosine").desc, col("vec_id"))).cast("long").as("rank"))
+      graft.operators.Ops.rrfFuse(Seq(bm, ann), "doc_id")
+    },
+    Some("WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term FROM documents), " +
+      "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), " +
+      "st AS (SELECT count(*) AS n_docs FROM documents), " +
+      "av AS (SELECT CAST(SUM(dl) AS DOUBLE) / CAST((SELECT n_docs FROM st) AS DOUBLE) AS avgdl FROM dl), " +
+      "tfq AS (SELECT doc_id, term, count(*) AS tf FROM toks " +
+      "WHERE term IN ('hash', 'join', 'spark', 'window') GROUP BY 1, 2), " +
+      "dfq AS (SELECT term, count(*) AS dfreq FROM tfq GROUP BY 1), " +
+      "bm AS (SELECT doc_id, " +
+      "round(SUM(ln(1e0 + (CAST(n_docs AS DOUBLE) - CAST(dfreq AS DOUBLE) + 0.5e0) / (CAST(dfreq AS DOUBLE) + 0.5e0)) " +
+      "* (CAST(tf AS DOUBLE) * (1.2e0 + 1e0)) / (CAST(tf AS DOUBLE) + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 * CAST(dl AS DOUBLE) / avgdl))), 6) AS bm25 " +
+      "FROM tfq JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN av " +
+      "GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10), " +
+      "bmr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rk0 FROM bm), " +
+      "qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0), " +
+      s"co AS (SELECT vec_id AS doc_id, ${cosSql(CosD, "qe")} AS cosine FROM embeddings, qv " +
+      "WHERE vec_id <> 0 ORDER BY cosine DESC, vec_id LIMIT 10), " +
+      "cor AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS rk1 FROM co) " +
+      "SELECT COALESCE(bmr.doc_id, cor.doc_id) AS doc_id, rk0 AS rank_0, rk1 AS rank_1, " +
+      "round(COALESCE(1e0 / (60e0 + CAST(rk0 AS DOUBLE)), 0e0) + " +
+      "COALESCE(1e0 / (60e0 + CAST(rk1 AS DOUBLE)), 0e0), 6) AS rrf " +
+      "FROM bmr FULL OUTER JOIN cor ON bmr.doc_id = cor.doc_id " +
+      "ORDER BY rrf DESC, doc_id"))
+
   /** Bounded-candidate negative sampling
     * ([[graft.operators.Sampling.negativeSampleBounded]], n=5, 64 buckets,
     * probe 8) on the same demo cohort as `q_negative_sample`. The oracle
@@ -1751,6 +1841,9 @@ object QueriesExtras {
     "q_mutual_knn_dedup_lsh" -> qMutualKnnDedupLsh,
     "q_negative_sample" -> qNegativeSample,
     "q_negative_sample_bounded" -> qNegativeSampleBounded,
+    "q_maxsim_topk" -> qMaxsimTopk,
+    "q_hard_negatives" -> qHardNegatives,
+    "q_rrf_hybrid" -> qRrfHybrid,
     "q_span_corrupt" -> qSpanCorrupt,
     "q_temperature_mix" -> qTemperatureMix,
     "q_correlation" -> qCorrelation,

@@ -57,6 +57,31 @@ object Ops {
   def unionAll(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
 
+  /** RECIPROCAL-RANK FUSION — the public hybrid-retrieval combiner
+    * (Cormack et al., SIGIR'09; the standard BM25 ⊕ vector-search merge):
+    * each input ranking contributes `1/(kRrf + rank)` and documents are
+    * re-ordered by the sum — rank-based, so the incomparable score scales
+    * of lexical and vector retrieval never need calibration. Inputs are
+    * (id, rank) frames, typically top-k lists (k·|rankings| rows — the
+    * fusion itself is driver-scale work distributed only for uniformity);
+    * ids missing from a list contribute 0 via COALESCE, never a NULL that
+    * would poison the sum. The contribution sum follows input order,
+    * mirrored in the oracle (IEEE adds are order-sensitive at the ulp).
+    * Output: (id, rank_0..rank_n-1, rrf) ordered (rrf desc, id). */
+  def rrfFuse(rankings: Seq[DataFrame], id: String, kRrf: Int = 60): DataFrame = {
+    require(rankings.size >= 2, s"rrfFuse: need >= 2 rankings, got ${rankings.size}")
+    val renamed = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(id), col("rank").as(s"rank_$i"))
+    }
+    val joined = renamed.reduce((a, b) => a.join(b, Seq(id), "full_outer"))
+    val score = rankings.indices.map { i =>
+      coalesce(lit(1.0) / (lit(kRrf.toDouble) + col(s"rank_$i").cast("double")), lit(0.0))
+    }.reduce(_ + _)
+    joined.select(
+      (col(id) +: rankings.indices.map(i => col(s"rank_$i"))) :+ round(score, 6).as("rrf"): _*)
+      .orderBy(col("rrf").desc, col(id))
+  }
+
   /** PMI CO-OCCURRENCE pairs — pointwise mutual information over baskets
     * (the public association-mining/distributional-similarity statistic):
     * for items a, b with basket counts n_a, n_b, co-occurrence count

@@ -271,9 +271,13 @@ object Similarity {
   def mutualKnnDedupFromPairs(emb: DataFrame, pairs: DataFrame, id: String,
                               k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val directed = pairs
+    // materialized FIRST: the symmetrizing union consumes `pairs` twice —
+    // left lazy, the entire candidate-scoring subtree (the band join) runs
+    // twice
+    val p = pairs.localCheckpoint()
+    val directed = p
       .select(col("vec_a").as("a"), col("vec_b").as("b"), col("cosine"))
-      .unionAll(pairs.select(col("vec_b").as("a"), col("vec_a").as("b"), col("cosine")))
+      .unionAll(p.select(col("vec_b").as("a"), col("vec_a").as("b"), col("cosine")))
     val w = Window.partitionBy(col("a")).orderBy(col("cosine").desc, col("b"))
     // materialized: both sides of the mutuality join consume the ranked
     // edge list — left lazy, the candidate scoring subtree runs twice
@@ -397,6 +401,77 @@ object Similarity {
       .filter(col("__cos") >= threshold)
       .select(col("__ida").as(id)).distinct()
     withVec.join(dropped, Seq(id), "left_anti").select(col(id), col("cluster"))
+  }
+
+  /** MAXSIM LATE-INTERACTION SCORING — the public ColBERT retrieval
+    * recipe (Khattab & Zaharia, SIGIR'20): documents are MULTI-VECTOR
+    * (one row per token vector, keyed by `docCol`), the query is a small
+    * vector set, and `score(doc) = Σ_q max_t cos(q, t)` — each query
+    * vector matches its best document token, so fine-grained term
+    * interactions survive pooling.
+    *
+    * Determinism: per-(token, query) cosines quantize to micro-units by
+    * TRUNCATION toward zero (Spark double→long cast ≡ DuckDB trunc — the
+    * repo's quantization convention; round() half-way rules differ), so
+    * the per-doc max and the Σ over query vectors are exact LONG
+    * arithmetic — associative at any partitioning — and only the final
+    * /1e6 is floating, mirrored on both engines.
+    *
+    * Scale shape: the query side broadcasts (a query is tens of
+    * vectors); the token corpus streams through ONE scan — per token row
+    * the broadcast loop scores |Q| codegen dots, then one shuffle keyed
+    * by (doc, qtok) for the max and one by doc for the sum (both
+    * map-side partial). No stage is quadratic in the corpus; this is the
+    * exact-rerank tail a production late-interaction stack runs after a
+    * candidate filter, and at 100 TB `tokens` would arrive
+    * cell/band-pruned by the same candidate machinery as the other ANN
+    * paths. */
+  def maxSimTopK(tokens: DataFrame, docCol: String, vec: String,
+                 query: DataFrame, qid: String, k: Int): DataFrame = {
+    val q = broadcast(query.select(col(qid).as("__qtok"),
+      asD(col(vec)).as("__qv"), norm(col(vec)).as("__qn")))
+    tokens.select(col(docCol), asD(col(vec)).as("__tv"), norm(col(vec)).as("__tn"))
+      .crossJoin(q)
+      .select(col(docCol), col("__qtok"),
+        (safeDiv(dot(col("__tv"), col("__qv")), col("__tn") * col("__qn")) * 1e6)
+          .cast("long").as("__qc"))
+      .groupBy(col(docCol), col("__qtok")).agg(max(col("__qc")).as("__m"))
+      .groupBy(col(docCol))
+      .agg((sum(col("__m")).cast("double") / 1e6).as("maxsim"),
+        count(lit(1)).as("n_qtok"))
+      .orderBy(col("maxsim").desc, col(docCol))
+      .limit(k)
+  }
+
+  /** HARD-NEGATIVE MINING — the contrastive-training data op (the public
+    * recipe behind dense-retriever and embedding-model training: negatives
+    * NEAR the decision boundary carry the gradient signal; random
+    * negatives are too easy): for every anchor vector, the `k` most
+    * cosine-similar corpus vectors whose `labelCol` DIFFERS from the
+    * anchor's — ranked (cosine desc, id), fully deterministic.
+    *
+    * Scale shape: `anchors` is a training BATCH (tens-to-thousands of
+    * rows — broadcast), the corpus streams through one scan scoring
+    * |anchors| codegen dots per row, and the per-anchor top-k is one
+    * window over a rank-bounded set. O(|anchors|·n) total work with no
+    * corpus-side shuffle before the window — the mining pass a
+    * contrastive data pipeline runs per batch; at full-corpus fan-out,
+    * feed LSH/IVF candidates instead of the raw corpus (the
+    * [[mutualKnnDedupFromPairs]] discipline). */
+  def hardNegatives(corpus: DataFrame, id: String, vec: String, labelCol: String,
+                    anchors: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = broadcast(anchors.select(col(id).as("anchor_id"),
+      asD(col(vec)).as("__av"), norm(col(vec)).as("__an"), col(labelCol).as("__albl")))
+    val w = Window.partitionBy(col("anchor_id")).orderBy(col("cosine").desc, col("neg_id"))
+    corpus.select(col(id).as("neg_id"), asD(col(vec)).as("__cv"),
+        norm(col(vec)).as("__cn"), col(labelCol).as("__clbl"))
+      .crossJoin(a)
+      .filter(col("__clbl") =!= col("__albl"))
+      .select(col("anchor_id"), col("neg_id"),
+        round(safeDiv(dot(col("__cv"), col("__av")), col("__cn") * col("__an")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
   }
 
   /** SELF-CERTIFYING RECALL AUDIT for approximate top-k results: attaches

@@ -287,4 +287,21 @@ class OpsSpec extends AnyFunSuite {
       .select($"name").as[String].collect()
     assert(got sameElements Array("x", "y"))
   }
+
+  test("rrfFuse: overlap sums both lists, missing ranks contribute zero, n-way works") {
+    val bm = Seq((1L, 1L), (2L, 2L)).toDF("id", "rank")
+    val ann = Seq((2L, 1L), (3L, 2L)).toDF("id", "rank")
+    val got = Ops.rrfFuse(Seq(bm, ann), "id")
+      .select($"id", $"rrf").as[(Long, Double)].collect()
+    // id 2 appears in both (1/62 + 1/61), ids 1/3 in one each
+    val exp2 = BigDecimal(1.0 / 62 + 1.0 / 61).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.head._1 == 2L && got.head._2 == exp2, got.mkString(","))
+    assert(got.map(_._1) sameElements Array(2L, 1L, 3L)) // rrf desc, id tiebreak
+    // three-way fusion: a third list promotes its shared id
+    val extra = Seq((3L, 1L)).toDF("id", "rank")
+    val three = Ops.rrfFuse(Seq(bm, ann, extra), "id")
+      .select($"id").as[Long].collect()
+    assert(three.head == 3L || three.head == 2L) // 3: 1/62+1/61 vs 2: 1/62+1/61 — tie broken by id
+    assert(three.take(2).toSet == Set(2L, 3L))
+  }
 }

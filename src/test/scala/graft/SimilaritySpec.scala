@@ -222,6 +222,36 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("maxSimTopK: each query vector matches its best token; sums are exact") {
+    // doc 10 carries both query directions (maxsim ≈ 2), doc 20 only the
+    // first (≈ 1), doc 30 is orthogonal to both (0)
+    val toks = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)), (10L, Array(0.0f, 1.0f, 0.0f)),
+      (20L, Array(1.0f, 0.0f, 0.0f)), (20L, Array(0.0f, 0.0f, 1.0f)),
+      (30L, Array(0.0f, 0.0f, 1.0f))).toDF("doc", "embedding")
+    val query = Seq((0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.maxSimTopK(toks, "doc", "embedding", query, "vec_id", k = 3)
+      .as[(Long, Double, Long)].collect()
+    assert(got.map(_._1) sameElements Array(10L, 20L, 30L))
+    assert(got(0)._2 == 2.0 && got(1)._2 == 1.0 && got(2)._2 == 0.0, got.mkString(","))
+    assert(got.forall(_._3 == 2L)) // every doc scored against both query vectors
+  }
+
+  test("hardNegatives: same-label vectors excluded, nearest different-label ranked first") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 1),   // anchor, label 1
+      (1L, Array(0.99f, 0.1f, 0.0f), 1),  // same label, nearest — MUST be excluded
+      (2L, Array(0.9f, 0.2f, 0.0f), 2),   // different label, near → rank 1
+      (3L, Array(0.0f, 1.0f, 0.0f), 2),   // different label, far → rank 2
+      (4L, Array(0.0f, 0.0f, 1.0f), 1)    // same label
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+        emb.filter($"vec_id" === 0), k = 2)
+      .orderBy($"rank").select($"neg_id", $"rank").as[(Long, Long)].collect()
+    assert(got sameElements Array((2L, 1L), (3L, 2L)), got.mkString(","))
+  }
+
   test("withRecallAudit certifies true neighbors and raises on garbage rows") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)

@@ -941,6 +941,64 @@ object QueriesExtras {
       "FROM documents d JOIN bd ON d.source = bd.source WHERE d.n_chars IS NOT NULL " +
       "GROUP BY d.source, n, lo, hi ORDER BY d.source"))
 
+  /** Distribution drift ([[graft.operators.Profiler.distributionDrift]]):
+    * PSI + KL of the document-length distribution between the src0-9 and
+    * src10-19 snapshot halves, 50-char bins. Integer-ratio ln (one libm
+    * call, round(6)), Laplace smoothing over the observed bin union,
+    * decimal-exact headline sums of the rounded terms. */
+  private val qDriftPsi = Q(
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val sid = expr("CAST(substring(source, 4, 8) AS INT)")
+      graft.operators.Profiler.distributionDrift(
+        docs.filter(sid < 10), docs.filter(sid >= 10), "n_chars", 50L)
+    },
+    Some("WITH ca AS (SELECT n_chars // 50 AS bin, count(*) AS n_a FROM documents " +
+      "WHERE CAST(substr(source, 4) AS INT) < 10 GROUP BY 1), " +
+      "cb AS (SELECT n_chars // 50 AS bin, count(*) AS n_b FROM documents " +
+      "WHERE CAST(substr(source, 4) AS INT) >= 10 GROUP BY 1), " +
+      "j AS (SELECT COALESCE(ca.bin, cb.bin) AS bin, COALESCE(n_a, 0) AS n_a, " +
+      "COALESCE(n_b, 0) AS n_b FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin), " +
+      "st AS (SELECT SUM(n_a) AS tot_a, SUM(n_b) AS tot_b, count(*) AS nbins FROM j), " +
+      "t AS (SELECT bin, n_a, n_b, " +
+      "round((CAST(n_a + 1 AS DOUBLE) / CAST(tot_a + nbins AS DOUBLE) " +
+      "- CAST(n_b + 1 AS DOUBLE) / CAST(tot_b + nbins AS DOUBLE)) " +
+      "* ln(CAST((n_a + 1) * (tot_b + nbins) AS DOUBLE) / CAST((n_b + 1) * (tot_a + nbins) AS DOUBLE)), 6) AS psi_term, " +
+      "round(CAST(n_a + 1 AS DOUBLE) / CAST(tot_a + nbins AS DOUBLE) " +
+      "* ln(CAST((n_a + 1) * (tot_b + nbins) AS DOUBLE) / CAST((n_b + 1) * (tot_a + nbins) AS DOUBLE)), 6) AS kl_term " +
+      "FROM j CROSS JOIN st) " +
+      "SELECT bin, n_a, n_b, psi_term, kl_term, " +
+      "CAST(SUM(CAST(psi_term AS DECIMAL(18,6))) OVER () AS DOUBLE) AS psi, " +
+      "CAST(SUM(CAST(kl_term AS DECIMAL(18,6))) OVER () AS DOUBLE) AS kl " +
+      "FROM t ORDER BY bin"))
+
+  /** Trailing 7-day z-score anomaly flags
+    * ([[graft.operators.Profiler.rollingZscore]]) on daily revenue per
+    * event type: integer cent moments inside the ordered frame, z is one
+    * exact division over one IEEE sqrt — bit-identical cross-engine, so
+    * the |z| > 2 flag can never straddle the oracle. Warm-up and
+    * zero-variance rows are NULL z / false. */
+  private val qRollingZscore = Q(
+    (s, d) => graft.operators.Profiler.rollingZscore(
+        Tables.load(s, d, "events")
+          .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"), col("value"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("x")),
+        "event_type", "day", "x", n = 7)
+      .orderBy(col("event_type"), col("day")),
+    Some("WITH dly AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, " +
+      "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x FROM events GROUP BY 1, 2), " +
+      "u AS (SELECT event_type, day, x, CAST(CAST(x AS DECIMAL(18,2)) * 100 AS BIGINT) AS xu FROM dly), " +
+      "m AS (SELECT event_type, day, x, xu, count(*) OVER w AS c, " +
+      "SUM(xu) OVER w AS s, SUM(xu * xu) OVER w AS q FROM u " +
+      "WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)), " +
+      "z AS (SELECT event_type, day, x, " +
+      "CASE WHEN c = 7 AND c * q - s * s > 0 THEN " +
+      "round(CAST(c * xu - s AS DOUBLE) / sqrt(CAST(c * q - s * s AS DOUBLE)), 6) END AS z " +
+      "FROM m) " +
+      "SELECT event_type, day, x, z, COALESCE(abs(z) > 2.0e0, false) AS is_anomaly " +
+      "FROM z ORDER BY event_type, day"))
+
   /** Exact-sum Pearson correlation
     * ([[graft.operators.Profiler.pearson]]) over three lineitem pairs in
     * one pass: correlation is scale-invariant, so values lift exactly to
@@ -1849,6 +1907,8 @@ object QueriesExtras {
     "q_correlation" -> qCorrelation,
     "q_gini" -> qGini,
     "q_winsorized" -> qWinsorized,
+    "q_drift_psi" -> qDriftPsi,
+    "q_rolling_zscore" -> qRollingZscore,
     "q_user_trend" -> qUserTrend,
     "q_funnel" -> qFunnel,
     "q_cohort_retention" -> qCohortRetention,

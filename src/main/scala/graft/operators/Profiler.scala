@@ -295,4 +295,89 @@ object Profiler {
         col("n").cast("double"), 6).as("winsorized_mean"))
       .select(col(group), col("n"), col("lo"), col("hi"), col("winsorized_mean"))
   }
+
+  /** DISTRIBUTION DRIFT between two snapshots — PSI (population stability
+    * index, the model-monitoring standard: <0.1 stable, >0.25 shifted) and
+    * KL(a‖b) over a shared fixed-width binning of a non-negative numeric
+    * column. The pipeline-health check a training-data refresh runs before
+    * swapping corpora: "did the length/quality/score distribution move?"
+    *
+    * Determinism: bins are integer division (`div width` ≡ DuckDB `//` for
+    * the documented non-negative domain); Laplace-smoothed shares use the
+    * OBSERVED bin union as the category count, so both engines smooth over
+    * the identical support and zero-count bins never hit ln(0). Each share
+    * is one exact division; the log-ratio collapses to ONE ln of an exact
+    * integer ratio (`(n_a+1)(tot_b+B) / (n_b+1)(tot_a+B)` — products stay
+    * far under 2⁵³ for any realistic snapshot); per-bin contributions
+    * round(6) to absorb libm ln ulps, and the headline PSI/KL totals are
+    * exact decimal sums OF the rounded terms — associative, any
+    * partitioning.
+    *
+    * Scale shape: two count-aggregates (map-side combined), a full-outer
+    * equi-join on bin, one broadcast totals row. The totals window is
+    * unpartitioned by construction but runs over the BIN frame — bounded by
+    * value-range/width, not data size. */
+  def distributionDrift(a: DataFrame, b: DataFrame, value: String,
+                        width: Long): DataFrame = {
+    require(width >= 1, s"need width >= 1, got $width")
+    import org.apache.spark.sql.expressions.Window
+    def binned(df: DataFrame, n: String) =
+      df.select(expr(s"CAST($value AS BIGINT) div $width").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(n))
+    val joined = binned(a, "n_a").join(binned(b, "n_b"), Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val stats = joined.agg(sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"),
+      count(lit(1)).as("nbins"))
+    val pa = (col("n_a") + 1).cast("double") / (col("tot_a") + col("nbins")).cast("double")
+    val pb = (col("n_b") + 1).cast("double") / (col("tot_b") + col("nbins")).cast("double")
+    val lr = log(((col("n_a") + 1) * (col("tot_b") + col("nbins"))).cast("double") /
+      ((col("n_b") + 1) * (col("tot_a") + col("nbins"))).cast("double"))
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    joined.crossJoin(broadcast(stats))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        round((pa - pb) * lr, 6).as("psi_term"),
+        round(pa * lr, 6).as("kl_term"))
+      .withColumn("psi", sum(col("psi_term").cast("decimal(18,6)")).over(w).cast("double"))
+      .withColumn("kl", sum(col("kl_term").cast("decimal(18,6)")).over(w).cast("double"))
+      .orderBy(col("bin"))
+  }
+
+  /** TRAILING-WINDOW Z-SCORE anomaly flags over a per-group time series —
+    * the metrics-monitoring primitive (is today's count/revenue/error-rate
+    * an outlier vs the trailing `n` observations, this point included?).
+    * Unlike [[madOutliers]] (static, per-group, rank-based) this is
+    * sequential: each point is judged against its own local history, so a
+    * regime change flags once instead of poisoning the whole group.
+    *
+    * Determinism: values quantize to exact 10^-`scale` units (decimal
+    * cast, no rounding ambiguity), every moment is integer arithmetic in
+    * the ordered frame, and z collapses to `(c·x − s) / sqrt(c·q − s²)` —
+    * one int→double cast each side, one IEEE-exact sqrt, one division: z is
+    * BIT-identical cross-engine, so the flag (|z| > thresh on the rounded
+    * value) can never straddle engines. Warm-up rows (history < n) and
+    * zero-variance windows yield NULL z / false flag. Overflow contract:
+    * c·q needs |x|·10^scale < ~10^9/√n — document-scale daily sums, not
+    * satellites.
+    *
+    * One window shuffle partitioned by group — per-group frames, any
+    * group count, no driver state. */
+  def rollingZscore(series: DataFrame, group: String, t: String, x: String,
+                    n: Int, scale: Int = 2, zThresh: Double = 2.0): DataFrame = {
+    require(n >= 2, s"need window n >= 2, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val unit = math.pow(10, scale).toLong
+    val w = Window.partitionBy(col(group)).orderBy(col(t)).rowsBetween(-(n - 1), 0)
+    val z = when(col("__c") === n && col("__c") * col("__q") - col("__s") * col("__s") > 0,
+      (col("__c") * col("__xu") - col("__s")).cast("double") /
+        sqrt((col("__c") * col("__q") - col("__s") * col("__s")).cast("double")))
+    series
+      .withColumn("__xu", (col(x).cast(s"decimal(18,$scale)") * unit).cast("long"))
+      .withColumn("__c", count(lit(1)).over(w))
+      .withColumn("__s", sum(col("__xu")).over(w))
+      .withColumn("__q", sum(col("__xu") * col("__xu")).over(w))
+      .withColumn("z", round(z, 6))
+      .withColumn("is_anomaly", coalesce(abs(col("z")) > zThresh, lit(false)))
+      .select(col(group), col(t), col(x), col("z"), col("is_anomaly"))
+  }
 }

@@ -954,9 +954,9 @@ object QueriesExtras {
         docs.filter(sid < 10), docs.filter(sid >= 10), "n_chars", 50L)
     },
     Some("WITH ca AS (SELECT n_chars // 50 AS bin, count(*) AS n_a FROM documents " +
-      "WHERE CAST(substr(source, 4) AS INT) < 10 GROUP BY 1), " +
+      "WHERE CAST(substr(source, 4) AS INT) < 10 AND n_chars IS NOT NULL GROUP BY 1), " +
       "cb AS (SELECT n_chars // 50 AS bin, count(*) AS n_b FROM documents " +
-      "WHERE CAST(substr(source, 4) AS INT) >= 10 GROUP BY 1), " +
+      "WHERE CAST(substr(source, 4) AS INT) >= 10 AND n_chars IS NOT NULL GROUP BY 1), " +
       "j AS (SELECT COALESCE(ca.bin, cb.bin) AS bin, COALESCE(n_a, 0) AS n_a, " +
       "COALESCE(n_b, 0) AS n_b FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin), " +
       "st AS (SELECT SUM(n_a) AS tot_a, SUM(n_b) AS tot_b, count(*) AS nbins FROM j), " +
@@ -989,7 +989,7 @@ object QueriesExtras {
     Some("WITH dly AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, " +
       "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x FROM events GROUP BY 1, 2), " +
       "u AS (SELECT event_type, day, x, CAST(CAST(x AS DECIMAL(18,2)) * 100 AS BIGINT) AS xu FROM dly), " +
-      "m AS (SELECT event_type, day, x, xu, count(*) OVER w AS c, " +
+      "m AS (SELECT event_type, day, x, xu, count(xu) OVER w AS c, " +
       "SUM(xu) OVER w AS s, SUM(xu * xu) OVER w AS q FROM u " +
       "WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)), " +
       "z AS (SELECT event_type, day, x, " +

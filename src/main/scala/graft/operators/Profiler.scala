@@ -22,6 +22,11 @@ import org.apache.spark.sql.types.{NumericType, StringType}
   */
 object Profiler {
 
+  /** [[pearson]] per-row contract: |value|·10^scale at most this, so any
+    * single cross-product fits a LONG (⌊√(2⁶³−1)⌋ ≈ 3.04·10⁹, kept at the
+    * documented round bound). Enforced in-plan via raise_error. */
+  val PearsonAbsBound: Long = 3000000000L
+
   /** Long-form profile of `cols` (default: every string/numeric column in
     * schema order): (column, n_rows, n_nulls, n_distinct, min_val,
     * max_val). */
@@ -74,7 +79,13 @@ object Profiler {
     * reconstruction `hi·2^30 + lo` in double costs ONE rounding (a
     * power-of-two multiply is exact), identical in both engines.
     * Bound: n·|x·10^s|·|y·10^s| must stay below 2^63·2^30 ≈ 10^28 —
-    * comfortably beyond any profiling corpus.
+    * comfortably beyond any profiling corpus. The per-row half of the
+    * contract (|value|·10^scale ≤ 3·10⁹ so a single product fits a LONG)
+    * is ENFORCED in-plan: the same pass aggregates max(abs(lifted)) and
+    * the query `raise_error`s when data exceeds it — out-of-contract
+    * columns fail loudly instead of wrapping into silently wrong
+    * correlations (the loud-failure discipline of
+    * [[Sampling.negativeSampleBounded]]).
     *
     * Rows with a NULL on either side of a pair drop from THAT pair's
     * moments only. The final double formula is mirrored
@@ -100,6 +111,7 @@ object Profiler {
     def prodSums(p: Column, ok: Column, name: String) = Seq(
       sum(when(ok, shiftright(p, 30))).as(s"${name}_hi"),
       sum(when(ok, p.bitwiseAND(lit(mask)))).as(s"${name}_lo"))
+    val absCols = cols.map(c => abs(lng(c)))
     val aggs = pairs.zipWithIndex.flatMap { case ((x, y), i) =>
       val ok = lng(x).isNotNull && lng(y).isNotNull
       Seq(
@@ -109,8 +121,17 @@ object Profiler {
         prodSums(lng(x) * lng(y), ok, s"__sxy_$i") ++
         prodSums(lng(x) * lng(x), ok, s"__sxx_$i") ++
         prodSums(lng(y) * lng(y), ok, s"__syy_$i")
-    }
+    } :+ max(if (absCols.size == 1) absCols.head else greatest(absCols: _*))
+      .as("__maxabs")
     val wide = staged.agg(aggs.head, aggs.tail: _*)
+    // contract guard: any |value|·10^scale beyond the single-product LONG
+    // bound makes the moments garbage — fail the query, don't return them.
+    // NULL __maxabs (empty/all-null input) is in-contract (coalesce to 0).
+    val nGuard: Column => Column = n =>
+      when(coalesce(col("__maxabs"), lit(0L)) <= lit(PearsonAbsBound), n)
+        .otherwise(raise_error(concat(
+          lit(s"pearson: |value|*10^$scale exceeds LONG-product bound $PearsonAbsBound: "),
+          col("__maxabs").cast("string"))))
     def rebuild(name: String): Column =
       col(s"${name}_hi").cast("double") * lit(1073741824.0) +
         col(s"${name}_lo").cast("double")
@@ -123,7 +144,7 @@ object Profiler {
         sqrt(nd * rebuild(s"__syy_$i") - sy * sy)
       struct(
         lit(x).as("x_col"), lit(y).as("y_col"),
-        col(s"__n_$i").as("n"),
+        nGuard(col(s"__n_$i")).as("n"),
         round(when(den === 0.0, lit(null).cast("double")).otherwise(num / den), 6)
           .as("corr"))
     }: _*)))
@@ -321,8 +342,14 @@ object Profiler {
                         width: Long): DataFrame = {
     require(width >= 1, s"need width >= 1, got $width")
     import org.apache.spark.sql.expressions.Window
+    // NULL values drop BEFORE binning: a NULL bin would survive the
+    // groupBy but never match across the full-outer join (NULL keys don't
+    // equi-join), leaving one orphan NULL row per side and engine-specific
+    // NULL ordering in the final sort — filtered here and mirrored in the
+    // oracle so both engines drift over the same support.
     def binned(df: DataFrame, n: String) =
-      df.select(expr(s"CAST($value AS BIGINT) div $width").as("bin"))
+      df.filter(col(value).isNotNull)
+        .select(expr(s"CAST($value AS BIGINT) div $width").as("bin"))
         .groupBy(col("bin")).agg(count(lit(1)).as(n))
     val joined = binned(a, "n_a").join(binned(b, "n_b"), Seq("bin"), "full_outer")
       .select(col("bin"), coalesce(col("n_a"), lit(0L)).as("n_a"),
@@ -373,7 +400,11 @@ object Profiler {
         sqrt((col("__c") * col("__q") - col("__s") * col("__s")).cast("double")))
     series
       .withColumn("__xu", (col(x).cast(s"decimal(18,$scale)") * unit).cast("long"))
-      .withColumn("__c", count(lit(1)).over(w))
+      // count the QUANTIZED value, not the row: a NULL observation inside
+      // the frame would otherwise raise c while __s/__q skip it, yielding a
+      // z from inconsistent moments — counting __xu makes NULLs extend the
+      // warm-up (c < n → NULL z) instead of corrupting the statistic
+      .withColumn("__c", count(col("__xu")).over(w))
       .withColumn("__s", sum(col("__xu")).over(w))
       .withColumn("__q", sum(col("__xu") * col("__xu")).over(w))
       .withColumn("z", round(z, 6))

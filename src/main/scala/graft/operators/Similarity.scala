@@ -489,14 +489,20 @@ object Similarity {
     * `raise_error` never evaluates while recall clears the floor. */
   def withRecallAudit(approx: DataFrame, emb: DataFrame, id: String, vec: String,
                       anchorId: Long, k: Int, minRecall: Double): DataFrame = {
+    // materialized: consumed twice (recall aggregate + returned rows) — a
+    // lazy plan would execute the whole index-probe subtree twice, and the
+    // audit would certify a DIFFERENT evaluation than the rows returned if
+    // the approx plan were ever not bit-deterministic (the
+    // mutualKnnDedupFromPairs / negativeSampleBounded discipline)
+    val mat = approx.localCheckpoint()
     val brute = bruteForceTopK(emb, id, vec, anchorId, k).select(col(id))
-    val hits = approx.select(col(id))
+    val hits = mat.select(col(id))
       .join(broadcast(brute), Seq(id), "left_semi")
       .agg((count(lit(1)).cast("double") / k).as("recall_at_k"))
     val audited = when(col("recall_at_k") >= minRecall, col("recall_at_k"))
       .otherwise(raise_error(concat(
         lit(s"ANN recall@$k below floor $minRecall: "), col("recall_at_k").cast("string"))))
-    approx.crossJoin(broadcast(hits)).withColumn("recall_at_k", audited)
+    mat.crossJoin(broadcast(hits)).withColumn("recall_at_k", audited)
   }
 
   /** Approximate top-k: score only vectors whose bucket is within

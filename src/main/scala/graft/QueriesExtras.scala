@@ -1274,6 +1274,54 @@ object QueriesExtras {
       .orderBy(col("vec_id")),
     qMutualKnnDedup.sql)
 
+  /** Mutual-kNN dedup, BENIGN REGIME ([[Similarity.mutualKnnDedupLsh]]
+    * at a REALISTIC near-dup threshold, cos ≥ 0.9) — the scale-contract
+    * demonstration the 0.4-threshold row deliberately does not give. The
+    * corpus plants exact near-dups (every 20th vector re-enters as a
+    * 1.5× scalar multiple under a NEGATIVE id, so the min-id survivor
+    * set differs from a pass-through and twins drop their originals):
+    * parallel vectors share EVERY hyperplane sign bit, so planted-pair
+    * recall is structural (p = 1), not probabilistic, while the
+    * near-random rest of the corpus (max pairwise cos ≈ 0.55) collides
+    * in a 16-bit band at ≤ p^16 ≈ 0.2% — the candidate set stays O(n)
+    * and the in-plan audit PROVES it: the band join `raise_error`s if
+    * candidates ever exceed 8·n, so the "never quadratic at a realistic
+    * threshold" claim is executable, not narrative. Oracle: the same
+    * recursive-CTE composition as `q_mutual_knn_dedup`, over the same
+    * planted frame (list_transform twin derivation mirrored). */
+  private val qMutualKnnDedupBenign = Q(
+    (s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val base = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val twins = emb.filter(col("vec_id") % 20 === 0)
+        .select(negate(col("vec_id") + lit(1L)).as("vec_id"),
+          transform(col("embedding").cast("array<double>"), x => x * lit(1.5))
+            .as("embedding"))
+      Similarity.mutualKnnDedupLsh(base.unionAll(twins), "vec_id", "embedding",
+          k = 3, threshold = 0.9, bands = 24, rowsPerBand = 16,
+          maxCandidatesPerVec = Some(8.0))
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    },
+    Some("WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings " +
+      "UNION ALL SELECT -(vec_id + 1) AS vec_id, " +
+      "list_transform(embedding::DOUBLE[], x -> x * 1.5e0) AS v " +
+      "FROM embeddings WHERE vec_id % 20 = 0), " +
+      "s AS (SELECT q.vec_id AS a, c.vec_id AS b, " + cosSql("q.v", "c.v") + " AS cosine " +
+      "FROM e q JOIN e c ON c.vec_id <> q.vec_id), " +
+      "ranked AS (SELECT a, b, cosine, row_number() OVER (PARTITION BY a ORDER BY cosine DESC, b) AS rk FROM s), " +
+      "knn AS (SELECT a, b, cosine FROM ranked WHERE rk <= 3), " +
+      "m AS (SELECT k1.a AS doc_a, k1.b AS doc_b FROM knn k1 " +
+      "JOIN knn k2 ON k2.a = k1.b AND k2.b = k1.a " +
+      "WHERE k1.a < k1.b AND k1.cosine >= 0.9e0), " +
+      "edges AS (SELECT doc_a AS id, doc_b AS nbr FROM m UNION ALL SELECT doc_b, doc_a FROM m), " +
+      "reach(id, root) AS (SELECT id, id FROM (SELECT DISTINCT id FROM edges) t " +
+      "UNION SELECT ed.id, reach.root FROM edges ed JOIN reach ON ed.nbr = reach.id), " +
+      "losers AS (SELECT id FROM reach GROUP BY id HAVING min(root) < id) " +
+      "SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT id FROM losers) " +
+      "ORDER BY vec_id"))
+
   /** END-TO-END CURATION PIPELINE — the flagship composition query: the
     * four stages a real corpus run chains, as ONE plan, each stage an
     * already-gated operator:
@@ -1897,6 +1945,7 @@ object QueriesExtras {
     "q_knn_graph" -> qKnnGraph,
     "q_mutual_knn_dedup" -> qMutualKnnDedup,
     "q_mutual_knn_dedup_lsh" -> qMutualKnnDedupLsh,
+    "q_mutual_knn_dedup_benign" -> qMutualKnnDedupBenign,
     "q_negative_sample" -> qNegativeSample,
     "q_negative_sample_bounded" -> qNegativeSampleBounded,
     "q_maxsim_topk" -> qMaxsimTopk,

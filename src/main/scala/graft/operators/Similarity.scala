@@ -129,7 +129,8 @@ object Similarity {
     * through an equi-join (shuffle, AQE-sizeable), never a cartesian. */
   def lshCosinePairs(emb: DataFrame, id: String, vec: String, threshold: Double,
                      bands: Int = 48, rowsPerBand: Int = 4, seed: Long = 42L,
-                     dim: Option[Int] = None): DataFrame = {
+                     dim: Option[Int] = None,
+                     maxCandidatesPerVec: Option[Double] = None): DataFrame = {
     // dim from table metadata when known (skips a scan); else from the data
     val d = dim.getOrElse {
       val dimRow = emb.select(max(size(col(vec)))).head()
@@ -148,16 +149,42 @@ object Similarity {
       asD(col(vec)), typedlit(planes.flatten.toIndexedSeq),
       lit(bands), lit(rowsPerBand))
     val banded = emb.select(col(id), explode(keysCol).as("band_key"))
-    val cand = banded.select(col(id).as("vec_a"), col("band_key"))
+    val cand0 = banded.select(col(id).as("vec_a"), col("band_key"))
       .join(banded.select(col(id).as("vec_b"), col("band_key")), "band_key")
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b")).distinct()
+    // SELF-CERTIFYING CANDIDATE-COUNT AUDIT (the withRecallAudit pattern,
+    // pointed at the other failure mode): banded LSH is only the scale
+    // path while |candidates| stays O(c·n) — a degenerate plane region, a
+    // near-duplicate-saturated corpus, or an under-banded r would silently
+    // regress candidate generation toward all-pairs and the query would
+    // still return correct rows, just at quadratic cost. With a cap the
+    // plan itself raise_errors when candidates exceed c·n, making the
+    // "never quadratic in practice" claim executable instead of narrative.
+    // The candidate list is materialized (consumed by the count AND the
+    // scoring join — the mutualKnnDedupFromPairs discipline).
+    val (cand, audit) = maxCandidatesPerVec match {
+      case None => (cand0, None)
+      case Some(factor) =>
+        val mat = cand0.localCheckpoint()
+        val stats = broadcast(mat.agg(count(lit(1)).as("__cand"))
+          .crossJoin(emb.agg(count(lit(1)).as("__nvec"))))
+        val guard: Column => Column = c =>
+          when(col("__cand").cast("double") <=
+              lit(factor) * col("__nvec").cast("double"), c)
+            .otherwise(raise_error(concat(
+              lit(s"lshCosinePairs: band-join candidates exceed $factor x n: "),
+              col("__cand").cast("string"), lit(" candidates for "),
+              col("__nvec").cast("string"), lit(" vectors"))))
+        (mat.crossJoin(stats), Some(guard))
+    }
     // score only candidates: per-side norm computed once, dot per pair
     val va = emb.select(col(id).as("vec_a"), asD(col(vec)).as("va"), norm(col(vec)).as("na"))
     val vb = emb.select(col(id).as("vec_b"), asD(col(vec)).as("vb"), norm(col(vec)).as("nb"))
+    val cosRaw = round(safeDiv(dot(col("va"), col("vb")), col("na") * col("nb")), 6)
     cand.join(va, "vec_a").join(vb, "vec_b")
       .select(col("vec_a"), col("vec_b"),
-        round(safeDiv(dot(col("va"), col("vb")), col("na") * col("nb")), 6).as("cosine"))
+        audit.fold(cosRaw)(g => g(cosRaw)).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -300,9 +327,11 @@ object Similarity {
     * the exhaustive oracle row binding rather than merely indicative. */
   def mutualKnnDedupLsh(emb: DataFrame, id: String, vec: String, k: Int,
                         threshold: Double, bands: Int = 48, rowsPerBand: Int = 4,
-                        seed: Long = 42L): DataFrame =
+                        seed: Long = 42L,
+                        maxCandidatesPerVec: Option[Double] = None): DataFrame =
     mutualKnnDedupFromPairs(emb,
-      lshCosinePairs(emb, id, vec, threshold, bands, rowsPerBand, seed), id, k)
+      lshCosinePairs(emb, id, vec, threshold, bands, rowsPerBand, seed,
+        maxCandidatesPerVec = maxCandidatesPerVec), id, k)
 
   /** L2-normalize, zero-safe: a zero vector maps to the zero vector instead
     * of 0/0 → NULL (which would abort k-means training downstream). */

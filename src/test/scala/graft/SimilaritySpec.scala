@@ -222,6 +222,24 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("lshCosinePairs candidate-count audit: generous cap passes, tight cap raises") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // generous cap: same rows as the unaudited path (the audit is a guard,
+    // not a filter — it must never change the result)
+    val plain = Similarity.lshCosinePairs(emb, "vec_id", "embedding", 0.45)
+      .orderBy($"vec_a", $"vec_b").as[(Long, Long, Double)].collect()
+    val audited = Similarity.lshCosinePairs(emb, "vec_id", "embedding", 0.45,
+        maxCandidatesPerVec = Some(1e6))
+      .orderBy($"vec_a", $"vec_b").as[(Long, Long, Double)].collect()
+    assert(audited sameElements plain)
+    // impossible cap: the plan itself must fail loudly, not return rows
+    val e = intercept[Exception] {
+      Similarity.lshCosinePairs(emb, "vec_id", "embedding", 0.45,
+        maxCandidatesPerVec = Some(0.0)).collect()
+    }
+    assert(e.getMessage.contains("band-join candidates exceed"), e.getMessage)
+  }
+
   test("maxSimTopK: each query vector matches its best token; sums are exact") {
     // doc 10 carries both query directions (maxsim ≈ 2), doc 20 only the
     // first (≈ 1), doc 30 is orthogonal to both (0)

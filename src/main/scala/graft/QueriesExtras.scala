@@ -1845,6 +1845,58 @@ object QueriesExtras {
       "SELECT doc_id, source, lang FROM documents " +
       "WHERE doc_id NOT IN (SELECT id FROM losers) ORDER BY doc_id"))
 
+  /** EXACT-SUBSTRING shared spans ([[Dedup.substringSpans]], k = 8) — the
+    * Lee et al. 2022 span-grain dedup family: every maximal ≥ 8-token
+    * verbatim run shared across two documents, with 1-based positions in
+    * both. The oracle replays the identical construction declaratively
+    * (positioned window md5s via unnest(range), hash self-join,
+    * gaps-and-islands per (pair, diagonal)) — window slicing is mapped
+    * explicitly between Spark's length-based `slice(w, i, k)` and
+    * DuckDB's inclusive-end `w[i:i+k-1]` (the list-slice convention
+    * divergence documented on q_span_corruption). */
+  private val qSubstringSpans = Q(
+    (s, d) => Dedup.substringSpans(Tables.load(s, d, "documents"),
+        "doc_id", "text", k = 8)
+      .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start")),
+    Some("WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
+      "wins AS (SELECT doc_id, pos, md5(array_to_string(w[pos:pos+7], ' ')) AS h FROM " +
+      "(SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS pos FROM w)), " +
+      "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb " +
+      "FROM wins a JOIN wins b ON a.h = b.h AND a.doc_id < b.doc_id), " +
+      "isl AS (SELECT doc_a, doc_b, pa, pb, pa - pb AS diag, " +
+      "pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS g FROM p) " +
+      "SELECT doc_a, doc_b, min(pa) AS a_start, min(pb) AS b_start, " +
+      "max(pa) - min(pa) + 8 AS len_tokens " +
+      "FROM isl GROUP BY doc_a, doc_b, diag, g " +
+      "ORDER BY doc_a, doc_b, a_start, b_start"))
+
+  /** EXACT-SUBSTRING PURGE ([[Dedup.substringDedup]], k = 8, span ≥ 20):
+    * documents sharing a ≥ 20-token verbatim span form components
+    * ([[Dedup.dupGroups]]), min-id survives — the composition row over
+    * q_substring_spans, gated through the same recursive-CTE component
+    * oracle as q_neardup_purge. */
+  private val qSubstringDedup = Q(
+    (s, d) => Dedup.substringDedup(Tables.load(s, d, "documents"),
+        "doc_id", "text", k = 8, minSpanTokens = 20)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .orderBy(col("doc_id")),
+    Some("WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
+      "wins AS (SELECT doc_id, pos, md5(array_to_string(w[pos:pos+7], ' ')) AS h FROM " +
+      "(SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS pos FROM w)), " +
+      "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb " +
+      "FROM wins a JOIN wins b ON a.h = b.h AND a.doc_id < b.doc_id), " +
+      "isl AS (SELECT doc_a, doc_b, pa, pb, pa - pb AS diag, " +
+      "pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS g FROM p), " +
+      "spans AS (SELECT doc_a, doc_b, max(pa) - min(pa) + 8 AS len_tokens " +
+      "FROM isl GROUP BY doc_a, doc_b, diag, g), " +
+      "sp AS (SELECT DISTINCT doc_a, doc_b FROM spans WHERE len_tokens >= 20), " +
+      "edges AS (SELECT doc_a AS id, doc_b AS nbr FROM sp UNION ALL SELECT doc_b, doc_a FROM sp), " +
+      "reach(id, r) AS (SELECT id, id FROM (SELECT DISTINCT id FROM edges) t " +
+      "UNION SELECT e.id, reach.r FROM edges e JOIN reach ON e.nbr = reach.id), " +
+      "losers AS (SELECT id FROM reach GROUP BY id HAVING min(r) < id) " +
+      "SELECT doc_id, source, lang FROM documents " +
+      "WHERE doc_id NOT IN (SELECT id FROM losers) ORDER BY doc_id"))
+
   /** FastSS fuzzy entity matching over customer names. The Spark plan is
     * the deletion-neighborhood blocked join ([[Fuzzy.fuzzySelfMatch]]); the
     * oracle is the exhaustive all-pairs levenshtein — the gate proves the
@@ -1975,6 +2027,8 @@ object QueriesExtras {
     "q_repetition_stats" -> qRepetitionStats,
     "q_decontaminate_bloom" -> qDecontaminateBloom,
     "q_neardup_purge" -> qNeardupPurge,
+    "q_substring_spans" -> qSubstringSpans,
+    "q_substring_dedup" -> qSubstringDedup,
     "q_fuzzy_match" -> qFuzzyMatch,
     "q_snm_pairs" -> qSnmPairs,
   )

@@ -79,6 +79,88 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Positioned k-token window hashes of one document over a staged
+    * word-array column `w`: one (pos, md5-of-window) struct per sliding
+    * window, 1-based positions — UNLIKE [[shingleSetOf]] this keeps every
+    * occurrence and its position (span recovery needs both; distinctness
+    * would merge repeated boilerplate into one anonymous shingle). */
+  private def windowHashesOf(w: Column, k: Int): Column =
+    when(size(w) >= k,
+      transform(sequence(lit(1), size(w) - (k - 1)),
+        i => struct(i.cast("long").as("pos"),
+          md5(concat_ws(" ", slice(w, i, lit(k)))).as("h"))))
+      .otherwise(array().cast("array<struct<pos:bigint,h:string>>"))
+
+  /** EXACT-SUBSTRING shared spans across documents — the Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better") span-
+    * grain recipe, reference-free: find every maximal run of ≥ k tokens
+    * that two documents share VERBATIM. Finer than [[Corpus.paragraphDedup]]
+    * (whole-paragraph fingerprints) and orthogonal to the shingle-set
+    * families (which measure set overlap, not contiguous spans) — this is
+    * the published-standard curation step for verbatim cross-document
+    * contamination (license boilerplate, quoted chunks, eval-set leakage).
+    *
+    * Construction (no suffix array needed): every k-token sliding window
+    * hashes to 16 bytes (md5 — mirrorable by the SQL oracle, unlike
+    * xxhash64) WITH its position; a self-equi-join on the hash finds all
+    * shared windows; runs of consecutive matches merge into maximal spans
+    * by the gaps-and-islands trick on each (doc_a, doc_b, pa−pb) diagonal
+    * (island id = pa − row_number, one window shuffle). Two spans ≥ k
+    * tokens overlap iff they share a k-window, so recall is exact; md5
+    * collisions (2⁻¹²⁸) are the only false-positive source.
+    *
+    * Scale shape: tokenize + window-hash is scan-stage per-row work; the
+    * join shuffles (hash, pos) rows — ~tokens-per-corpus rows of 30
+    * bytes; fan-out is quadratic ONLY in documents sharing the same
+    * window (true duplicates — the thing being hunted; a boilerplate
+    * window shared by millions of docs needs the hot-key guard of the
+    * banded families — cap or drop windows above a document-frequency
+    * ceiling before the join at that scale). The islands window
+    * partitions by (doc pair, diagonal) — bounded by matched windows, not
+    * corpus size.
+    *
+    * Output: (doc_a, doc_b, a_start, b_start, len_tokens), 1-based token
+    * positions, doc_a < doc_b, one row per maximal shared span. */
+  def substringSpans(df: DataFrame, id: String, text: String, k: Int): DataFrame = {
+    require(k >= 2, s"substringSpans: need window k >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val wins = df.select(col(id), split(trim(col(text)), "\\s+").as("w"))
+      .select(col(id), explode(windowHashesOf(col("w"), k)).as("ph"))
+      .select(col(id), col("ph.pos").as("pos"), col("ph.h").as("h"))
+    val p = wins.select(col(id).as("doc_a"), col("pos").as("pa"), col("h"))
+      .join(wins.select(col(id).as("doc_b"), col("pos").as("pb"), col("h")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+    val diag = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    p.withColumn("diag", col("pa") - col("pb"))
+      .withColumn("g", col("pa") - row_number().over(diag))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("g"))
+      .agg(min(col("pa")).as("a_start"), min(col("pb")).as("b_start"),
+        (max(col("pa")) - min(col("pa")) + k).as("len_tokens"))
+      .select(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"),
+        col("len_tokens"))
+  }
+
+  /** EXACT-SUBSTRING PURGE — the cluster-resolution composition over
+    * [[substringSpans]]: documents sharing any verbatim span of at least
+    * `minSpanTokens` tokens form edges, [[dupGroups]] resolves connected
+    * components, the min-id member of each component survives. The
+    * span threshold is the Lee et al. dedup knob (k detects, minSpan
+    * decides) — a 50-token license header purges, an 8-token idiom does
+    * not, with both visible in the span table. */
+  def substringDedup(df: DataFrame, id: String, text: String, k: Int,
+                     minSpanTokens: Int): DataFrame = {
+    require(minSpanTokens >= k,
+      s"substringDedup: minSpanTokens ($minSpanTokens) must be >= window k ($k)")
+    val edges = substringSpans(df, id, text, k)
+      .filter(col("len_tokens") >= minSpanTokens)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val losers = dupGroups(edges)
+      .filter(col("group_id") =!= col("doc_id"))
+      .select(col("doc_id").as(id))
+    df.join(losers, Seq(id), "left_anti")
+  }
+
   /** PREFIX-FILTERING Jaccard join (the public all-pairs/PPJoin
     * construction, Bayardo et al. WWW'07 / Xiao et al.): the third
     * independent blocking family next to MinHash-LSH (probabilistic) and

@@ -218,4 +218,42 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
     assert(narrow.subsetOf(got.map(r => (r._1, r._2)).toSet))
   }
+
+  test("substringSpans: maximal spans, positions, disjoint repeats, sub-k misses") {
+    // doc 1/2 share "a b c d e" (5 tokens) at different offsets; doc 1/3
+    // share two DISJOINT 3-token runs (separate diagonals -> separate
+    // spans); doc 4 shares only 2 consecutive tokens with doc 1 (< k)
+    val docs = Seq(
+      (1L, "x a b c d e y p q r"),
+      (2L, "m n a b c d e z"),
+      (3L, "a b c w p q r"),
+      (4L, "a b k k k k k k k k")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringSpans(docs, "doc_id", "text", k = 3)
+      .orderBy($"doc_a", $"doc_b", $"a_start")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got sameElements Array(
+      (1L, 2L, 2L, 3L, 5L),   // "a b c d e": doc1 pos 2, doc2 pos 3
+      (1L, 3L, 2L, 1L, 3L),   // "a b c"
+      (1L, 3L, 8L, 5L, 3L),   // "p q r" — distinct diagonal, own span
+      (2L, 3L, 3L, 1L, 3L)),  // "a b c" shared by 2 and 3 as well
+      got.mkString(","))
+    // within-doc repetition ("k k k ..." in doc 4) must not self-pair,
+    // and the 2-token overlap with doc 1 stays below k
+    assert(!got.exists(r => r._1 == 4L || r._2 == 4L))
+  }
+
+  test("substringDedup: span >= minSpanTokens purges transitively, min id survives") {
+    // 1-2 share 5 tokens, 2-5 share 5 tokens (chain -> one component);
+    // 1-3 share only 3 (< minSpan): 3 survives
+    val docs = Seq(
+      (1L, "x a b c d e y"),
+      (2L, "a b c d e q r s t u"),
+      (5L, "h h q r s t u"),
+      (3L, "a b c w w w w")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(docs, "doc_id", "text", k = 3, minSpanTokens = 5)
+      .select($"doc_id").orderBy($"doc_id").as[Long].collect()
+    assert(got sameElements Array(1L, 3L), got.mkString(","))
+  }
 }

@@ -97,14 +97,17 @@ object QueriesCuration {
     * table is data-dependent and its greedy application is iterative, which
     * ANSI SQL cannot express; the driver records the rows-only check (the
     * q_ann_lsh_topk precedent) and BpeSpec pins semantics against an
-    * independent reference implementation, including losslessness. Tokens
-    * are emitted pipe-joined so the gate hashes a flat deterministic
-    * column. */
+    * independent reference implementation. The gate runs the
+    * SELF-CERTIFYING [[Bpe.encodeAudited]] form: losslessness
+    * (decode∘encode ≡ id) is asserted in-plan over the full column with a
+    * `raise_error` on the first violating document, so shaped garbage
+    * cannot pass the rows-only check. Tokens are emitted pipe-joined so
+    * the gate hashes a flat deterministic column. */
   private val qBpeEncode = Q(
     (s, d) => {
       val docs = t(s, d, "documents")
       val model = Bpe.train(docs, "text", numMerges = 64)
-      Bpe.encode(docs, "doc_id", "text", model)
+      Bpe.encodeAudited(docs, "doc_id", "text", model)
         .select(col("doc_id"), col("n_tokens"),
           concat_ws("|", col("tokens")).as("tokens_str"))
         .orderBy(col("doc_id"))

@@ -242,14 +242,20 @@ object QueriesExtras {
       "FROM canon GROUP BY 1 ORDER BY canon_url"))
 
   /** Sketch path for the dashboard's distinct-count tiles: per-event-type
-    * approx distinct users via mergeable HLL sketches. Approximate by
-    * design ⇒ rows-only in the gate (like q_ann_lsh_topk); the accuracy
-    * and merge contracts are spec-asserted in SketchesSpec. */
+    * approx distinct users via mergeable HLL sketches — the SELF-CERTIFYING
+    * form ([[graft.operators.Sketches.approxDistinctAudited]]): the HLL
+    * estimate is checked in-plan against the exact count under the
+    * published 1.04/√m bound (×6 safety) and the query `raise_error`s
+    * outside it, so the emitted (event_type, exact_distinct,
+    * hll_within_bound) row set is fully hash-gated while the sketch path
+    * is still the thing being exercised. Merge ≡ direct-build and the
+    * tighter ±3σ accuracy contract stay spec-asserted in SketchesSpec. */
   private val qHllDistinct = Q(
-    (s, d) => graft.operators.Sketches.approxDistinct(
+    (s, d) => graft.operators.Sketches.approxDistinctAudited(
         Tables.load(s, d, "events"), Seq("event_type"), "user_id")
       .orderBy(col("event_type")),
-    None)
+    Some("SELECT event_type, count(DISTINCT user_id) AS exact_distinct, " +
+      "true AS hll_within_bound FROM events GROUP BY 1 ORDER BY 1"))
 
   /** Unigram LM quality score: avg token log-prob under the corpus's own
     * unigram distribution (round(6) soaks up cross-libm ln drift). */
@@ -1377,12 +1383,15 @@ object QueriesExtras {
       "('0x' || substr(md5(doc_id::VARCHAR || 'graft'), 1, 8))::BIGINT % 100 AS b " +
       "FROM gated WHERE n_tokens BETWEEN 5 AND 1000) ORDER BY doc_id"))
 
-  /** Compression-ratio signal ([[TextAnalysis.compressionRatio]]):
-    * rows-only BY DESIGN — zlib output is deterministic per zlib build
-    * but no SQL engine can mirror it (the q_ann_lsh_topk precedent);
-    * ordering and determinism contracts live in the spec. */
+  /** Compression-ratio signal, SELF-CERTIFYING form
+    * ([[TextAnalysis.compressionRatioAudited]]): rows-only BY DESIGN —
+    * zlib output is deterministic per zlib build but no SQL engine can
+    * mirror it — yet the gate now carries two in-plan quality signals
+    * (per-row (0, 1.1] bounds; planted repetitive-beats-scrambled
+    * monotonicity), each a `raise_error` path, so shaped garbage cannot
+    * pass. Ordering and determinism contracts live in the spec. */
   private val qCompressRatio = Q(
-    (s, d) => TextAnalysis.compressionRatio(Tables.load(s, d, "documents"),
+    (s, d) => TextAnalysis.compressionRatioAudited(Tables.load(s, d, "documents"),
         "doc_id", "text")
       .orderBy(col("doc_id")),
     None)

@@ -104,4 +104,26 @@ object Bpe {
         TextAnalysis.words(lower(col(text))), model.mergesLit).as("tokens"))
       .withColumn("n_tokens", size(col("tokens")))
   }
+
+  /** SELF-CERTIFYING variant of [[encode]]: BPE is lossless by
+    * construction (merges only ever concatenate adjacent symbols of the
+    * same word), so `decode(encode(w)) = w` must hold for EVERY row —
+    * this variant checks the round-trip in-plan (token concatenation ≡
+    * word concatenation, both whitespace-free) and `raise_error`s on the
+    * first violating document. A rows-only gate over the tokenizer can
+    * therefore no longer pass on shaped garbage: the query fails unless
+    * the encoding is actually invertible over the full column. Still pure
+    * scan-stage — the audit adds one string concat + equality per row. */
+  def encodeAudited(df: DataFrame, id: String, text: String, model: Model): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.select(col(id), TextAnalysis.words(lower(col(text))).as("__w"),
+        call_function("bpe_encode",
+          TextAnalysis.words(lower(col(text))), model.mergesLit).as("__t"))
+      .select(col(id),
+        when(concat_ws("", col("__t")) === concat_ws("", col("__w")), col("__t"))
+          .otherwise(raise_error(concat(
+            lit("BPE round-trip (decode∘encode ≠ id) failed at "),
+            col(id).cast("string")))).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")))
+  }
 }

@@ -17,12 +17,15 @@ import org.apache.spark.sql.functions._
   * exactly that split; the merge ≡ direct-build equivalence is
   * spec-asserted.
   *
-  * Estimates are approximate by design, so there is no DuckDB hash oracle
-  * (DuckDB's approx_count_distinct is a different HLL implementation);
-  * the registered query is rows-only and the accuracy contract
-  * (±3σ ≈ 2.5% at lgK=12 — the same bound the reference dashboard's
-  * "Total Users" tile would need at scale) is covered by ScalaTest
-  * against exact counts.
+  * Estimates are approximate by design, so the estimate VALUE has no
+  * DuckDB hash oracle (DuckDB's approx_count_distinct is a different HLL
+  * implementation). The registered gate instead runs
+  * [[approxDistinctAudited]]: the estimate is checked in-plan against the
+  * exact count under the published error bound and the query fails loudly
+  * outside it — which makes the gate's (group, exact, within-bound)
+  * output fully hash-gateable while still exercising the sketch path.
+  * The accuracy contract (±3σ ≈ 2.5% at lgK=12) is additionally covered
+  * by ScalaTest against exact counts.
   */
 object Sketches {
 
@@ -35,6 +38,43 @@ object Sketches {
     df.groupBy(groupCols.map(col): _*)
       .agg(hll_sketch_estimate(
         hll_sketch_agg(col(valueCol), lit(lgK))).as("approx_distinct"))
+
+  /** SELF-CERTIFYING variant of [[approxDistinct]] (the
+    * [[Similarity.withRecallAudit]] pattern applied to sketches): computes
+    * the HLL estimate AND the exact distinct count in the SAME aggregation,
+    * checks the relative error against the published DataSketches bound
+    * (RSE ≈ 1.04/√2^lgK × `safety` standard errors), and `raise_error`s
+    * when the estimate falls outside it — so a correctness gate over the
+    * sketch can no longer pass on shaped garbage: the query itself fails
+    * unless the HLL path actually estimates the cardinality it claims.
+    *
+    * This is the AUDIT shape, not the production shape — the exact
+    * `count_distinct` alongside is precisely the expand+shuffle the sketch
+    * exists to avoid at 100 TB. Production uses [[approxDistinct]] /
+    * [[hllMergeEstimate]]; this runs at gate/spot-check scale, where the
+    * exact side is affordable and certifies the approximate one.
+    *
+    * Output: (groupCols..., exact_distinct, hll_within_bound) — every
+    * column exactly reproducible by an ANSI oracle, because the
+    * implementation-specific estimate is consumed by the audit rather
+    * than emitted. */
+  def approxDistinctAudited(df: DataFrame, groupCols: Seq[String],
+                            valueCol: String, lgK: Int = 12,
+                            safety: Double = 6.0): DataFrame = {
+    val bound = safety * 1.04 / math.sqrt((1L << lgK).toDouble)
+    val relErr = abs(col("__approx") - col("exact_distinct").cast("double")) /
+      greatest(col("exact_distinct").cast("double"), lit(1.0))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        hll_sketch_estimate(hll_sketch_agg(col(valueCol), lit(lgK))).as("__approx"),
+        count_distinct(col(valueCol)).as("exact_distinct"))
+      .withColumn("hll_within_bound",
+        when(relErr <= bound, lit(true)).otherwise(raise_error(concat(
+          lit(s"HLL estimate outside ±$bound rel-err bound: approx="),
+          col("__approx").cast("string"),
+          lit(" exact="), col("exact_distinct").cast("string")))))
+      .drop("__approx")
+  }
 
   /** The ingest-time artifact: one serialized HLL sketch per shard
     * (persist this next to each partition of the lake). */

@@ -312,6 +312,47 @@ object TextAnalysis {
       call_function("deflate_ratio", col(text)).as("deflate_ratio"))
   }
 
+  /** SELF-CERTIFYING variant of [[compressionRatio]]: two in-plan audits
+    * make the rows-only gate fail loudly on a broken codec instead of
+    * passing on shaped garbage —
+    *
+    *  1. per-row BOUNDS: every non-empty document's ratio must land in
+    *     (0, 1.1] (zlib's worst-case expansion on incompressible input is
+    *     a few bytes of header/framing — far under 10% on real text);
+    *     out-of-range → `raise_error` naming the row.
+    *  2. planted MONOTONICITY: a maximally repetitive string must compress
+    *     strictly better than a same-length high-entropy string (a
+    *     deterministic multiplicative-hash scramble, built at plan time —
+    *     no RNG in-plan). The two planted ratios evaluate in a one-row
+    *     side plan whose validated boolean broadcasts onto every row as
+    *     `deflate_order_ok` — any codec that ignores its input (constant
+    *     ratio, hash-of-text, inverted scale) fails this even when it
+    *     lands inside the per-row bounds. */
+  def compressionRatioAudited(df: DataFrame, id: String, text: String): DataFrame = {
+    val spark = df.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val checked = compressionRatio(df, id, text)
+      .withColumn("deflate_ratio",
+        when(col("deflate_ratio").isNull ||  // null text / empty doc: no codec ran
+            (col("deflate_ratio") > 0.0 && col("deflate_ratio") <= 1.1),
+          col("deflate_ratio"))
+        .otherwise(raise_error(concat(
+          lit("deflate_ratio outside (0, 1.1] at "), col(id).cast("string"),
+          lit(": "), col("deflate_ratio").cast("string")))))
+    val repetitive = "ab " * 200
+    val scrambled = (1 to repetitive.length)
+      .map(i => ((i * 2654435761L >>> 7) % 94 + 33).toChar).mkString
+    val order = spark.range(1).select(
+        call_function("deflate_ratio", lit(repetitive)).as("__rep"),
+        call_function("deflate_ratio", lit(scrambled)).as("__rnd"))
+      .select(when(col("__rep") < col("__rnd"), lit(true))
+        .otherwise(raise_error(concat(
+          lit("deflate monotonicity violated: repetitive="),
+          col("__rep").cast("string"), lit(" >= scrambled="),
+          col("__rnd").cast("string")))).as("deflate_order_ok"))
+    checked.crossJoin(broadcast(order))
+  }
+
   /** SPAN CORRUPTION — the T5-style denoising-objective dataset builder
     * (public recipe: Raffel et al. 2020): mask one `spanLen`-token span
     * per document at a DETERMINISTIC hash-chosen position, emitting the

@@ -81,4 +81,17 @@ class BpeSpec extends AnyFunSuite {
       assert(got(id) == expect, s"doc $id: ${got(id)} vs $expect")
     }
   }
+
+  test("encodeAudited ≡ encode on honest input (round-trip audit passes through)") {
+    val docs = Seq((1L, "low lower newest"), (2L, "abab zq"), (3L, ""))
+      .toDF("doc_id", "text")
+    val model = Bpe.train(docs, "text", numMerges = 8)
+    val plain = Bpe.encode(docs, "doc_id", "text", model)
+      .select($"doc_id", $"tokens", $"n_tokens")
+      .as[(Long, Seq[String], Int)].collect().sortBy(_._1)
+    val audited = Bpe.encodeAudited(docs, "doc_id", "text", model)
+      .select($"doc_id", $"tokens", $"n_tokens")
+      .as[(Long, Seq[String], Int)].collect().sortBy(_._1)
+    assert(audited sameElements plain)
+  }
 }

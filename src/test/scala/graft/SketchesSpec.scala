@@ -32,6 +32,27 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("approxDistinctAudited: within-bound passes with exact counts; violated bound raises in-plan") {
+    val got = Sketches.approxDistinctAudited(events, Seq("shard"), "user")
+      .as[(String, Long, Boolean)].collect()
+      .map(r => (r._1, (r._2, r._3))).toMap
+    val exact = events.groupBy($"shard").agg(
+      org.apache.spark.sql.functions.countDistinct($"user").as("d"))
+      .as[(String, Long)].collect().toMap
+    assert(got.view.mapValues(_._1).toMap == exact)
+    assert(got.values.forall(_._2), "hll_within_bound must be true on honest data")
+    // force a violation: lgK=4 (RSE ~26%) against a near-zero tolerance —
+    // the audit must fail the QUERY, not return wrong rows
+    val many = (1 to 60000).map(i => ("g", s"u$i")).toDF("shard", "user")
+    val ex = intercept[Exception] {
+      Sketches.approxDistinctAudited(many, Seq("shard"), "user",
+        lgK = 4, safety = 1e-4).collect()
+    }
+    assert(ex.getMessage.contains("HLL estimate outside") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("HLL estimate outside"),
+      s"unexpected error: ${ex.getMessage}")
+  }
+
   test("union of per-shard sketches ≡ one directly-built sketch (mergeability)") {
     // the 100 TB contract: persisting shard sketches at ingest and merging
     // later must answer exactly what a monolithic build would

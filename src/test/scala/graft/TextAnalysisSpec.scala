@@ -109,6 +109,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(again sameElements got)
   }
 
+  test("compressionRatioAudited: ratios pass through unchanged, order audit broadcasts true") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "spam ham " * 50),
+      (2L, "mixed prose with some repetition some repetition indeed"),
+      (3L, "")).toDF("doc_id", "text")
+    val plain = TextAnalysis.compressionRatio(df, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Option[Double])].collect()
+    val audited = TextAnalysis.compressionRatioAudited(df, "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Option[Double], Boolean)].collect()
+    assert(audited.map(r => (r._1, r._2, r._3)) sameElements plain)
+    assert(audited.forall(_._4), "deflate_order_ok must broadcast true")
+  }
+
   test("spanCorrupt: lossless reassembly, sentinel placement, short docs dropped") {
     import graft.operators.TextAnalysis
     val df = Seq(

@@ -377,6 +377,45 @@ object QueriesCuration {
         .mkString("", " UNION ALL ", " ORDER BY col_name, rnk")
     })
 
+  /** SKEW REPORT OVER LSH BAND KEYS — the pre-flight a band self-join runs
+    * before committing to a plan: [[Profiler.skewReport]] pointed at the
+    * banded candidate keys themselves, so a pipeline can SEE the hot band
+    * (the boilerplate shingle, the degenerate hyperplane region) and size
+    * [[graft.operators.Scale.saltedBandSelfJoin]]'s (salts, hotMin) from
+    * measured band membership instead of guessing. Gated end-to-end on a
+    * DuckDB-reproducible banding: SimHash fingerprints ([[Dedup.simhash32]],
+    * md5 word hashes — the q_simhash_pairs oracle arithmetic) split into
+    * four 8-bit bands, keys "band:value"; the oracle recomputes the same
+    * fingerprints, bands, counts, and skew arithmetic in SQL. skew_ratio =
+    * cnt·nd/total — a hot band's ratio tells you directly how many × the
+    * mean reducer its join task would be. */
+  private val qBandSkewReport = Q(
+    (s, d) => {
+      val sh = graft.operators.Dedup.simhash32(
+        t(s, d, "documents"), "doc_id", "text")
+      val banded = sh.select(explode(array((0 until 4).map { j =>
+        concat(lit(j.toString), lit(":"),
+          shiftright(col("simhash"), 8 * j).bitwiseAND(lit(255L)).cast("string"))
+      }: _*)).as("band_key"))
+      Profiler.skewReport(banded, Seq("band_key"), topN = 10)
+        .orderBy(col("col_name"), col("rnk"))
+    },
+    Some("WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS w FROM documents), " +
+      "h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS hv FROM toks), " +
+      "bits AS (SELECT doc_id, i, SUM(CASE WHEN ((hv >> i) & 1) = 1 THEN 1 ELSE -1 END) AS s " +
+      "FROM h, (SELECT unnest(range(0, 32)) AS i) t GROUP BY doc_id, i), " +
+      "sh AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash " +
+      "FROM bits GROUP BY doc_id), " +
+      "bands AS (SELECT CAST(j AS VARCHAR) || ':' || CAST((simhash >> (8*j)) & 255 AS VARCHAR) AS k " +
+      "FROM sh, (SELECT unnest(range(0, 4)) AS j) u), " +
+      "counts AS (SELECT k, count(*) AS cnt FROM bands GROUP BY 1) " +
+      "SELECT 'band_key' AS col_name, k AS key_value, cnt, rn AS rnk, " +
+      "round(CAST(cnt AS DOUBLE) * 100.0e0 / CAST(total AS DOUBLE), 6) AS share_pct, " +
+      "round(CAST(cnt AS DOUBLE) * CAST(nd AS DOUBLE) / CAST(total AS DOUBLE), 6) AS skew_ratio " +
+      "FROM (SELECT k, cnt, row_number() OVER (ORDER BY cnt DESC, k) AS rn, " +
+      "CAST(SUM(cnt) OVER () AS BIGINT) AS total, COUNT(*) OVER () AS nd FROM counts) " +
+      "WHERE rn <= 10 ORDER BY col_name, rnk"))
+
   val registry: Seq[(String, Q)] = Seq(
     "q_bpe_encode" -> qBpeEncode,
     "q_pagerank" -> qPageRank,
@@ -389,6 +428,7 @@ object QueriesCuration {
     "q_pmi_pairs" -> qPmiPairs,
     "q_profile_table" -> qProfileTable,
     "q_skew_report" -> qSkewReport,
+    "q_band_skew_report" -> qBandSkewReport,
     "q_scd2_build" -> qScd2Build,
     "q_cdc_apply" -> qCdcApply,
     "q_weighted_sample" -> qWeightedSample,

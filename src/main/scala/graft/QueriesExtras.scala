@@ -66,6 +66,21 @@ object QueriesExtras {
       .orderBy(col("doc_a"), col("doc_b")),
     Some(JaccardPairsSql))
 
+  /** [[Dedup.nearDupPairsSalted]] — the HOT-BAND SKEW GUARD twin of
+    * q_dedup_minhash_lsh, against the SAME exact-Jaccard oracle (the
+    * q_j1_linkage_salted pattern extended to banded self-joins: the gate
+    * itself proves salting is semantics-preserving). hotMin is set LOW
+    * here (4) so the gate actually exercises the salted route at test sf —
+    * the duplicate clusters' shared band keys all cross it — while cold
+    * bands keep taking the plain join; production uses a hotMin sized to
+    * the reducer budget (default 4096), where by pigeonhole the hot-key
+    * list is ≤ |banded|/4096 rows and broadcastable. */
+  private val qDedupMinhashLshSalted = Q(
+    (s, d) => Dedup.nearDupPairsSalted(Tables.load(s, d, "documents"),
+        "doc_id", "text", 5, 0.8, salts = 4, hotMin = 4)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(JaccardPairsSql))
+
   /** The INCREMENTAL near-dup path over N arriving batches ≡ the batch
     * LSH oracle: the corpus is split into 4 deterministic micro-batches
     * (doc_id mod 4) and fed through the persisted band-key index sink
@@ -444,6 +459,20 @@ object QueriesExtras {
   private val qEmbNeardupLsh = Q(
     (s, d) => Similarity.lshCosinePairs(Tables.load(s, d, "embeddings"),
         "vec_id", "embedding", threshold = 0.45)
+      .orderBy(col("vec_a"), col("vec_b")),
+    qEmbNeardupPairs.sql)
+
+  /** Hyperplane-LSH pairs through the HOT-BAND SKEW GUARD
+    * ([[graft.operators.Scale.saltedBandSelfJoin]] via `saltHotBands`) —
+    * same oracle as the exhaustive and plain-LSH twins. hotMin = 4 forces
+    * the salted route at test sf (these near-random embeddings put many
+    * vectors in shared bands at cos-threshold 0.45 — exactly the
+    * degenerate-band regime the guard exists for); the pair set must come
+    * out identical. */
+  private val qEmbNeardupLshSalted = Q(
+    (s, d) => Similarity.lshCosinePairs(Tables.load(s, d, "embeddings"),
+        "vec_id", "embedding", threshold = 0.45,
+        saltHotBands = Some((4, 4)))
       .orderBy(col("vec_a"), col("vec_b")),
     qEmbNeardupPairs.sql)
 
@@ -1962,6 +1991,7 @@ object QueriesExtras {
     "q_dedup_ngram_pairs" -> qDedupNgramPairs,
     "q_dedup_prefix_jaccard" -> qDedupPrefixJaccard,
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
+    "q_dedup_minhash_lsh_salted" -> qDedupMinhashLshSalted,
     "q_neardup_incremental" -> qNeardupIncremental,
     "q_dedup_groups" -> qDedupGroups,
     "q_dedup_groups_lsh" -> qDedupGroupsLsh,
@@ -1984,6 +2014,7 @@ object QueriesExtras {
     "q_ann_ivfpq_topk" -> qAnnIvfpqTopk,
     "q_emb_neardup_pairs" -> qEmbNeardupPairs,
     "q_emb_neardup_lsh" -> qEmbNeardupLsh,
+    "q_emb_neardup_lsh_salted" -> qEmbNeardupLshSalted,
     "q_f2_rename_nested" -> qF2RenameNested,
     "q_text_stats" -> qTextStats,
     "q_quality_score" -> qQualityScore,

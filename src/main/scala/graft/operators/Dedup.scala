@@ -356,6 +356,36 @@ object Dedup {
     // explode's when-guard
     val sig = scanSignatures(docs, id, text, n, bands * rows)
     val cand = lshCandidatePairs(sig, id, bands, rows).localCheckpoint()
+    verifyCandidates(docs, id, text, n, threshold, cand)
+  }
+
+  /** [[nearDupPairs]] with the HOT-BAND SKEW GUARD on candidate
+    * generation ([[Scale.saltedBandSelfJoin]]): a band shared by ≥ hotMin
+    * docs — a corpus-wide boilerplate shingle dominating every signature
+    * position, or an adversarially duplicate-saturated corpus — would make
+    * the plain band self-join produce one m²-pair straggler task; here its
+    * pairs spread over `salts` reducers via a secondary id hash. Identical
+    * output (pair-set identity is the helper's contract, spec-asserted),
+    * so it registers against the SAME exact-Jaccard oracle as
+    * [[nearDupPairs]] — the q_j1_linkage_salted pattern, extended from
+    * fact×dim equi-joins to banded self-joins. */
+  def nearDupPairsSalted(docs: DataFrame, id: String, text: String, n: Int,
+                         threshold: Double, bands: Int = 32, rows: Int = 4,
+                         salts: Int = 8, hotMin: Int = 4096): DataFrame = {
+    val sig = scanSignatures(docs, id, text, n, bands * rows)
+    val banded = bandKeys(sig, id, bands, rows)
+    val cand = Scale.saltedBandSelfJoin(banded, id, "band_key",
+        "doc_a", "doc_b", salts, hotMin)
+      .localCheckpoint()
+    verifyCandidates(docs, id, text, n, threshold, cand)
+  }
+
+  /** Shared tail of the LSH paths: restrict the shingle table to candidate
+    * docs, then exact-verify. `cand` must be materialized by the caller
+    * (it feeds the doc-restriction union AND the verify joins). */
+  private def verifyCandidates(docs: DataFrame, id: String, text: String,
+                               n: Int, threshold: Double,
+                               cand: DataFrame): DataFrame = {
     val candDocs = cand.select(col("doc_a").as(id))
       .union(cand.select(col("doc_b").as(id))).distinct()
     // verify over the exploded form (inline generator child — see shingles)

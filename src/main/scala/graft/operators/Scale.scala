@@ -49,6 +49,66 @@ object Scale {
       .groupBy(col(key))
       .agg(merge.head, merge.tail: _*)
 
+  /** Salted SELF-join for banded candidate generation — the skew guard the
+    * LSH band joins need that [[saltedJoin]] (fact×dim) can't provide. A
+    * band-key self-join's task size is quadratic in the band's membership,
+    * so ONE hot band (a boilerplate shingle shared corpus-wide, a
+    * degenerate hyperplane region) becomes a single m²-pair straggler task
+    * at scale while every other reducer idles — and AQE's skew split can't
+    * help, because splitting ONE side of a self-join still replays the
+    * whole other side of the key into each split.
+    *
+    * The guard: a first pass counts band membership (one map-side-combined
+    * shuffle of (key, 1) rows); bands at or above `hotMin` members take the
+    * salted route — each member lands in ONE of `salts` sub-buckets by a
+    * secondary hash of its id, the right side is replicated ×`salts`, and
+    * the join key becomes (band, salt), so the hot band's m² pairs spread
+    * over `salts` reducers (each ~m²/salts) instead of one. Cold bands
+    * join exactly as before, paying nothing.
+    *
+    * Pair-set identity (spec-asserted in ScaleSpec, and the gated queries
+    * run against the SAME exhaustive oracles as their unsalted twins): an
+    * unordered pair {a, b} in a hot band appears exactly once before the
+    * final distinct — the left row for a (salt = h(a)) meets b's replica at
+    * h(a); b's left row meets a's replica at h(b) but emits (b, a), which
+    * the a < b filter drops — mirroring the unsalted join's own dedup.
+    *
+    * Cost model: the replicated side is ONLY the hot-band rows (≤ n·bands
+    * rows with ≥ hotMin-member keys), so replication is bounded by
+    * salts × |hot rows|, and |hot keys| ≤ |banded| / hotMin by pigeonhole —
+    * which is why the hot-key list is broadcastable at production hotMin.
+    * `banded` is localCheckpoint'ed: it feeds the size count plus both the
+    * hot and cold splits (the minhashDupPairs multi-consumer discipline).
+    *
+    * `banded` must carry one row per (idCol, keyCol) membership; output is
+    * the distinct (aName < bName) candidate pairs. */
+  def saltedBandSelfJoin(banded: DataFrame, idCol: String, keyCol: String,
+                         aName: String, bName: String,
+                         salts: Int, hotMin: Int): DataFrame = {
+    require(salts >= 2 && hotMin >= 2,
+      s"need salts >= 2 and hotMin >= 2, got salts=$salts hotMin=$hotMin")
+    val b = banded.select(col(idCol), col(keyCol)).localCheckpoint()
+    val hotKeys = b.groupBy(col(keyCol)).agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") >= hotMin).select(col(keyCol))
+    val hot = b.join(broadcast(hotKeys), Seq(keyCol), "left_semi")
+    val cold = b.join(broadcast(hotKeys), Seq(keyCol), "left_anti")
+    val coldPairs = cold.select(col(idCol).as(aName), col(keyCol))
+      .join(cold.select(col(idCol).as(bName), col(keyCol)), keyCol)
+      .filter(col(aName) < col(bName))
+      .select(col(aName), col(bName))
+    // deterministic secondary hash — NOT rand(): both join sides must see
+    // the same salt for a given id, and reruns must reproduce the pair set
+    val sl = hot.withColumn("__salt", pmod(xxhash64(col(idCol)), lit(salts.toLong)))
+    val sr = hot.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1L))))
+    val hotPairs = sl.select(col(idCol).as(aName), col(keyCol), col("__salt"))
+      .join(sr.select(col(idCol).as(bName), col(keyCol), col("__salt")),
+        Seq(keyCol, "__salt"))
+      .filter(col(aName) < col(bName))
+      .select(col(aName), col(bName))
+    coldPairs.union(hotPairs).distinct()
+  }
+
   /** Write a bucketed+sorted table: joins and aggregations on the bucket key
     * become shuffle-free (co-located) for every downstream reader — the
     * standard layout for a fact table that is joined on the same key by many

@@ -130,7 +130,8 @@ object Similarity {
   def lshCosinePairs(emb: DataFrame, id: String, vec: String, threshold: Double,
                      bands: Int = 48, rowsPerBand: Int = 4, seed: Long = 42L,
                      dim: Option[Int] = None,
-                     maxCandidatesPerVec: Option[Double] = None): DataFrame = {
+                     maxCandidatesPerVec: Option[Double] = None,
+                     saltHotBands: Option[(Int, Int)] = None): DataFrame = {
     // dim from table metadata when known (skips a scan); else from the data
     val d = dim.getOrElse {
       val dimRow = emb.select(max(size(col(vec)))).head()
@@ -149,10 +150,22 @@ object Similarity {
       asD(col(vec)), typedlit(planes.flatten.toIndexedSeq),
       lit(bands), lit(rowsPerBand))
     val banded = emb.select(col(id), explode(keysCol).as("band_key"))
-    val cand0 = banded.select(col(id).as("vec_a"), col("band_key"))
-      .join(banded.select(col(id).as("vec_b"), col("band_key")), "band_key")
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b")).distinct()
+    // saltHotBands = (salts, hotMin) routes bands with >= hotMin members
+    // through Scale.saltedBandSelfJoin — the hot-band skew guard (a
+    // degenerate hyperplane region puts m vectors in one band and the
+    // plain self-join makes its m² pairs ONE reducer task); pair-set
+    // identity is the helper's spec-asserted contract, so the salted form
+    // gates against the same exhaustive oracle
+    val cand0 = saltHotBands match {
+      case Some((salts, hotMin)) =>
+        Scale.saltedBandSelfJoin(banded, id, "band_key",
+          "vec_a", "vec_b", salts, hotMin)
+      case None =>
+        banded.select(col(id).as("vec_a"), col("band_key"))
+          .join(banded.select(col(id).as("vec_b"), col("band_key")), "band_key")
+          .filter(col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b")).distinct()
+    }
     // SELF-CERTIFYING CANDIDATE-COUNT AUDIT (the withRecallAudit pattern,
     // pointed at the other failure mode): banded LSH is only the scale
     // path while |candidates| stays O(c·n) — a degenerate plane region, a

@@ -20,6 +20,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted sameElements plain)
   }
 
+  test("salted band self-join ≡ plain band self-join (hot band)") {
+    // band "B0" holds 60 members (one m²-task straggler unsalted), plus a
+    // spread of cold bands and overlap members so pairs repeat across
+    // bands and exercise the final distinct; ids share bands irregularly
+    val banded = (
+      (1 to 60).map(i => (i.toLong, "B0")) ++
+      (30 to 80).map(i => (i.toLong, s"b${i % 5}")) ++
+      (1 to 20).map(i => (i.toLong, s"b${i % 3}"))
+    ).toDF("id", "band_key")
+    def plain = {
+      val l = banded.select($"id".as("a"), $"band_key")
+      l.join(banded.select($"id".as("b"), $"band_key"), "band_key")
+        .filter($"a" < $"b").select($"a", $"b").distinct()
+        .orderBy($"a", $"b").as[(Long, Long)].collect()
+    }
+    val salted = Scale.saltedBandSelfJoin(banded, "id", "band_key",
+        "a", "b", salts = 4, hotMin = 10)
+      .orderBy($"a", $"b").as[(Long, Long)].collect()
+    assert(salted sameElements plain)
+    // degenerate corners: every band hot / every band cold — same pair set
+    val allHot = Scale.saltedBandSelfJoin(banded, "id", "band_key",
+        "a", "b", salts = 3, hotMin = 2)
+      .orderBy($"a", $"b").as[(Long, Long)].collect()
+    assert(allHot sameElements plain)
+    val allCold = Scale.saltedBandSelfJoin(banded, "id", "band_key",
+        "a", "b", salts = 3, hotMin = 1000)
+      .orderBy($"a", $"b").as[(Long, Long)].collect()
+    assert(allCold sameElements plain)
+  }
+
   test("two-level salted agg ≡ direct agg") {
     val df = (1 to 1000).map(i => (s"k${i % 3}", i.toLong)).toDF("key", "v")
     val direct = df.groupBy($"key").agg(count(lit(1)).as("n"), max($"v").as("mx"))

@@ -272,6 +272,39 @@ object QueriesExtras {
     Some("SELECT event_type, count(DISTINCT user_id) AS exact_distinct, " +
       "true AS hll_within_bound FROM events GROUP BY 1 ORDER BY 1"))
 
+  /** Mergeable quantile sketch, grouped form — the KLL member of the
+    * sketch family ([[graft.operators.QuantileSketch]], Karnin-Lang-
+    * Liberty FOCS'16), SELF-CERTIFYING like the HLL gate above: per
+    * event type the sketch's p50/p95 estimates are audited in-plan
+    * against the exact (q±5%)-quantile rank window and the query
+    * `raise_error`s outside it; the emitted columns are the EXACT
+    * quantiles (the q_grouped_quantiles Spark-percentile ≡ DuckDB-
+    * quantile_cont contract) plus the audited flag — fully hash-gated,
+    * sketch path exercised. */
+  private val qQuantileSketch = Q(
+    (s, d) => graft.operators.QuantileSketch.groupedQuantilesAudited(
+        Tables.load(s, d, "events"), "event_type", "value")
+      .orderBy(col("event_type")),
+    Some("SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, " +
+      "round(quantile_cont(value, 0.95), 6) AS p95, " +
+      "count(value) AS n_valued, true AS kll_within_bound " +
+      "FROM events WHERE value IS NOT NULL GROUP BY 1 ORDER BY 1"))
+
+  /** The corpus-wide persisted-layout path: per-shard KLL sketches
+    * (user_id mod 8 — a stand-in for the lake's partition key) merged
+    * at the SKETCH level, quantile-queried, and audited against the
+    * exact global quantiles. Proves the "persist KBs next to each
+    * partition, merge instead of re-sort" story end-to-end. */
+  private val qQuantileSketchMerged = Q(
+    (s, d) => graft.operators.QuantileSketch.mergedQuantilesAudited(
+        Tables.load(s, d, "events")
+          .withColumn("shard", col("user_id") % 8),
+        "shard", "value"),
+    Some("SELECT round(quantile_cont(value, 0.5), 6) AS p50, " +
+      "round(quantile_cont(value, 0.95), 6) AS p95, " +
+      "count(value) AS n_valued, true AS kll_within_bound " +
+      "FROM events WHERE value IS NOT NULL"))
+
   /** Unigram LM quality score: avg token log-prob under the corpus's own
     * unigram distribution (round(6) soaks up cross-libm ln drift). */
   private val qUnigramLogprob = Q(
@@ -1998,6 +2031,8 @@ object QueriesExtras {
     "q_boilerplate_purge" -> qBoilerplatePurge,
     "q_url_dedup" -> qUrlDedup,
     "q_hll_distinct" -> qHllDistinct,
+    "q_quantile_sketch" -> qQuantileSketch,
+    "q_quantile_sketch_merged" -> qQuantileSketchMerged,
     "q_unigram_logprob" -> qUnigramLogprob,
     "q_bigram_logprob" -> qBigramLogprob,
     "q_normalize_text" -> qNormalizeText,

@@ -22,18 +22,36 @@ object Tables {
   /** One logical table. Column pruning + predicate pushdown reach the scan
     * because nothing materializes between read and the first transform.
     *
-    * `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects; we read nanos as long (legacy conf) and truncate to
-    * microseconds with integer arithmetic — exact, no double round-trip. */
+    * `events.ts` arrives in whichever flavor the writer chose, and a real
+    * lake has all of them; normalize every flavor to TimestampType (LTZ)
+    * here, in ONE place, so the 11 downstream `unix_micros` call sites
+    * never see anything else:
+    *   - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; read nanos
+    *     as long (legacy conf) and truncate to micros with integer
+    *     arithmetic — exact, no double round-trip.
+    *   - TIMESTAMP_NTZ (plain `timestamp[us]`, e.g. pandas-written parquet
+    *     without UTC adjustment): cast to TimestampType — exact under the
+    *     repo-wide UTC session timezone (same wall-clock micros). */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-      import org.apache.spark.sql.functions._
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+      normalizeEventTs(raw)
     } else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** Normalize `ts` to TimestampType regardless of source flavor (see
+    * [[load]]). Factored out so tests can poison a frame with each flavor
+    * and assert every registered temporal query still analyzes. */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   def all(spark: SparkSession, sfDir: String): Map[String, DataFrame] =

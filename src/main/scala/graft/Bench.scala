@@ -99,8 +99,15 @@ object Bench {
     // a file (and an early stdout line for humans), and the FINAL stdout
     // line is a compact summary — headline queries only — that always fits
     // intact inside the tail window.
+    // A query with zero successful runs is a BREAKAGE, not a smaller total:
+    // round 8 shipped 9 broken queries that read as a faster bench because
+    // -1 rows were silently excluded. Name them in BOTH output lines and
+    // exit nonzero so the run is visibly red.
+    val errored = results.collect { case (n, v) if v < 0 => n }
+    val erroredJson =
+      s""""errored":${errored.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val detailLine =
-      s"""{"metric":"detail","value":${fmt(total)},$meta,"queries":${toJson(results)}}"""
+      s"""{"metric":"detail","value":${fmt(total)},$meta,$erroredJson,"queries":${toJson(results)}}"""
     println(detailLine)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), detailLine + "\n"): Unit
@@ -112,7 +119,8 @@ object Bench {
       "q_dedup_exact", "q_dedup_minhash_lsh", "q_emb_neardup_lsh",
       "q_ann_brute_topk", "q_ann_ivf_topk", "q_text_stats", "q_tfidf_top_terms")
     val headlined = results.filter { case (n, _) => headline.contains(n) }
-    println(s"""{"metric":"total","value":${fmt(total)},$meta,"n_queries":${results.size},"detail":"BENCH_DETAIL.json","queries":${toJson(headlined)}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},$meta,"n_queries":${results.size},"n_errored":${errored.size},$erroredJson,"detail":"BENCH_DETAIL.json","queries":${toJson(headlined)}}""")
     spark.stop()
+    if (errored.nonEmpty) sys.exit(1)
   }
 }

@@ -73,6 +73,37 @@ object ProfileMutual {
         .localCheckpoint()
     }
     time("5 anti-join + sink")(sink(emb.join(losers, Seq("vec_id"), "left_anti")))
+
+    // ---- candidate-scoring variants (diagnosis aid) -------------------
+    import graft.plans.GraftFunctions
+    GraftFunctions.register(spark)
+    val asD: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      _.cast("array<double>")
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("array_dot", a, b)
+    val planes = Similarity.hyperplanes(48 * 4, 64, 42L)
+    val keysCol = call_function("lsh_band_keys",
+      asD(col("embedding")), typedlit(planes.flatten.toIndexedSeq), lit(48), lit(4))
+    val banded = emb.select(col("vec_id"), explode(keysCol).as("band_key"))
+    val joined = banded.select(col("vec_id").as("vec_a"), col("band_key"))
+      .join(banded.select(col("vec_id").as("vec_b"), col("band_key")), "band_key")
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+    val va = emb.select(col("vec_id").as("vec_a"), asD(col("embedding")).as("va"),
+      sqrt(dot(asD(col("embedding")), asD(col("embedding")))).as("na"))
+    val vb = emb.select(col("vec_id").as("vec_b"), asD(col("embedding")).as("vb"),
+      sqrt(dot(asD(col("embedding")), asD(col("embedding")))).as("nb"))
+    def score(cand: DataFrame) = cand.join(va, "vec_a").join(vb, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(when(col("na") * col("nb") === 0, lit(null).cast("double"))
+          .otherwise(dot(col("va"), col("vb")) / (col("na") * col("nb"))), 6).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+    time("A collisions only (no score)")(sink(joined))
+    time("B early distinct, no score")(sink(joined.distinct()))
+    time("C late: score all + dropDup")(sink(score(joined).dropDuplicates("vec_a", "vec_b")))
+    time("D early: distinct + score")(sink(score(joined.distinct())))
+    println("[profile] plan of C:")
+    score(joined).dropDuplicates("vec_a", "vec_b").explain("formatted")
     spark.stop()
   }
 }

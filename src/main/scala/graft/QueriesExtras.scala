@@ -530,11 +530,16 @@ object QueriesExtras {
       "replace(replace(source || ' likes Twitter', 'Twitter', 'X'), 'twitter', 'x') AS tag " +
       "FROM documents ORDER BY doc_id"))
 
-  /** Approximate (multi-probe hyperplane LSH) — no SQL oracle by design;
-    * driver records the rows-only check, which the in-plan
-    * [[Similarity.withRecallAudit]] makes SELF-CERTIFYING: the query
-    * itself raises unless recall@10 against the exact brute-force top-10
-    * clears the floor, so garbage rows cannot pass the gate.
+  /** Approximate (multi-probe hyperplane LSH), HASH-GATED: approximate ≠
+    * unverifiable. The whole probe pipeline is a deterministic function of
+    * (corpus, seeded planes), so the oracle REPLAYS it declaratively: the
+    * 6 seeded hyperplanes are embedded as %.17e literals (exact double
+    * round-trip), DuckDB recomputes each vector's sign-bit bucket, the
+    * hamming ≤ 3 probe set, the exact re-scoring, and the recall@10
+    * against brute force — every stage of [[Similarity.annTopK]] +
+    * [[Similarity.withRecallAudit]] mirrored bit-for-bit. The in-plan
+    * recall audit stays (the floor raises on garbage at ANY sf, including
+    * ones the oracle never sees).
     *
     * Probe budget (6 planes, hamming ≤ 3 ≈ 2/3 of buckets) is
     * deliberately generous: these synthetic embeddings are near-random
@@ -553,7 +558,26 @@ object QueriesExtras {
           nPlanes = 6, maxHammingProbe = 3),
         emb, "vec_id", "embedding", anchorId = 0L, k = 10, minRecall = 0.6)
     },
-    None)
+    Some {
+      // the SAME construction annTopK uses: hyperplanes(6, 64, seed=42),
+      // bucket bit i = [dot(v, plane_i) >= 0] weighted 2^i
+      val planes = Similarity.hyperplanes(6, 64)
+      def lit(p: Array[Double]) = p.map(v => f"$v%.17e").mkString("[", ", ", "]")
+      val bucket = planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product(v, ${lit(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        s"b AS (SELECT vec_id, v, CAST($bucket AS BIGINT) AS bucket FROM e), " +
+        "q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0), " +
+        "approx AS (SELECT b.vec_id, " + cosSql("b.v", "q.qv") + " AS cosine " +
+        "FROM b, q WHERE bit_count(xor(b.bucket, q.qbucket)) <= 3 AND b.vec_id <> 0 " +
+        "ORDER BY cosine DESC, b.vec_id LIMIT 10), " +
+        "brute AS (SELECT vec_id FROM (SELECT e.vec_id, " + cosSql("e.v", "q.qv") +
+        " AS c FROM e, q WHERE e.vec_id <> 0) ORDER BY c DESC, vec_id LIMIT 10), " +
+        "rec AS (SELECT CAST(count(*) AS DOUBLE) / 10 AS recall_at_k " +
+        "FROM approx WHERE vec_id IN (SELECT vec_id FROM brute)) " +
+        "SELECT approx.vec_id, approx.cosine, rec.recall_at_k FROM approx, rec"
+    })
 
   /** IVF ANN with full probing (nprobe == nlist) degenerates to exact
     * search, so it shares the brute-force oracle — the gate verifies the

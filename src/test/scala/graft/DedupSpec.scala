@@ -89,13 +89,17 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("dupGroups: long chain converges; too-low maxIter fails loudly") {
-    // path graph 1-2-3-...-8: min label must walk the whole chain
+    // path graph 1-2-3-...-8: min label must walk the whole chain.
+    // smallGraphBound = 0 forces the distributed loop — these properties
+    // are about the loop, which the fast path would otherwise shadow
     val chain = (1L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = Dedup.dupGroups(chain).as[(Long, Long)].collect()
+    val got = Dedup.dupGroups(chain, smallGraphBound = 0).as[(Long, Long)].collect()
     assert(got.forall(_._2 == 1L) && got.length == 8)
     // with maxIter below the chain diameter the result would be silently
     // split clusters — the operator must throw instead
-    intercept[IllegalStateException] { Dedup.dupGroups(chain, maxIter = 2) }
+    intercept[IllegalStateException] {
+      Dedup.dupGroups(chain, maxIter = 2, smallGraphBound = 0)
+    }
   }
 
   test("dupGroups: pointer jumping converges a 120-chain in O(log d) rounds") {
@@ -103,16 +107,17 @@ class DedupSpec extends AnyFunSuite {
     // must land it within 12 (2^12 >> 120) — this is the 100 TB property:
     // shuffle rounds scale with log(diameter), not diameter
     val chain = (1L until 120L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = Dedup.dupGroups(chain, maxIter = 12).as[(Long, Long)].collect()
+    val got = Dedup.dupGroups(chain, maxIter = 12, smallGraphBound = 0)
+      .as[(Long, Long)].collect()
     assert(got.length == 120 && got.forall(_._2 == 1L))
   }
 
-  test("dupGroups ≡ driver-side union-find on seeded random pair graphs") {
+  test("dupGroups ≡ driver-side union-find on seeded random pair graphs (both paths)") {
     val rnd = new scala.util.Random(99)
-    for (_ <- 1 to 5) {
+    for (bound <- Seq(0L, 1L << 20); _ <- 1 to 5) {
       val pairs = (1 to 40).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
         .filter { case (a, b) => a != b }
-      val got = Dedup.dupGroups(pairs.toDF("doc_a", "doc_b"))
+      val got = Dedup.dupGroups(pairs.toDF("doc_a", "doc_b"), smallGraphBound = bound)
         .as[(Long, Long)].collect().toMap
       // reference: plain union-find over the same edges
       val parent = scala.collection.mutable.Map[Long, Long]()

@@ -22,7 +22,6 @@ class SparkEntrySpec extends AnyFunSuite {
     // rows-only by design; anything else missing an oracle is a forgotten
     // gate, not a decision
     val rowsOnlyByDesign = Set(
-      "q_ann_lsh_topk",    // approximate ANN
       "q_ann_pq_topk",     // lossy quantization
       "q_ann_ivfpq_topk",  // lossy quantization
       "q_hll_distinct",    // approximate sketch

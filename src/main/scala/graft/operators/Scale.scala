@@ -88,8 +88,14 @@ object Scale {
     require(salts >= 2 && hotMin >= 2,
       s"need salts >= 2 and hotMin >= 2, got salts=$salts hotMin=$hotMin")
     val b = banded.select(col(idCol), col(keyCol)).localCheckpoint()
+    // materialized: consumed by FOUR joins (hot/cold × left/right) — left
+    // lazy, the count aggregate and its shuffle replay once per consumer
+    // (the plan showed 4 identical HashAggregate+Exchange subtrees). The
+    // frame is |keys with >= hotMin members| rows — bounded by
+    // |banded|/hotMin (pigeonhole), the same bound that makes it
+    // broadcastable.
     val hotKeys = b.groupBy(col(keyCol)).agg(count(lit(1)).as("__bn"))
-      .filter(col("__bn") >= hotMin).select(col(keyCol))
+      .filter(col("__bn") >= hotMin).select(col(keyCol)).localCheckpoint()
     val hot = b.join(broadcast(hotKeys), Seq(keyCol), "left_semi")
     val cold = b.join(broadcast(hotKeys), Seq(keyCol), "left_anti")
     val coldPairs = cold.select(col(idCol).as(aName), col(keyCol))
@@ -101,8 +107,17 @@ object Scale {
     val sl = hot.withColumn("__salt", pmod(xxhash64(col(idCol)), lit(salts.toLong)))
     val sr = hot.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1L))))
+    // SHUFFLE_HASH is the point of the construction, so it is pinned, not
+    // left to the planner: partitioning by (band, salt) is what spreads a
+    // hot band's m² pairs over `salts` reducers. Left free, the planner
+    // picks broadcast (replicated side under the threshold locally —
+    // measured 2× slower here: one giant probe map against ~500-match keys
+    // beats per-partition maps on neither cache locality nor build cost)
+    // or sort-merge at scale (per-key group buffering — the exact straggler
+    // shape the salt exists to break).
     val hotPairs = sl.select(col(idCol).as(aName), col(keyCol), col("__salt"))
-      .join(sr.select(col(idCol).as(bName), col(keyCol), col("__salt")),
+      .join(sr.select(col(idCol).as(bName), col(keyCol), col("__salt"))
+          .hint("shuffle_hash"),
         Seq(keyCol, "__salt"))
       .filter(col(aName) < col(bName))
       .select(col(aName), col(bName))

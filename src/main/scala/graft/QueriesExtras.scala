@@ -1965,6 +1965,52 @@ object QueriesExtras {
       "FROM isl GROUP BY doc_a, doc_b, diag, g " +
       "ORDER BY doc_a, doc_b, a_start, b_start"))
 
+  /** Span detection through the HOT-WINDOW GUARD
+    * ([[Dedup.substringSpans]] with `maxDocFreq = 2`): windows shared by
+    * more than 2 documents are dropped BEFORE the hash self-join — the
+    * document-frequency ceiling that bounds per-hash fan-out at cap² when
+    * corpus-wide boilerplate would otherwise make one window key m²
+    * rows. The oracle REPLAYS the cap declaratively (df-per-window CTE +
+    * semi-join), so the guard's exact semantics — including the spans it
+    * legitimately splits or drops — are hash-gated, not narrative. */
+  private val qSubstringSpansCapped = Q(
+    (s, d) => Dedup.substringSpans(Tables.load(s, d, "documents"),
+        "doc_id", "text", k = 8, maxDocFreq = Some(2))
+      .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start")),
+    Some("WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
+      "wins0 AS (SELECT doc_id, pos, md5(array_to_string(w[pos:pos+7], ' ')) AS h FROM " +
+      "(SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS pos FROM w)), " +
+      "ok AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df FROM wins0 GROUP BY h) WHERE df <= 2), " +
+      "wins AS (SELECT wins0.* FROM wins0 WHERE h IN (SELECT h FROM ok)), " +
+      "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb " +
+      "FROM wins a JOIN wins b ON a.h = b.h AND a.doc_id < b.doc_id), " +
+      "isl AS (SELECT doc_a, doc_b, pa, pb, pa - pb AS diag, " +
+      "pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS g FROM p) " +
+      "SELECT doc_a, doc_b, min(pa) AS a_start, min(pb) AS b_start, " +
+      "max(pa) - min(pa) + 8 AS len_tokens " +
+      "FROM isl GROUP BY doc_a, doc_b, diag, g " +
+      "ORDER BY doc_a, doc_b, a_start, b_start"))
+
+  /** TOKEN-BUDGET SELECTION ([[Sampling.tokenBudgetSelect]], budget 50k
+    * whitespace tokens in doc_id order): the "fill the training run"
+    * prefix — documents kept while the inclusive running token count
+    * stays within budget. The Spark side is the DISTRIBUTED two-phase
+    * prefix sum ([[Sampling.withGlobalRunningSum]]: range-sort, bounded
+    * per-partition partials to the driver, broadcast offsets + local
+    * windows — never a single-partition global window); the oracle is the
+    * single-node equivalent window sum, so the distributed machinery is
+    * hash-gated against the declarative definition. */
+  private val qTokenBudgetSelect = Q(
+    (s, d) => Sampling.tokenBudgetSelect(Tables.load(s, d, "documents"),
+        "doc_id", size(split(trim(col("text")), "\\s+")),
+        Seq(col("doc_id")), budget = 50000L)
+      .orderBy(col("doc_id")),
+    Some("SELECT doc_id, n_tokens, cum_tokens FROM " +
+      "(SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens, " +
+      "CAST(sum(len(string_split_regex(trim(text), '\\s+'))) OVER (ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens " +
+      "FROM documents) WHERE cum_tokens <= 50000 ORDER BY doc_id"))
+
   /** EXACT-SUBSTRING PURGE ([[Dedup.substringDedup]], k = 8, span ≥ 20):
     * documents sharing a ≥ 20-token verbatim span form components
     * ([[Dedup.dupGroups]]), min-id survives — the composition row over
@@ -2127,6 +2173,8 @@ object QueriesExtras {
     "q_decontaminate_bloom" -> qDecontaminateBloom,
     "q_neardup_purge" -> qNeardupPurge,
     "q_substring_spans" -> qSubstringSpans,
+    "q_substring_spans_capped" -> qSubstringSpansCapped,
+    "q_token_budget_select" -> qTokenBudgetSelect,
     "q_substring_dedup" -> qSubstringDedup,
     "q_fuzzy_match" -> qFuzzyMatch,
     "q_snm_pairs" -> qSnmPairs,

@@ -121,12 +121,34 @@ object Dedup {
     *
     * Output: (doc_a, doc_b, a_start, b_start, len_tokens), 1-based token
     * positions, doc_a < doc_b, one row per maximal shared span. */
-  def substringSpans(df: DataFrame, id: String, text: String, k: Int): DataFrame = {
+  def substringSpans(df: DataFrame, id: String, text: String, k: Int,
+                     maxDocFreq: Option[Int] = None): DataFrame = {
     require(k >= 2, s"substringSpans: need window k >= 2, got $k")
     import org.apache.spark.sql.expressions.Window
-    val wins = df.select(col(id), split(trim(col(text)), "\\s+").as("w"))
+    val wins0 = df.select(col(id), split(trim(col(text)), "\\s+").as("w"))
       .select(col(id), explode(windowHashesOf(col("w"), k)).as("ph"))
       .select(col(id), col("ph.pos").as("pos"), col("ph.h").as("h"))
+    // HOT-WINDOW GUARD (the Scaladoc's document-frequency ceiling, as a
+    // real parameter): a boilerplate window shared by m documents fans the
+    // hash self-join out to m² rows — corpus-wide license headers at 100 TB
+    // make that THE dominant cost, and those spans are boilerplate, not the
+    // duplication being hunted. With a cap, windows whose DOCUMENT
+    // frequency exceeds it are dropped before the join, bounding per-hash
+    // fan-out at cap² at the price of missing spans shared by > cap docs
+    // (the documented boilerplate-vs-dup tradeoff; purgeBoilerplate is the
+    // operator for what this drops). The df pass is one map-side-combined
+    // aggregate on the same key the join shuffles on; the semi-join
+    // re-tokenizes the scan stage rather than materializing
+    // tokens-per-corpus rows — recomputing a scan is the cheaper side of
+    // that trade at every scale.
+    val wins = maxDocFreq match {
+      case None => wins0
+      case Some(cap) =>
+        val ok = wins0.groupBy(col("h"))
+          .agg(count_distinct(col(id)).as("__df"))
+          .filter(col("__df") <= cap).select(col("h"))
+        wins0.join(ok, Seq("h"), "left_semi")
+    }
     val p = wins.select(col(id).as("doc_a"), col("pos").as("pa"), col("h"))
       .join(wins.select(col(id).as("doc_b"), col("pos").as("pb"), col("h")), "h")
       .filter(col("doc_a") < col("doc_b"))

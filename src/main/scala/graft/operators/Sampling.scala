@@ -312,4 +312,77 @@ object Sampling {
       .withColumn("group_id", coalesce(col("group_id"), col(id)))
     splitAssign(withGroup, "group_id", cuts, salt)
   }
+
+  /** DISTRIBUTED GLOBAL RUNNING SUM over a total order — the primitive
+    * behind budget-bounded selection (token budgets, cost quotas, ordered
+    * chunk assignment). A naive `Window.orderBy` with no partition key
+    * moves the whole corpus into ONE task (Spark even warns); this is the
+    * classic two-phase scan instead:
+    *
+    *  1. range-repartition + sort on the order keys (one shuffle — the
+    *     same one any global sort pays), stamp `spark_partition_id`;
+    *  2. per-partition partial sums → driver (ONE row per partition —
+    *     bounded scheduler-metadata scale, like range boundaries
+    *     themselves) → exclusive prefix offsets, broadcast back;
+    *  3. per-row running sum = partition offset + within-partition window
+    *     sum (each window partition is one range partition — no second
+    *     shuffle).
+    *
+    * The order keys must be a TOTAL order (include a unique tiebreak):
+    * range boundaries then cannot split equal keys, and the running sum is
+    * identical whatever boundaries the sampler picked. The input is
+    * materialized once (localCheckpoint): partials and final rows must see
+    * the SAME partitioning, and the sort subtree should not replay.
+    *
+    * Output: input rows + `out` = inclusive running sum of `value` in the
+    * global order. */
+  def withGlobalRunningSum(df: DataFrame, order: Seq[Column], value: Column,
+                           out: String, partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = if (partitions > 0) partitions
+      else df.sparkSession.sparkContext.defaultParallelism
+    val sorted = df.repartitionByRange(p, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val partials = sorted.groupBy(col("__pid"))
+      .agg(sum(value).as("__psum"))
+      .collect().map(r => r.getInt(0) -> r.getAs[Any]("__psum"))
+      .sortBy(_._1)
+    // exclusive prefix offsets in partition order (range partitions are
+    // ordered by construction; empty partitions simply emit no partial, so
+    // offsets are keyed by the pids actually present). Sums accumulate via
+    // BigDecimal to stay exact for both long and decimal inputs.
+    var acc = BigDecimal(0)
+    val offsets = partials.map { case (pid, s) =>
+      val off = (pid, acc)
+      acc += (if (s == null) BigDecimal(0) else BigDecimal(s.toString))
+      off
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.map { case (pid, off) => (pid, off.toLong) }
+      .toSeq.toDF("__pid", "__off")
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sorted.join(broadcast(offDf), Seq("__pid"))
+      .withColumn(out, (col("__off") + sum(value).over(w)).cast("long"))
+      .drop("__pid", "__off")
+  }
+
+  /** TOKEN-BUDGET SELECTION — take documents in a deterministic total
+    * order until a token budget is exhausted (the "fill the training run"
+    * selection every corpus assembly ends with). Built on
+    * [[withGlobalRunningSum]]; a document is kept iff its INCLUSIVE
+    * running token count stays within the budget, so the kept set is a
+    * prefix of the global order and re-runs (or re-partitions) can never
+    * swap members. Output: (id, n_tokens, cum_tokens) for the kept
+    * prefix. */
+  def tokenBudgetSelect(df: DataFrame, id: String, tokens: Column,
+                        order: Seq[Column], budget: Long): DataFrame =
+    withGlobalRunningSum(
+      df.select(col(id), tokens.cast("long").as("n_tokens")),
+      order, col("n_tokens"), "cum_tokens")
+      .filter(col("cum_tokens") <= budget)
+      .select(col(id), col("n_tokens"), col("cum_tokens"))
 }

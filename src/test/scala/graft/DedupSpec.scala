@@ -248,6 +248,28 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.exists(r => r._1 == 4L || r._2 == 4L))
   }
 
+  test("substringSpans maxDocFreq: boilerplate window dropped, pairwise span kept") {
+    // "a b c" appears in docs 1, 2, 3 (df = 3 > cap 2) — the boilerplate
+    // regime the cap exists for; "p q r" is a genuine pairwise dup (df = 2)
+    val docs = Seq(
+      (1L, "a b c x p q r"),
+      (2L, "a b c y p q r"),
+      (3L, "a b c z z z z")
+    ).toDF("doc_id", "text")
+    val capped = Dedup.substringSpans(docs, "doc_id", "text", k = 3, maxDocFreq = Some(2))
+      .orderBy($"doc_a", $"doc_b", $"a_start")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(capped sameElements Array((1L, 2L, 5L, 5L, 3L)), capped.mkString(","))
+    // uncapped sees the boilerplate window in every pair
+    val full = Dedup.substringSpans(docs, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(full.length == 4, full.mkString(","))
+    // a generous cap is a no-op: identical rows to the uncapped form
+    val generous = Dedup.substringSpans(docs, "doc_id", "text", k = 3, maxDocFreq = Some(99))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(generous.sorted sameElements full.sorted)
+  }
+
   test("substringDedup: span >= minSpanTokens purges transitively, min id survives") {
     // 1-2 share 5 tokens, 2-5 share 5 tokens (chain -> one component);
     // 1-3 share only 3 (< minSpan): 3 survives

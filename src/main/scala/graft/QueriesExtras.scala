@@ -2011,6 +2011,49 @@ object QueriesExtras {
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens " +
       "FROM documents) WHERE cum_tokens <= 50000 ORDER BY doc_id"))
 
+  /** BEST-FIRST BUDGET FILL ([[Sampling.tokenBudgetSelect]] ordered by
+    * (quality DESC, doc_id), budget 20k tokens): the real-world corpus
+    * assembly move — spend the token budget on the highest-quality
+    * documents first. The order key is the [[TextAnalysis.qualityScore]]
+    * double (bit-identical across engines — q_quality_score's gate), the
+    * machinery is the distributed two-phase prefix sum, and the oracle
+    * replays quality + window sum declaratively. */
+  private val qTokenBudgetQuality = Q(
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val withQ = docs.join(
+        TextAnalysis.qualityScore(docs, "doc_id", "text"), Seq("doc_id"))
+      Sampling.tokenBudgetSelect(withQ, "doc_id",
+          size(split(trim(col("text")), "\\s+")),
+          Seq(col("quality").desc, col("doc_id")), budget = 20000L)
+        .orderBy(col("doc_id"))
+    },
+    Some("WITH st AS (SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS nw, " +
+      "len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS nd, " +
+      "len(regexp_extract_all(lower(text), '\\b(the|a|an|and|of|to|in|is|it|for)\\b')) AS ns FROM documents), " +
+      "q AS (SELECT doc_id, least(CAST(nw AS DOUBLE) / 100.0e0, 1.0e0) * 0.4e0 " +
+      "+ (CAST(nd AS DOUBLE) / nw) * 0.3e0 + (CAST(ns AS DOUBLE) / nw) * 0.3e0 AS quality, " +
+      "CAST(nw AS BIGINT) AS n_tokens FROM st), " +
+      "c AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM q) " +
+      "SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 20000 ORDER BY doc_id"))
+
+  /** PER-SOURCE TOKEN QUOTAS ([[Sampling.groupBudgetSelect]], 5k tokens
+    * per source in doc_id order): cap each source's contribution — corpus
+    * rebalancing as a selection. One window over one shuffle on `source`;
+    * each group's prefix is independent, so skew is bounded by the quota
+    * itself. */
+  private val qSourceBudgetSelect = Q(
+    (s, d) => Sampling.groupBudgetSelect(Tables.load(s, d, "documents"),
+        "doc_id", "source", size(split(trim(col("text")), "\\s+")),
+        Seq(col("doc_id")), budgetPerGroup = 5000L)
+      .orderBy(col("doc_id")),
+    Some("SELECT doc_id, source, n_tokens, cum_tokens FROM " +
+      "(SELECT doc_id, source, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens, " +
+      "CAST(sum(len(string_split_regex(trim(text), '\\s+'))) OVER (PARTITION BY source ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens " +
+      "FROM documents) WHERE cum_tokens <= 5000 ORDER BY doc_id"))
+
   /** EXACT-SUBSTRING PURGE ([[Dedup.substringDedup]], k = 8, span ≥ 20):
     * documents sharing a ≥ 20-token verbatim span form components
     * ([[Dedup.dupGroups]]), min-id survives — the composition row over
@@ -2175,6 +2218,8 @@ object QueriesExtras {
     "q_substring_spans" -> qSubstringSpans,
     "q_substring_spans_capped" -> qSubstringSpansCapped,
     "q_token_budget_select" -> qTokenBudgetSelect,
+    "q_token_budget_quality" -> qTokenBudgetQuality,
+    "q_source_budget_select" -> qSourceBudgetSelect,
     "q_substring_dedup" -> qSubstringDedup,
     "q_fuzzy_match" -> qFuzzyMatch,
     "q_snm_pairs" -> qSnmPairs,

@@ -378,17 +378,41 @@ object Sampling {
 
   /** TOKEN-BUDGET SELECTION — take documents in a deterministic total
     * order until a token budget is exhausted (the "fill the training run"
-    * selection every corpus assembly ends with). Built on
+    * selection every corpus assembly ends with; order by a quality score
+    * descending and this is best-first corpus fill). Built on
     * [[withGlobalRunningSum]]; a document is kept iff its INCLUSIVE
     * running token count stays within the budget, so the kept set is a
     * prefix of the global order and re-runs (or re-partitions) can never
-    * swap members. Output: (id, n_tokens, cum_tokens) for the kept
-    * prefix. */
+    * swap members. `order` may reference any column of `df` (all columns
+    * ride through the prefix sum). Output: (id, n_tokens, cum_tokens) for
+    * the kept prefix. */
   def tokenBudgetSelect(df: DataFrame, id: String, tokens: Column,
                         order: Seq[Column], budget: Long): DataFrame =
     withGlobalRunningSum(
-      df.select(col(id), tokens.cast("long").as("n_tokens")),
+      df.withColumn("n_tokens", tokens.cast("long")),
       order, col("n_tokens"), "cum_tokens")
       .filter(col("cum_tokens") <= budget)
       .select(col(id), col("n_tokens"), col("cum_tokens"))
+
+  /** PER-GROUP TOKEN QUOTAS — the grouped sibling of [[tokenBudgetSelect]]:
+    * within every group (source, language, domain), documents are taken in
+    * the given order until that group's budget is exhausted — the corpus
+    * REBALANCING selection (cap each source's contribution instead of the
+    * global total). No global sort is needed here: the running sum
+    * partitions by the group key, so this is ONE window over one shuffle
+    * on `group` — embarrassingly scale-shaped (each group's prefix is
+    * independent; skewed groups are bounded by their own budget's worth of
+    * output, and the window state is a single long). Output:
+    * (id, group, n_tokens, cum_tokens) for the kept prefixes. */
+  def groupBudgetSelect(df: DataFrame, id: String, group: String,
+                        tokens: Column, orderWithinGroup: Seq[Column],
+                        budgetPerGroup: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(group)).orderBy(orderWithinGroup: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetPerGroup)
+      .select(col(id), col(group), col("n_tokens"), col("cum_tokens"))
+  }
 }

@@ -214,4 +214,33 @@ class SamplingSpec extends AnyFunSuite {
       size(split(trim($"text"), "\\s+")), Seq($"doc_id"), budget = 10L)
     assert(empty.count() == 0)
   }
+
+  test("tokenBudgetSelect: best-first order spends the budget on high scores") {
+    // order by (score desc, id): doc 3 (best) then doc 1 fill the budget;
+    // doc 2 would fit alone but the prefix rule has already passed it over
+    val docs = Seq(
+      (1L, "a b c", 0.5),   // 3 tokens
+      (2L, "d e", 0.1),     // 2 tokens
+      (3L, "f g h i", 0.9)  // 4 tokens
+    ).toDF("doc_id", "text", "score")
+    val got = Sampling.tokenBudgetSelect(docs, "doc_id",
+        size(split(trim($"text"), "\\s+")), Seq($"score".desc, $"doc_id"), budget = 8L)
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect()
+    assert(got sameElements Array((1L, 3L, 7L), (3L, 4L, 4L)), got.mkString(","))
+  }
+
+  test("groupBudgetSelect: independent per-group prefixes under one quota") {
+    val docs = Seq(
+      (1L, "s1", "a b c"),      // s1 cum 3
+      (2L, "s1", "d e f g"),    // s1 cum 7 > 5 — out
+      (3L, "s2", "h i"),        // s2 cum 2
+      (4L, "s2", "j k l"),      // s2 cum 5 — exactly the quota, kept
+      (5L, "s2", "m")           // s2 cum 6 — out
+    ).toDF("doc_id", "source", "text")
+    val got = Sampling.groupBudgetSelect(docs, "doc_id", "source",
+        size(split(trim($"text"), "\\s+")), Seq($"doc_id"), budgetPerGroup = 5L)
+      .orderBy($"doc_id").select($"doc_id", $"cum_tokens")
+      .as[(Long, Long)].collect()
+    assert(got sameElements Array((1L, 3L), (3L, 2L), (4L, 5L)), got.mkString(","))
+  }
 }

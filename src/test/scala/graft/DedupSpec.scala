@@ -134,6 +134,18 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dupGroups: string ids order lexicographically on both paths") {
+    // the fast path compares ids via Comparable — must agree with the
+    // loop's Spark `min`/`least` (binary/lexicographic for strings)
+    val pairs = Seq(("b", "c"), ("c", "a"), ("x", "y")).toDF("doc_a", "doc_b")
+    for (bound <- Seq(0L, 1L << 20)) {
+      val got = Dedup.dupGroups(pairs, smallGraphBound = bound)
+        .as[(String, String)].collect().toMap
+      assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"),
+        s"bound=$bound: $got")
+    }
+  }
+
   test("contamination: verbatim leak -> 1.0, clean doc -> 0.0, partial in between") {
     val benchmark = Seq((100L, "the quick brown fox jumps over the lazy dog today"))
       .toDF("doc_id", "text")

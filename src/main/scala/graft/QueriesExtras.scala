@@ -562,7 +562,11 @@ object QueriesExtras {
       // the SAME construction annTopK uses: hyperplanes(6, 64, seed=42),
       // bucket bit i = [dot(v, plane_i) >= 0] weighted 2^i
       val planes = Similarity.hyperplanes(6, 64)
-      def lit(p: Array[Double]) = p.map(v => f"$v%.17e").mkString("[", ", ", "]")
+      // Locale.ROOT: %e under a comma-decimal default locale (de_DE)
+      // would render "1,23e+00" and break the generated SQL
+      def lit(p: Array[Double]) = p
+        .map(v => String.format(java.util.Locale.ROOT, "%.17e", Double.box(v)))
+        .mkString("[", ", ", "]")
       val bucket = planes.zipWithIndex.map { case (p, i) =>
         s"(CASE WHEN list_dot_product(v, ${lit(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
       }.mkString(" + ")

@@ -561,8 +561,13 @@ object Dedup {
     * (the larger root attaches under the smaller) keeps every tree's root
     * equal to its component's minimum id, so the final find() IS the
     * group_id — byte-identical to the loop's fixpoint. Works for any
-    * Comparable id type (long, string — the two id shapes in this repo)
-    * using the same natural ordering as Spark's `min`/`least`. */
+    * Comparable id type (long, string — the two id shapes in this repo).
+    * String ids are compared as UTF-8 bytes (via [[UTF8String]]), NOT
+    * java.lang.String's UTF-16 code-unit order: Spark's `min`/`least`
+    * under UTF8_BINARY collation sorts by UTF-8 bytes, and the two orders
+    * disagree when supplementary (non-BMP) characters mix with
+    * U+E000–U+FFFF — surrogates sort low in UTF-16 but high in UTF-8.
+    * Spec-pinned with a non-BMP case in DedupSpec. */
   private def dupGroupsLocal(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     val idType = edges.schema("id").dataType
@@ -574,8 +579,13 @@ object Dedup {
       while (parent.get(c) != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
       r
     }
-    def lt(a: Any, b: Any): Boolean =
-      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      // match Spark's UTF8_BINARY order (UTF-8 bytes), not UTF-16 units
+      case (sa: String, sb: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(sa)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(sb)) < 0
+      case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    }
     // edges carries both directions; processing (id, nbr) as undirected
     // unions is idempotent, so the duplication is harmless
     edges.select(col("id"), col("nbr")).toLocalIterator().forEachRemaining { row =>

@@ -400,10 +400,16 @@ object Sampling {
     * REBALANCING selection (cap each source's contribution instead of the
     * global total). No global sort is needed here: the running sum
     * partitions by the group key, so this is ONE window over one shuffle
-    * on `group` — embarrassingly scale-shaped (each group's prefix is
-    * independent; skewed groups are bounded by their own budget's worth of
-    * output, and the window state is a single long). Output:
-    * (id, group, n_tokens, cum_tokens) for the kept prefixes. */
+    * on `group` — each group's prefix is independent and the window state
+    * is a single long. Skew caveat: only the OUTPUT is budget-bounded;
+    * the window must still sort and scan a skewed group's FULL membership
+    * on one task before the cum_tokens filter applies, so per-group
+    * compute is linear in group size (a giant group is a straggler, not
+    * an OOM — the running sum itself is O(1) state). If giant groups are
+    * expected, pre-filter rows that cannot make the cut (e.g. by a
+    * per-group approximate quantile on the order key) or two-phase the
+    * prefix sum the way [[withGlobalRunningSum]] does across partitions.
+    * Output: (id, group, n_tokens, cum_tokens) for the kept prefixes. */
   def groupBudgetSelect(df: DataFrame, id: String, group: String,
                         tokens: Column, orderWithinGroup: Seq[Column],
                         budgetPerGroup: Long): DataFrame = {

@@ -114,10 +114,14 @@ object Scale {
     // measured 2× slower here: one giant probe map against ~500-match keys
     // beats per-partition maps on neither cache locality nor build cost)
     // or sort-merge at scale (per-key group buffering — the exact straggler
-    // shape the salt exists to break).
+    // shape the salt exists to break). The hint sits on the UNEXPLODED
+    // side (sl): the hinted side becomes the SHJ build side, and a
+    // (band, salt) partition of sl holds ~m/salts rows where the exploded
+    // sr holds the full hot-band membership m — building on sl costs
+    // salts× less memory for identical output.
     val hotPairs = sl.select(col(idCol).as(aName), col(keyCol), col("__salt"))
-      .join(sr.select(col(idCol).as(bName), col(keyCol), col("__salt"))
-          .hint("shuffle_hash"),
+      .hint("shuffle_hash")
+      .join(sr.select(col(idCol).as(bName), col(keyCol), col("__salt")),
         Seq(keyCol, "__salt"))
       .filter(col(aName) < col(bName))
       .select(col(aName), col(bName))

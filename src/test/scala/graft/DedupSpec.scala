@@ -146,6 +146,24 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dupGroups: non-BMP string ids agree across paths (UTF-8 vs UTF-16 order)") {
+    // U+10000 (surrogate pair D800 DC00; UTF-8 F0 90 80 80) vs U+E000
+    // (UTF-16 unit E000; UTF-8 EE 80 80): UTF-16 code-unit order says
+    // supp < pua (D800 < E000), UTF-8 byte order says pua < supp
+    // (EE < F0). Spark's min/least uses UTF-8 bytes, so both dupGroups
+    // paths must pick pua as the group id; a UTF-16 comparator (plain
+    // String.compareTo) would pick supp on the fast path only.
+    val supp = "\uD800\uDC00" // U+10000
+    val pua = "\uE000"
+    val pairs = Seq((supp, pua), ("a", "b")).toDF("doc_a", "doc_b")
+    for (bound <- Seq(0L, 1L << 20)) {
+      val got = Dedup.dupGroups(pairs, smallGraphBound = bound)
+        .as[(String, String)].collect().toMap
+      assert(got == Map(supp -> pua, pua -> pua, "a" -> "a", "b" -> "a"),
+        s"bound=$bound: $got")
+    }
+  }
+
   test("contamination: verbatim leak -> 1.0, clean doc -> 0.0, partial in between") {
     val benchmark = Seq((100L, "the quick brown fox jumps over the lazy dog today"))
       .toDF("doc_id", "text")

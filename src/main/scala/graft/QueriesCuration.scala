@@ -114,6 +114,78 @@ object QueriesCuration {
     },
     None)
 
+  /** Oracle SQL for [[qBpeMerges]]: the SAME 8 greedy merge rounds as
+    * unrolled CTEs (the q_pagerank convention — iterate-in-SQL so a
+    * sequential engine proves the learned state bit-for-bit). Per round r:
+    * `p` counts adjacent symbol pairs weighted by word frequency, `b`
+    * picks the winner (count desc, then lexicographic — DuckDB's binary
+    * collation ≡ Scala's on this ASCII corpus), and the merge application
+    * reproduces GREEDY LEFT-TO-RIGHT pairing exactly: marked positions
+    * (sym=a, next=b) are grouped into maximal consecutive runs and only
+    * EVEN offsets within a run merge — for a≠b runs are singletons (all
+    * merge); for a=b a k-run yields floor(k/2) merges from the left,
+    * which is precisely the scan loop's semantics. Rows whose predecessor
+    * merged are absorbed; positions renumber. CTEs are MATERIALIZED —
+    * inlined, the 8-round chain re-evaluates exponentially. An exhausted
+    * round (no pair with weighted count ≥ 2) yields an empty `b`, whose
+    * cross join empties all later states: the SQL emits exactly the
+    * rounds the Scala early-stop emits. */
+  private val BpeMergesSql: String = {
+    val nRounds = 8
+    def round(r: Int): String = {
+      val prev = s"s${r - 1}"
+      s"p$r AS MATERIALIZED (SELECT a, b, SUM(f) AS cnt FROM (" +
+        s"SELECT f, sym AS a, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS b FROM $prev) " +
+        "WHERE b IS NOT NULL GROUP BY a, b HAVING SUM(f) >= 2), " +
+        s"b$r AS MATERIALIZED (SELECT a, b FROM p$r ORDER BY cnt DESC, a, b LIMIT 1), " +
+        s"m$r AS (SELECT s.w, s.f, s.pos, s.sym, CASE WHEN s.sym = b$r.a " +
+        s"AND lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.pos) = b$r.b " +
+        s"THEN 1 ELSE 0 END AS mk FROM $prev s, b$r), " +
+        s"g$r AS (SELECT w, f, pos, sym, mk, CASE WHEN mk = 1 " +
+        "THEN pos - row_number() OVER (PARTITION BY w, mk ORDER BY pos) END AS runid " +
+        s"FROM m$r), " +
+        s"x$r AS (SELECT w, f, pos, sym, CASE WHEN mk = 1 " +
+        "AND (row_number() OVER (PARTITION BY w, runid ORDER BY pos) % 2) = 1 " +
+        s"THEN 1 ELSE 0 END AS do_merge FROM g$r), " +
+        s"s$r AS MATERIALIZED (SELECT w, f, " +
+        "row_number() OVER (PARTITION BY w ORDER BY pos) AS pos, " +
+        "CASE WHEN do_merge = 1 THEN sym || nxt ELSE sym END AS sym FROM (" +
+        "SELECT *, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt, " +
+        s"lag(do_merge) OVER (PARTITION BY w ORDER BY pos) AS pm FROM x$r) " +
+        "WHERE COALESCE(pm, 0) = 0)"
+    }
+    "WITH toks AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w FROM documents), " +
+      "vocab AS (SELECT w, count(*) AS f FROM toks WHERE w <> '' GROUP BY w), " +
+      "s0 AS MATERIALIZED (SELECT w, f, pos, substring(w, pos, 1) AS sym FROM (" +
+      "SELECT w, f, unnest(range(1, length(w) + 1)) AS pos FROM vocab)), " +
+      (1 to nRounds).map(round).mkString(", ") + " " +
+      (1 to nRounds).map(r =>
+        s"SELECT CAST($r AS INT) AS rank, a AS lhs, b AS rhs FROM b$r")
+        .mkString(" UNION ALL ") +
+      " ORDER BY rank"
+  }
+
+  /** BPE MERGE-TABLE LEARNING, oracle-gated ([[Bpe.train]]): the first 8
+    * learned merges (rank, lhs, rhs) from the documents corpus — the
+    * training half of the BPE split, now a hash-green executable claim
+    * (q_bpe_encode remains the rows-only application half with its
+    * in-plan round-trip audit). Scale shape is [[Bpe]]'s: corpus → word
+    * frequencies in ONE map-side-combined aggregation (shuffled bytes are
+    * vocabulary-, not corpus-sized), then the merge loop runs on that
+    * bounded table driver-side — maxVocab-guarded, the documented bounded
+    * collect. 8 rounds keeps the oracle's unrolled CTE chain reviewable;
+    * rank is the merge priority the encoder consumes. */
+  private val qBpeMerges = Q(
+    (s, d) => {
+      val model = Bpe.train(t(s, d, "documents"), "text", numMerges = 8)
+      import s.implicits._
+      model.merges.zipWithIndex
+        .map { case ((a, b), i) => (i + 1, a, b) }
+        .toDF("rank", "lhs", "rhs")
+        .orderBy(col("rank"))
+    },
+    Some(BpeMergesSql))
+
   /** PAGERANK over the customer↔supplier trade graph ([[Graph.pageRank]]):
     * 3 exact fixed-point iterations (integer micro-unit ranks, floor'd
     * divisions — the kmeans determinism construction), symmetric distinct
@@ -418,6 +490,7 @@ object QueriesCuration {
 
   val registry: Seq[(String, Q)] = Seq(
     "q_bpe_encode" -> qBpeEncode,
+    "q_bpe_merges" -> qBpeMerges,
     "q_pagerank" -> qPageRank,
     "q_triangles" -> qTriangles,
     "q_clustering_coef" -> qClusteringCoef,

@@ -82,6 +82,19 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("train is prefix-stable: train(8) merges = first 8 merges of train(64)") {
+    // greedy BPE learns merges one at a time with no lookahead, so a
+    // shorter budget must be a prefix of a longer one — the invariant that
+    // makes q_bpe_merges' 8-round oracle a valid gate over the same model
+    // q_bpe_encode trains with numMerges=64
+    val docs = Seq((1L, "low lower lowest newest newer new"),
+      (2L, "wide wider widest low lower new"), (3L, "banana bandana cabana"))
+      .toDF("doc_id", "text")
+    val m8 = Bpe.train(docs, "text", numMerges = 8).merges
+    val m64 = Bpe.train(docs, "text", numMerges = 64).merges
+    assert(m8.length == 8 && m64.take(8) == m8)
+  }
+
   test("encodeAudited ≡ encode on honest input (round-trip audit passes through)") {
     val docs = Seq((1L, "low lower newest"), (2L, "abab zq"), (3L, ""))
       .toDF("doc_id", "text")

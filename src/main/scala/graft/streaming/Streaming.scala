@@ -397,7 +397,7 @@ object Streaming {
     * one open in the same batch). State is O(open sessions); the timeout
     * guarantees eviction. Append-mode friendly: only closed sessions are
     * emitted, never revised. */
-  case class OpenSession(start: Long, lastTs: Long, n: Long)
+  case class OpenSession(start: Long, lastTs: Long, n: Long) // micros
   case class SessionBuf(sessions: List[OpenSession]) // kept sorted by start
   case class ClosedSession(user_id: Long, session_start: Timestamp,
                            session_end: Timestamp, n_events: Long)
@@ -406,6 +406,7 @@ object Streaming {
                        gapMs: Long = 30L * 60 * 1000): DataFrame = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val gapUs = gapMs * 1000L
 
     // a session is EMITTED only once the watermark has passed lastTs + gap
     // — never merely because a later event arrived in the same batch: a
@@ -415,30 +416,47 @@ object Streaming {
     // can extend a session BACKWARD), so out-of-order delivery within the
     // watermark horizon can never corrupt boundaries or counts. State is
     // O(sessions inside the watermark horizon) per key, evicted by timeout.
+    //
+    // Session arithmetic is in MICROSECONDS (unix_micros in the plan, not
+    // Timestamp.getTime): the batch twin q_sessionize breaks on
+    // gap_us > 30 min strictly, and a ms-truncated gap would merge a
+    // boundary that batch splits whenever the excess is sub-millisecond —
+    // the parity spec on the real events table holds exactly, not
+    // modulo truncation. Only the TIMEOUT is ms-grain (the GroupState
+    // API's unit); timeouts gate emission time, never boundaries.
     def coalesce(sorted: List[OpenSession]): List[OpenSession] =
       sorted.foldLeft(List.empty[OpenSession]) {
-        case (prev :: rest, s) if s.start - prev.lastTs <= gapMs =>
+        case (prev :: rest, s) if s.start - prev.lastTs <= gapUs =>
           OpenSession(prev.start, math.max(prev.lastTs, s.lastTs), prev.n + s.n) :: rest
         case (acc, s) => s :: acc
       }.reverse
+    def usToTs(us: Long): Timestamp = {
+      val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
 
+    // ts rides along untouched: it carries the event-time/watermark
+    // attribute the stateful operator needs (projecting it away would
+    // drop the watermark and the late-row filter with it)
     events.toDF("user_id", "ts").withWatermark("ts", watermark)
-      .as[(Long, Timestamp)]
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Timestamp, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessionBuf, ClosedSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (uid: Long, rows: Iterator[(Long, Timestamp)], state: GroupState[SessionBuf]) =>
+        (uid: Long, rows: Iterator[(Long, Timestamp, Long)], state: GroupState[SessionBuf]) =>
           val prev = state.getOption.map(_.sessions).getOrElse(Nil)
-          val incoming = rows.map(r => OpenSession(r._2.getTime, r._2.getTime, 1L)).toList
+          val incoming = rows.map(r => OpenSession(r._3, r._3, 1L)).toList
           val merged = coalesce((prev ++ incoming).sortBy(s => (s.start, s.lastTs)))
-          val wm = state.getCurrentWatermarkMs()
-          val (done, keep) = merged.partition(_.lastTs + gapMs <= wm)
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          val (done, keep) = merged.partition(_.lastTs + gapUs <= wm)
           if (keep.nonEmpty) {
             state.update(SessionBuf(keep))
-            state.setTimeoutTimestamp(keep.map(_.lastTs + gapMs).min)
+            state.setTimeoutTimestamp(keep.map(s => (s.lastTs + gapUs) / 1000L).min)
           } else state.remove()
           done.iterator.map(s => ClosedSession(uid,
-            new Timestamp(s.start), new Timestamp(s.lastTs), s.n))
+            usToTs(s.start), usToTs(s.lastTs), s.n))
       }.toDF()
   }
 

@@ -331,6 +331,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("statefulSessions on sf0.001 events ≡ batch q_sessionize summaries (stream≡batch)") {
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // batch truth: q_sessionize's per-event session ids, rolled up to the
+    // (start, end, n) summary shape the streaming operator emits — same
+    // 30-minute gap rule, microsecond arithmetic on both sides
+    val batch = SparkEntry.queries("q_sessionize")(spark, dir)
+      .groupBy($"user_id", $"session_id")
+      .agg(min($"ts").as("session_start"), max($"ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+
+    val evs = Tables.load(spark, dir, "events")
+      .select($"user_id", $"ts").orderBy($"ts")
+      .as[(Long, Timestamp)].collect()
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = Streaming.statefulSessions(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_parity").start()
+    try {
+      // four micro-batches in global ts order (per-key event-time order is
+      // the exactness contract; intra-chunk disorder is covered by the
+      // watermark and the interval-coalescing merge)
+      evs.grouped((evs.length + 3) / 4).foreach { chunk =>
+        mem.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      // sentinel 2h past the data end pushes the watermark beyond every
+      // open session's timeout; the second sentinel batch runs with that
+      // watermark applied so the timeouts actually fire
+      val far = new Timestamp(evs.map(_._2.getTime).max + 2L * 60 * 60 * 1000)
+      mem.addData((-1L, far)); q.processAllAvailable()
+      mem.addData((-1L, far)); q.processAllAvailable()
+      val got = spark.table("sess_parity").filter($"user_id" =!= -1L)
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      assert(got == batch,
+        s"stream ${got.size} sessions vs batch ${batch.size}")
+    } finally q.stop()
+  }
+
   test("incremental rollup sink: crash-window recovery keeps exactly-once merges") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rollup_crash").toString + "/state"
     val fs = new org.apache.hadoop.fs.Path(dir)

@@ -199,14 +199,31 @@ object Similarity {
               col("__nvec").cast("string"), lit(" vectors"))))
         (mat.crossJoin(stats), Some(guard))
     }
-    // score only candidates: per-side norm computed once, dot per pair
+    rescoreCandidates(cand, emb, id, vec, audit)
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** The exact-cosine RE-SCORE tail shared by [[lshCosinePairs]] and the
+    * bucketed-lake twin: candidates (vec_a, vec_b) join the embeddings
+    * twice — once per endpoint — with per-side norms computed once and one
+    * dot per pair. These two joins are where the "double-sided vector
+    * shuffle" lives: with `emb` read from a plain parquet lake, BOTH wide
+    * vector sides exchange on the id; with `emb` read from a
+    * [[Scale.writeBucketed]] layout on the id column, the scan's bucket
+    * partitioning satisfies both joins and ONLY the narrow candidate side
+    * moves (spec-asserted in ScaleSpec: two exchanges, none above a
+    * bucketed scan — the 100 TB shape, since the vector payload is orders
+    * of magnitude wider than the (id, id) pairs). `guard` is
+    * [[lshCosinePairs]]'s in-plan candidate-count audit wrapper. */
+  private[graft] def rescoreCandidates(cand: DataFrame, emb: DataFrame,
+                                       id: String, vec: String,
+                                       guard: Option[Column => Column] = None): DataFrame = {
     val va = emb.select(col(id).as("vec_a"), asD(col(vec)).as("va"), norm(col(vec)).as("na"))
     val vb = emb.select(col(id).as("vec_b"), asD(col(vec)).as("vb"), norm(col(vec)).as("nb"))
     val cosRaw = round(safeDiv(dot(col("va"), col("vb")), col("na") * col("nb")), 6)
     cand.join(va, "vec_a").join(vb, "vec_b")
       .select(col("vec_a"), col("vec_b"),
-        audit.fold(cosRaw)(g => g(cosRaw)).as("cosine"))
-      .filter(col("cosine") >= threshold)
+        guard.fold(cosRaw)(g => g(cosRaw)).as("cosine"))
   }
 
   /** INT8 SYMMETRIC QUANTIZATION of an embedding column — the storage-

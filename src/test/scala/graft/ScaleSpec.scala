@@ -80,6 +80,35 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucketed embeddings lake removes the vector-side exchanges from candidate re-score") {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    Scale.writeBucketed(emb, "emb_bk", "vec_id", buckets = 4)
+    val cand = Seq((0L, 1L), (0L, 2L), (3L, 9L), (5L, 7L)).toDF("vec_a", "vec_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def exchanges(p: String) = "Exchange hashpartitioning".r.findAllIn(p).size
+      val lake = Similarity.rescoreCandidates(cand, emb, "vec_id", "embedding")
+      val bk = Similarity.rescoreCandidates(cand, spark.table("emb_bk"),
+        "vec_id", "embedding")
+      val lakePlan = lake.queryExecution.executedPlan.toString
+      val bkPlan = bk.queryExecution.executedPlan.toString
+      // plain lake: candidates + both wide vector sides shuffle (4 total:
+      // cand, va, intermediate-for-vec_b, vb). Bucketed: ONLY the narrow
+      // candidate side and the join-1 intermediate move — both vector
+      // scans serve their join from bucket partitioning.
+      assert(exchanges(lakePlan) == 4, s"lake plan:\n$lakePlan")
+      assert(exchanges(bkPlan) == 2, s"bucketed plan:\n$bkPlan")
+      assert("Bucketed: true".r.findAllIn(bkPlan).size == 2,
+        s"both embedding scans should be bucketed:\n$bkPlan")
+      // same rows either way
+      val a = lake.orderBy($"vec_a", $"vec_b").as[(Long, Long, Double)].collect()
+      val b = bk.orderBy($"vec_a", $"vec_b").as[(Long, Long, Double)].collect()
+      assert(a.length == 4 && (a sameElements b))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("partitioned lake write prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lake").toString + "/events"
     val df = Seq(("tweets", 1), ("tweets", 2), ("users", 3)).toDF("topic", "v")

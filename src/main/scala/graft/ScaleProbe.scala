@@ -1,0 +1,286 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale probe: does the measured cost curve match the plan-shape
+  * predictions SCALE.md makes for each operator family?
+  *
+  * Correctness gates run at sf0.01 and the bench at sf0.1; every 100 TB
+  * claim above that rests on plan audits. This main converts the claims to
+  * measurements by synthesizing a ~10x corpus (an sf1-equivalent for the
+  * tables the quiet-top-10 touch) and re-running the exact registered
+  * queries against it, plus two targeted micro-probes the audits cannot
+  * express:
+  *
+  *   - `dupgroups`: the union-find fast path vs the distributed
+  *     label-propagation loop on either side of the `smallGraphBound`
+  *     crossover (Dedup.dupGroups) — both paths timed at both sizes, and
+  *     result equality asserted, so "no cliff at the bound" is a number,
+  *     not a sentence.
+  *   - `spans`: substringSpans capped vs uncapped on a boilerplate-salted
+  *     corpus — the df-cap's purpose is bounding hot-window fan-out at
+  *     cap^2; the probe plants a corpus-wide boilerplate run and measures
+  *     the quadratic blow-up the cap removes.
+  *
+  * SYNTHESIS preserves each family's within-corpus structure exactly while
+  * keeping replicas disjoint, so the predicted scaling of every pair-
+  * generating family is linear (x replicas), not quadratic:
+  *   - documents: every token of replica r > 0 gets a `~r<r>` suffix — a
+  *     bijective shingle remap, so within-replica Jaccard/MinHash/prefix
+  *     structure is IDENTICAL to the base corpus and cross-replica shingle
+  *     overlap is zero.
+  *   - embeddings: replica r > 0 is a signed circular shift (an orthogonal
+  *     transform) of the base vectors — within-replica cosines preserved
+  *     exactly (up to float reassociation), cross-replica cosines
+  *     pseudo-random.
+  *   - orders/lineitem/part: join keys offset per replica — ten disjoint
+  *     trade graphs / basket universes.
+  *
+  * Stages (arg 1): synth | quiet | dupgroups | spans | all. Results append
+  * to target/probe/probe_results.jsonl (one JSON object per measurement)
+  * and echo to stdout as `[probe] {...}`.
+  */
+object ScaleProbe {
+  private val Off = 10000000L
+  private val Dim = 64
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Overridable so specs exercising synth() don't append smoke lines to
+    * the canonical measurement file. */
+  private def resultsPath: String =
+    sys.props.getOrElse("graft.probe.results", "target/probe/probe_results.jsonl")
+
+  private def emit(fields: (String, Any)*): Unit = {
+    val json = fields.map {
+      case (k, v: String) => s""""$k":"$v""""
+      case (k, v: Double) => f""""$k":$v%.3f"""
+      case (k, v: Seq[_]) =>
+        s""""$k":[${v.map(x => f"${x.asInstanceOf[Double]}%.3f").mkString(",")}]"""
+      case (k, v) => s""""$k":$v"""
+    }.mkString("{", ",", "}")
+    println(s"[probe] $json")
+    val f = new java.io.File(resultsPath)
+    f.getParentFile.mkdirs()
+    val w = new java.io.FileWriter(f, true)
+    try w.write(json + "\n") finally w.close()
+  }
+
+  // ------------------------------------------------------------------
+  // Synthesis
+  // ------------------------------------------------------------------
+
+  /** Offset `keys` by r*Off — replica key spaces are disjoint. */
+  private def offsetKeys(df: DataFrame, r: Int, keys: Seq[String]): DataFrame =
+    keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(r * Off)))
+
+  private def replicate(base: DataFrame, replicas: Int)(mk: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until replicas).map(r => if (r == 0) base else mk(base, r)).reduce(_ unionByName _)
+
+  def synth(spark: SparkSession, baseDir: String, outDir: String, replicas: Int): Unit = {
+    val t0 = System.nanoTime()
+    val docs = Tables.load(spark, baseDir, "documents")
+    // bijective token remap: suffix every token with ~r<r> (no whitespace,
+    // survives the repo-wide split(trim(text), "\\s+") tokenizer)
+    replicate(docs, replicas) { (b, r) =>
+      offsetKeys(b, r, Seq("doc_id"))
+        .withColumn("text",
+          array_join(transform(split(trim(col("text")), "\\s+"),
+            t => concat(t, lit(s"~r$r"))), " "))
+        .withColumn("n_chars", length(col("text")))
+    }.repartition(16).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val emb = Tables.load(spark, baseDir, "embeddings")
+    // signed circular shift: orthogonal, so within-replica cosines are the
+    // base corpus's; the shift stride and sign pattern differ per replica
+    replicate(emb, replicas) { (b, r) =>
+      val shift = (r * 7) % Dim
+      offsetKeys(b, r, Seq("vec_id"))
+        .withColumn("embedding",
+          transform(sequence(lit(0), lit(Dim - 1)), i =>
+            element_at(col("embedding"), (pmod(i + lit(shift), lit(Dim)) + 1).cast("int")) *
+              when(pmod(xxhash64(lit(r), i), lit(2)) === 0, lit(1.0f)).otherwise(lit(-1.0f)))
+            .cast("array<float>"))
+    }.repartition(16).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    replicate(Tables.load(spark, baseDir, "orders"), replicas) { (b, r) =>
+      offsetKeys(b, r, Seq("o_orderkey", "o_custkey"))
+    }.repartition(32).write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+    replicate(Tables.load(spark, baseDir, "lineitem"), replicas) { (b, r) =>
+      offsetKeys(b, r, Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    }.repartition(32).write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    replicate(Tables.load(spark, baseDir, "part"), replicas) { (b, r) =>
+      offsetKeys(b, r, Seq("p_partkey"))
+    }.repartition(8).write.mode("overwrite").parquet(s"$outDir/part.parquet")
+
+    val secs = (System.nanoTime() - t0) / 1e9
+    val counts = Seq("documents", "embeddings", "orders", "lineitem", "part")
+      .map(t => t -> spark.read.parquet(s"$outDir/$t.parquet").count())
+    counts.foreach { case (t, n) => emit("probe" -> "synth", "table" -> t, "rows" -> n) }
+    emit("probe" -> "synth", "table" -> "_all", "secs" -> secs, "replicas" -> replicas)
+  }
+
+  // ------------------------------------------------------------------
+  // Quiet-top-10 at base vs 10x
+  // ------------------------------------------------------------------
+
+  /** Linear-prediction rows: registered scale paths. */
+  private val tierA = Seq(
+    "q_pagerank", "q_dedup_groups_lsh", "q_neardup_purge",
+    "q_dedup_minhash_lsh", "q_dedup_prefix_jaccard", "q_decontaminate_bloom",
+    "q_pmi_pairs", "q_mutual_knn_dedup_benign", "q_negative_sample_bounded")
+
+  /** Documented adversarial / quadratic-twin rows: run once, and an
+    * in-plan audit firing is a RESULT (the guard working), not a failure. */
+  private val tierB = Seq(
+    "q_emb_neardup_lsh", "q_emb_neardup_lsh_salted",
+    "q_mutual_knn_dedup_lsh", "q_negative_sample")
+
+  private def runQuery(spark: SparkSession, name: String, dir: String,
+                       timedRuns: Int, countRows: Boolean): Unit = {
+    val fn = SparkEntry.queries(name)
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    try {
+      val samples = (1 to timedRuns).map(_ => once())
+      val rows = if (countRows) fn(spark, dir).count() else -1L
+      emit("probe" -> "quiet10", "query" -> name, "dir" -> dir,
+        "secs" -> samples.min, "runs" -> samples.toSeq, "rows" -> rows)
+    } catch {
+      case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .replaceAll("[\"\\n\\r\\\\]", " ").take(300)
+        emit("probe" -> "quiet10", "query" -> name, "dir" -> dir,
+          "error" -> msg)
+    }
+  }
+
+  def quiet(spark: SparkSession, baseDir: String, probeDir: String): Unit = {
+    // base scale: warmup + min-of-3 (the SCALE.md board convention)
+    (tierA ++ tierB).foreach { n =>
+      try SparkEntry.queries(n)(spark, baseDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    (tierA ++ tierB).foreach(n => runQuery(spark, n, baseDir, timedRuns = 3, countRows = true))
+    // probe scale: AQE compiles different plans, so the first timed run
+    // carries codegen/JIT for those plans; min-of-2 absorbs most of it and
+    // the per-run samples are recorded so the inflation stays visible
+    tierA.foreach(n => runQuery(spark, n, probeDir, timedRuns = 2, countRows = true))
+    tierB.foreach(n => runQuery(spark, n, probeDir, timedRuns = 1, countRows = false))
+  }
+
+  // ------------------------------------------------------------------
+  // dupGroups crossover micro-probe
+  // ------------------------------------------------------------------
+
+  /** nPairs chain pairs in components of `chainLen` nodes: component c has
+    * nodes c*chainLen .. c*chainLen+chainLen-1 and pairs (j, j+1). Known
+    * components, diameter chainLen-1, ids disjoint across components. */
+  private[graft] def chainPairs(spark: SparkSession, nPairs: Long, chainLen: Int): DataFrame = {
+    val per = (chainLen - 1).toLong
+    spark.range(nPairs)
+      .select(
+        (expr(s"id div $per") * chainLen + pmod(col("id"), lit(per))).as("doc_a"),
+        (expr(s"id div $per") * chainLen + pmod(col("id"), lit(per)) + 1).as("doc_b"))
+  }
+
+  def dupgroups(spark: SparkSession): Unit = {
+    import graft.operators.Dedup
+    // dupGroups materializes edges = 2 x pairs; the bound is 2^20 EDGES
+    val below = (1L << 20) * 3 / 8   // 786k edges  -> local union-find
+    val above = (1L << 20) * 3 / 4   // 1.57M edges -> distributed loop
+    for ((pairs, tag) <- Seq((below, "below_bound"), (above, "above_bound"));
+         (bound, path) <- Seq((1L << 20, "auto"), (0L, "forced_distributed"),
+                              (1L << 22, "forced_local"))) {
+      val p = chainPairs(spark, pairs, 8).localCheckpoint()
+      val t0 = System.nanoTime()
+      val out = Dedup.dupGroups(p, smallGraphBound = bound)
+      out.write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      emit("probe" -> "dupgroups", "size" -> tag, "path" -> path,
+        "pairs" -> pairs, "edges" -> pairs * 2, "secs" -> secs)
+    }
+    // path equivalence at the crossover scale: forced local == forced
+    // distributed on the SAME above-bound graph
+    val p = chainPairs(spark, above, 8).localCheckpoint()
+    val local = Dedup.dupGroups(p, smallGraphBound = Long.MaxValue)
+    val dist = Dedup.dupGroups(p, smallGraphBound = 0L)
+    val diff = local.exceptAll(dist).count() + dist.exceptAll(local).count()
+    emit("probe" -> "dupgroups", "check" -> "path_equality_above_bound",
+      "diff_rows" -> diff)
+    require(diff == 0L, s"dupGroups paths disagree above the bound: $diff rows")
+  }
+
+  // ------------------------------------------------------------------
+  // substringSpans boilerplate micro-probe
+  // ------------------------------------------------------------------
+
+  def spans(spark: SparkSession, baseDir: String): Unit = {
+    import graft.operators.Dedup
+    val docs = Tables.load(spark, baseDir, "documents").localCheckpoint()
+    val bp = (1 to 30).map(i => s"graftbp$i").mkString(" ")
+    // every 8th doc gets the same 30-token boilerplate tail: 625 docs at
+    // sf0.1 -> k=8 gives 23 window hashes of doc-frequency 625 each;
+    // uncapped fan-out 23 * 625^2 ~ 9.0M joined rows and ~195k span rows
+    // of pure boilerplate; the df-cap (16) drops those windows before the
+    // join
+    val salted = docs.withColumn("text",
+      when(col("doc_id") % 8 === 0, concat(col("text"), lit(" " + bp)))
+        .otherwise(col("text"))).localCheckpoint()
+    def run(tag: String, df: DataFrame, cap: Option[Int]): Unit = {
+      val t0 = System.nanoTime()
+      val out = Dedup.substringSpans(df, "doc_id", "text", k = 8, maxDocFreq = cap)
+      val rows = out.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      emit("probe" -> "spans", "corpus" -> tag,
+        "cap" -> cap.getOrElse(-1), "span_rows" -> rows, "secs" -> secs)
+    }
+    run("base", docs, None)           // reference: no boilerplate
+    run("salted", salted, None)       // the quadratic blow-up
+    run("salted", salted, Some(16))   // the capped scale path
+    run("base", docs, Some(16))       // cap overhead on a clean corpus
+  }
+
+  // ------------------------------------------------------------------
+
+  def main(args: Array[String]): Unit = {
+    val stage = args.headOption.getOrElse("all")
+    val baseDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val probeDir = args.lift(2).getOrElse("target/probe/sf1")
+    val replicas = args.lift(3).map(_.toInt).getOrElse(10)
+    val spark = session()
+    val marker = new java.io.File(s"$probeDir/part.parquet/_SUCCESS")
+    stage match {
+      case "synth" => synth(spark, baseDir, probeDir, replicas)
+      case "quiet" => quiet(spark, baseDir, probeDir)
+      case "dupgroups" => dupgroups(spark)
+      case "spans" => spans(spark, baseDir)
+      case "all" =>
+        if (!marker.exists()) synth(spark, baseDir, probeDir, replicas)
+        quiet(spark, baseDir, probeDir)
+        dupgroups(spark)
+        spans(spark, baseDir)
+      case other => sys.error(s"unknown stage: $other")
+    }
+    spark.stop()
+  }
+}

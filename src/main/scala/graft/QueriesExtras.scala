@@ -635,6 +635,87 @@ object QueriesExtras {
     },
     None)
 
+  /** Unrolled fixed-point Lloyd CTEs for ONE PQ subspace (`p`-prefixed so
+    * multiple subspaces coexist in a single query): the KmeansSqlWith
+    * construction over the sliced embedding `[lo..hi]` (1-based inclusive,
+    * DuckDB list slicing), ending in three consumable CTEs — `{p}c{iters}`
+    * (final centroids), `{p}asg` (final assignment = the PQ code, ties to
+    * the smallest code) and `{p}lut` (the anchor's exact int distance to
+    * every final centroid: its own rows of the final distance table). */
+  private def pqSubspaceCtes(p: String, k: Int, iters: Int, lo: Int, hi: Int): String = {
+    def round(n: Int, cdims: String): String =
+      s"${p}d$n AS (SELECT d.vec_id, cd.c, SUM((d.x - cd.y) * (d.x - cd.y)) AS dd " +
+      s"FROM ${p}dims d JOIN $cdims cd USING (i) GROUP BY d.vec_id, cd.c), " +
+      s"${p}a$n AS (SELECT vec_id, c FROM (SELECT vec_id, c, " +
+      s"row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) AS rn FROM ${p}d$n) WHERE rn = 1), " +
+      s"${p}m$n AS (SELECT a.c, d.i, CAST(floor(CAST(SUM(d.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS y " +
+      s"FROM ${p}dims d JOIN ${p}a$n a USING (vec_id) GROUP BY a.c, d.i), " +
+      s"${p}c$n AS (SELECT s.c, s.i, COALESCE(m.y, s.y) AS y " +
+      s"FROM $cdims s LEFT JOIN ${p}m$n m ON s.c = m.c AND s.i = m.i)"
+    s"${p}q AS (SELECT vec_id, list_transform((embedding::DOUBLE[])[$lo:$hi], " +
+      "x -> CAST(trunc(x * 1000000e0) AS BIGINT)) AS v FROM embeddings), " +
+      s"${p}dims AS (SELECT vec_id, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS i FROM ${p}q), " +
+      s"${p}c0 AS (SELECT c, unnest(v) AS y, unnest(range(1, len(v) + 1)) AS i " +
+      s"FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v FROM ${p}q) WHERE c < $k), " +
+      (1 to iters).map(n => round(n, s"${p}c${n - 1}")).mkString(", ") + ", " +
+      s"${p}df AS (SELECT d.vec_id, cd.c, SUM((d.x - cd.y) * (d.x - cd.y)) AS dd " +
+      s"FROM ${p}dims d JOIN ${p}c$iters cd USING (i) GROUP BY d.vec_id, cd.c), " +
+      s"${p}asg AS (SELECT vec_id, c FROM (SELECT vec_id, c, " +
+      s"row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) AS rn FROM ${p}df) WHERE rn = 1), " +
+      s"${p}lut AS (SELECT c, dd FROM ${p}df WHERE vec_id = 0)"
+  }
+
+  /** EXACT-PQ twin ([[graft.operators.PqIndex.exactTopKReranked]]) — the
+    * hash-gated form of the PQ retrieve-then-rerank pipeline: fixed-point
+    * Lloyd codebooks per subspace (the q_kmeans_assign construction, m=2
+    * k=4 iters=2 over dim 64), argmin encode, exact int64 ADC shortlist
+    * (top-100 by (distance, id)), exact cosine rerank. Every stage is
+    * deterministic integer/rounded arithmetic, so DuckDB replays the whole
+    * pipeline bit-identically — upgrading the PQ family from rows-only
+    * (q_ann_pq_topk, MLlib codebooks + recall audit) to hash-gated, the
+    * same twin discipline as q_bpe_merges for BPE. */
+  private val qAnnPqExactTopk = Q(
+    (s, d) => graft.operators.PqIndex.exactTopKReranked(
+      Tables.load(s, d, "embeddings"), "vec_id", "embedding",
+      m = 2, k = 4, iters = 2, dim = 64, anchorId = 0L, topK = 10, shortlist = 100),
+    Some("WITH " + pqSubspaceCtes("s0", 4, 2, 1, 32) + ", " +
+      pqSubspaceCtes("s1", 4, 2, 33, 64) + ", " +
+      "adc AS (SELECT a0.vec_id, l0.dd + l1.dd AS approx " +
+      "FROM s0asg a0 JOIN s1asg a1 USING (vec_id) " +
+      "JOIN s0lut l0 ON l0.c = a0.c JOIN s1lut l1 ON l1.c = a1.c " +
+      "WHERE a0.vec_id <> 0), " +
+      "short AS (SELECT vec_id FROM adc ORDER BY approx, vec_id LIMIT 100), " +
+      "qa AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0) " +
+      s"SELECT e.vec_id, ${cosSql("e.embedding::DOUBLE[]", "qe")} AS cosine " +
+      "FROM embeddings e JOIN short USING (vec_id), qa " +
+      "ORDER BY cosine DESC, e.vec_id LIMIT 10"))
+
+  /** EXACT-IVF-PQ twin ([[graft.operators.PqIndex.exactIvfPqTopKReranked]])
+    * — the PQ twin plus the coarse stage: a fixed-point k-means over the
+    * FULL vector (the same `pqSubspaceCtes` construction, slice 1..64)
+    * assigns cells, the anchor probes its `nprobe`=2 nearest of 4 cells
+    * (exact int distance, ties to the smaller cell — `cclut ORDER BY dd,
+    * c`), and only probed-cell rows enter the ADC shortlist. Hash-gates
+    * cell pruning, the one stage the PQ twin doesn't cover. */
+  private val qAnnIvfpqExactTopk = Q(
+    (s, d) => graft.operators.PqIndex.exactIvfPqTopKReranked(
+      Tables.load(s, d, "embeddings"), "vec_id", "embedding",
+      m = 2, k = 4, iters = 2, dim = 64, coarseK = 4, nprobe = 2,
+      anchorId = 0L, topK = 10, shortlist = 100),
+    Some("WITH " + pqSubspaceCtes("cc", 4, 2, 1, 64) + ", " +
+      pqSubspaceCtes("s0", 4, 2, 1, 32) + ", " +
+      pqSubspaceCtes("s1", 4, 2, 33, 64) + ", " +
+      "probe AS (SELECT c FROM cclut ORDER BY dd, c LIMIT 2), " +
+      "adc AS (SELECT a0.vec_id, l0.dd + l1.dd AS approx " +
+      "FROM s0asg a0 JOIN s1asg a1 USING (vec_id) JOIN ccasg ca USING (vec_id) " +
+      "JOIN s0lut l0 ON l0.c = a0.c JOIN s1lut l1 ON l1.c = a1.c " +
+      "WHERE a0.vec_id <> 0 AND ca.c IN (SELECT c FROM probe)), " +
+      "short AS (SELECT vec_id FROM adc ORDER BY approx, vec_id LIMIT 100), " +
+      "qa AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0) " +
+      s"SELECT e.vec_id, ${cosSql("e.embedding::DOUBLE[]", "qe")} AS cosine " +
+      "FROM embeddings e JOIN short USING (vec_id), qa " +
+      "ORDER BY cosine DESC, e.vec_id LIMIT 10"))
+
   /** IVF-PQ — the production ANN index shape (coarse cells prune WHICH
     * rows are scanned, PQ codes compress WHAT is scanned). The coarse
     * quantizer is an m=1 codebook: k cells over the full vector — the
@@ -2163,7 +2244,9 @@ object QueriesExtras {
     "q_ann_lsh_topk" -> qAnnLshTopk,
     "q_ann_ivf_topk" -> qAnnIvfTopk,
     "q_ann_pq_topk" -> qAnnPqTopk,
+    "q_ann_pq_exact_topk" -> qAnnPqExactTopk,
     "q_ann_ivfpq_topk" -> qAnnIvfpqTopk,
+    "q_ann_ivfpq_exact_topk" -> qAnnIvfpqExactTopk,
     "q_emb_neardup_pairs" -> qEmbNeardupPairs,
     "q_emb_neardup_lsh" -> qEmbNeardupLsh,
     "q_emb_neardup_lsh_salted" -> qEmbNeardupLshSalted,

@@ -60,7 +60,14 @@ object Clustering {
     * cluster = 0-based index of the nearest final centroid, dist2 = exact
     * squared quantized distance to it. */
   def kmeansAssign(emb: DataFrame, id: String, vec: String,
-                   k: Int, iters: Int, scale: Double = 1e6): DataFrame = {
+                   k: Int, iters: Int, scale: Double = 1e6): DataFrame =
+    kmeansFit(emb, id, vec, k, iters, scale)._2
+
+  /** [[kmeansAssign]] plus the final quantized centroids — for consumers
+    * that need the codebook itself (PQ's anchor lookup table), not just the
+    * assignment. centroids(c)(i) is exact fixed-point (·scale). */
+  def kmeansFit(emb: DataFrame, id: String, vec: String,
+                k: Int, iters: Int, scale: Double = 1e6): (Array[Array[Long]], DataFrame) = {
     require(k > 0 && iters > 0, s"need k > 0 and iters > 0, got k=$k iters=$iters")
     val q = emb.filter(col(vec).isNotNull)
       .select(col(id), quantize(col(vec), scale).as("__qv"))
@@ -92,6 +99,6 @@ object Clustering {
       }
     }
     val (cluster, d2) = assignCols(centroids)
-    q.select(col(id), cluster.as("cluster"), d2.as("dist2"))
+    (centroids, q.select(col(id), cluster.as("cluster"), d2.as("dist2")))
   }
 }

@@ -242,6 +242,116 @@ object PqIndex {
     Similarity.scoreTopK(cand, anchorDf, id, vec, anchorId, topK)
   }
 
+  /** EXACT-ARITHMETIC PQ twin — the hash-gateable form of [[topKReranked]].
+    * Same retrieve-then-rerank pipeline (per-subspace codebooks → argmin
+    * encode → asymmetric-distance shortlist → exact cosine rerank), but
+    * every stage is deterministic fixed-point arithmetic so a SQL engine
+    * can replay it bit-identically:
+    *
+    *  - codebooks: [[Clustering.kmeansFit]] per subspace (quantized int64
+    *    Lloyd from id-ordered seeds — the q_kmeans_assign construction)
+    *    instead of MLlib's float k-means (whose k-means|| init no SQL
+    *    engine can reproduce);
+    *  - encode: the final Lloyd assignment IS the PQ code — argmin over
+    *    the codebook with ties to the smallest code, exact int distances;
+    *  - ADC: the anchor's quantized subvector distance to every centroid
+    *    is an m×k int64 lookup table (driver-side, query metadata), so a
+    *    row's approximate distance Σ_s LUT[s][code_s] is exact and the
+    *    (distance, id)-ordered shortlist is deterministic;
+    *  - rerank: [[Similarity.scoreTopK]] — byte-shared with the gated
+    *    brute-force path.
+    *
+    * The MLlib path ([[topKReranked]]) stays the production build (better
+    * codebooks per iteration); this twin gates the pipeline SHAPE — proof
+    * that encode/LUT/shortlist/rerank compose correctly — the way
+    * q_dedup_minhash_lsh's oracle gates the banded join. Scale shape is
+    * identical to the production path: codebook metadata broadcast as
+    * literals, scan-stage encode, TakeOrderedAndProject shortlist,
+    * broadcast-semi-join rerank; the m id-joins materialize one narrow
+    * (id, code) frame per subspace. */
+  def exactTopKReranked(emb: DataFrame, id: String, vec: String,
+                        m: Int, k: Int, iters: Int, dim: Int,
+                        anchorId: Long, topK: Int, shortlist: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val base = emb.filter(col(vec).isNotNull)
+    val anchorQ = quantizedAnchor(base, id, vec, anchorId, dim)
+    exactAdcRerank(base, id, vec, m, dim / m, k, iters, anchorQ,
+      restrict = None, anchorId, topK, shortlist)
+  }
+
+  /** Anchor quantized via the SAME Spark expression the codebook training
+    * quantizes with (trunc-toward-zero ·1e6) — one bounded 1-row collect. */
+  private def quantizedAnchor(base: DataFrame, id: String, vec: String,
+                              anchorId: Long, dim: Int): Array[Long] = {
+    val aq = base.filter(col(id) === anchorId)
+      .select(transform(col(vec).cast("array<double>"), x => (x * 1e6).cast("long")))
+      .head().getSeq[Long](0).toArray
+    require(aq.length == dim, s"anchor dim ${aq.length} != $dim")
+    aq
+  }
+
+  /** Shared tail of the exact twins: per-subspace fixed-point codebooks →
+    * argmin encode → int64 ADC shortlist (optionally `restrict`-ed to a
+    * probed-cell id set first) → exact cosine rerank. */
+  private def exactAdcRerank(base: DataFrame, id: String, vec: String,
+                             m: Int, dsub: Int, k: Int, iters: Int,
+                             anchorQ: Array[Long], restrict: Option[DataFrame],
+                             anchorId: Long, topK: Int, shortlist: Int): DataFrame = {
+    val v = col(vec).cast("array<double>")
+    val subs = (0 until m).map { s =>
+      val sub = base.select(col(id), slice(v, s * dsub + 1, dsub).as("__sub"))
+      val (centroids, assign) = Clustering.kmeansFit(sub, id, "__sub", k, iters)
+      (centroids, assign.select(col(id), col("cluster").as(s"__code$s")))
+    }
+    val joined = subs.map(_._2).reduce((a, b) => a.join(b, id))
+    val codes = restrict.fold(joined)(r => joined.join(r, Seq(id), "left_semi"))
+    val adc = (0 until m).map { s =>
+      val aq = anchorQ.slice(s * dsub, (s + 1) * dsub)
+      val lut = subs(s)._1.map(ct =>
+        aq.zip(ct).map { case (x, y) => val dr = x - y; dr * dr }.sum)
+      element_at(typedlit(lut.toIndexedSeq), col(s"__code$s") + 1)
+    }.reduce(_ + _)
+    val ids = codes.filter(col(id) =!= anchorId)
+      .select(col(id), adc.as("__adc"))
+      .orderBy(col("__adc").asc, col(id)).limit(shortlist)
+      .select(col(id))
+    val cand = base.join(broadcast(ids), Seq(id), "left_semi")
+    val anchorDf = base.filter(col(id) === anchorId).select(col(vec).as("q_vec"))
+    Similarity.scoreTopK(cand, anchorDf, id, vec, anchorId, topK)
+  }
+
+  /** EXACT-ARITHMETIC IVF-PQ twin — [[exactTopKReranked]] plus the coarse
+    * stage: a fixed-point k-means over the FULL vector assigns every row a
+    * coarse cell, the query probes the `nprobe` cells nearest the anchor
+    * (exact int distance to the coarse centroids, ties to the smaller
+    * cell), and ONLY rows in probed cells enter the ADC shortlist. In the
+    * persisted layout the cell filter is partition pruning on the codes
+    * dir ([[ensure]]'s `partitionBy(cell)`); composed inline here so the
+    * pipeline is one self-contained gateable query. Deterministic
+    * end-to-end for the same reasons as the PQ twin, so cell pruning —
+    * the one stage the PQ twin doesn't cover — gets a hash gate too. */
+  def exactIvfPqTopKReranked(emb: DataFrame, id: String, vec: String,
+                             m: Int, k: Int, iters: Int, dim: Int,
+                             coarseK: Int, nprobe: Int,
+                             anchorId: Long, topK: Int, shortlist: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    require(nprobe >= 1 && nprobe <= coarseK, s"nprobe $nprobe not in [1, $coarseK]")
+    val dsub = dim / m
+    val v = col(vec).cast("array<double>")
+    val base = emb.filter(col(vec).isNotNull)
+    val (coarse, cellAssign) =
+      Clustering.kmeansFit(base.select(col(id), v.as("__full")), id, "__full", coarseK, iters)
+    val anchorQ = quantizedAnchor(base, id, vec, anchorId, dim)
+    val probed: Seq[Int] = coarse.zipWithIndex
+      .map { case (ct, c) =>
+        (c, anchorQ.zip(ct).map { case (x, y) => val dr = x - y; dr * dr }.sum) }
+      .sortBy { case (c, d2) => (d2, c) }.take(nprobe).map(_._1).toSeq
+    val pruned = cellAssign.filter(col("cluster").isin(probed.map(Integer.valueOf): _*))
+      .select(col(id))
+    exactAdcRerank(base, id, vec, m, dsub, k, iters, anchorQ,
+      restrict = Some(pruned), anchorId, topK, shortlist)
+  }
+
   /** Asymmetric-distance top-k: LUT(sub)(code) = ||anchor_sub − centroid||²
     * computed once driver-side from the codebooks (m × k doubles — query
     * metadata), then every encoded row costs m array lookups + m-1 adds.

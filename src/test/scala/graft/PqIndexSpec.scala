@@ -115,4 +115,61 @@ class PqIndexSpec extends AnyFunSuite {
     assert(got == mem) // ids AND distances: the parquet round-trip of the
                        // codebooks is exact, so the LUTs are bit-identical
   }
+
+  test("exact twin with a corpus-covering shortlist degenerates to brute force") {
+    val d = "/root/testdata/sf0.001"
+    val emb = Tables.load(spark, d, "embeddings")
+    val n = emb.count().toInt
+    // shortlist >= corpus: the ADC stage prunes nothing, so the rerank IS
+    // brute force — exact equality in ids and rounded cosines. This pins
+    // the retrieve-then-rerank composition independently of codebook
+    // quality (the oracle gate separately pins the ADC stage itself).
+    val exact = PqIndex.exactTopKReranked(emb, "vec_id", "embedding",
+        m = 2, k = 4, iters = 2, dim = 64, anchorId = 0L, topK = 10, shortlist = n)
+      .as[(Long, Double)].collect().toSeq
+    val brute = graft.operators.Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", anchorId = 0L, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(exact == brute)
+    // production shortlist: still 10 rows, descending rounded cosine, and
+    // every returned cosine matches the brute-force score for that id
+    // (the scoring arithmetic is byte-shared with the gated brute path)
+    val short = PqIndex.exactTopKReranked(emb, "vec_id", "embedding",
+        m = 2, k = 4, iters = 2, dim = 64, anchorId = 0L, topK = 10, shortlist = 100)
+      .as[(Long, Double)].collect().toSeq
+    assert(short.length == 10)
+    assert(short.map(_._2) == short.map(_._2).sorted.reverse)
+    val bruteAll = graft.operators.Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", anchorId = 0L, k = n)
+      .as[(Long, Double)].collect().toMap
+    short.foreach { case (id, c) => assert(bruteAll(id) == c, s"id $id") }
+  }
+
+  test("exact IVF-PQ twin: full probe + covering shortlist degenerates to brute force; partial probe scores exactly") {
+    val d = "/root/testdata/sf0.001"
+    val emb = Tables.load(spark, d, "embeddings")
+    val n = emb.count().toInt
+    // nprobe = coarseK and shortlist >= corpus: nothing pruned anywhere,
+    // so the pipeline must equal brute force exactly
+    val full = PqIndex.exactIvfPqTopKReranked(emb, "vec_id", "embedding",
+        m = 2, k = 4, iters = 2, dim = 64, coarseK = 4, nprobe = 4,
+        anchorId = 0L, topK = 10, shortlist = n)
+      .as[(Long, Double)].collect().toSeq
+    val brute = graft.operators.Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", anchorId = 0L, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(full == brute)
+    // partial probe: a genuine recall trade, but every returned cosine is
+    // still the exact brute-force score for its id
+    val part = PqIndex.exactIvfPqTopKReranked(emb, "vec_id", "embedding",
+        m = 2, k = 4, iters = 2, dim = 64, coarseK = 4, nprobe = 2,
+        anchorId = 0L, topK = 10, shortlist = 100)
+      .as[(Long, Double)].collect().toSeq
+    assert(part.nonEmpty && part.length <= 10)
+    assert(part.map(_._2) == part.map(_._2).sorted.reverse)
+    val bruteAll = graft.operators.Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", anchorId = 0L, k = n)
+      .as[(Long, Double)].collect().toMap
+    part.foreach { case (id, c) => assert(bruteAll(id) == c, s"id $id") }
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Corpus, Dedup, Fuzzy, PqIndex, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Fuzzy, PqIndex, Recursion, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline queries (dedup, similarity search, text analysis)
   * with DuckDB oracles. Same determinism rules as [[Queries]]; count-typed
@@ -132,6 +132,72 @@ object QueriesExtras {
       "reach(id, r) AS (SELECT id, id FROM (SELECT DISTINCT id FROM edges) t " +
       "UNION SELECT e.id, reach.r FROM edges e JOIN reach ON e.nbr = reach.id) " +
       "SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id ORDER BY doc_id"))
+
+  /** Duplicate PROVENANCE over the same exact near-dup pairs — Spark 4's
+    * engine-native `WITH RECURSIVE` ([[Recursion.dupProvenance]]): each doc
+    * with an earlier near-dup gets the min id transitively reachable
+    * through smaller-id near-dups (`origin_id`) and its shortest
+    * derivation length (`hops`) — the lineage dupGroups' label propagation
+    * discards. The id-oriented pair graph makes the `UNION ALL` walk a
+    * strictly-decreasing DAG traversal (terminates structurally; Spark has
+    * no distinct-mode recursion). The oracle is the IDENTICAL recursion in
+    * DuckDB over the shingle-derived pairs — both engines execute the same
+    * recursive SQL, the strongest cross-engine pin the surface allows. */
+  private val qDupProvenance = Q(
+    (s, d) => Recursion.dupProvenance(s,
+        Dedup.jaccardPairs(
+          Dedup.shingles(Tables.load(s, d, "documents"), "doc_id", "text", 5),
+          "doc_id", 0.8))
+      .orderBy(col("doc_id")),
+    Some("WITH RECURSIVE " + ShingleCte.stripPrefix("WITH ") +
+      ", jp AS (SELECT doc_a, doc_b " +
+      "FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b " +
+      "WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.8e0), " +
+      "walk(doc_id, anc, hops) AS (SELECT doc_b, doc_a, CAST(1 AS BIGINT) FROM jp " +
+      "UNION ALL SELECT w.doc_id, p.doc_a, w.hops + 1 FROM walk w JOIN jp p ON p.doc_b = w.anc), " +
+      "origin AS (SELECT doc_id, min(anc) AS origin_id FROM walk GROUP BY doc_id) " +
+      "SELECT o.doc_id, o.origin_id, min(w.hops) AS hops " +
+      "FROM origin o JOIN walk w ON w.doc_id = o.doc_id AND w.anc = o.origin_id " +
+      "GROUP BY o.doc_id, o.origin_id ORDER BY o.doc_id"))
+
+  /** Shared spine oracle: the recursive day densification (DuckDB executes
+    * the same recursion both Spark forms must reproduce). */
+  private val SpineOracleSql =
+    "WITH RECURSIVE bounds AS (SELECT user_id, " +
+      "min(CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)) AS d0, " +
+      "max(CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)) AS d1 " +
+      "FROM events GROUP BY user_id), " +
+      "spine(user_id, day, d1) AS (SELECT user_id, d0, d1 FROM bounds " +
+      "UNION ALL SELECT user_id, day + 1, d1 FROM spine WHERE day < d1), " +
+      "counts AS (SELECT user_id, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day, " +
+      "count(*) AS n FROM events GROUP BY 1, 2) " +
+      "SELECT s.user_id, s.day, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events " +
+      "FROM spine s LEFT JOIN counts c ON c.user_id = s.user_id AND c.day = s.day " +
+      "ORDER BY s.user_id, s.day"
+
+  /** Day-grain DENSIFICATION (gap filling) of the events stream — the
+    * production single-pass form ([[Recursion.activitySpine]]:
+    * `sequence(d0, d1)` exploded + day-count left join; rows = Σ span
+    * days, group-key shuffles only). Epoch-day integers, the
+    * q_cohort_retention convention. */
+  private val qActivitySpine = Q(
+    (s, d) => Recursion.activitySpine(
+        Tables.load(s, d, "events"), "user_id", "ts")
+      .orderBy(col("user_id"), col("day")),
+    Some(SpineOracleSql))
+
+  /** The SAME densification as an engine-native recursive CTE
+    * ([[Recursion.activitySpineRecursive]]) against the SAME oracle — one
+    * `day + 1` level per union-loop iteration, bounded by the max span
+    * (29 days in every driver sf; `spark.sql.cteRecursionLevelLimit`
+    * defaults to 100). Pins that Spark recursion ≡ sequence+explode ≡
+    * DuckDB recursion on real data; production densification stays with
+    * [[qActivitySpine]]'s form. */
+  private val qActivitySpineRecursive = Q(
+    (s, d) => Recursion.activitySpineRecursive(s,
+        Tables.load(s, d, "events"), "user_id", "ts")
+      .orderBy(col("user_id"), col("day")),
+    Some(SpineOracleSql))
 
   /** Decontamination against a benchmark subset (src0 plays the eval set):
     * fraction of each corpus doc's 5-gram shingles appearing anywhere in
@@ -2226,6 +2292,9 @@ object QueriesExtras {
     "q_neardup_incremental" -> qNeardupIncremental,
     "q_dedup_groups" -> qDedupGroups,
     "q_dedup_groups_lsh" -> qDedupGroupsLsh,
+    "q_dup_provenance" -> qDupProvenance,
+    "q_activity_spine" -> qActivitySpine,
+    "q_activity_spine_recursive" -> qActivitySpineRecursive,
     "q_boilerplate_purge" -> qBoilerplatePurge,
     "q_url_dedup" -> qUrlDedup,
     "q_hll_distinct" -> qHllDistinct,

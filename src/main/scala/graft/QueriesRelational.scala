@@ -288,7 +288,43 @@ object QueriesRelational {
       "FROM (SELECT strftime(l_shipdate, '%Y-%m') AS month, l_partkey, sum(l_quantity) AS qty " +
       "FROM lineitem GROUP BY 1, 2)) WHERE rank <= 3 ORDER BY month, rank"))
 
+  /** VARIANT — Spark 4's semi-structured type as the ingestion surface for
+    * schema-on-read lakes: real event columns are serialized to nested
+    * JSON (`to_json` over a struct with a nested object and an array),
+    * parsed to a VARIANT (`parse_json` — the binary semi-structured
+    * encoding, NOT a schema-fixed struct), and every leaf re-extracted
+    * with typed `variant_get` paths (nested object field, array index).
+    * The oracle reads the SAME values straight off the source columns —
+    * the gate is therefore a LOSSLESSNESS proof: columns → JSON → VARIANT
+    * → typed paths returns bit-identical data. Scale shape: wholly
+    * scan-stage (serialize/parse/extract are per-row expressions, no
+    * shuffle added), which is exactly why VARIANT works at ingest scale —
+    * shredding happens at the scan, and only extracted leaves flow on.
+    * Doubles are deliberately excluded from the JSON round-trip (their
+    * decimal rendering is engine-specific; VariantSpec pins double
+    * behavior on the Spark side alone). */
+  private val qVariantExtract = Q(
+    (s, d) => {
+      val j = to_json(struct(
+        col("user_id").as("u"),
+        col("event_type").as("t"),
+        struct(get_json_object(col("props"), "$.k").cast("long").as("k")).as("p"),
+        array(col("user_id") % 7, col("user_id") % 3).as("a")))
+      t(s, d, "events")
+        .select(col("event_id"), parse_json(j).as("v"))
+        .select(col("event_id"),
+          variant_get(col("v"), "$.u", "bigint").as("u"),
+          variant_get(col("v"), "$.t", "string").as("t"),
+          variant_get(col("v"), "$.p.k", "bigint").as("k"),
+          variant_get(col("v"), "$.a[1]", "bigint").as("a1"))
+        .orderBy(col("event_id"))
+    },
+    Some("SELECT event_id, user_id AS u, event_type AS t, " +
+      "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, " +
+      "user_id % 3 AS a1 FROM events ORDER BY event_id"))
+
   val registry: Seq[(String, Q)] = Seq(
+    "q_variant_extract" -> qVariantExtract,
     "q_trending" -> qTrending,
     "q_grouping_sets" -> qGroupingSets,
     "q_hist_quantiles" -> qHistQuantiles,

@@ -160,6 +160,19 @@ object QueriesExtras {
       "FROM origin o JOIN walk w ON w.doc_id = o.doc_id AND w.anc = o.origin_id " +
       "GROUP BY o.doc_id, o.origin_id ORDER BY o.doc_id"))
 
+  /** The SCALE composition for provenance: MinHash+LSH banded candidates
+    * feed the SAME recursion against the SAME oracle as the
+    * exhaustive-pairs form — the provenance analogue of
+    * [[qDedupGroupsLsh]], proving band + verify + recursive walk compose
+    * without changing lineage semantics (the production pair path at
+    * corpus scale is always the banded one). */
+  private val qDupProvenanceLsh = Q(
+    (s, d) => Recursion.dupProvenance(s,
+        Dedup.nearDupPairs(Tables.load(s, d, "documents"),
+          "doc_id", "text", 5, 0.8))
+      .orderBy(col("doc_id")),
+    qDupProvenance.sql)
+
   /** Shared spine oracle: the recursive day densification (DuckDB executes
     * the same recursion both Spark forms must reproduce). */
   private val SpineOracleSql =
@@ -2293,6 +2306,7 @@ object QueriesExtras {
     "q_dedup_groups" -> qDedupGroups,
     "q_dedup_groups_lsh" -> qDedupGroupsLsh,
     "q_dup_provenance" -> qDupProvenance,
+    "q_dup_provenance_lsh" -> qDupProvenanceLsh,
     "q_activity_spine" -> qActivitySpine,
     "q_activity_spine_recursive" -> qActivitySpineRecursive,
     "q_boilerplate_purge" -> qBoilerplatePurge,

@@ -92,12 +92,16 @@ object Recursion {
   def activitySpine(events: DataFrame, group: String, tsCol: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val day = floor(unix_micros(col(tsCol)) / lit(86400000000L)).cast("long")
-    val bounds = events.groupBy(col(group))
-      .agg(min(day).as("d0"), max(day).as("d1"))
-    val spine = bounds.select(col(group),
-      explode(sequence(col("d0"), col("d1"))).as("day"))
+    // ONE scan: the (group, day) counts are the only aggregate that needs
+    // the fact table; bounds derive from the counts (≤ span-days rows per
+    // group), and the spine-counts join then re-shuffles only count rows —
+    // the fact is never read or shuffled twice
     val counts = events.groupBy(col(group), day.as("day"))
       .agg(count(lit(1)).as("n"))
+    val bounds = counts.groupBy(col(group))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = bounds.select(col(group),
+      explode(sequence(col("d0"), col("d1"))).as("day"))
     spine.join(counts, Seq(group, "day"), "left_outer")
       .select(col(group), col("day"),
         coalesce(col("n"), lit(0L)).as("n_events"))

@@ -128,8 +128,15 @@ object ScaleProbe {
       offsetKeys(b, r, Seq("p_partkey"))
     }.repartition(8).write.mode("overwrite").parquet(s"$outDir/part.parquet")
 
+    // events: user universes disjoint per replica, timestamps untouched —
+    // so per-user day spans (recursion DEPTH) are scale-invariant and only
+    // the user count (recursion FRONTIER) grows with replicas
+    replicate(Tables.load(spark, baseDir, "events"), replicas) { (b, r) =>
+      offsetKeys(b, r, Seq("event_id", "user_id"))
+    }.repartition(8).write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
     val secs = (System.nanoTime() - t0) / 1e9
-    val counts = Seq("documents", "embeddings", "orders", "lineitem", "part")
+    val counts = Seq("documents", "embeddings", "orders", "lineitem", "part", "events")
       .map(t => t -> spark.read.parquet(s"$outDir/$t.parquet").count())
     counts.foreach { case (t, n) => emit("probe" -> "synth", "table" -> t, "rows" -> n) }
     emit("probe" -> "synth", "table" -> "_all", "secs" -> secs, "replicas" -> replicas)
@@ -143,7 +150,20 @@ object ScaleProbe {
   private val tierA = Seq(
     "q_pagerank", "q_dedup_groups_lsh", "q_neardup_purge",
     "q_dedup_minhash_lsh", "q_dedup_prefix_jaccard", "q_decontaminate_bloom",
-    "q_pmi_pairs", "q_mutual_knn_dedup_benign", "q_negative_sample_bounded")
+    "q_pmi_pairs", "q_mutual_knn_dedup_benign", "q_negative_sample_bounded",
+    // round-10 recursion family: banded provenance (frontier scales with
+    // the corpus, depth with cluster diameter) and both densification
+    // forms (frontier = users, depth = span days — scale-invariant here)
+    "q_dup_provenance_lsh", "q_activity_spine", "q_activity_spine_recursive")
+
+  /** Optional comma-separated SPARK_GRAFT_PROBE_ONLY filter so a new
+    * family can be probed without re-timing the whole board. */
+  private def probeFilter(names: Seq[String]): Seq[String] =
+    sys.env.get("SPARK_GRAFT_PROBE_ONLY") match {
+      case Some(s) => val keep = s.split(",").map(_.trim).toSet
+        names.filter(keep)
+      case None => names
+    }
 
   /** Documented adversarial / quadratic-twin rows: run once, and an
     * in-plan audit firing is a RESULT (the guard working), not a failure. */
@@ -174,18 +194,19 @@ object ScaleProbe {
   }
 
   def quiet(spark: SparkSession, baseDir: String, probeDir: String): Unit = {
+    val (ta, tb) = (probeFilter(tierA), probeFilter(tierB))
     // base scale: warmup + min-of-3 (the SCALE.md board convention)
-    (tierA ++ tierB).foreach { n =>
+    (ta ++ tb).foreach { n =>
       try SparkEntry.queries(n)(spark, baseDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    (tierA ++ tierB).foreach(n => runQuery(spark, n, baseDir, timedRuns = 3, countRows = true))
+    (ta ++ tb).foreach(n => runQuery(spark, n, baseDir, timedRuns = 3, countRows = true))
     // probe scale: AQE compiles different plans, so the first timed run
     // carries codegen/JIT for those plans; min-of-2 absorbs most of it and
     // the per-run samples are recorded so the inflation stays visible
-    tierA.foreach(n => runQuery(spark, n, probeDir, timedRuns = 2, countRows = true))
-    tierB.foreach(n => runQuery(spark, n, probeDir, timedRuns = 1, countRows = false))
+    ta.foreach(n => runQuery(spark, n, probeDir, timedRuns = 2, countRows = true))
+    tb.foreach(n => runQuery(spark, n, probeDir, timedRuns = 1, countRows = false))
   }
 
   // ------------------------------------------------------------------

@@ -399,6 +399,22 @@ object Streaming {
     * emitted, never revised. */
   case class OpenSession(start: Long, lastTs: Long, n: Long) // micros
   case class SessionBuf(sessions: List[OpenSession]) // kept sorted by start
+
+  /** The ONE interval-coalescing merge both stateful session APIs share
+    * (the mergeTotals rule: claimed-equivalent operators must share the
+    * semantics-bearing code). Input sorted by (start, lastTs). */
+  private def coalesceSessions(sorted: List[OpenSession], gapUs: Long): List[OpenSession] =
+    sorted.foldLeft(List.empty[OpenSession]) {
+      case (prev :: rest, s) if s.start - prev.lastTs <= gapUs =>
+        OpenSession(prev.start, math.max(prev.lastTs, s.lastTs), prev.n + s.n) :: rest
+      case (acc, s) => s :: acc
+    }.reverse
+
+  private def usToTs(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
   case class ClosedSession(user_id: Long, session_start: Timestamp,
                            session_end: Timestamp, n_events: Long)
   def statefulSessions(events: org.apache.spark.sql.Dataset[(Long, Timestamp)],
@@ -424,18 +440,6 @@ object Streaming {
     // the parity spec on the real events table holds exactly, not
     // modulo truncation. Only the TIMEOUT is ms-grain (the GroupState
     // API's unit); timeouts gate emission time, never boundaries.
-    def coalesce(sorted: List[OpenSession]): List[OpenSession] =
-      sorted.foldLeft(List.empty[OpenSession]) {
-        case (prev :: rest, s) if s.start - prev.lastTs <= gapUs =>
-          OpenSession(prev.start, math.max(prev.lastTs, s.lastTs), prev.n + s.n) :: rest
-        case (acc, s) => s :: acc
-      }.reverse
-    def usToTs(us: Long): Timestamp = {
-      val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
-      t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
-      t
-    }
-
     // ts rides along untouched: it carries the event-time/watermark
     // attribute the stateful operator needs (projecting it away would
     // drop the watermark and the late-row filter with it)
@@ -448,7 +452,8 @@ object Streaming {
         (uid: Long, rows: Iterator[(Long, Timestamp, Long)], state: GroupState[SessionBuf]) =>
           val prev = state.getOption.map(_.sessions).getOrElse(Nil)
           val incoming = rows.map(r => OpenSession(r._3, r._3, 1L)).toList
-          val merged = coalesce((prev ++ incoming).sortBy(s => (s.start, s.lastTs)))
+          val merged = coalesceSessions(
+            (prev ++ incoming).sortBy(s => (s.start, s.lastTs)), gapUs)
           val wm = state.getCurrentWatermarkMs() * 1000L
           val (done, keep) = merged.partition(_.lastTs + gapUs <= wm)
           if (keep.nonEmpty) {
@@ -562,6 +567,73 @@ object Streaming {
     events.groupByKey(_._1)
       .transformWithState(new TotalsProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
+  /** [[statefulSessions]] re-expressed on the SUCCESSOR state API — the
+    * semantics are byte-shared ([[coalesceSessions]], the same
+    * watermark-gated close rule), the machinery is transformWithState's:
+    * a typed `ListState` holds the open-session buffer (element-wise
+    * updatable on the store — no whole-value rewrite like GroupState), and
+    * EVENT-TIME TIMERS replace GroupState's single timeout: one timer per
+    * key at the earliest close point, re-registered on every state change,
+    * with `handleExpiredTimer` closing sessions for keys that receive no
+    * further input. Runs on the RocksDB provider (changelog-checkpointed,
+    * disk-spillable) — the store contract for 100 TB session state. */
+  class SessionProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Timestamp, Long), ClosedSession] {
+    import org.apache.spark.sql.Encoders
+    @transient private var open: org.apache.spark.sql.streaming.ListState[OpenSession] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      open = getHandle.getListState[OpenSession]("open",
+        Encoders.product[OpenSession], org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    /** Close what the watermark finalizes, persist the rest, keep exactly
+      * one timer at the earliest remaining close point. */
+    private def flush(uid: Long, merged: List[OpenSession],
+                      wmUs: Long): Iterator[ClosedSession] = {
+      val (done, keep) = merged.partition(_.lastTs + gapUs <= wmUs)
+      open.clear()
+      getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
+      if (keep.nonEmpty) {
+        open.put(keep.toArray)
+        getHandle.registerTimer(keep.map(s => (s.lastTs + gapUs) / 1000L).min)
+      }
+      done.sortBy(_.start).iterator.map(s =>
+        ClosedSession(uid, usToTs(s.start), usToTs(s.lastTs), s.n))
+    }
+
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, Timestamp, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[ClosedSession] = {
+      val prev = open.get().toList
+      val incoming = rows.map(r => OpenSession(r._3, r._3, 1L)).toList
+      val merged = coalesceSessions(
+        (prev ++ incoming).sortBy(s => (s.start, s.lastTs)), gapUs)
+      flush(uid, merged, timerValues.getCurrentWatermarkInMs() * 1000L)
+    }
+
+    override def handleExpiredTimer(uid: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[ClosedSession] =
+      flush(uid, open.get().toList.sortBy(s => (s.start, s.lastTs)),
+        timerValues.getCurrentWatermarkInMs() * 1000L)
+  }
+
+  /** ST stretch — [[statefulSessions]] semantics on transformWithState
+    * (see [[SessionProcessor]]); spec-pinned equal to both the
+    * flatMapGroupsWithState form and the batch q_sessionize twin. */
+  def sessionizeTws(events: org.apache.spark.sql.Dataset[(Long, Timestamp)],
+                    watermark: String = "10 minutes",
+                    gapMs: Long = 30L * 60 * 1000): DataFrame = {
+    import events.sparkSession.implicits._
+    events.toDF("user_id", "ts").withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Timestamp, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessor(gapMs * 1000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
       .toDF()
   }
 

@@ -372,6 +372,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionizeTws on sf0.001 events ≡ batch q_sessionize (timers + ListState, RocksDB)") {
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val batch = SparkEntry.queries("q_sessionize")(spark, dir)
+      .groupBy($"user_id", $"session_id")
+      .agg(min($"ts").as("session_start"), max($"ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+
+    val evs = Tables.load(spark, dir, "events")
+      .select($"user_id", $"ts").orderBy($"ts")
+      .as[(Long, Timestamp)].collect()
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    val mem = MemoryStream[(Long, Timestamp)]
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      q = Streaming.sessionizeTws(mem.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName("tws_sessions").start()
+      evs.grouped((evs.length + 3) / 4).foreach { chunk =>
+        mem.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      // same double-sentinel flush as the flatMapGroupsWithState parity
+      // test: batch 1 raises the watermark, batch 2 fires the timers
+      val far = new Timestamp(evs.map(_._2.getTime).max + 2L * 60 * 60 * 1000)
+      mem.addData((-1L, far)); q.processAllAvailable()
+      mem.addData((-1L, far)); q.processAllAvailable()
+      val got = spark.table("tws_sessions").filter($"user_id" =!= -1L)
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      assert(got == batch,
+        s"tws ${got.size} sessions vs batch ${batch.size}")
+    } finally {
+      if (q != null) q.stop()
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("incremental rollup sink: crash-window recovery keeps exactly-once merges") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rollup_crash").toString + "/state"
     val fs = new org.apache.hadoop.fs.Path(dir)

@@ -402,8 +402,10 @@ object Streaming {
 
   /** The ONE interval-coalescing merge both stateful session APIs share
     * (the mergeTotals rule: claimed-equivalent operators must share the
-    * semantics-bearing code). Input sorted by (start, lastTs). */
-  private def coalesceSessions(sorted: List[OpenSession], gapUs: Long): List[OpenSession] =
+    * semantics-bearing code). Input sorted by (start, lastTs).
+    * private[graft]: property-tested directly (chunking-independence is
+    * the pure core of every stream≡batch session claim). */
+  private[graft] def coalesceSessions(sorted: List[OpenSession], gapUs: Long): List[OpenSession] =
     sorted.foldLeft(List.empty[OpenSession]) {
       case (prev :: rest, s) if s.start - prev.lastTs <= gapUs =>
         OpenSession(prev.start, math.max(prev.lastTs, s.lastTs), prev.n + s.n) :: rest

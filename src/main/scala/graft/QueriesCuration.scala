@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bpe, Changelog, Dsir, Graph, Profiler, Sampling}
+import graft.operators.{Bpe, Changelog, Dsir, Expectations, Graph, Profiler, Sampling}
 
 /** Round-6 curation / table-maintenance pack: changelog materialization
   * (SCD2 history, CDC snapshot), reproducible weighted sampling, and
@@ -488,7 +488,51 @@ object QueriesCuration {
       "CAST(SUM(cnt) OVER () AS BIGINT) AS total, COUNT(*) OVER () AS nd FROM counts) " +
       "WHERE rn <= 10 ORDER BY col_name, rnk"))
 
+  /** Declarative data-quality gate ([[Expectations.check]]): six rules
+    * over lineitem — range, ordering, null, referential (order key must
+    * exist in orders, via the broadcast [[Expectations.withFkExists]]
+    * helper), plus one deliberately-violated threshold so the counting
+    * path is exercised — ALL evaluated in one aggregate pass over one
+    * scan (per-rule conditional sums, map-side combined). Violation =
+    * predicate false OR NULL: three-valued logic must fail a quality
+    * check, not slip past it. Oracle recomputes every rule as CASE sums
+    * over the same left join. */
+  private val qExpectations = Q(
+    (s, d) => {
+      import Expectations.Rule
+      val li = Expectations.withFkExists(
+        t(s, d, "lineitem"), "l_orderkey",
+        t(s, d, "orders"), "o_orderkey", "order_exists")
+      Expectations.check(li, Seq(
+        Rule("discount_range", col("l_discount") >= 0.0 && col("l_discount") <= 1.0),
+        Rule("order_exists", col("order_exists")),
+        Rule("qty_le_25", col("l_quantity") <= 25.0),
+        Rule("qty_positive", col("l_quantity") > 0.0),
+        Rule("returnflag_domain", col("l_returnflag").isin("A", "N", "R")),
+        Rule("tax_nonneg", col("l_tax") >= 0.0)))
+        .orderBy(col("rule"))
+    },
+    Some("WITH j AS (SELECT l.*, (o.o_orderkey IS NOT NULL) AS order_exists " +
+      "FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o " +
+      "ON l.l_orderkey = o.o_orderkey), " +
+      "a AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(SUM(CASE WHEN NOT COALESCE(l_discount >= 0.0e0 AND l_discount <= 1.0e0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_discount_range, " +
+      "CAST(SUM(CASE WHEN NOT COALESCE(order_exists, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_order_exists, " +
+      "CAST(SUM(CASE WHEN NOT COALESCE(l_quantity <= 25.0e0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_qty_le_25, " +
+      "CAST(SUM(CASE WHEN NOT COALESCE(l_quantity > 0.0e0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_qty_positive, " +
+      "CAST(SUM(CASE WHEN NOT COALESCE(l_returnflag IN ('A', 'N', 'R'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_returnflag_domain, " +
+      "CAST(SUM(CASE WHEN NOT COALESCE(l_tax >= 0.0e0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_tax_nonneg FROM j) " +
+      "SELECT rule, n AS n_rows, v AS n_violations, " +
+      "CAST(v AS DOUBLE) / CAST(n AS DOUBLE) AS violation_rate FROM (" +
+      "SELECT 'discount_range' AS rule, n, v_discount_range AS v FROM a " +
+      "UNION ALL SELECT 'order_exists', n, v_order_exists FROM a " +
+      "UNION ALL SELECT 'qty_le_25', n, v_qty_le_25 FROM a " +
+      "UNION ALL SELECT 'qty_positive', n, v_qty_positive FROM a " +
+      "UNION ALL SELECT 'returnflag_domain', n, v_returnflag_domain FROM a " +
+      "UNION ALL SELECT 'tax_nonneg', n, v_tax_nonneg FROM a) ORDER BY rule"))
+
   val registry: Seq[(String, Q)] = Seq(
+    "q_expectations" -> qExpectations,
     "q_bpe_encode" -> qBpeEncode,
     "q_bpe_merges" -> qBpeMerges,
     "q_pagerank" -> qPageRank,

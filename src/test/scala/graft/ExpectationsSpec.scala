@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Expectations
+import graft.operators.Expectations.Rule
+
+class ExpectationsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("null predicates count as violations (three-valued logic fails the gate)") {
+    val df = Seq[(Long, Option[Double])](
+      (1L, Some(5.0)), (2L, Some(-1.0)), (3L, None), (4L, Some(0.0)))
+      .toDF("id", "v")
+    val got = Expectations.check(df, Seq(
+        Rule("v_nonneg", col("v") >= 0.0),
+        Rule("v_present", col("v").isNotNull),
+        Rule("all_pass", lit(true))))
+      .orderBy("rule")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // v_nonneg: -1.0 violates AND the null row violates (null pred = fail)
+    assert(got == Seq(
+      ("all_pass", 4L, 0L, 0.0),
+      ("v_nonneg", 4L, 2L, 0.5),
+      ("v_present", 4L, 1L, 0.25)))
+  }
+
+  test("violations drill-down returns the deterministic first-k per rule") {
+    val df = (1L to 100L).map(i => (i, i % 3 == 0)).toDF("id", "ok")
+    val got = Expectations.violations(df, Seq(Rule("ok", col("ok"))), "id", 5)
+      .orderBy("id").as[(String, Long)].collect().toSeq
+    // violators are ids not divisible by 3; first 5 by id
+    assert(got == Seq(("ok", 1L), ("ok", 2L), ("ok", 4L), ("ok", 5L), ("ok", 7L)))
+  }
+
+  test("withFkExists: missing and null keys are false, present keys true") {
+    val fact = Seq[(Option[Long], String)](
+      (Some(10L), "a"), (Some(99L), "b"), (None, "c")).toDF("k", "tag")
+    val dim = Seq(10L, 11L).toDF("dk")
+    val got = Expectations.withFkExists(fact, "k", dim, "dk", "fk_ok")
+      .orderBy("tag").select("tag", "fk_ok").as[(String, Boolean)].collect().toSeq
+    assert(got == Seq(("a", true), ("b", false), ("c", false)))
+  }
+
+  test("q_expectations on real lineitem: referential clean, threshold rule genuinely mixed") {
+    val rows = SparkEntry.queries("q_expectations")(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val (_, n, vQty, _) = rows("qty_le_25")
+    assert(vQty > 0 && vQty < n, "threshold rule should be mixed, not vacuous")
+    assert(rows("order_exists")._3 == 0L, "testdata lineitem FK is clean")
+    assert(rows("returnflag_domain")._3 == 0L)
+    assert(rows.values.forall(_._2 == n), "all rules see the same row count")
+  }
+}

@@ -69,7 +69,13 @@ object Recursion {
     * generator's df-cap). */
   def dupProvenance(spark: SparkSession, pairs: DataFrame,
                     aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =
-    withViews(spark, "pairs" -> pairs.select(aCol, bCol)) { v =>
+    // localCheckpoint the pair list BEFORE recursion: the union loop
+    // re-executes its referenced subtrees every level, and the pair
+    // generation (a shingle/LSH join) is the expensive part — measured
+    // 10.8 s → 2.0 s on the exhaustive form at sf0.1. The materialized
+    // frame is the pair list itself (dedup-output-sized), the same bounded
+    // localCheckpoint contract as PageRank's per-round plan-depth cut.
+    withViews(spark, "pairs" -> pairs.select(aCol, bCol).localCheckpoint()) { v =>
       s"""WITH RECURSIVE walk(doc_id, anc, hops) AS (
          |  SELECT $bCol, $aCol, CAST(1 AS BIGINT) FROM ${v("pairs")}
          |  UNION ALL

@@ -344,6 +344,50 @@ object QueriesExtras {
     * hll_within_bound) row set is fully hash-gated while the sketch path
     * is still the thing being exercised. Merge ≡ direct-build and the
     * tighter ±3σ accuracy contract stay spec-asserted in SketchesSpec. */
+  /** KMV pairwise set-operation estimates
+    * ([[graft.operators.Sketches.kmvPairwise]]): distinct-user overlap
+    * between every pair of event types from k=64 minimum-hash sketches —
+    * the intersection question HLL cannot answer. Unlike the HLL gate
+    * (audited, because DataSketches has no SQL mirror) this sketch is
+    * deterministic end to end — portable md5 hashes, total orders, IEEE
+    * division in matched operand order — so DuckDB replays the whole
+    * estimator (k-mins, kth-minimum cardinality, union-sketch Jaccard)
+    * bit-identically. Groups with ≤ k distinct hashes carry exact counts
+    * by construction. */
+  private val qKmvIntersect = Q(
+    (s, d) => graft.operators.Sketches.kmvPairwise(
+        Tables.load(s, d, "events"), "event_type", "user_id", k = 64)
+      .orderBy(col("group_a"), col("group_b")),
+    Some("WITH hs AS (SELECT DISTINCT event_type AS g, " +
+      "('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'graft-kmv'), 1, 8))::BIGINT AS h " +
+      "FROM events WHERE user_id IS NOT NULL), " +
+      "skk AS (SELECT g, h, rk FROM (SELECT g, h, " +
+      "row_number() OVER (PARTITION BY g ORDER BY h) AS rk FROM hs) WHERE rk <= 64), " +
+      "est AS (SELECT n.g, n.n_h, CASE WHEN n.n_h <= 64 THEN CAST(n.n_h AS DOUBLE) " +
+      "ELSE CAST(63 AS DOUBLE) * 4294967296e0 / (CAST(m.hk AS DOUBLE) + 1e0) END AS est " +
+      "FROM (SELECT g, count(*) AS n_h FROM hs GROUP BY g) n " +
+      "JOIN (SELECT g, max(CASE WHEN rk = 64 THEN h END) AS hk FROM skk GROUP BY g) m ON n.g = m.g), " +
+      "gs AS (SELECT DISTINCT g FROM skk), " +
+      "pr AS (SELECT a.g AS ga, b.g AS gb FROM gs a, gs b WHERE a.g < b.g), " +
+      "uni AS (SELECT ga, gb, h, max(ia) AS ia, max(ib) AS ib FROM (" +
+      "SELECT p.ga, p.gb, s.h, 1 AS ia, 0 AS ib FROM pr p JOIN skk s ON s.g = p.ga " +
+      "UNION ALL SELECT p.ga, p.gb, s.h, 0, 1 FROM pr p JOIN skk s ON s.g = p.gb) " +
+      "GROUP BY ga, gb, h), " +
+      "rkd AS (SELECT ga, gb, h, ia, ib, " +
+      "row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rk FROM uni), " +
+      "un AS (SELECT ga, gb, count(*) AS n_u FROM uni GROUP BY ga, gb), " +
+      "kp AS (SELECT ga, gb, count(*) AS ku, max(CASE WHEN rk = 64 THEN h END) AS hku, " +
+      "CAST(SUM(ia * ib) AS BIGINT) AS n_both FROM rkd WHERE rk <= 64 GROUP BY ga, gb) " +
+      "SELECT group_a, group_b, est_a, est_b, est_union, est_jaccard, " +
+      "est_jaccard * est_union AS est_intersection FROM (" +
+      "SELECT kp.ga AS group_a, kp.gb AS group_b, ea.est AS est_a, eb.est AS est_b, " +
+      "CASE WHEN ea.n_h <= 64 AND eb.n_h <= 64 THEN CAST(un.n_u AS DOUBLE) " +
+      "ELSE CAST(63 AS DOUBLE) * 4294967296e0 / (CAST(kp.hku AS DOUBLE) + 1e0) END AS est_union, " +
+      "CAST(kp.n_both AS DOUBLE) / CAST(kp.ku AS DOUBLE) AS est_jaccard " +
+      "FROM kp JOIN un ON un.ga = kp.ga AND un.gb = kp.gb " +
+      "JOIN est ea ON ea.g = kp.ga JOIN est eb ON eb.g = kp.gb) " +
+      "ORDER BY group_a, group_b"))
+
   private val qHllDistinct = Q(
     (s, d) => graft.operators.Sketches.approxDistinctAudited(
         Tables.load(s, d, "events"), Seq("event_type"), "user_id")
@@ -2312,6 +2356,7 @@ object QueriesExtras {
     "q_boilerplate_purge" -> qBoilerplatePurge,
     "q_url_dedup" -> qUrlDedup,
     "q_hll_distinct" -> qHllDistinct,
+    "q_kmv_intersect" -> qKmvIntersect,
     "q_quantile_sketch" -> qQuantileSketch,
     "q_quantile_sketch_merged" -> qQuantileSketchMerged,
     "q_unigram_logprob" -> qUnigramLogprob,

@@ -114,4 +114,83 @@ object Sketches {
         s"firstSketchBytes: expected one non-null binary '$colName' row, got $other " +
           "(empty input frame?)")
     }
+
+  /** KMV (k-minimum-values) sketches with PAIRWISE SET-OPERATION
+    * estimates — the question HLL cannot answer: "how many users did BOTH
+    * A and B", for every pair of groups, without a quadratic exact
+    * distinct-join. A group's sketch is the k smallest portable hashes of
+    * its distinct values (first-8-hex-of-md5, the repo's cross-engine
+    * hash); the kth minimum estimates cardinality ((k−1)·2³²/(h_k+1)),
+    * the union sketch of a pair is the k smallest of the two sketches'
+    * union, and the fraction of its members present in BOTH input
+    * sketches estimates Jaccard — intersection = jaccard · union (the
+    * Beyer et al. 2007 KMV estimator). Groups with ≤ k distinct hashes
+    * carry the EXACT count (the sketch holds everything), so small groups
+    * degrade to truth, not noise.
+    *
+    * Fully deterministic — hash, ordering, and IEEE arithmetic are
+    * bit-identical cross-engine, so unlike the DataSketches HLL gate this
+    * sketch is HASH-ORACLE-ABLE end to end. Scale shape: one distinct
+    * shuffle on (group, hash), one k-bounded window per group, then all
+    * pair work happens on k·|groups| rows — kilobytes, the whole point of
+    * sketching. */
+  def kmvPairwise(df: DataFrame, group: String, value: String,
+                  k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val H = 4294967296.0 // 2^32: the portable-hash value space
+    val h = conv(substring(md5(concat(col(value).cast("string"),
+      lit("graft-kmv"))), 1, 8), 16, 10).cast("long")
+    val hashes = df.filter(col(value).isNotNull)
+      .select(col(group).as("g"), h.as("h")).distinct()
+    val sk = hashes
+      .withColumn("rk", row_number().over(Window.partitionBy("g").orderBy("h")))
+      .filter(col("rk") <= k)
+    val est = hashes.groupBy("g").agg(count(lit(1)).as("n_h"))
+      .join(sk.groupBy("g").agg(max(when(col("rk") === k, col("h"))).as("hk")), Seq("g"))
+      .withColumn("est", when(col("n_h") <= k, col("n_h").cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(H) / (col("hk").cast("double") + lit(1.0))))
+      .select(col("g"), col("n_h"), col("est"))
+
+    val groups = sk.select(col("g")).distinct()
+    val pairs = groups.select(col("g").as("ga"))
+      .crossJoin(groups.select(col("g").as("gb")))
+      .filter(col("ga") < col("gb"))
+    val fromA = pairs.join(sk.select(col("g").as("ga"), col("h")), Seq("ga"))
+      .select(col("ga"), col("gb"), col("h"), lit(1).as("ia"), lit(0).as("ib"))
+    val fromB = pairs.join(sk.select(col("g").as("gb"), col("h")), Seq("gb"))
+      .select(col("ga"), col("gb"), col("h"), lit(0).as("ia"), lit(1).as("ib"))
+    val u = fromA.unionAll(fromB)
+      .groupBy(col("ga"), col("gb"), col("h"))
+      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+    val ranked = u
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("ga", "gb").orderBy("h")))
+    val unionN = u.groupBy(col("ga"), col("gb")).agg(count(lit(1)).as("n_u"))
+    val kept = ranked.filter(col("rk") <= k)
+      .groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).as("ku"),
+        max(when(col("rk") === k, col("h"))).as("hku"),
+        sum((col("ia") * col("ib")).cast("long")).as("n_both"))
+    // the union sketch is EXACT only when BOTH sides' sketches are
+    // complete (n_h ≤ k each) — two heavily-overlapping above-k sketches
+    // can union to ≤ k rows while the true union is far larger, so n_u
+    // alone must never select the exact branch. With either side above k
+    // the union sketch holds exactly k rows, so h_ku is always defined on
+    // the estimator branch.
+    kept.join(unionN, Seq("ga", "gb"))
+      .join(est.select(col("g").as("ga"), col("n_h").as("n_ha"),
+        col("est").as("est_a")), Seq("ga"))
+      .join(est.select(col("g").as("gb"), col("n_h").as("n_hb"),
+        col("est").as("est_b")), Seq("gb"))
+      .withColumn("est_union",
+        when(col("n_ha") <= k && col("n_hb") <= k, col("n_u").cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(H) / (col("hku").cast("double") + lit(1.0))))
+      .withColumn("est_jaccard",
+        col("n_both").cast("double") / col("ku").cast("double"))
+      .withColumn("est_intersection", col("est_jaccard") * col("est_union"))
+      .select(col("ga").as("group_a"), col("gb").as("group_b"),
+        col("est_a"), col("est_b"), col("est_union"),
+        col("est_jaccard"), col("est_intersection"))
+  }
 }

@@ -79,4 +79,44 @@ class SketchesSpec extends AnyFunSuite {
     // absent key estimates stay within eps*N of zero
     assert(Sketches.cmsEstimate(cms, "user_absent") <= (0.0005 * n).ceil.toLong + 1)
   }
+
+  test("KMV pairwise: exact below k, within KMV error above k, vs true intersections") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark; import spark2.implicits._
+    val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")
+    val truthG = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n")).as[(String, Long)].collect().toMap
+    // exact pairwise intersections (quadratic, fine at test scale)
+    val sets = ev.select($"event_type", $"user_id").distinct()
+      .as[(String, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Sketches.kmvPairwise(ev, "event_type", "user_id", k = 64)
+      .as[(String, String, Double, Double, Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, ea, eb, eu, ej, ei) =>
+      val (na, nb) = (truthG(a).toDouble, truthG(b).toDouble)
+      val inter = sets(a).intersect(sets(b)).size.toDouble
+      val union = sets(a).union(sets(b)).size.toDouble
+      // KMV relative std error ~ 1/sqrt(k-1) ≈ 12.6%; allow 4σ
+      def within(est: Double, truth: Double) =
+        math.abs(est - truth) <= 4.0 * truth / math.sqrt(63.0) + 1.0
+      assert(within(ea, na), s"$a est_a $ea vs $na")
+      assert(within(eb, nb), s"$b est_b $eb vs $nb")
+      assert(within(eu, union), s"($a,$b) est_union $eu vs $union")
+      assert(within(ei, inter), s"($a,$b) est_intersection $ei vs $inter")
+      assert(ej >= 0.0 && ej <= 1.0)
+    }
+    // tiny groups (< k distinct) must carry EXACT cardinalities
+    val tiny = Sketches.kmvPairwise(
+        ev.filter($"user_id" < 20), "event_type", "user_id", k = 64)
+      .as[(String, String, Double, Double, Double, Double, Double)].collect()
+    val tinySets = ev.filter($"user_id" < 20).select($"event_type", $"user_id")
+      .distinct().as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    tiny.foreach { case (a, b, ea, eb, eu, _, ei) =>
+      assert(ea == tinySets(a).size.toDouble && eb == tinySets(b).size.toDouble)
+      assert(eu == tinySets(a).union(tinySets(b)).size.toDouble)
+      assert(ei == tinySets(a).intersect(tinySets(b)).size.toDouble,
+        s"($a,$b): below-k intersection must be exact")
+    }
+  }
 }

@@ -639,6 +639,31 @@ object Streaming {
       .toDF()
   }
 
+  /** CONTINUOUS data-quality monitor: [[graft.operators.Expectations]]
+    * rules evaluated per micro-batch and merged into a persisted per-rule
+    * ledger through [[incrementalRollupSink]] — rule counts are plain
+    * sums, so the A2 merge property makes streamed totals ≡ a batch
+    * [[graft.operators.Expectations.check]] over all data ever seen, and
+    * the sink's batch-id marker makes replays no-ops (exactly-once
+    * counting under at-least-once delivery). State is |rules| rows;
+    * read it any time with [[qualityState]] for the cumulative
+    * violation rates an alerting job thresholds on. */
+  def qualityMonitorSink(rules: Seq[graft.operators.Expectations.Rule],
+                         stateDir: String)(batch: DataFrame, batchId: Long): Unit =
+    incrementalRollupSink("rule", Seq("n_rows", "n_violations"), Nil, stateDir)(
+      graft.operators.Expectations.check(batch, rules)
+        .select(col("rule"), col("n_rows"), col("n_violations")),
+      batchId)
+
+  /** The monitor's cumulative state with the derived rate — the same
+    * (rule, n_rows, n_violations, violation_rate) shape as a batch
+    * [[graft.operators.Expectations.check]]. */
+  def qualityState(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(stateDir)
+      .select(col("rule"), col("n_rows"), col("n_violations"),
+        (col("n_violations").cast("double") / col("n_rows").cast("double"))
+          .as("violation_rate"))
+
   /** The S2 whole-row JSON envelope — the pure transform half of the
     * sink, spec-verified to round-trip through [[kafkaJsonProjection]]
     * (produce → consume composes losslessly). */

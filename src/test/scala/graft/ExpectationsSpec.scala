@@ -43,6 +43,25 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(got == Seq(("a", true), ("b", false), ("c", false)))
   }
 
+  test("streaming quality monitor: chunked totals ≡ batch check, replay is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_qmon").toString + "/state"
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val rules = Seq(
+      Rule("qty_le_25", col("l_quantity") <= 25.0),
+      Rule("tax_nonneg", col("l_tax") >= 0.0))
+    val sink = graft.streaming.Streaming.qualityMonitorSink(rules, dir) _
+    // three micro-batches partitioned by a key residue
+    (0L until 3L).foreach(b => sink(li.filter(col("l_orderkey") % 3 === b), b))
+    val batchTruth = Expectations.check(li, rules)
+      .select("rule", "n_rows", "n_violations", "violation_rate")
+      .orderBy("rule").as[(String, Long, Long, Double)].collect().toSeq
+    def state() = graft.streaming.Streaming.qualityState(spark, dir)
+      .orderBy("rule").as[(String, Long, Long, Double)].collect().toSeq
+    assert(state() == batchTruth)
+    sink(li.filter(col("l_orderkey") % 3 === 1L), 1L) // replayed batch
+    assert(state() == batchTruth, "replay must not double-count")
+  }
+
   test("q_expectations on real lineitem: referential clean, threshold rule genuinely mixed") {
     val rows = SparkEntry.queries("q_expectations")(spark, "/root/testdata/sf0.001")
       .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap

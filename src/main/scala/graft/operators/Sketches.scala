@@ -143,11 +143,22 @@ object Sketches {
       lit("graft-kmv"))), 1, 8), 16, 10).cast("long")
     val hashes = df.filter(col(value).isNotNull)
       .select(col(group).as("g"), h.as("h")).distinct()
+    // ONE windowed pass computes both the rank and the group's distinct
+    // count (count over the unbounded partition), so the corpus is
+    // scanned and shuffled exactly once; the k-bounded sketch frame —
+    // k·|groups| rows, the sketch-size contract — is then materialized
+    // with localCheckpoint so the est/pair stages below run on kilobytes
+    // instead of re-deriving the distinct from the scan (pre-fix
+    // PlanAudit counted 16 scans / 35 shuffles for this query; post-fix
+    // 1 scan and the pair-stage shuffles are sketch-sized).
     val sk = hashes
-      .withColumn("rk", row_number().over(Window.partitionBy("g").orderBy("h")))
+      .select(col("g"), col("h"),
+        row_number().over(Window.partitionBy("g").orderBy("h")).as("rk"),
+        count(lit(1)).over(Window.partitionBy("g")).as("n_h"))
       .filter(col("rk") <= k)
-    val est = hashes.groupBy("g").agg(count(lit(1)).as("n_h"))
-      .join(sk.groupBy("g").agg(max(when(col("rk") === k, col("h"))).as("hk")), Seq("g"))
+      .localCheckpoint()
+    val est = sk.groupBy("g")
+      .agg(max(col("n_h")).as("n_h"), max(when(col("rk") === k, col("h"))).as("hk"))
       .withColumn("est", when(col("n_h") <= k, col("n_h").cast("double"))
         .otherwise(lit((k - 1).toDouble) * lit(H) / (col("hk").cast("double") + lit(1.0))))
       .select(col("g"), col("n_h"), col("est"))
@@ -163,22 +174,22 @@ object Sketches {
     val u = fromA.unionAll(fromB)
       .groupBy(col("ga"), col("gb"), col("h"))
       .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
-    val ranked = u
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("ga", "gb").orderBy("h")))
-    val unionN = u.groupBy(col("ga"), col("gb")).agg(count(lit(1)).as("n_u"))
+    val ranked = u.select(col("ga"), col("gb"), col("h"), col("ia"), col("ib"),
+      row_number().over(Window.partitionBy("ga", "gb").orderBy("h")).as("rk"),
+      count(lit(1)).over(Window.partitionBy("ga", "gb")).as("n_u"))
     val kept = ranked.filter(col("rk") <= k)
       .groupBy(col("ga"), col("gb"))
       .agg(count(lit(1)).as("ku"),
         max(when(col("rk") === k, col("h"))).as("hku"),
-        sum((col("ia") * col("ib")).cast("long")).as("n_both"))
+        sum((col("ia") * col("ib")).cast("long")).as("n_both"),
+        max(col("n_u")).as("n_u"))
     // the union sketch is EXACT only when BOTH sides' sketches are
     // complete (n_h ≤ k each) — two heavily-overlapping above-k sketches
     // can union to ≤ k rows while the true union is far larger, so n_u
     // alone must never select the exact branch. With either side above k
     // the union sketch holds exactly k rows, so h_ku is always defined on
     // the estimator branch.
-    kept.join(unionN, Seq("ga", "gb"))
+    kept
       .join(est.select(col("g").as("ga"), col("n_h").as("n_ha"),
         col("est").as("est_a")), Seq("ga"))
       .join(est.select(col("g").as("gb"), col("n_h").as("n_hb"),

@@ -98,7 +98,14 @@ object Ops {
     * drift. */
   def pmiPairs(df: DataFrame, basket: String, item: String,
                minCount: Long): DataFrame = {
+    // the distinct (basket, item) frame feeds FOUR consumers (basket
+    // total, item counts, both sides of the pair self-join); without
+    // materialization each re-derives the upstream filter/join pipeline
+    // (PlanAudit: 10 scans). Linear-state localCheckpoint, the pageRank
+    // class; also removes the re-derivation jitter from this query's
+    // documented variance band.
     val b = df.select(col(basket).as("bk"), col(item).as("it")).distinct()
+      .localCheckpoint()
     val total = b.select(col("bk")).distinct()
       .agg(count(lit(1)).cast("double").as("n_baskets"))
     val cnt = b.groupBy(col("it")).agg(count(lit(1)).as("n_i"))

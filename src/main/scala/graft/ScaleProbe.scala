@@ -154,7 +154,10 @@ object ScaleProbe {
     // round-10 recursion family: banded provenance (frontier scales with
     // the corpus, depth with cluster diameter) and both densification
     // forms (frontier = users, depth = span days — scale-invariant here)
-    "q_dup_provenance_lsh", "q_activity_spine", "q_activity_spine_recursive")
+    "q_dup_provenance_lsh", "q_activity_spine", "q_activity_spine_recursive",
+    // round-10 one-pass operators: the quality gate (scan + one agg) and
+    // the KMV sketch (one distinct shuffle, then k-row pair work)
+    "q_expectations", "q_kmv_intersect")
 
   /** Optional comma-separated SPARK_GRAFT_PROBE_ONLY filter so a new
     * family can be probed without re-timing the whole board. */

@@ -88,6 +88,28 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(ords.select(col("o_orderkey")).distinct().count() == ords.count())
   }
 
+  test("events replicas: user universes disjoint, per-user day structure preserved") {
+    val ev = spark.read.parquet(s"$outDir/events.parquet")
+    val base = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    assert(ev.count() == 2 * base.count())
+    // user spaces disjoint (frontier grows): the offset clears the whole
+    // base id range, so raw replica ids can never collide with base ids;
+    // event ids stay globally unique
+    assert(ev.select(col("event_id")).distinct().count() == ev.count())
+    val maxBaseUser = base.agg(max(col("user_id"))).head().getLong(0)
+    assert(maxBaseUser < Off, "base user ids must fit under the replica offset")
+    assert(ev.filter(col("user_id") >= Off).count() == base.count())
+    // timestamps untouched: each replica user's day-span equals its base
+    // image's — recursion DEPTH is scale-invariant by construction
+    def spans(df: org.apache.spark.sql.DataFrame, off: Long) = df
+      .filter(col("user_id") >= off && col("user_id") < off + Off)
+      .groupBy((col("user_id") - off).as("u"))
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+    val d = spans(ev, 0L).alias("b").join(spans(ev, Off).alias("r"), "u")
+      .filter(col("b.lo") =!= col("r.lo") || col("b.hi") =!= col("r.hi"))
+    assert(d.isEmpty, "replica user day spans drifted from base")
+  }
+
   test("chainPairs builds known components and dupGroups resolves them to the component min") {
     val pairs = ScaleProbe.chainPairs(spark, nPairs = 700, chainLen = 8)
     val groups = graft.operators.Dedup.dupGroups(pairs)

@@ -143,23 +143,39 @@ object Sketches {
       lit("graft-kmv"))), 1, 8), 16, 10).cast("long")
     val hashes = df.filter(col(value).isNotNull)
       .select(col(group).as("g"), h.as("h")).distinct()
-    // ONE windowed pass computes both the rank and the group's distinct
-    // count (count over the unbounded partition), so the corpus is
-    // scanned and shuffled exactly once; the k-bounded sketch frame —
-    // k·|groups| rows, the sketch-size contract — is then materialized
-    // with localCheckpoint so the est/pair stages below run on kilobytes
-    // instead of re-deriving the distinct from the scan (pre-fix
-    // PlanAudit counted 16 scans / 35 shuffles for this query; post-fix
-    // 1 scan and the pair-stage shuffles are sketch-sized).
-    val sk = hashes
-      .select(col("g"), col("h"),
-        row_number().over(Window.partitionBy("g").orderBy("h")).as("rk"),
-        count(lit(1)).over(Window.partitionBy("g")).as("n_h"))
+    // The k smallest hashes per group WITHOUT a full-group window sort
+    // (ranking a billion-distinct group in one window task is exactly the
+    // anti-pattern skewReport documents): the distinct count per group is
+    // needed by the estimator anyway, so it first prunes the rank input —
+    // hashes are uniform, so keeping h < 4k/n_h of the space leaves
+    // ~4k expected survivors per group (all rows for groups ≤ 4k), and
+    // only that bounded set reaches the rank window. The shortfall
+    // probability is astronomically small but not zero, so the sketch
+    // AUDITS itself: a group whose kept count ≠ min(k, n_h) raises
+    // in-plan rather than emitting a silently-short sketch.
+    val counts = hashes.groupBy("g").agg(count(lit(1)).as("n_h"))
+    val thresh = when(col("n_h") <= 4L * k, lit(Long.MaxValue))
+      .otherwise((lit(4L * k) * lit(H.toLong)) / col("n_h"))
+    val survivors = hashes.join(broadcast(counts), Seq("g"))
+      .filter(col("h") < thresh)
+    // sketch frame: k·|groups| rows (the sketch-size contract),
+    // materialized so the est/pair stages run on kilobytes instead of
+    // re-deriving the distinct from the scan (pre-fix PlanAudit counted
+    // 16 scans / 35 shuffles; post-fix 1 scan, sketch-sized shuffles)
+    val sk = survivors
+      .select(col("g"), col("h"), col("n_h"),
+        row_number().over(Window.partitionBy("g").orderBy("h")).as("rk"))
       .filter(col("rk") <= k)
       .localCheckpoint()
     val est = sk.groupBy("g")
-      .agg(max(col("n_h")).as("n_h"), max(when(col("rk") === k, col("h"))).as("hk"))
-      .withColumn("est", when(col("n_h") <= k, col("n_h").cast("double"))
+      .agg(max(col("n_h")).as("n_h"), count(lit(1)).as("kept"),
+        max(when(col("rk") === k, col("h"))).as("hk"))
+      .withColumn("est",
+        when(col("kept") =!= least(lit(k.toLong), col("n_h")),
+          raise_error(concat(lit("kmvPairwise: survivor shortfall in group "),
+            col("g").cast("string"), lit(" — kept "), col("kept").cast("string"),
+            lit(" of n_h="), col("n_h").cast("string"))))
+        .when(col("n_h") <= k, col("n_h").cast("double"))
         .otherwise(lit((k - 1).toDouble) * lit(H) / (col("hk").cast("double") + lit(1.0))))
       .select(col("g"), col("n_h"), col("est"))
 

@@ -996,6 +996,40 @@ object QueriesExtras {
       "ORDER BY o.ts DESC, o.event_id DESC LIMIT 1) l ON TRUE " +
       "ORDER BY event_id"))
 
+  /** FORWARD AS-OF JOIN — the symmetric completion of [[qAsofAttrib]]:
+    * for every purchase, the EARLIEST following (ts >= purchase ts)
+    * non-purchase event of the same user — "what did the user do next".
+    * Same single-shuffle union+running-window machinery scanning time
+    * reversed (`direction = "forward"`); the oracle mirrors the lateral
+    * lookup with `ts >= … ORDER BY ts ASC, event_id DESC LIMIT 1`, so the
+    * gate pins equal-ts inclusivity, the tie rule, and unmatched-left
+    * nulls in the forward direction too. */
+  private val qAsofForward = Q(
+    (s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val others = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      graft.operators.Ops.asofJoin(purchases, others, Seq("user_id"),
+          "ts", "ts", tieBreak = Seq("event_id"), direction = "forward")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("asof.event_id").as("next_event_id"),
+          unix_micros(col("asof.ts")).as("next_ts_us"),
+          col("asof.event_type").as("next_type"))
+        .orderBy(col("event_id"))
+    },
+    Some("WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
+      "o AS (SELECT user_id, ts, event_id, event_type FROM events WHERE event_type <> 'purchase') " +
+      "SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, " +
+      "l.next_event_id, l.next_ts_us, l.next_type " +
+      "FROM p LEFT JOIN LATERAL (" +
+      "SELECT o.event_id AS next_event_id, epoch_us(o.ts) AS next_ts_us, o.event_type AS next_type " +
+      "FROM o WHERE o.user_id = p.user_id AND o.ts >= p.ts " +
+      "ORDER BY o.ts ASC, o.event_id DESC LIMIT 1) l ON TRUE " +
+      "ORDER BY event_id"))
+
   /** INTERVAL JOIN — view→click attribution: every (view, click) pair of
     * the same user where the click lands within two hours AFTER the view
     * (exclusive of the view instant). Unlike [[qAsofAttrib]] (one match
@@ -2387,6 +2421,7 @@ object QueriesExtras {
     "q_binary_meta" -> qBinaryMeta,
     "q_redact_pii" -> qRedactPii,
     "q_asof_attrib" -> qAsofAttrib,
+    "q_asof_forward" -> qAsofForward,
     "q_interval_join" -> qIntervalJoin,
     "q_kmeans_assign" -> qKmeansAssign,
     "q_semdedup" -> qSemDedup,

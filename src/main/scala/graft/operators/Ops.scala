@@ -183,7 +183,10 @@ object Ops {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
-               tieBreak: Seq[String] = Nil): DataFrame = {
+               tieBreak: Seq[String] = Nil,
+               direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val rPayload = right.columns.filterNot(keys.contains)
     // null-timestamp right rows can match NOTHING under as-of semantics
     // (ts <= anything is NULL) but ascending sort puts nulls FIRST, where
@@ -200,7 +203,14 @@ object Ops {
     val ru = r0.withColumn("__l", lit(null).cast(l0.schema("__l").dataType))
     val cols = keys ++ Seq("__ts", "__side", "__l", "__r")
     val un = lu.select(cols.map(col): _*).unionByName(ru.select(cols.map(col): _*))
-    val ord = Seq(col("__ts").asc, col("__side").asc) ++
+    // forward = the same running-last machinery scanning time REVERSED
+    // (first right at ts >= left; equal-ts inclusive via side order; ties
+    // resolve to the same "last in tie-order" rule as backward). Nulls
+    // must lead the scan in BOTH directions so a null-ts left row matches
+    // nothing — asc defaults to nulls-first, desc needs it explicit.
+    val tsOrd = if (direction == "backward") col("__ts").asc
+                else col("__ts").desc_nulls_first
+    val ord = Seq(tsOrd, col("__side").asc) ++
       tieBreak.map(t => col("__r").getField(t).asc)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -65,6 +65,30 @@ class OpsSpec extends AnyFunSuite {
       (3L, 9L, "p4", None, None)))             // key with no right rows at all
   }
 
+  test("asofJoin forward: earliest right row at-or-after each left ts; nulls match nothing") {
+    val left = Seq((1L, Some(10L), "p1"), (1L, Some(20L), "p2"),
+      (2L, Some(50L), "p3"), (1L, None: Option[Long], "pnull"))
+      .toDF("k", "ts", "name")
+    val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (1L, 25L, "r25"), (2L, 7L, "r7"))
+      .toDF("k", "ts", "tag")
+    val got = Ops.asofJoin(left, right, Seq("k"), "ts", "ts", direction = "forward")
+      .select($"name", $"asof.tag", $"asof.ts").orderBy($"name")
+      .as[(String, Option[String], Option[Long])].collect()
+    assert(got sameElements Array(
+      ("p1", Some("r10"), Some(10L)),  // equal ts is INCLUSIVE forward too
+      ("p2", Some("r25"), Some(25L)),  // r15 is in the past
+      ("p3", None, None),              // nothing at-or-after -> null
+      ("pnull", None, None)))          // null left ts admits no match
+    // equal-ts forward ties resolve by the tieBreak column (same
+    // last-in-tie-order rule as backward: the larger value wins)
+    val l2 = Seq((1L, 10L, "p")).toDF("k", "ts", "name")
+    val r2 = Seq((1L, 12L, 7L, "lo"), (1L, 12L, 9L, "hi")).toDF("k", "ts", "seq", "tag")
+    val tie = Ops.asofJoin(l2, r2, Seq("k"), "ts", "ts",
+        tieBreak = Seq("seq"), direction = "forward")
+      .select($"asof.tag").as[String].collect()
+    assert(tie sameElements Array("hi"))
+  }
+
   test("asofJoin: null timestamps match nothing (either side)") {
     val left = Seq((1L, Some(5L), "p"), (1L, None, "pnull")).toDF("k", "ts", "name")
     val right = Seq((1L, None: Option[Long], "rnull"), (1L, Some(9L), "future"))

@@ -372,14 +372,25 @@ object Dedup {
     * The column-pipeline form ([[minhashDupPairs]]) shuffles every shingle
     * row through a 128-min-aggregate first; this one never materializes a
     * shingle row outside the candidate set. Same output, same oracle. */
+  /** Default candidate-volume cap for the registered MinHash-LSH
+    * production paths: candidates must stay under 32 × |docs| or the plan
+    * raises ([[Scale.candidateVolumeGuard]]). Real near-dup corpora sit
+    * ORDERS below this (the testdata measures ~0.05 candidates/doc); a
+    * duplicate-saturated corpus that would quietly go quadratic crosses
+    * it at ~65 mutually-duplicate docs sharing a band. */
+  val DefaultCandidatesPerDoc = 32.0
+
   def nearDupPairs(docs: DataFrame, id: String, text: String, n: Int,
-                   threshold: Double, bands: Int = 32, rows: Int = 4): DataFrame = {
+                   threshold: Double, bands: Int = 32, rows: Int = 4,
+                   maxCandidatesPerDoc: Option[Double] = Some(DefaultCandidatesPerDoc)): DataFrame = {
     // no isNotNull filter on the signatures: a Filter over the sig
     // projection would be pushed below it, re-evaluating minhash_sig per
     // row; shingle-less docs (NULL sig) instead drop out at the banding
     // explode's when-guard
     val sig = scanSignatures(docs, id, text, n, bands * rows)
-    val cand = lshCandidatePairs(sig, id, bands, rows).localCheckpoint()
+    val cand0 = lshCandidatePairs(sig, id, bands, rows).localCheckpoint()
+    val cand = maxCandidatesPerDoc.fold(cand0)(f =>
+      Scale.candidateVolumeGuard(cand0, docs, f, "nearDupPairs"))
     verifyCandidates(docs, id, text, n, threshold, cand)
   }
 
@@ -395,12 +406,15 @@ object Dedup {
     * fact×dim equi-joins to banded self-joins. */
   def nearDupPairsSalted(docs: DataFrame, id: String, text: String, n: Int,
                          threshold: Double, bands: Int = 32, rows: Int = 4,
-                         salts: Int = 8, hotMin: Int = 4096): DataFrame = {
+                         salts: Int = 8, hotMin: Int = 4096,
+                         maxCandidatesPerDoc: Option[Double] = Some(DefaultCandidatesPerDoc)): DataFrame = {
     val sig = scanSignatures(docs, id, text, n, bands * rows)
     val banded = bandKeys(sig, id, bands, rows)
-    val cand = Scale.saltedBandSelfJoin(banded, id, "band_key",
+    val cand0 = Scale.saltedBandSelfJoin(banded, id, "band_key",
         "doc_a", "doc_b", salts, hotMin)
       .localCheckpoint()
+    val cand = maxCandidatesPerDoc.fold(cand0)(f =>
+      Scale.candidateVolumeGuard(cand0, docs, f, "nearDupPairsSalted"))
     verifyCandidates(docs, id, text, n, threshold, cand)
   }
 

@@ -28,21 +28,27 @@ object Expectations {
 
   /** One row per rule: (rule, n_rows, n_violations, violation_rate),
     * computed in a single aggregate pass. Deterministic: counts are exact
-    * longs; the rate is one int64/int64 IEEE division. */
+    * longs; the rate is one int64/int64 IEEE division. Intermediate
+    * columns are keyed by rule INDEX (`__v_0`, `__v_1`, …) — rule names
+    * are display strings and may legally contain dots/backticks that
+    * would break `col()` resolution if embedded in column names. On an
+    * EMPTY input frame the rate is a defined 0.0 (not 0/0 = NaN, which a
+    * `rate > x` gate would silently pass). */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "no rules")
     require(rules.map(_.name).distinct.size == rules.size, "duplicate rule names")
     val aggs = count(lit(1)).as("__n") +:
-      rules.map(r => sum(violated(r).cast("long")).as(s"__v_${r.name}"))
+      rules.zipWithIndex.map { case (r, i) => sum(violated(r).cast("long")).as(s"__v_$i") }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val long = explode(array(rules.map(r =>
-      struct(lit(r.name).as("rule"), col(s"__v_${r.name}").as("n_violations"))): _*))
+    val long = explode(array(rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.name).as("rule"), col(s"__v_$i").as("n_violations")) }: _*))
     wide.select(col("__n"), long.as("rv"))
       .select(col("rv.rule").as("rule"),
         col("__n").as("n_rows"),
         coalesce(col("rv.n_violations"), lit(0L)).as("n_violations"),
-        (coalesce(col("rv.n_violations"), lit(0L)).cast("double") /
-          col("__n").cast("double")).as("violation_rate"))
+        when(col("__n") === 0, lit(0.0)).otherwise(
+          coalesce(col("rv.n_violations"), lit(0L)).cast("double") /
+            col("__n").cast("double")).as("violation_rate"))
   }
 
   /** Per-rule violating-row drill-down: up to `sampleK` violating rows per

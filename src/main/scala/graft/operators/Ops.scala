@@ -162,8 +162,13 @@ object Ops {
   }
 
   /** As-of join (point-in-time lookup): for every left row, the single
-    * right row with the same key and the greatest `rightTs` <= `leftTs` —
-    * the temporal join behind purchase attribution, slowly-changing-
+    * right row with the same key and — under `direction = "backward"`
+    * (the default) — the greatest `rightTs` <= `leftTs`; under
+    * `direction = "forward"`, the EARLIEST `rightTs` >= `leftTs` (the
+    * next-event lookup behind "first shipment after the order"). Both
+    * directions are equal-ts INCLUSIVE, and in both, ties among right
+    * rows on equal ts resolve to the greatest `tieBreak` value — the
+    * temporal join behind purchase attribution, slowly-changing-
     * dimension lookups and market-data alignment, which plain equi-joins
     * can't express.
     *

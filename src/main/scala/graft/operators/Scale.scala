@@ -128,6 +128,36 @@ object Scale {
     coldPairs.union(hotPairs).distinct()
   }
 
+  /** IN-PLAN CANDIDATE-VOLUME AUDIT for banded/bucketed pair generators:
+    * every row of `cand` is gated on `|cand| <= factor × |corpus|`, and the
+    * plan `raise_error`s — fails the job loudly — the moment a
+    * candidate-generation stage regresses toward all-pairs (a degenerate
+    * LSH band region, a duplicate-saturated corpus, an under-banded
+    * configuration). The LSH scale contract is "linear in n with a
+    * constant"; this makes the contract EXECUTABLE: at 100 TB an
+    * accidental all-hot corpus raises instead of silently running ×100
+    * pair volume (the measured Tier-B blow-up in SCALE_PROBE.md is the
+    * motivation). The counts ride one broadcast-crossJoin'ed single-row
+    * frame, so the per-row guard is a constant comparison; `cand` should
+    * already be materialized by the caller (it feeds the count AND the
+    * downstream verify). Semantics-preserving while silent: when the cap
+    * holds, output ≡ input (the oracle gates stay hash-green). */
+  def candidateVolumeGuard(cand: DataFrame, corpus: DataFrame,
+                           factor: Double, what: String): DataFrame = {
+    require(factor > 0, s"factor must be positive, got $factor")
+    val outCols = cand.columns
+    val stats = broadcast(cand.agg(count(lit(1)).as("__cand"))
+      .crossJoin(corpus.agg(count(lit(1)).as("__base"))))
+    cand.crossJoin(stats)
+      .filter(when(col("__cand").cast("double") <=
+          lit(factor) * col("__base").cast("double"), lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"$what: candidate volume exceeds $factor x corpus size: "),
+          col("__cand").cast("string"), lit(" candidates for "),
+          col("__base").cast("string"), lit(" rows"))).cast("boolean")))
+      .select(outCols.map(col): _*)
+  }
+
   /** Write a bucketed+sorted table: joins and aggregations on the bucket key
     * become shuffle-free (co-located) for every downstream reader — the
     * standard layout for a fact table that is joined on the same key by many

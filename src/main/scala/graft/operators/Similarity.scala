@@ -107,6 +107,20 @@ object Similarity {
     emb.withColumn("lsh_bucket", bucket)
   }
 
+  /** Default candidate-volume cap for the registered hyperplane-LSH
+    * production paths: candidates must stay under 2048 × |vectors| or the
+    * plan raises in-flight (the [[lshCosinePairs]] audit /
+    * [[Scale.candidateVolumeGuard]]). Sized to the ADVERSARIAL testdata
+    * regime (cos-0.45 over near-random embeddings measures ~940
+    * candidates/vec at sf0.1 — ~94% of all pairs on a 2000-vector corpus,
+    * the worst case for any sign-LSH) with 2× headroom, while still
+    * bounding a 100 TB run at linear-in-n: an all-hot corpus at 10× the
+    * rows crosses the cap and FAILS LOUDLY instead of silently running
+    * quadratic pair volume (SCALE_PROBE.md's measured ×69 Tier-B blow-up
+    * is the motivation). At a realistic near-dup threshold (cos ≥ 0.9)
+    * real corpora sit orders of magnitude below this. */
+  val DefaultCandidatesPerVec = 2048.0
+
   /** Banded hyperplane LSH near-dup PAIRS — the bucketed scale twin of
     * [[cosinePairs]] (which is all-pairs by construction). OR-construction
     * over `bands` bands of `rowsPerBand` sign-bits each: two vectors become
@@ -126,11 +140,15 @@ object Similarity {
     * ≈ 1e-14 with FAR fewer random collisions — these synthetic
     * embeddings are near-random at the 0.45 threshold, which is the
     * adversarial case for any sign-LSH; candidate generation still goes
-    * through an equi-join (shuffle, AQE-sizeable), never a cartesian. */
+    * through an equi-join (shuffle, AQE-sizeable), never a cartesian.
+    *
+    * The candidate-volume audit DEFAULTS ON ([[DefaultCandidatesPerVec]]);
+    * pass `maxCandidatesPerVec = None` only for deliberately-uncapped
+    * measurement runs. */
   def lshCosinePairs(emb: DataFrame, id: String, vec: String, threshold: Double,
                      bands: Int = 48, rowsPerBand: Int = 4, seed: Long = 42L,
                      dim: Option[Int] = None,
-                     maxCandidatesPerVec: Option[Double] = None,
+                     maxCandidatesPerVec: Option[Double] = Some(DefaultCandidatesPerVec),
                      saltHotBands: Option[(Int, Int)] = None): DataFrame = {
     // dim from table metadata when known (skips a scan); else from the data
     val d = dim.getOrElse {
@@ -366,7 +384,7 @@ object Similarity {
   def mutualKnnDedupLsh(emb: DataFrame, id: String, vec: String, k: Int,
                         threshold: Double, bands: Int = 48, rowsPerBand: Int = 4,
                         seed: Long = 42L,
-                        maxCandidatesPerVec: Option[Double] = None): DataFrame =
+                        maxCandidatesPerVec: Option[Double] = Some(DefaultCandidatesPerVec)): DataFrame =
     mutualKnnDedupFromPairs(emb,
       lshCosinePairs(emb, id, vec, threshold, bands, rowsPerBand, seed,
         maxCandidatesPerVec = maxCandidatesPerVec), id, k)

@@ -167,7 +167,7 @@ object Sketches {
         row_number().over(Window.partitionBy("g").orderBy("h")).as("rk"))
       .filter(col("rk") <= k)
       .localCheckpoint()
-    val est = sk.groupBy("g")
+    val estInner = sk.groupBy("g")
       .agg(max(col("n_h")).as("n_h"), count(lit(1)).as("kept"),
         max(when(col("rk") === k, col("h"))).as("hk"))
       .withColumn("est",
@@ -177,6 +177,19 @@ object Sketches {
             lit(" of n_h="), col("n_h").cast("string"))))
         .when(col("n_h") <= k, col("n_h").cast("double"))
         .otherwise(lit((k - 1).toDouble) * lit(H) / (col("hk").cast("double") + lit(1.0))))
+      .select(col("g"), col("est"))
+    // The kept-count audit above can only see groups with ≥1 survivor; a
+    // group whose MINIMUM hash exceeds the prefilter threshold (possible,
+    // if astronomically unlikely) would vanish from sk entirely. Close
+    // the hole: every group in `counts` must resurface from the sketch,
+    // or the sketch raises instead of silently dropping the group from
+    // all pair outputs. |counts| = |groups| rows — sketch-sized join.
+    val est = counts.join(estInner, Seq("g"), "left_outer")
+      .withColumn("est",
+        when(col("est").isNull,
+          raise_error(concat(lit("kmvPairwise: group vanished from sketch "),
+            lit("(zero prefilter survivors): "), col("g").cast("string"))))
+        .otherwise(col("est")))
       .select(col("g"), col("n_h"), col("est"))
 
     val groups = sk.select(col("g")).distinct()

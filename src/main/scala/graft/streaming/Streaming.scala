@@ -601,7 +601,11 @@ object Streaming {
       getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
       if (keep.nonEmpty) {
         open.put(keep.toArray)
-        getHandle.registerTimer(keep.map(s => (s.lastTs + gapUs) / 1000L).min)
+        // Ceiling to ms: a floor here can fire the timer up to 1ms before
+        // the micro-grain close point, closing nothing and re-registering
+        // the same already-expired timestamp every batch until the
+        // watermark crosses the boundary.
+        getHandle.registerTimer(keep.map(s => (s.lastTs + gapUs + 999L) / 1000L).min)
       }
       done.sortBy(_.start).iterator.map(s =>
         ClosedSession(uid, usToTs(s.start), usToTs(s.lastTs), s.n))

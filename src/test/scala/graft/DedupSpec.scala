@@ -78,6 +78,33 @@ class DedupSpec extends AnyFunSuite {
     assert(fast sameElements exact)
   }
 
+  test("nearDupPairs default candidate cap: silent on a sane corpus, raises on a saturated one") {
+    // silent: with the default cap ON, output ≡ the explicitly-uncapped
+    // path (the audit is a guard, not a filter)
+    val capped = Dedup.nearDupPairs(docs, "doc_id", "text", 5, 0.5)
+      .orderBy($"doc_a", $"doc_b").as[(Long, Long, Double)].collect()
+    val uncapped = Dedup.nearDupPairs(docs, "doc_id", "text", 5, 0.5,
+        maxCandidatesPerDoc = None)
+      .orderBy($"doc_a", $"doc_b").as[(Long, Long, Double)].collect()
+    assert(capped sameElements uncapped)
+    // ALL-HOT corpus: 100 mutually-identical docs make every pair a band
+    // candidate (4950 pairs > 32 x 100) — the registered production form
+    // (default args) must raise in-plan, not silently run quadratic
+    val hot = (1L to 100L).map(i =>
+      (i, "the same boilerplate sentence repeated in every single document"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.nearDupPairs(hot, "doc_id", "text", 5, 0.8).collect()
+    }
+    assert(e.getMessage.contains("candidate volume exceeds"), e.getMessage)
+    // the salted twin ships the same default-on audit
+    val e2 = intercept[Exception] {
+      Dedup.nearDupPairsSalted(hot, "doc_id", "text", 5, 0.8,
+        salts = 4, hotMin = 4).collect()
+    }
+    assert(e2.getMessage.contains("candidate volume exceeds"), e2.getMessage)
+  }
+
   test("dupGroups: chained clusters A~B, B~C collapse to one group") {
     // 1-2 and 2-3 are pairs but 1-3 is NOT: only transitive closure merges
     // them; a per-pair survivor would wrongly keep doc 3

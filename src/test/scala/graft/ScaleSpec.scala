@@ -50,6 +50,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(allCold sameElements plain)
   }
 
+  test("candidateVolumeGuard: pass-through identity under the cap, raise above it") {
+    val corpus = (1L to 50L).toDF("id")
+    val cand = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    // under the cap: output ≡ input, columns preserved
+    val kept = Scale.candidateVolumeGuard(cand, corpus, 1.0, "t")
+    assert(kept.columns.toSeq == Seq("doc_a", "doc_b"))
+    assert(kept.orderBy($"doc_a").as[(Long, Long)].collect()
+      sameElements cand.orderBy($"doc_a").as[(Long, Long)].collect())
+    // above the cap: every downstream consumption raises
+    val e = intercept[Exception] {
+      Scale.candidateVolumeGuard(cand, corpus, 0.01, "t").collect()
+    }
+    assert(e.getMessage.contains("candidate volume exceeds"), e.getMessage)
+  }
+
   test("two-level salted agg ≡ direct agg") {
     val df = (1 to 1000).map(i => (s"k${i % 3}", i.toLong)).toDF("key", "v")
     val direct = df.groupBy($"key").agg(count(lit(1)).as("n"), max($"v").as("mx"))

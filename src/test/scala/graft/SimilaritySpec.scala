@@ -240,6 +240,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("band-join candidates exceed"), e.getMessage)
   }
 
+  test("lshCosinePairs DEFAULT cap raises on an all-hot corpus") {
+    // 4200 identical vectors through a single 1-bit band: every pair is a
+    // candidate (~8.8M > 2048 x 4200), so the registered production form's
+    // default-on audit must fail the job loudly — the 100 TB contract that
+    // an accidental all-hot corpus raises instead of running quadratic.
+    // (bands=1/rowsPerBand=1 keeps the deliberate blow-up test-sized; the
+    // default bands would multiply the same quadratic by 48.)
+    val hot = spark.range(4200)
+      .select($"id".as("vec_id"),
+        typedLit(Array(1.0f, 0.5f)).as("embedding"))
+    val e = intercept[Exception] {
+      Similarity.lshCosinePairs(hot, "vec_id", "embedding", 0.9,
+        bands = 1, rowsPerBand = 1).limit(1).collect()
+    }
+    assert(e.getMessage.contains("band-join candidates exceed"), e.getMessage)
+  }
+
   test("maxSimTopK: each query vector matches its best token; sums are exact") {
     // doc 10 carries both query directions (maxsim ≈ 2), doc 20 only the
     // first (≈ 1), doc 30 is orthogonal to both (0)

@@ -861,6 +861,31 @@ object QueriesExtras {
     },
     None)
 
+  /** IVF-PQ at a SECOND, quality-gated operating point — the regression
+    * gate on APPROXIMATION QUALITY the exact-arithmetic twins don't give
+    * (they pin the mechanics; this row pins the achieved recall). Same
+    * published index as q_ann_ivfpq_topk, but the shortlist is widened to
+    * 400 so cell pruning — not rerank truncation — is the binding
+    * approximation, with nprobe = 6 of 8 cells still a genuine prune;
+    * the in-plan floor is TIGHTENED to 0.8 (vs the production row's
+    * permissive 0.4). Measured recall@10 on the deterministic seeded
+    * index: 1.0 / 1.0 / 0.9 at sf0.001/0.01/0.1 — a codebook, layout, or
+    * probe-selection regression that degrades retrieval below 0.8 fails
+    * the round via raise_error instead of passing a rows-only check.
+    * Rows-only by construction (MLlib float k-means codebooks are not
+    * SQL-replayable); the audit column IS the certificate. */
+  private val qAnnIvfpqProbeAudit = Q(
+    (s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val dir = PqIndex.ensure(emb, "vec_id", "embedding", d,
+        m = 8, k = 64, coarseNlist = 8)
+      Similarity.withRecallAudit(
+        PqIndex.topKReranked(s, dir, emb, "vec_id", "embedding", anchorVec(emb),
+          anchorId = 0L, topK = 10, shortlist = 400, nprobe = 6),
+        emb, "vec_id", "embedding", anchorId = 0L, k = 10, minRecall = 0.8)
+    },
+    None)
+
   private val qTextStats = Q(
     (s, d) => {
       val st = TextAnalysis.textStats(Tables.load(s, d, "documents"), "doc_id", "text")
@@ -2409,6 +2434,7 @@ object QueriesExtras {
     "q_ann_pq_exact_topk" -> qAnnPqExactTopk,
     "q_ann_ivfpq_topk" -> qAnnIvfpqTopk,
     "q_ann_ivfpq_exact_topk" -> qAnnIvfpqExactTopk,
+    "q_ann_ivfpq_probe_audit" -> qAnnIvfpqProbeAudit,
     "q_emb_neardup_pairs" -> qEmbNeardupPairs,
     "q_emb_neardup_lsh" -> qEmbNeardupLsh,
     "q_emb_neardup_lsh_salted" -> qEmbNeardupLshSalted,

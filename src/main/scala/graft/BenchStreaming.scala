@@ -1,0 +1,199 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{StateInspect, Streaming}
+
+/** Streaming-throughput bench (round-11 brief item 3): the batch board
+  * (`Bench`) times every registered query, but the stateful streaming
+  * surface — the transformWithState sessionizer, the exactly-once
+  * incremental rollup ledger, the persisted near-dup index sink, and the
+  * continuous quality monitor — had correctness specs and no recorded
+  * rates. This main drives each sink over the bench corpus
+  * (SPARK_GRAFT_SF_DIR, default sf0.1: 100k events / 5k documents) in a
+  * fixed number of micro-batches and records rows/s, batch count, wall
+  * seconds, output cardinality, and end-of-run state size (from
+  * [[StateInspect.stateMetadata]] for store-backed state; from the ledger
+  * parquet for dir-backed state). One JSON line on stdout, mirrored to
+  * `BENCH_STREAMING.json`.
+  *
+  * Methodology notes, mirrored from `Bench`: numbers are single-run
+  * wall-clock over MemoryStream input (the engine + state path, no source
+  * I/O), after one untimed warmup batch per pipeline so codegen/JIT cost
+  * doesn't land in batch 1 of the measured run. Event input arrives
+  * time-ordered (the spec convention) so the watermark never drops rows;
+  * `rows_in` counts exclude the watermark-flush sentinels. */
+/** Input-row shape for [[BenchStreaming]] (top-level: Dataset encoder
+  * codegen needs a publicly constructible class). */
+case class SBenchEv(user_id: Long, ts: Timestamp, value: Double,
+                    event_type: String)
+
+object BenchStreaming {
+  private def nowSec(): Double = System.nanoTime() / 1e9
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark: SparkSession = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // RocksDB provider everywhere: the store contract for 100 TB state
+      // (changelog-checkpointed, disk-spillable) — benching the default
+      // HDFS-backed in-memory store would flatter the numbers
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sbench").toString
+    val events = Tables.load(spark, sfDir, "events")
+      .select($"user_id", $"ts", coalesce($"value", lit(0.0)).as("value"),
+        coalesce($"event_type", lit("?")).as("event_type"))
+      .orderBy($"ts")
+      .as[SBenchEv].collect()
+    val nBatches = 8
+    val chunks = events.grouped((events.length + nBatches - 1) / nBatches).toSeq
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+    def record(name: String, rowsIn: Long, batches: Int, secs: Double,
+               extra: Seq[(String, String)]): Unit = {
+      val fields = Seq(
+        "rows_in" -> rowsIn.toString,
+        "batches" -> batches.toString,
+        "seconds" -> f"$secs%.3f",
+        "rows_per_sec" -> f"${rowsIn / secs}%.0f") ++ extra
+      results(name) = fields.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      System.err.println(s"[sbench] $name: ${fields.toMap}")
+    }
+
+    // ---- 1. transformWithState sessionizer (event-time timers, ListState)
+    locally {
+      val ckpt = s"$tmp/tws_ckpt"
+      val mem = MemoryStream[(Long, Timestamp)]
+      val q = Streaming.sessionizeTws(mem.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName("sbench_tws")
+        .option("checkpointLocation", ckpt)
+        .start()
+      // untimed warmup batch: one row far in the PAST so it can't create
+      // sessions that merge with the measured corpus
+      val t0ts = events.head.ts.getTime
+      mem.addData((-1L, new Timestamp(t0ts - 30L * 24 * 3600 * 1000)))
+      q.processAllAvailable()
+      val t0 = nowSec()
+      chunks.foreach { c =>
+        mem.addData(c.map(e => (e.user_id, e.ts)).toSeq)
+        q.processAllAvailable()
+      }
+      // double-sentinel flush: batch 1 raises the watermark past every
+      // session's close point, batch 2 fires the timers
+      val far = new Timestamp(events.map(_.ts.getTime).max + 2L * 3600 * 1000)
+      mem.addData((-2L, far)); q.processAllAvailable()
+      mem.addData((-2L, far)); q.processAllAvailable()
+      val secs = nowSec() - t0
+      val sessions = spark.table("sbench_tws")
+        .filter($"user_id" >= 0L).count()
+      val meta = StateInspect.stateMetadata(spark, ckpt)
+        .select("stateStoreName", "numPartitions", "maxBatchId").head()
+      // transformWithState state is per-variable: name the ListState
+      val openState = StateInspect.stateStore(spark, ckpt,
+        Map("stateVarName" -> "open")).count()
+      q.stop()
+      record("sessionize_tws", events.length.toLong, nBatches + 2, secs, Seq(
+        "sessions_out" -> sessions.toString,
+        "state_partitions" -> meta.getInt(1).toString,
+        "state_max_batch" -> meta.getLong(2).toString,
+        "state_rows_final" -> openState.toString))
+    }
+
+    // ---- 2. exactly-once incremental rollup ledger (A2 merge shape)
+    locally {
+      val stateDir = s"$tmp/rollup_state"
+      val ckpt = s"$tmp/rollup_ckpt"
+      val mem = MemoryStream[(Long, Double)]
+      val q = mem.toDS().toDF("user_id", "value")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(Streaming.incrementalRollupSink(
+          "user_id", Seq("value"), Nil, stateDir) _)
+        .start()
+      val t0 = nowSec()
+      chunks.foreach { c =>
+        mem.addData(c.map(e => (e.user_id, e.value)).toSeq)
+        q.processAllAvailable()
+      }
+      val secs = nowSec() - t0
+      val stateRows = spark.read.parquet(stateDir).count()
+      q.stop()
+      record("incremental_rollup", events.length.toLong, nBatches, secs, Seq(
+        "state_rows" -> stateRows.toString))
+    }
+
+    // ---- 3. continuous quality monitor (Expectations over the stream)
+    locally {
+      val stateDir = s"$tmp/quality_state"
+      val ckpt = s"$tmp/quality_ckpt"
+      val rules = Seq(
+        graft.operators.Expectations.Rule("value_non_negative", col("value") >= 0),
+        graft.operators.Expectations.Rule("known_type",
+          col("event_type").isin("view", "click", "purchase")),
+        graft.operators.Expectations.Rule("user_present", col("user_id").isNotNull))
+      val mem = MemoryStream[SBenchEv]
+      val q = mem.toDS().toDF()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(Streaming.qualityMonitorSink(rules, stateDir) _)
+        .start()
+      val t0 = nowSec()
+      chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+      val secs = nowSec() - t0
+      val state = Streaming.qualityState(spark, stateDir)
+      val stateRows = state.count()
+      val worstRate = state.agg(max($"violation_rate")).head().getDouble(0)
+      q.stop()
+      record("quality_monitor", events.length.toLong, nBatches, secs, Seq(
+        "state_rows" -> stateRows.toString,
+        "worst_violation_rate" -> f"$worstRate%.4f"))
+    }
+
+    // ---- 4. persisted near-dup index sink (documents corpus)
+    locally {
+      val stateDir = s"$tmp/neardup_state"
+      val docs = Tables.load(spark, sfDir, "documents")
+        .select($"doc_id", $"text")
+      val nDocs = docs.count()
+      val docBatches = 4
+      val t0 = nowSec()
+      (0L until docBatches.toLong).foreach { b =>
+        Streaming.incrementalNearDupSink("doc_id", "text", stateDir)(
+          docs.filter($"doc_id" % docBatches === b), b)
+      }
+      val secs = nowSec() - t0
+      val pairs = spark.read.parquet(s"$stateDir/pairs").count()
+      val keys = spark.read.parquet(s"$stateDir/keys").count()
+      record("neardup_incremental", nDocs, docBatches, secs, Seq(
+        "pairs_out" -> pairs.toString,
+        "state_key_rows" -> keys.toString))
+    }
+
+    val json = s"""{"metric":"streaming","unit":"sec","sf":"$sfDir",""" +
+      s""""store":"rocksdb","sinks":{""" +
+      results.map { case (k, v) => s""""$k":$v""" }.mkString(",") + "}}"
+    println(json)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_STREAMING.json"), json + "\n"): Unit
+    catch { case e: Throwable =>
+      System.err.println(s"[sbench] could not write BENCH_STREAMING.json: ${e.getMessage}")
+    }
+    spark.stop()
+  }
+}

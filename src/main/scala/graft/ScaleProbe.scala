@@ -135,8 +135,20 @@ object ScaleProbe {
       offsetKeys(b, r, Seq("event_id", "user_id"))
     }.repartition(8).write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
+    // customer (round 11, for the fuzzy-match family): keys offset AND
+    // names suffixed "~<r><r><r>" — a common suffix preserves every
+    // within-replica pairwise levenshtein EXACTLY, while any two replicas'
+    // suffixes differ in 3 positions, so cross-replica distances exceed
+    // the family's maxDist and FastSS (complete blocking + exact verify)
+    // emits exactly 10x the base pair rows
+    replicate(Tables.load(spark, baseDir, "customer"), replicas) { (b, r) =>
+      offsetKeys(b, r, Seq("c_custkey"))
+        .withColumn("c_name", concat(col("c_name"), lit(s"~$r$r$r")))
+    }.repartition(8).write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+
     val secs = (System.nanoTime() - t0) / 1e9
-    val counts = Seq("documents", "embeddings", "orders", "lineitem", "part", "events")
+    val counts = Seq("documents", "embeddings", "orders", "lineitem", "part",
+        "events", "customer")
       .map(t => t -> spark.read.parquet(s"$outDir/$t.parquet").count())
     counts.foreach { case (t, n) => emit("probe" -> "synth", "table" -> t, "rows" -> n) }
     emit("probe" -> "synth", "table" -> "_all", "secs" -> secs, "replicas" -> replicas)
@@ -157,7 +169,35 @@ object ScaleProbe {
     "q_dup_provenance_lsh", "q_activity_spine", "q_activity_spine_recursive",
     // round-10 one-pass operators: the quality gate (scan + one agg) and
     // the KMV sketch (one distinct shuffle, then k-row pair work)
-    "q_expectations", "q_kmv_intersect")
+    "q_expectations", "q_kmv_intersect",
+    // round-11 extension (VERDICT r10 item 1): the previously-unprobed
+    // pair-generating / iterative families whose replicas ARE
+    // union-composable. fuzzy_match: FastSS blocking over suffix-remapped
+    // customer names (rows x10 exact — complete blocking + affix-invariant
+    // levenshtein). label_prop / kcore: bounded-round iteration over 10
+    // key-disjoint co-purchase graphs (rows x10 exact; labels/degrees are
+    // offset-invariant). curation_pipeline: exact-dedup + token gate +
+    // hash split over bijectively-remapped docs (rows x10 exact — token
+    // counts and equality classes are remap-invariant). bm25_topk: the
+    // postings shuffle is restricted to the 4 base-vocab query terms, so
+    // rows stay k (= 10) at every scale and the cost curve is the
+    // document-stats scan.
+    "q_fuzzy_match", "q_label_prop", "q_kcore", "q_curation_pipeline",
+    "q_bm25_topk")
+
+  /** Linear-COST families whose OUTPUT is not union-composable, so "rows
+    * x10 exact" is unachievable by any replica synthesis and row parity is
+    * NOT the check — the measured time ratio and the bounded output size
+    * are. snm_pairs: rank-window semantics — interleaving any new rows
+    * into the sort changes rank adjacency (identical part names across
+    * replicas sort together and displace base window pairs); output stays
+    * <= n·window·passes by construction, cost is sort + bounded window.
+    * simhash_pairs: per-replica token remaps re-draw every 32-bit word
+    * hash, so each replica's collision structure is a fresh sample of the
+    * same small-vocabulary regime (cross-replica hamming<=1 collisions:
+    * ~33/2^32 per pair, single digits at this scale); cost is the
+    * pigeonhole bucket join. */
+  private val tierC = Seq("q_snm_pairs", "q_simhash_pairs")
 
   /** Optional comma-separated SPARK_GRAFT_PROBE_ONLY filter so a new
     * family can be probed without re-timing the whole board. */
@@ -172,7 +212,12 @@ object ScaleProbe {
     * in-plan audit firing is a RESULT (the guard working), not a failure. */
   private val tierB = Seq(
     "q_emb_neardup_lsh", "q_emb_neardup_lsh_salted",
-    "q_mutual_knn_dedup_lsh", "q_negative_sample")
+    "q_mutual_knn_dedup_lsh", "q_negative_sample",
+    // round 11: semDedup at its REGISTERED parameters (k = 8 fixed) is a
+    // documented quadratic regime at 10x — cluster populations scale x10,
+    // within-cluster pair work x100 (production scales k with n to hold
+    // cluster size constant; the registered query pins the small-sf gate)
+    "q_semdedup")
 
   private def runQuery(spark: SparkSession, name: String, dir: String,
                        timedRuns: Int, countRows: Boolean): Unit = {
@@ -197,18 +242,24 @@ object ScaleProbe {
   }
 
   def quiet(spark: SparkSession, baseDir: String, probeDir: String): Unit = {
-    val (ta, tb) = (probeFilter(tierA), probeFilter(tierB))
+    val (ta, tb, tc) = (probeFilter(tierA), probeFilter(tierB), probeFilter(tierC))
     // base scale: warmup + min-of-3 (the SCALE.md board convention)
-    (ta ++ tb).foreach { n =>
+    (ta ++ tb ++ tc).foreach { n =>
       try SparkEntry.queries(n)(spark, baseDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    (ta ++ tb).foreach(n => runQuery(spark, n, baseDir, timedRuns = 3, countRows = true))
+    (ta ++ tb ++ tc).foreach(n => runQuery(spark, n, baseDir, timedRuns = 3, countRows = true))
     // probe scale: AQE compiles different plans, so the first timed run
     // carries codegen/JIT for those plans; min-of-2 absorbs most of it and
     // the per-run samples are recorded so the inflation stays visible
-    ta.foreach(n => runQuery(spark, n, probeDir, timedRuns = 2, countRows = true))
+    (ta ++ tc).foreach(n => runQuery(spark, n, probeDir, timedRuns = 2, countRows = true))
+    // tier B at 10x: since round 11 the registered LSH forms carry the
+    // DEFAULT candidate-volume cap, so the adversarial rows are EXPECTED
+    // to raise here — an emitted "candidate volume/candidates exceed"
+    // error line is the guard demonstrably firing at scale, not a probe
+    // failure. q_negative_sample (labeled quadratic twin, no cap) and
+    // q_semdedup (fixed-k cluster regime) still run to completion.
     tb.foreach(n => runQuery(spark, n, probeDir, timedRuns = 1, countRows = false))
   }
 

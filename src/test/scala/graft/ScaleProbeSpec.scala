@@ -118,4 +118,32 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(wrong.isEmpty)
     assert(groups.count() == 800) // 100 chains x 8 nodes
   }
+
+  test("customer name remap: within-replica levenshtein preserved exactly, cross-replica beyond maxDist") {
+    val cust = spark.read.parquet(s"$outDir/customer.parquet")
+    val base = cust.filter(col("c_custkey") < Off)
+      .select(col("c_custkey").as("k"), col("c_name").as("n")).localCheckpoint()
+    val rep = cust.filter(col("c_custkey") >= Off)
+      .select((col("c_custkey") - Off).as("k"), col("c_name").as("n")).localCheckpoint()
+    assert(base.count() == rep.count())
+    // a common suffix is levenshtein-invariant: every base pair's distance
+    // equals its replica image's — the fuzzy family's candidate AND
+    // verify structure is exactly the base corpus's (sampled pairs; the
+    // suffix argument is positional, so a sample is representative)
+    def pairDists(df: org.apache.spark.sql.DataFrame) = df.filter(col("k") < 40)
+      .select(col("k").as("a"), col("n").as("na"))
+      .join(df.filter(col("k") < 40).select(col("k").as("b"), col("n").as("nb")),
+        col("a") < col("b"))
+      .select(col("a"), col("b"), levenshtein(col("na"), col("nb")).as("d"))
+    val drift = pairDists(base).withColumnRenamed("d", "db")
+      .join(pairDists(rep).withColumnRenamed("d", "dr"), Seq("a", "b"))
+      .filter(col("db") =!= col("dr"))
+    assert(drift.isEmpty, "suffix remap changed a within-replica levenshtein")
+    // cross-replica distances exceed the family's maxDist (1): base vs
+    // replica suffixes differ by a 4-char insertion
+    val minCross = base.select(col("n").as("na")).limit(30)
+      .crossJoin(rep.select(col("n").as("nb")).limit(30))
+      .agg(min(levenshtein(col("na"), col("nb")))).head().getInt(0)
+    assert(minCross >= 2, s"cross-replica names reachable at maxDist: $minCross")
+  }
 }

@@ -146,8 +146,13 @@ object Scale {
                            factor: Double, what: String): DataFrame = {
     require(factor > 0, s"factor must be positive, got $factor")
     val outCols = cand.columns
+    // the 1-row stats frame is materialized once: the guarded output is
+    // typically consumed by several downstream joins (doc restriction +
+    // verify), and an un-checkpointed stats subtree would re-run both
+    // count aggregates per consumer
     val stats = broadcast(cand.agg(count(lit(1)).as("__cand"))
-      .crossJoin(corpus.agg(count(lit(1)).as("__base"))))
+      .crossJoin(corpus.agg(count(lit(1)).as("__base")))
+      .localCheckpoint())
     cand.crossJoin(stats)
       .filter(when(col("__cand").cast("double") <=
           lit(factor) * col("__base").cast("double"), lit(true))

@@ -206,8 +206,11 @@ object Similarity {
       case None => (cand0, None)
       case Some(factor) =>
         val mat = cand0.localCheckpoint()
+        // 1-row stats materialized once (the guarded rescore output may be
+        // consumed repeatedly, e.g. by the mutual-kNN rank stages)
         val stats = broadcast(mat.agg(count(lit(1)).as("__cand"))
-          .crossJoin(emb.agg(count(lit(1)).as("__nvec"))))
+          .crossJoin(emb.agg(count(lit(1)).as("__nvec")))
+          .localCheckpoint())
         val guard: Column => Column = c =>
           when(col("__cand").cast("double") <=
               lit(factor) * col("__nvec").cast("double"), c)

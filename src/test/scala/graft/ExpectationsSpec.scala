@@ -26,6 +26,31 @@ class ExpectationsSpec extends AnyFunSuite {
       ("v_present", 4L, 1L, 0.25)))
   }
 
+  test("rule names with dots/backticks resolve (index-keyed intermediates)") {
+    // a rule name is a display string — embedding it in a column name
+    // made col() parse dots as struct access; the index-keyed form must
+    // carry any legal string through unharmed
+    val df = Seq((1L, 5.0), (2L, -1.0)).toDF("id", "v")
+    val got = Expectations.check(df, Seq(
+        Rule("fact.v`non-neg", col("v") >= 0.0),
+        Rule("id.present", col("id").isNotNull)))
+      .orderBy("rule")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("fact.v`non-neg", 2L, 1L, 0.5),
+      ("id.present", 2L, 0L, 0.0)))
+  }
+
+  test("empty input yields violation_rate 0.0, not NaN (gates stay decidable)") {
+    val df = Seq.empty[(Long, Double)].toDF("id", "v")
+    val got = Expectations.check(df, Seq(Rule("v_nonneg", col("v") >= 0.0)))
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("v_nonneg", 0L, 0L, 0.0)))
+    // the downstream alerting shape: a threshold comparison must be
+    // decidably false on empty input, not NaN-silently-false by accident
+    assert(!got.head._4.isNaN)
+  }
+
   test("violations drill-down returns the deterministic first-k per rule") {
     val df = (1L to 100L).map(i => (i, i % 3 == 0)).toDF("id", "ok")
     val got = Expectations.violations(df, Seq(Rule("ok", col("ok"))), "id", 5)

@@ -180,16 +180,24 @@ object Sketches {
       .select(col("g"), col("est"))
     // The kept-count audit above can only see groups with ≥1 survivor; a
     // group whose MINIMUM hash exceeds the prefilter threshold (possible,
-    // if astronomically unlikely) would vanish from sk entirely. Close
-    // the hole: every group in `counts` must resurface from the sketch,
-    // or the sketch raises instead of silently dropping the group from
-    // all pair outputs. |counts| = |groups| rows — sketch-sized join.
-    val est = counts.join(estInner, Seq("g"), "left_outer")
-      .withColumn("est",
-        when(col("est").isNull,
-          raise_error(concat(lit("kmvPairwise: group vanished from sketch "),
-            lit("(zero prefilter survivors): "), col("g").cast("string"))))
-        .otherwise(col("est")))
+    // if astronomically unlikely) would vanish from sk entirely and take
+    // its pair rows with it — so a DECLARATIVE raise column could never
+    // be evaluated for exactly the rows it guards. The audit is therefore
+    // EAGER and runs once at build time, firing even when the vanished
+    // group would have produced zero output rows (the contract: audit,
+    // never a silently incomplete sketch). The upstream side counts
+    // groups from the raw column (a single-column scan + tiny distinct —
+    // cheaper than re-deriving the (g, h) distinct); the sketch side is
+    // the checkpointed k-row frame.
+    val nGroups = df.filter(col(value).isNotNull)
+      .select(col(group)).distinct().count()
+    val nSkGroups = sk.select(col("g")).distinct().count()
+    if (nSkGroups != nGroups)
+      throw new IllegalStateException(
+        s"kmvPairwise: ${nGroups - nSkGroups} group(s) vanished from the sketch " +
+          "(zero prefilter survivors) — raising instead of emitting an " +
+          "incomplete sketch")
+    val est = counts.join(estInner, Seq("g"))
       .select(col("g"), col("n_h"), col("est"))
 
     val groups = sk.select(col("g")).distinct()

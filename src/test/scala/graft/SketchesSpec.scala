@@ -119,4 +119,29 @@ class SketchesSpec extends AnyFunSuite {
         s"($a,$b): below-k intersection must be exact")
     }
   }
+
+  test("kmvPairwise raises when a group loses EVERY prefilter survivor (vanishing-group audit)") {
+    // construct the "astronomically unlikely" case deterministically:
+    // with k=2 and n_h=100, the prefilter keeps h < 8·2^32/100 (~8% of
+    // the space), so a group built ONLY from values hashing into the
+    // upper 92% has zero survivors. ~92% of arbitrary strings qualify,
+    // so the corpus is easy to mine — the point is that the sketch must
+    // RAISE (eagerly, even though the group would emit no pair rows at
+    // all), not silently drop the group from every estimate.
+    def kmvHash(v: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((v + "graft-kmv").getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val thresh = (8L * 4294967296L) / 100L
+    val hot = Iterator.from(0).map(i => s"v$i")
+      .filter(v => kmvHash(v) >= thresh).take(100).toSeq
+    assert(hot.size == 100)
+    val df = hot.map(v => ("hot", v)).toDF("g", "v")
+    val e = intercept[IllegalStateException] {
+      Sketches.kmvPairwise(df, "g", "v", k = 2)
+    }
+    assert(e.getMessage.contains("vanished"), e.getMessage)
+  }
 }

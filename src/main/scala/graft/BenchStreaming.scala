@@ -60,8 +60,12 @@ object BenchStreaming {
         coalesce($"event_type", lit("?")).as("event_type"))
       .orderBy($"ts")
       .as[SBenchEv].collect()
-    val nBatches = 8
-    val chunks = events.grouped((events.length + nBatches - 1) / nBatches).toSeq
+    require(events.nonEmpty, s"BenchStreaming: no event rows under $sfDir")
+    // chunks.size is what each sink actually saw — with a corpus smaller
+    // than the target batch count, grouped() yields fewer chunks, and
+    // recording the constant would misdescribe the rows/s methodology
+    val chunks = events.grouped((events.length + 7) / 8).toSeq
+    val nBatches = chunks.size
     val results = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
     def record(name: String, rowsIn: Long, batches: Int, secs: Double,

@@ -18,7 +18,6 @@ object ProbeCandVolume {
       val d = s"/root/testdata/$sf"
       val emb = Tables.load(spark, d, "embeddings")
       val nVec = emb.count()
-      val sigE = operators.Similarity.withLshBucket _ // unused; keep import
       val docs = Tables.load(spark, d, "documents").select(col("doc_id"), col("text"))
       val nDoc = docs.count()
       // emb path: replicate lshCosinePairs candidate build (no cap)

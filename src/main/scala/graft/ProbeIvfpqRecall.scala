@@ -4,8 +4,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** One-off measurement: achieved recall@10 of the published IVF-PQ index
-  * per (sf, nprobe), to size q_ann_ivfpq_probe_audit's tightened floor
-  * (round-11 brief item 5). Not part of the build contract. */
+  * per (sf, shortlist, nprobe) operating point — the data that sized
+  * q_ann_ivfpq_probe_audit's tightened 0.8 floor (round-11 brief item 5):
+  * shortlist 400 / nprobe 6 measures 1.0 / 1.0 / 0.9 across the sfs.
+  * Not part of the build contract; prints measurements and exits. */
 object ProbeIvfpqRecall {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -24,12 +26,12 @@ object ProbeIvfpqRecall {
       val brute = operators.Similarity
         .bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
         .select(col("vec_id")).collect().map(_.getLong(0)).toSet
-      for (np <- Seq(2, 3, 4, 6, 8)) {
+      for (sl <- Seq(100, 200, 400); np <- Seq(2, 3, 4, 6, 8)) {
         val got = operators.PqIndex.topKReranked(spark, dir, emb,
-            "vec_id", "embedding", anchor, 0L, topK = 10, shortlist = 100,
+            "vec_id", "embedding", anchor, 0L, topK = 10, shortlist = sl,
             nprobe = np)
           .select(col("vec_id")).collect().map(_.getLong(0)).toSet
-        println(s"PROBE $sf nprobe=$np recall@10=${(got & brute).size / 10.0}")
+        println(s"PROBE $sf shortlist=$sl nprobe=$np recall@10=${(got & brute).size / 10.0}")
       }
     }
     spark.stop()

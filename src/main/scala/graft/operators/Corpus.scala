@@ -204,12 +204,21 @@ object Corpus {
     * ([[Dedup.dupGroups]]) already have their own gates; this composes
     * them with the final anti-join. */
   def nearDupPurge(df: DataFrame, id: String, text: String, n: Int,
-                   threshold: Double): DataFrame = {
+                   threshold: Double,
+                   maxCandidatesPerDoc: Option[Double] =
+                     Some(Dedup.DefaultCandidatesPerDoc)): DataFrame = {
+    // The candidate cap passes through because a purge's TARGET workload
+    // is a duplicate-saturated corpus — exactly where the default cap can
+    // legitimately fire. The default stays on (fail loudly on an
+    // unexpectedly all-hot corpus); a caller that EXPECTS saturation
+    // raises the factor or passes None deliberately, rather than being
+    // locked out of the API.
     // dupGroups has a FIXED output contract — (doc_id, group_id),
     // whatever the caller's id column is named (its pair input is always
     // doc_a/doc_b) — so the loser set is selected by that contract and
     // aliased back to the caller's id for the anti-join
-    val losers = Dedup.dupGroups(Dedup.nearDupPairs(df, id, text, n, threshold))
+    val losers = Dedup.dupGroups(Dedup.nearDupPairs(df, id, text, n, threshold,
+        maxCandidatesPerDoc = maxCandidatesPerDoc))
       .filter(col("group_id") =!= col("doc_id"))
       .select(col("doc_id").as(id))
     df.join(losers, Seq(id), "left_anti")

@@ -283,13 +283,16 @@ object Dedup {
     * path) yields a NULL band array and the row drops out at the explode —
     * the `when` guard also keeps the generator child non-attribute (see
     * [[shingles]] on the generate-inference trap). */
-  def lshCandidatePairs(sig: DataFrame, id: String, bands: Int, rows: Int): DataFrame = {
-    val banded = bandKeys(sig, id, bands, rows)
+  def lshCandidatePairs(sig: DataFrame, id: String, bands: Int, rows: Int): DataFrame =
+    bandedSelfJoin(bandKeys(sig, id, bands, rows), id)
+
+  /** The band-key self-join shared by every banded candidate generator:
+    * docs sharing any band key pair up, deduped. */
+  private def bandedSelfJoin(banded: DataFrame, id: String): DataFrame =
     banded.select(col(id).as("doc_a"), col("band_key"))
       .join(banded.select(col(id).as("doc_b"), col("band_key")), "band_key")
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-  }
 
   /** MinHash+LSH near-dup pairs with exact verification: candidates from
     * banding, then true Jaccard via a candidate-restricted shingle join —
@@ -375,9 +378,14 @@ object Dedup {
   /** Default candidate-volume cap for the registered MinHash-LSH
     * production paths: candidates must stay under 32 × |docs| or the plan
     * raises ([[Scale.candidateVolumeGuard]]). Real near-dup corpora sit
-    * ORDERS below this (the testdata measures ~0.05 candidates/doc); a
-    * duplicate-saturated corpus that would quietly go quadratic crosses
-    * it at ~65 mutually-duplicate docs sharing a band. */
+    * ORDERS below this (the testdata measures ~0.05 candidates/doc). The
+    * trigger point depends on corpus size, since the cap is a TOTAL
+    * volume bound: a single clique of c mutually-duplicate docs fires it
+    * when c²/2 > 32·N, i.e. c ≈ √(64·N) — ~65 docs when the clique IS
+    * the corpus (N ≈ 100), ~8 000 docs in a 1M-doc corpus. The cap
+    * bounds aggregate blow-up (total work staying linear-in-N with a
+    * constant), not per-clique size; duplicate-heavy-but-subquadratic
+    * corpora pass, which is what a purge wants. */
   val DefaultCandidatesPerDoc = 32.0
 
   def nearDupPairs(docs: DataFrame, id: String, text: String, n: Int,
@@ -388,7 +396,17 @@ object Dedup {
     // row; shingle-less docs (NULL sig) instead drop out at the banding
     // explode's when-guard
     val sig = scanSignatures(docs, id, text, n, bands * rows)
-    val cand0 = lshCandidatePairs(sig, id, bands, rows).localCheckpoint()
+    // with the cap on, the PRE-JOIN band-population gate
+    // (Scale.bandVolumeGuard) proves an over-cap volume before the
+    // self-join shuffles a pair row; the post-join count is the exact
+    // backstop. banded is checkpointed when guarded — it feeds the stats
+    // pass plus both join sides, and one materialization of n·bands
+    // narrow rows beats three signature-projection scans.
+    val banded0 = bandKeys(sig, id, bands, rows)
+    val banded = maxCandidatesPerDoc.fold(banded0)(f =>
+      Scale.bandVolumeGuard(banded0.localCheckpoint(), "band_key", docs, f,
+        bands, "nearDupPairs"))
+    val cand0 = bandedSelfJoin(banded, id).localCheckpoint()
     val cand = maxCandidatesPerDoc.fold(cand0)(f =>
       Scale.candidateVolumeGuard(cand0, docs, f, "nearDupPairs"))
     verifyCandidates(docs, id, text, n, threshold, cand)
@@ -409,7 +427,13 @@ object Dedup {
                          salts: Int = 8, hotMin: Int = 4096,
                          maxCandidatesPerDoc: Option[Double] = Some(DefaultCandidatesPerDoc)): DataFrame = {
     val sig = scanSignatures(docs, id, text, n, bands * rows)
-    val banded = bandKeys(sig, id, bands, rows)
+    val banded0 = bandKeys(sig, id, bands, rows)
+    // pre-join gate as in [[nearDupPairs]] — checkpointed so the stats
+    // pass and the salted helper's own materialization both read the
+    // signature projection once instead of re-running minhash per consumer
+    val banded = maxCandidatesPerDoc.fold(banded0)(f =>
+      Scale.bandVolumeGuard(banded0.localCheckpoint(), "band_key", docs, f,
+        bands, "nearDupPairsSalted"))
     val cand0 = Scale.saltedBandSelfJoin(banded, id, "band_key",
         "doc_a", "doc_b", salts, hotMin)
       .localCheckpoint()

@@ -163,6 +163,40 @@ object Scale {
       .select(outCols.map(col): _*)
   }
 
+  /** PRE-JOIN band-population gate — the upstream half of the candidate
+    * audit. [[candidateVolumeGuard]] counts candidates AFTER the band
+    * self-join, which on a truly all-hot 100 TB corpus means the m²-pair
+    * shuffle has already run (and likely died) before the count can
+    * compare. This guard reads only the BANDED rows (linear): per-band
+    * populations m give Σ m(m−1)/2 pair slots, and since a unique pair
+    * collides in at most `bands` bands, `slots > factor·n·bands` PROVES
+    * `uniqueCandidates > factor·n` — so the raise here is sound (never
+    * fires when the post-join gate wouldn't) and fires on the join's
+    * INPUT rows, before any pair row exists. It under-fires when
+    * collisions are sparse (slots ≈ unique), which is exactly when the
+    * join is survivable and the post-join gate backstops. Callers should
+    * pass a materialized `banded` (it feeds this stats pass AND both join
+    * sides). */
+  def bandVolumeGuard(banded: DataFrame, keyCol: String, corpus: DataFrame,
+                      factor: Double, bands: Int, what: String): DataFrame = {
+    val outCols = banded.columns
+    val slots = banded.groupBy(col(keyCol)).agg(count(lit(1)).as("__m"))
+      .agg(coalesce(sum(col("__m").cast("double") * (col("__m") - 1).cast("double") / 2),
+        lit(0.0)).as("__slots"))
+    val stats = broadcast(slots
+      .crossJoin(corpus.agg(count(lit(1)).as("__base")))
+      .localCheckpoint())
+    banded.crossJoin(stats)
+      .filter(when(col("__slots") <=
+          lit(factor) * col("__base").cast("double") * lit(bands.toDouble), lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"$what: projected band candidates exceed $factor x corpus "),
+          lit(s"(pre-join bound over $bands bands): "),
+          col("__slots").cast("string"), lit(" pair slots for "),
+          col("__base").cast("string"), lit(" rows"))).cast("boolean")))
+      .select(outCols.map(col): _*)
+  }
+
   /** Write a bucketed+sorted table: joins and aggregations on the bucket key
     * become shuffle-free (co-located) for every downstream reader — the
     * standard layout for a fact table that is joined on the same key by many

@@ -167,7 +167,18 @@ object Similarity {
     val keysCol = call_function("lsh_band_keys",
       asD(col(vec)), typedlit(planes.flatten.toIndexedSeq),
       lit(bands), lit(rowsPerBand))
-    val banded = emb.select(col(id), explode(keysCol).as("band_key"))
+    val banded0 = emb.select(col(id), explode(keysCol).as("band_key"))
+    // PRE-JOIN gate (Scale.bandVolumeGuard): with the cap on, band
+    // populations prove an over-cap candidate volume BEFORE the self-join
+    // shuffles a single pair row — at 100 TB an all-hot corpus dies here,
+    // not inside the m² join. banded is checkpointed when guarded: it
+    // feeds the stats pass plus both join sides, and materializing n·bands
+    // narrow rows once beats three sig-projection scans.
+    val banded = maxCandidatesPerVec match {
+      case Some(f) => Scale.bandVolumeGuard(banded0.localCheckpoint(),
+        "band_key", emb, f, bands, "lshCosinePairs")
+      case None => banded0
+    }
     // saltHotBands = (salts, hotMin) routes bands with >= hotMin members
     // through Scale.saltedBandSelfJoin — the hot-band skew guard (a
     // degenerate hyperplane region puts m vectors in one band and the

@@ -167,7 +167,12 @@ object Sketches {
         row_number().over(Window.partitionBy("g").orderBy("h")).as("rk"))
       .filter(col("rk") <= k)
       .localCheckpoint()
-    val estInner = sk.groupBy("g")
+    // est reads n_h straight from the checkpointed sk; joining the
+    // un-checkpointed `counts` back in here would re-run the raw-scan
+    // distinct subtree once per downstream consumer — est feeds the pair
+    // stage twice (est_a / est_b), exactly the multi-scan regression the
+    // sk checkpoint exists to prevent
+    val est = sk.groupBy("g")
       .agg(max(col("n_h")).as("n_h"), count(lit(1)).as("kept"),
         max(when(col("rk") === k, col("h"))).as("hk"))
       .withColumn("est",
@@ -177,7 +182,7 @@ object Sketches {
             lit(" of n_h="), col("n_h").cast("string"))))
         .when(col("n_h") <= k, col("n_h").cast("double"))
         .otherwise(lit((k - 1).toDouble) * lit(H) / (col("hk").cast("double") + lit(1.0))))
-      .select(col("g"), col("est"))
+      .select(col("g"), col("n_h"), col("est"))
     // The kept-count audit above can only see groups with ≥1 survivor; a
     // group whose MINIMUM hash exceeds the prefilter threshold (possible,
     // if astronomically unlikely) would vanish from sk entirely and take
@@ -189,16 +194,16 @@ object Sketches {
     // groups from the raw column (a single-column scan + tiny distinct —
     // cheaper than re-deriving the (g, h) distinct); the sketch side is
     // the checkpointed k-row frame.
-    val nGroups = df.filter(col(value).isNotNull)
-      .select(col(group)).distinct().count()
-    val nSkGroups = sk.select(col("g")).distinct().count()
+    val auditRow = sk.select(col("g")).distinct().agg(count(lit(1)).as("nsk"))
+      .crossJoin(df.filter(col(value).isNotNull)
+        .select(col(group)).distinct().agg(count(lit(1)).as("ng")))
+      .head()
+    val (nSkGroups, nGroups) = (auditRow.getLong(0), auditRow.getLong(1))
     if (nSkGroups != nGroups)
       throw new IllegalStateException(
         s"kmvPairwise: ${nGroups - nSkGroups} group(s) vanished from the sketch " +
           "(zero prefilter survivors) — raising instead of emitting an " +
           "incomplete sketch")
-    val est = counts.join(estInner, Seq("g"))
-      .select(col("g"), col("n_h"), col("est"))
 
     val groups = sk.select(col("g")).distinct()
     val pairs = groups.select(col("g").as("ga"))

@@ -164,7 +164,9 @@ object Streaming {
     * over the full corpus, and that replay is a no-op. */
   def incrementalNearDupSink(idCol: String, textCol: String, stateDir: String,
                              ngram: Int = 5, threshold: Double = 0.8,
-                             bands: Int = 32, rowsPerBand: Int = 4)
+                             bands: Int = 32, rowsPerBand: Int = 4,
+                             maxCandidatesPerDoc: Option[Double] =
+                               Some(graft.operators.Dedup.DefaultCandidatesPerDoc))
                             (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val (docsDir, keysDir, pairsDir) =
@@ -193,11 +195,22 @@ object Streaming {
           greatest(col("ka"), col("kb")).as("doc_b"))
         .distinct().localCheckpoint()
       val allDocs = docsState.fold(newDocs)(newDocs.unionByName(_))
-      val candDocs = cand.select(col("doc_a").as(idCol))
-        .union(cand.select(col("doc_b").as(idCol))).distinct()
+      // same default-on candidate-volume audit as the batch twin
+      // ([[graft.operators.Dedup.nearDupPairs]]) — the spec-pinned
+      // "streamed ingestion ≡ batch" contract must agree on the failure
+      // mode too: a saturated corpus raises on BOTH paths instead of one
+      // erroring while the other silently persists quadratic pair state.
+      // Per batch the new candidates are gated against the CUMULATIVE doc
+      // count (a batch's new pairs are a subset of the batch-path total,
+      // so the batch-path cap bounds each increment).
+      val candGuarded = maxCandidatesPerDoc.fold(cand)(f =>
+        graft.operators.Scale.candidateVolumeGuard(
+          cand, allDocs, f, "incrementalNearDupSink"))
+      val candDocs = candGuarded.select(col("doc_a").as(idCol))
+        .union(candGuarded.select(col("doc_b").as(idCol))).distinct()
       val shC = graft.operators.Dedup.shingles(allDocs, idCol, textCol, ngram)
         .join(candDocs, Seq(idCol), "left_semi").localCheckpoint()
-      val verified = graft.operators.Dedup.exactVerify(cand, shC, idCol, threshold)
+      val verified = graft.operators.Dedup.exactVerify(candGuarded, shC, idCol, threshold)
       val freshPairs = stateOf(pairsDir).fold(verified)(st =>
         verified.join(st.select(col("doc_a"), col("doc_b")),
           Seq("doc_a", "doc_b"), "left_anti"))
@@ -665,7 +678,12 @@ object Streaming {
   def qualityState(spark: SparkSession, stateDir: String): DataFrame =
     spark.read.parquet(stateDir)
       .select(col("rule"), col("n_rows"), col("n_violations"),
-        (col("n_violations").cast("double") / col("n_rows").cast("double"))
+        // same empty-input contract as the batch Expectations.check: a
+        // ledger fed only empty/startup batches has n_rows = 0, and a
+        // 0/0 = NaN rate would make the downstream `rate > x` alert gate
+        // NaN-silently-false instead of decidably 0.0
+        when(col("n_rows") === 0, lit(0.0))
+          .otherwise(col("n_violations").cast("double") / col("n_rows").cast("double"))
           .as("violation_rate"))
 
   /** The S2 whole-row JSON envelope — the pure transform half of the

@@ -96,13 +96,13 @@ class DedupSpec extends AnyFunSuite {
     val e = intercept[Exception] {
       Dedup.nearDupPairs(hot, "doc_id", "text", 5, 0.8).collect()
     }
-    assert(e.getMessage.contains("candidate volume exceeds"), e.getMessage)
+    assert(e.getMessage.contains("candidates exceed"), e.getMessage)
     // the salted twin ships the same default-on audit
     val e2 = intercept[Exception] {
       Dedup.nearDupPairsSalted(hot, "doc_id", "text", 5, 0.8,
         salts = 4, hotMin = 4).collect()
     }
-    assert(e2.getMessage.contains("candidate volume exceeds"), e2.getMessage)
+    assert(e2.getMessage.contains("candidates exceed"), e2.getMessage)
   }
 
   test("dupGroups: chained clusters A~B, B~C collapse to one group") {

@@ -65,6 +65,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(e.getMessage.contains("candidate volume exceeds"), e.getMessage)
   }
 
+  test("bandVolumeGuard: sound pre-join gate — silent when the post-gate would be, raises on a clique") {
+    // 10 ids sharing one band: 45 pair slots over 1 band. factor 1.0 x 10
+    // rows x 1 band = bound 10 < 45 -> raise BEFORE any join consumes it
+    val clique = (1L to 10L).map(i => (i, "B0")).toDF("id", "band_key")
+    val corpus = (1L to 10L).toDF("id")
+    val e = intercept[Exception] {
+      Scale.bandVolumeGuard(clique, "band_key", corpus, 1.0, 1, "t").collect()
+    }
+    assert(e.getMessage.contains("candidates exceed"), e.getMessage)
+    // soundness: slots <= factor x n x bands -> pass-through identity,
+    // even though collisions mean slots > unique candidates
+    val sparse = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b")).toDF("id", "band_key")
+    val kept = Scale.bandVolumeGuard(sparse, "band_key", corpus, 1.0, 2, "t")
+    assert(kept.orderBy($"id").as[(Long, String)].collect()
+      sameElements sparse.orderBy($"id").as[(Long, String)].collect())
+  }
+
   test("two-level salted agg ≡ direct agg") {
     val df = (1 to 1000).map(i => (s"k${i % 3}", i.toLong)).toDF("key", "v")
     val direct = df.groupBy($"key").agg(count(lit(1)).as("n"), max($"v").as("mx"))

@@ -237,7 +237,7 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.lshCosinePairs(emb, "vec_id", "embedding", 0.45,
         maxCandidatesPerVec = Some(0.0)).collect()
     }
-    assert(e.getMessage.contains("band-join candidates exceed"), e.getMessage)
+    assert(e.getMessage.contains("candidates exceed"), e.getMessage)
   }
 
   test("lshCosinePairs DEFAULT cap raises on an all-hot corpus") {
@@ -254,7 +254,7 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.lshCosinePairs(hot, "vec_id", "embedding", 0.9,
         bands = 1, rowsPerBand = 1).limit(1).collect()
     }
-    assert(e.getMessage.contains("band-join candidates exceed"), e.getMessage)
+    assert(e.getMessage.contains("candidates exceed"), e.getMessage)
   }
 
   test("maxSimTopK: each query vector matches its best token; sums are exact") {

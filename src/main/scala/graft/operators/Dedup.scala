@@ -435,7 +435,8 @@ object Dedup {
       Scale.bandVolumeGuard(banded0.localCheckpoint(), "band_key", docs, f,
         bands, "nearDupPairsSalted"))
     val cand0 = Scale.saltedBandSelfJoin(banded, id, "band_key",
-        "doc_a", "doc_b", salts, hotMin)
+        "doc_a", "doc_b", salts, hotMin,
+        inputMaterialized = maxCandidatesPerDoc.isDefined)
       .localCheckpoint()
     val cand = maxCandidatesPerDoc.fold(cand0)(f =>
       Scale.candidateVolumeGuard(cand0, docs, f, "nearDupPairsSalted"))

@@ -84,10 +84,17 @@ object Scale {
     * the distinct (aName < bName) candidate pairs. */
   def saltedBandSelfJoin(banded: DataFrame, idCol: String, keyCol: String,
                          aName: String, bName: String,
-                         salts: Int, hotMin: Int): DataFrame = {
+                         salts: Int, hotMin: Int,
+                         inputMaterialized: Boolean = false): DataFrame = {
     require(salts >= 2 && hotMin >= 2,
       s"need salts >= 2 and hotMin >= 2, got salts=$salts hotMin=$hotMin")
-    val b = banded.select(col(idCol), col(keyCol)).localCheckpoint()
+    // `inputMaterialized = true` skips the internal checkpoint: callers
+    // whose banded frame already sits on a localCheckpoint (e.g. the
+    // bandVolumeGuard chain, a constant-cost filter over materialized
+    // rows) would otherwise pay a second full materialization of the same
+    // data (measured ~+1s on the sf0.1 salted dedup board row).
+    val b0 = banded.select(col(idCol), col(keyCol))
+    val b = if (inputMaterialized) b0 else b0.localCheckpoint()
     // materialized: consumed by FOUR joins (hot/cold × left/right) — left
     // lazy, the count aggregate and its shuffle replay once per consumer
     // (the plan showed 4 identical HashAggregate+Exchange subtrees). The

@@ -196,7 +196,8 @@ object Similarity {
     val cand0 = saltHotBands match {
       case Some((salts, hotMin)) =>
         Scale.saltedBandSelfJoin(banded, id, "band_key",
-          "vec_a", "vec_b", salts, hotMin)
+          "vec_a", "vec_b", salts, hotMin,
+          inputMaterialized = maxCandidatesPerVec.isDefined)
       case None =>
         banded.select(col(id).as("vec_a"), col("band_key"))
           .join(banded.select(col(id).as("vec_b"), col("band_key")), "band_key")

@@ -28,6 +28,21 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(TextAnalysis.oovRate(noDocs, "doc_id", "text", vocab).count() == 0)
   }
 
+  test("capped LSH paths and the KMV sketch: empty corpus -> empty result, guards pass vacuously") {
+    // the round-11 candidate caps wrap the banded joins in crossJoin'd
+    // stats guards and kmvPairwise gained an eager group-count audit;
+    // on an empty slice every one of them must degrade to an empty frame
+    // (0 candidates <= factor x 0 is a PASS, 0 groups == 0 sketch groups
+    // is a PASS), never divide, raise, or crash
+    assert(Dedup.nearDupPairs(noDocs, "doc_id", "text", 5, 0.8).count() == 0)
+    assert(Dedup.nearDupPairsSalted(noDocs, "doc_id", "text", 5, 0.8,
+      salts = 2, hotMin = 2).count() == 0)
+    assert(Similarity.lshCosinePairs(noEmb, "vec_id", "embedding", 0.8).count() == 0)
+    assert(Sketches.kmvPairwise(
+      Seq.empty[(String, Long)].toDF("g", "v"), "g", "v", k = 4).count() == 0)
+    assert(Corpus.nearDupPurge(noDocs, "doc_id", "text", 5, 0.8).count() == 0)
+  }
+
   test("graph operators: empty edge list -> empty result") {
     assert(Graph.triangleCounts(noEdges).count() == 0)
     assert(Graph.clusteringCoefficient(noEdges).count() == 0)

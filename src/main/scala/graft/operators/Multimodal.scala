@@ -8,10 +8,14 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus decode / feature-extract / frame-sample stages.
   *
   * The Spark-side plumbing (schema, partitioning, batch shape) is real and
-  * tested; the actual media decode is a STUB — the image/audio codec
-  * libraries are not in this container, so [[FakeCodec]] produces
-  * deterministic features from the raw bytes. Swapping in a real codec means
-  * replacing FakeCodec only; every dataflow stage stays identical.
+  * tested. IMAGE decode is REAL as of round 11 ([[ImageIoCodec]]: the
+  * JDK's built-in ImageIO — PNG/GIF/BMP/JPEG, headless, no external
+  * library — with a lossless-PNG round-trip that makes the registered
+  * q_image_decode query hash-gateable). AUDIO/VIDEO decode remains a
+  * STUB — no AV codec ships with the JDK or this container, so
+  * [[FakeCodec]] produces deterministic features from the raw bytes
+  * there; swapping in a real AV codec means replacing FakeCodec only,
+  * every dataflow stage stays identical.
   *
   * Scale notes: media rows are orders of magnitude wider than text rows, so
   * the operators (a) `repartition` by id before the decode stage so work
@@ -58,6 +62,79 @@ object Multimodal {
         frame.map(_ & 0xff).sum.toDouble / frame.length,
         (frame.head & 0xff).toDouble,
         (frame.last & 0xff).toDouble)
+  }
+
+  /** REAL image codec on the JDK's built-in ImageIO (java.desktop ships
+    * PNG/GIF/BMP/JPEG readers in every JDK — no external library, works
+    * headless): decodes a payload to its pixel matrix and encodes RGB
+    * matrices back to PNG. PNG is lossless, so encode→decode is an exact
+    * round-trip — which is what lets [[graft.QueriesExtras]]'s
+    * q_image_decode be HASH-GATED against a SQL oracle that computes the
+    * same channel statistics from the pixel-generating formula directly,
+    * with no codec at all: the gate passing proves the real decoder
+    * reproduced every pixel. Corrupt / non-image payloads yield None,
+    * never a throw (the imageMeta sniffing discipline). Audio/video
+    * remain behind [[FakeCodec]] — no AV codec ships with the JDK, and
+    * that stub stays honestly labeled. */
+  object ImageIoCodec {
+    // decode needs no display; pin headless so a misconfigured DISPLAY
+    // env can never turn a decode into an X11 connection attempt
+    System.setProperty("java.awt.headless", "true")
+
+    /** payload → (width, height, row-major 0xRRGGBB pixels), or None. */
+    def decode(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
+      try {
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+          .map { img =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            val px = Array.ofDim[Int](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { px(y * w + x) = img.getRGB(x, y) & 0xffffff; x += 1 }
+              y += 1
+            }
+            (w, h, px)
+          }
+      } catch { case _: Exception => None }
+
+    /** Row-major 0xRRGGBB pixels → PNG bytes (lossless). */
+    def encodePng(width: Int, height: Int, pixels: Array[Int]): Array[Byte] = {
+      require(pixels.length == width * height,
+        s"pixel count ${pixels.length} != $width x $height")
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, pixels(y * width + x)); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Deterministic nearest-neighbor resize — an explicit sampling loop,
+      * not Graphics2D (whose interpolation is renderer-dependent), so the
+      * result is bit-identical on any JVM: target pixel (x, y) takes
+      * source pixel (floor(x·sw/tw), floor(y·sh/th)). */
+    def resizeNearest(sw: Int, sh: Int, pixels: Array[Int],
+                      tw: Int, th: Int): Array[Int] = {
+      require(tw > 0 && th > 0, s"bad target ${tw}x$th")
+      val out = Array.ofDim[Int](tw * th)
+      var y = 0
+      while (y < th) {
+        val sy = (y.toLong * sh / th).toInt
+        var x = 0
+        while (x < tw) {
+          out(y * tw + x) = pixels(sy * sw + (x.toLong * sw / tw).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
   }
 
   /** REAL binary header sniffing — format detection + image dimensions

@@ -102,4 +102,39 @@ class MultimodalSpec extends AnyFunSuite {
     })
     assert(f1.head.frames_sampled == 4 && f1.head.feature.length == 4)
   }
+
+  test("ImageIoCodec: PNG encode→decode is an exact pixel round-trip (real JDK codec)") {
+    import graft.operators.Multimodal.ImageIoCodec
+    val (w, h) = (7, 5)
+    // non-trivial pixels incl. channel extremes and asymmetry
+    val px = Array.tabulate(w * h)(i => ((i * 37) % 256 << 16) |
+      ((255 - i * 11 % 256) << 8) | (i * 73) % 256)
+    val png = ImageIoCodec.encodePng(w, h, px)
+    // it really is a PNG (the imageMeta sniffer agrees on the header)
+    assert(png.take(8).map(b => f"${b & 0xff}%02X").mkString == "89504E470D0A1A0A")
+    val Some((dw, dh, dp)) = ImageIoCodec.decode(png)
+    assert(dw == w && dh == h)
+    assert(dp sameElements px, "lossless codec must reproduce every pixel")
+  }
+
+  test("ImageIoCodec: corrupt / non-image payloads decode to None, never throw") {
+    import graft.operators.Multimodal.ImageIoCodec
+    assert(ImageIoCodec.decode(Array.emptyByteArray).isEmpty)
+    assert(ImageIoCodec.decode("not an image at all".getBytes("UTF-8")).isEmpty)
+    // a PNG signature with garbage after it must not escape as a throw
+    val broken = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, 1, 2, 3)
+    assert(ImageIoCodec.decode(broken).isEmpty)
+  }
+
+  test("ImageIoCodec.resizeNearest: explicit grid sampling, deterministic") {
+    import graft.operators.Multimodal.ImageIoCodec
+    val (w, h) = (4, 4)
+    val px = Array.tabulate(w * h)(identity)
+    // downscale 4x4 -> 2x2: target (x,y) takes source (2x, 2y)
+    val down = ImageIoCodec.resizeNearest(w, h, px, 2, 2)
+    assert(down sameElements Array(0, 2, 8, 10))
+    // upscale 2x2 -> 4x4: each source pixel becomes a 2x2 block
+    val up = ImageIoCodec.resizeNearest(2, 2, Array(1, 2, 3, 4), 4, 4)
+    assert(up sameElements Array(1, 1, 2, 2, 1, 1, 2, 2, 3, 3, 4, 4, 3, 3, 4, 4))
+  }
 }

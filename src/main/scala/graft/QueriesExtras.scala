@@ -1016,14 +1016,12 @@ object QueriesExtras {
         .as[Long]
         .mapPartitions { it =>
           val md = java.security.MessageDigest.getInstance("MD5")
-          def md5hex(sIn: String): String =
-            md.digest(sIn.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+          // first 3 digest bytes == first 6 hex chars of md5 (the
+          // oracle's substr(md5, 1..6)) — no hex string round-trip
           it.map { id =>
             val px = Array.tabulate(w * h) { i =>
-              val hex = md5hex(s"$id:${i % w}:${i / w}")
-              (Integer.parseInt(hex.substring(0, 2), 16) << 16) |
-                (Integer.parseInt(hex.substring(2, 4), 16) << 8) |
-                Integer.parseInt(hex.substring(4, 6), 16)
+              val dg = md.digest(s"$id:${i % w}:${i / w}".getBytes("UTF-8"))
+              ((dg(0) & 0xff) << 16) | ((dg(1) & 0xff) << 8) | (dg(2) & 0xff)
             }
             val png = ImageIoCodec.encodePng(w, h, px)
             val (dw, dh, dp) = ImageIoCodec.decode(png).getOrElse(
@@ -1051,6 +1049,78 @@ object QueriesExtras {
       "CAST(SUM(b) AS BIGINT) AS sum_b, " +
       "CAST(SUM(CASE WHEN x % 2 = 0 AND y % 2 = 0 THEN r ELSE 0 END) AS BIGINT) AS sum_r4 " +
       "FROM px GROUP BY doc_id ORDER BY doc_id"))
+
+  /** IMAGE NEAR-DUP DEDUP over the REAL codec, hash-gated — the
+    * image-modality analogue of q_dedup_simhash/q_simhash_pairs: groups
+    * of five documents share a deterministic 16×16 base image (md5 pixel
+    * formula over the group's base id) with a one-pixel per-member tweak,
+    * every image goes through the REAL PNG encode→decode
+    * ([[graft.operators.Multimodal.ImageIoCodec]]) and nearest-neighbor
+    * 8×8 resize, gets the classic aHash perceptual fingerprint
+    * ([[graft.operators.Multimodal.aHash64]] — integer luma vs integer
+    * mean), and pairs within hamming ≤ 1 come from the PIGEONHOLE
+    * bucketed join ([[graft.operators.Multimodal.hammingPairs64]]: two
+    * 32-bit bands, a ≤1-bit difference must leave one band intact —
+    * equi-join candidates, never a cartesian). The DuckDB oracle builds
+    * the same 64 bits per document straight from the pixel formula (no
+    * codec) and takes TRUE hamming ≤ 1 pairs — so the gate
+    * simultaneously proves the codec round-trip, the resize grid, the
+    * integer aHash arithmetic, and the pigeonhole construction's
+    * exactness. */
+  private val qImagePhashDedup = Q(
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      import graft.operators.Multimodal.ImageIoCodec
+      val hashes = Tables.load(s, d, "documents")
+        .select(col("doc_id"))
+        // partition by the GROUP key: the five members of a dup group
+        // land together, so the shared 256-pixel base image is computed
+        // once per group (the per-partition memo below), not per member
+        .repartition(64, col("doc_id") - col("doc_id") % 5)
+        .as[Long]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          // first 3 digest BYTES are the first 6 hex chars — no hex
+          // string round-trip (1.28M md5 calls per sf0.1 run otherwise
+          // dominate the codec being measured)
+          def rgb(sIn: String): Int = {
+            val dg = md.digest(sIn.getBytes("UTF-8"))
+            ((dg(0) & 0xff) << 16) | ((dg(1) & 0xff) << 8) | (dg(2) & 0xff)
+          }
+          val memo = scala.collection.mutable.Map.empty[Long, Array[Int]]
+          it.map { id =>
+            val src = id - id % 5
+            val base = memo.getOrElseUpdate(src,
+              Array.tabulate(256)(i => rgb(s"$src:${i % 16}:${i / 16}")))
+            val px = base.clone()
+            px(0) = px(0) ^ ((id % 5).toInt << 16) // per-member 1-pixel tweak
+            val png = ImageIoCodec.encodePng(16, 16, px)
+            val (dw, dh, dp) = ImageIoCodec.decode(png).getOrElse(
+              throw new IllegalStateException(s"q_image_phash_dedup: undecodable PNG for $id"))
+            (id, Multimodal.aHash64(ImageIoCodec.resizeNearest(dw, dh, dp, 8, 8)))
+          }
+        }.toDF("doc_id", "ahash")
+      Multimodal.hammingPairs64(hashes, "doc_id", "ahash", maxHamming = 1)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("WITH base AS (SELECT doc_id, doc_id - doc_id % 5 AS src FROM documents), " +
+      "g AS (SELECT unnest(range(0, 8)) AS v), " +
+      "pxl AS (SELECT b.doc_id, gx.v AS x, gy.v AS y, " +
+      "CASE WHEN gx.v = 0 AND gy.v = 0 THEN " +
+      "xor(('0x' || substr(md5(b.src::VARCHAR || ':0:0'), 1, 2))::BIGINT, b.doc_id % 5) " +
+      "ELSE ('0x' || substr(md5(b.src::VARCHAR || ':' || (2*gx.v)::VARCHAR || ':' || (2*gy.v)::VARCHAR), 1, 2))::BIGINT END AS r, " +
+      "('0x' || substr(md5(b.src::VARCHAR || ':' || (2*gx.v)::VARCHAR || ':' || (2*gy.v)::VARCHAR), 3, 2))::BIGINT AS gc, " +
+      "('0x' || substr(md5(b.src::VARCHAR || ':' || (2*gx.v)::VARCHAR || ':' || (2*gy.v)::VARCHAR), 5, 2))::BIGINT AS bc " +
+      "FROM base b, g gx, g gy), " +
+      "lum AS (SELECT doc_id, y*8 + x AS i, (r*299 + gc*587 + bc*114) // 1000 AS luma FROM pxl), " +
+      "m AS (SELECT doc_id, SUM(luma) // 64 AS mean FROM lum GROUP BY 1), " +
+      "bits AS (SELECT l.doc_id, i, CASE WHEN luma > mean THEN 1 ELSE 0 END AS bit " +
+      "FROM lum l JOIN m USING (doc_id)), " +
+      "ham AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming " +
+      "FROM bits a JOIN bits b ON a.i = b.i AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 1 ORDER BY id_a, id_b"))
 
   /** AS-OF JOIN — purchase attribution: for every purchase event, the most
     * recent PRIOR (ts <= purchase ts) non-purchase event of the same user.
@@ -2512,6 +2582,7 @@ object QueriesExtras {
     "q_winnow_fingerprint" -> qWinnowFingerprint,
     "q_binary_meta" -> qBinaryMeta,
     "q_image_decode" -> qImageDecode,
+    "q_image_phash_dedup" -> qImagePhashDedup,
     "q_redact_pii" -> qRedactPii,
     "q_asof_attrib" -> qAsofAttrib,
     "q_asof_forward" -> qAsofForward,

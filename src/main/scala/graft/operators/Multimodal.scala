@@ -137,6 +137,56 @@ object Multimodal {
     }
   }
 
+  /** AVERAGE-HASH (aHash) perceptual fingerprint of an 8×8 pixel matrix —
+    * the classic image near-dup signature: integer luma per pixel
+    * ((299·R + 587·G + 114·B) / 1000, exact integer arithmetic so a SQL
+    * engine can replay it), bit i set iff luma(i) > the integer mean.
+    * Near-identical images differ in few bits; hamming distance over the
+    * 64-bit hash is the dedup metric. Callers resize to 8×8 first
+    * ([[ImageIoCodec.resizeNearest]]) — kept separate so the hash itself
+    * is a pure pixel→Long function. */
+  def aHash64(pixels64: Array[Int]): Long = {
+    require(pixels64.length == 64, s"aHash64 wants 8x8 pixels, got ${pixels64.length}")
+    val luma = pixels64.map(p =>
+      (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000)
+    val mean = luma.sum / 64
+    luma.zipWithIndex.foldLeft(0L) { case (h, (l, i)) =>
+      if (l > mean) h | (1L << i) else h }
+  }
+
+  /** Hamming-bucketed pair generation over a 64-bit fingerprint column —
+    * the pigeonhole construction (the text-simhash discipline applied to
+    * image hashes): the hash splits into `maxHamming + 1` disjoint bit
+    * bands, two hashes within `maxHamming` bits MUST agree on at least
+    * one whole band, so candidates come from band-key equi-joins (never a
+    * cartesian) and are exact-verified with `bit_count(a XOR b)`. Output:
+    * (id_a, id_b, hamming), id_a < id_b. Requires (maxHamming + 1) | 64
+    * so bands are equal-width (1, 3, 7, 15 … are the useful thresholds). */
+  def hammingPairs64(df: DataFrame, idCol: String, hashCol: String,
+                     maxHamming: Int): DataFrame = {
+    val nBands = maxHamming + 1
+    require(nBands > 0 && 64 % nBands == 0,
+      s"maxHamming + 1 must divide 64, got $maxHamming")
+    val width = 64 / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val banded = df.select(col(idCol), col(hashCol).as("__h"),
+        explode(array((0 until nBands).map(j =>
+          struct(lit(j).as("band"),
+            (shiftrightunsigned(col(hashCol), j * width)
+              .bitwiseAND(lit(mask))).as("bv"))): _*)).as("bk"))
+      .select(col(idCol), col("__h"), col("bk.band"), col("bk.bv"))
+    val cand = banded.select(col(idCol).as("id_a"), col("__h").as("__ha"),
+        col("band"), col("bv"))
+      .join(banded.select(col(idCol).as("id_b"), col("__h").as("__hb"),
+        col("band"), col("bv")), Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__ha"), col("__hb")).distinct()
+    cand
+      .withColumn("hamming", bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** REAL binary header sniffing — format detection + image dimensions
     * parsed from the payload's magic bytes with pure built-in expressions
     * (substring/hex/conv on BinaryType → whole-stage codegen, no UDF, no

@@ -126,6 +126,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ImageIoCodec.decode(broken).isEmpty)
   }
 
+  test("aHash64: bits follow luma-vs-mean; one-pixel tweak moves at most one bit") {
+    import graft.operators.Multimodal
+    // half dark, half bright: bright half sets exactly bits 32..63
+    val split = Array.tabulate(64)(i => if (i < 32) 0x101010 else 0xf0f0f0)
+    assert(Multimodal.aHash64(split) == 0xffffffff00000000L)
+    // a small single-pixel change flips at most that pixel's bit
+    val tweaked = split.clone(); tweaked(0) = 0x151010
+    val d = java.lang.Long.bitCount(Multimodal.aHash64(split) ^ Multimodal.aHash64(tweaked))
+    assert(d <= 1, s"one-pixel tweak flipped $d bits")
+  }
+
+  test("hammingPairs64: pigeonhole banding finds exactly the true <=maxHamming pairs") {
+    import graft.operators.Multimodal
+    val spark2 = spark; import spark2.implicits._
+    // hashes: 1~2 differ in 1 bit, 3 differs from 1 in 2 bits (excluded at
+    // max 1, included at max 3), 4 is far from everything
+    val hs = Seq(
+      (1L, 0x00000000000000ffL), (2L, 0x00000000000000feL),
+      (3L, 0x00000000000000fcL), (4L, 0x0f0f0f0f00000000L))
+      .toDF("id", "h")
+    val p1 = Multimodal.hammingPairs64(hs, "id", "h", maxHamming = 1)
+      .orderBy($"id_a", $"id_b").as[(Long, Long, Long)].collect()
+    assert(p1 sameElements Array((1L, 2L, 1L), (2L, 3L, 1L)))
+    val p3 = Multimodal.hammingPairs64(hs, "id", "h", maxHamming = 3)
+      .orderBy($"id_a", $"id_b").as[(Long, Long, Long)].collect()
+    assert(p3 sameElements Array((1L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 1L)))
+  }
+
   test("ImageIoCodec.resizeNearest: explicit grid sampling, deterministic") {
     import graft.operators.Multimodal.ImageIoCodec
     val (w, h) = (4, 4)

@@ -1122,6 +1122,54 @@ object QueriesExtras {
       "FROM bits a JOIN bits b ON a.i = b.i AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
       "SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 1 ORDER BY id_a, id_b"))
 
+  /** REAL AUDIO CODEC, HASH-GATED — the audio-modality member of the
+    * q_image_decode family: per document, 256 samples of 16-bit PCM from
+    * a deterministic integer formula are WAV-ENCODED
+    * ([[graft.operators.Multimodal.WavCodec]]: spec-exact RIFF layout)
+    * and DECODED BACK through the JDK's actual AudioSystem parser; the
+    * output statistics (sample count, sum, sum of squares, count of
+    * sign-changes — an integer zero-crossing feature) come from the
+    * DECODED samples, with an in-plan round-trip raise on any sample
+    * mismatch. The DuckDB oracle computes identical statistics straight
+    * from the formula — PCM is lossless, so the gate passing proves the
+    * real audio parser reproduced every sample. Video remains the one
+    * honestly-stubbed modality (no codec in the JDK). */
+  private val qAudioDecode = Q(
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.Multimodal.WavCodec
+      val n = 256
+      val feats = Tables.load(s, d, "documents")
+        .select(col("doc_id"))
+        .repartition(64, col("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val samples = Array.tabulate(n)(i =>
+              (((id * 31 + i.toLong * 7) % 65536L) - 32768L).toShort)
+            val wav = WavCodec.encodePcm16(samples, 8000)
+            val (_, dec) = WavCodec.decode(wav).getOrElse(
+              throw new IllegalStateException(s"q_audio_decode: undecodable WAV for $id"))
+            if (!java.util.Arrays.equals(dec, samples))
+              throw new IllegalStateException(
+                s"q_audio_decode: lossy PCM round-trip for doc $id")
+            val sum = dec.foldLeft(0L)(_ + _)
+            val sumSq = dec.foldLeft(0L)((a, v) => a + v.toLong * v)
+            val signChanges = (1 until n).count(i =>
+              (dec(i) >= 0) != (dec(i - 1) >= 0)).toLong
+            (id, dec.length.toLong, sum, sumSq, signChanges)
+          }
+        }.toDF("doc_id", "n_samples", "sum_s", "sum_sq", "sign_changes")
+      feats.orderBy(col("doc_id"))
+    },
+    Some("WITH sm AS (SELECT doc_id, i, (doc_id * 31 + i * 7) % 65536 - 32768 AS v " +
+      "FROM documents, (SELECT unnest(range(0, 256)) AS i) t) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples, " +
+      "CAST(SUM(v) AS BIGINT) AS sum_s, CAST(SUM(v * v) AS BIGINT) AS sum_sq, " +
+      "CAST(SUM(CASE WHEN i > 0 AND ((v >= 0) <> " +
+      "((doc_id * 31 + (i - 1) * 7) % 65536 - 32768 >= 0)) THEN 1 ELSE 0 END) AS BIGINT) AS sign_changes " +
+      "FROM sm GROUP BY doc_id ORDER BY doc_id"))
+
   /** AS-OF JOIN — purchase attribution: for every purchase event, the most
     * recent PRIOR (ts <= purchase ts) non-purchase event of the same user.
     * The Spark plan is [[graft.operators.Ops.asofJoin]]'s single-shuffle
@@ -2583,6 +2631,7 @@ object QueriesExtras {
     "q_binary_meta" -> qBinaryMeta,
     "q_image_decode" -> qImageDecode,
     "q_image_phash_dedup" -> qImagePhashDedup,
+    "q_audio_decode" -> qAudioDecode,
     "q_redact_pii" -> qRedactPii,
     "q_asof_attrib" -> qAsofAttrib,
     "q_asof_forward" -> qAsofForward,

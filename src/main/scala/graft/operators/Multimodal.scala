@@ -137,6 +137,59 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec on the JDK's built-in javax.sound.sampled (WAV /
+    * PCM ships in java.desktop — no external library, headless): encodes
+    * 16-bit signed little-endian mono PCM to a spec-exact RIFF/WAVE byte
+    * layout and decodes arbitrary WAV payloads back through the JDK's
+    * actual AudioSystem parser. PCM is lossless, so encode→decode is an
+    * exact sample round-trip — the same property that makes
+    * q_audio_decode hash-gateable against a codec-free SQL oracle.
+    * Corrupt / non-WAV payloads yield None, never a throw. VIDEO remains
+    * behind [[FakeCodec]]: no video codec ships with the JDK. */
+  object WavCodec {
+    /** samples → RIFF/WAVE bytes (PCM_SIGNED, 16-bit, mono, LE). */
+    def encodePcm16(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1)                       // PCM
+        .putShort(1)                       // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate * 2)            // byte rate
+        .putShort(2)                       // block align
+        .putShort(16)                      // bits/sample
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+
+    /** payload → (sampleRate, samples), decoded by the JDK AudioSystem
+      * (the real parser — it validates the RIFF structure and converts
+      * the stream, not our own reader). Only PCM_SIGNED 16-bit mono is
+      * mapped to samples; anything else (or corrupt bytes) → None. */
+    def decode(payload: Array[Byte]): Option[(Int, Array[Short])] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val f = in.getFormat
+        if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            f.getSampleSizeInBits != 16 || f.getChannels != 1) None
+        else {
+          val raw = in.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(raw).order(
+            if (f.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val out = Array.ofDim[Short](raw.length / 2)
+          var i = 0
+          while (i < out.length) { out(i) = bb.getShort(); i += 1 }
+          Some((f.getSampleRate.toInt, out))
+        }
+      } catch { case _: Exception => None }
+  }
+
   /** AVERAGE-HASH (aHash) perceptual fingerprint of an 8×8 pixel matrix —
     * the classic image near-dup signature: integer luma per pixel
     * ((299·R + 587·G + 114·B) / 1000, exact integer arithmetic so a SQL

@@ -154,6 +154,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(p3 sameElements Array((1L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 1L)))
   }
 
+  test("WavCodec: PCM encode→decode is an exact sample round-trip (real JDK audio parser)") {
+    import graft.operators.Multimodal.WavCodec
+    val samples = Array.tabulate(300)(i =>
+      ((i * 1103) % 65536 - 32768).toShort) // full signed range coverage
+    val wav = WavCodec.encodePcm16(samples, 8000)
+    // it really is a RIFF/WAVE container
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val Some((rate, dec)) = WavCodec.decode(wav)
+    assert(rate == 8000)
+    assert(dec sameElements samples, "lossless PCM must reproduce every sample")
+  }
+
+  test("WavCodec: corrupt / non-audio payloads decode to None, never throw") {
+    import graft.operators.Multimodal.WavCodec
+    assert(WavCodec.decode(Array.emptyByteArray).isEmpty)
+    assert(WavCodec.decode("definitely not audio".getBytes("UTF-8")).isEmpty)
+    val truncated = WavCodec.encodePcm16(Array[Short](1, 2, 3), 8000).take(20)
+    assert(WavCodec.decode(truncated).isEmpty)
+  }
+
   test("ImageIoCodec.resizeNearest: explicit grid sampling, deterministic") {
     import graft.operators.Multimodal.ImageIoCodec
     val (w, h) = (4, 4)

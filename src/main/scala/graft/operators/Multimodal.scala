@@ -11,10 +11,12 @@ import org.apache.spark.sql.types._
   * tested. IMAGE decode is REAL as of round 11 ([[ImageIoCodec]]: the
   * JDK's built-in ImageIO — PNG/GIF/BMP/JPEG, headless, no external
   * library — with a lossless-PNG round-trip that makes the registered
-  * q_image_decode query hash-gateable). AUDIO/VIDEO decode remains a
-  * STUB — no AV codec ships with the JDK or this container, so
+  * q_image_decode / q_image_phash_dedup queries hash-gateable), and so is
+  * AUDIO ([[WavCodec]]: spec-exact RIFF encode + the JDK AudioSystem
+  * parser for decode; q_audio_decode). VIDEO decode remains the one
+  * honest STUB — no video codec ships with the JDK or this container, so
   * [[FakeCodec]] produces deterministic features from the raw bytes
-  * there; swapping in a real AV codec means replacing FakeCodec only,
+  * there; swapping in a real video codec means replacing FakeCodec only,
   * every dataflow stage stays identical.
   *
   * Scale notes: media rows are orders of magnitude wider than text rows, so
@@ -42,9 +44,10 @@ object Multimodal {
       StructField("height", IntegerType),
       StructField("durationMs", LongType))))))
 
-  /** STUB codec — deterministic fake standing in for a real image/audio
-    * decoder. Features are a function of the payload bytes only, so tests
-    * are reproducible. Replace with a real decoder to go to production. */
+  /** STUB codec — deterministic fake standing in for a real VIDEO
+    * decoder (image and audio have real JDK-backed codecs above).
+    * Features are a function of the payload bytes only, so tests are
+    * reproducible. Replace with a real decoder to go to production. */
   object FakeCodec {
     def decode(payload: Array[Byte], frames: Int): Array[Array[Byte]] = {
       // "frame-sample": `frames` evenly spaced byte windows of the payload.

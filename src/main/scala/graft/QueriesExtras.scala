@@ -1170,6 +1170,80 @@ object QueriesExtras {
       "((doc_id * 31 + (i - 1) * 7) % 65536 - 32768 >= 0)) THEN 1 ELSE 0 END) AS BIGINT) AS sign_changes " +
       "FROM sm GROUP BY doc_id ORDER BY doc_id"))
 
+  /** MULTI-FRAME DECODE + FRAME SAMPLING over a real container, hash-gated
+    * — the video-surface member of the q_image/q_audio_decode family: per
+    * document an ANIMATED GIF of four 8×8 md5-formula frames is written
+    * through the JDK's GIF writer and read back frame-by-frame through
+    * the JDK's GIF reader ([[graft.operators.Multimodal.GifAnimCodec]] —
+    * ≤64 colors per frame palettizes losslessly), frames 0 and 2 are
+    * SAMPLED (stride 2 — the frame-sample stage running against a real
+    * multi-frame payload, not a byte-window fake), and their channel sums
+    * come from the DECODED pixels with an in-plan raise on any pixel
+    * mismatch. The DuckDB oracle computes identical sums straight from
+    * the formula at frames 0 and 2. True interframe codecs stay honestly
+    * out of scope (nothing in the JDK decodes them). */
+  private val qVideoFrames = Q(
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.Multimodal.GifAnimCodec
+      val (w, h, nf) = (8, 8, 4)
+      val feats = Tables.load(s, d, "documents")
+        .select(col("doc_id"))
+        .repartition(64, col("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          // per-PARTITION codec handles: per-row ImageIO writer/reader
+          // construction contends on the global SPI registry across the
+          // executor threads (measured: the row ran at single-thread
+          // speed) — this is exactly the per-partition init the
+          // Multimodal mapPartitions contract exists for
+          val enc = new GifAnimCodec.Encoder
+          val decdr = new GifAnimCodec.Decoder
+          def rgb(sIn: String): Int = {
+            val dg = md.digest(sIn.getBytes("UTF-8"))
+            ((dg(0) & 0xff) << 16) | ((dg(1) & 0xff) << 8) | (dg(2) & 0xff)
+          }
+          it.map { id =>
+            val frames = (0 until nf).map(f =>
+              Array.tabulate(w * h)(i => rgb(s"$id:$f:${i % w}:${i / w}")))
+            val gif = enc.encode(w, h, frames)
+            val dec = decdr.decodeFrames(gif).getOrElse(
+              throw new IllegalStateException(s"q_video_frames: undecodable GIF for $id"))
+            if (dec.length != nf || dec.zip(frames).exists { case ((dw, dh, dp), src) =>
+                dw != w || dh != h || !java.util.Arrays.equals(dp, src) })
+              throw new IllegalStateException(
+                s"q_video_frames: lossy frame round-trip for doc $id")
+            // frame-sample: stride-2 over the decoded sequence
+            def sums(f: Int): (Long, Long, Long) = {
+              val px = dec(f)._3
+              (px.foldLeft(0L)((a, p) => a + ((p >> 16) & 0xff)),
+                px.foldLeft(0L)((a, p) => a + ((p >> 8) & 0xff)),
+                px.foldLeft(0L)((a, p) => a + (p & 0xff)))
+            }
+            val (r0, g0, b0) = sums(0)
+            val (r2, g2, b2) = sums(2)
+            (id, dec.length.toLong, r0, g0, b0, r2, g2, b2)
+          }
+        }.toDF("doc_id", "n_frames", "sum_r_f0", "sum_g_f0", "sum_b_f0",
+          "sum_r_f2", "sum_g_f2", "sum_b_f2")
+      feats.orderBy(col("doc_id"))
+    },
+    Some("WITH px AS (SELECT doc_id, f, " +
+      "('0x' || substr(md5(doc_id::VARCHAR || ':' || f::VARCHAR || ':' || x::VARCHAR || ':' || y::VARCHAR), 1, 2))::BIGINT AS r, " +
+      "('0x' || substr(md5(doc_id::VARCHAR || ':' || f::VARCHAR || ':' || x::VARCHAR || ':' || y::VARCHAR), 3, 2))::BIGINT AS g, " +
+      "('0x' || substr(md5(doc_id::VARCHAR || ':' || f::VARCHAR || ':' || x::VARCHAR || ':' || y::VARCHAR), 5, 2))::BIGINT AS b " +
+      "FROM documents, (SELECT unnest([0, 2]) AS f) fs, " +
+      "(SELECT unnest(range(0, 8)) AS x) xs, (SELECT unnest(range(0, 8)) AS y) ys) " +
+      "SELECT doc_id, CAST(4 AS BIGINT) AS n_frames, " +
+      "CAST(SUM(CASE WHEN f = 0 THEN r ELSE 0 END) AS BIGINT) AS sum_r_f0, " +
+      "CAST(SUM(CASE WHEN f = 0 THEN g ELSE 0 END) AS BIGINT) AS sum_g_f0, " +
+      "CAST(SUM(CASE WHEN f = 0 THEN b ELSE 0 END) AS BIGINT) AS sum_b_f0, " +
+      "CAST(SUM(CASE WHEN f = 2 THEN r ELSE 0 END) AS BIGINT) AS sum_r_f2, " +
+      "CAST(SUM(CASE WHEN f = 2 THEN g ELSE 0 END) AS BIGINT) AS sum_g_f2, " +
+      "CAST(SUM(CASE WHEN f = 2 THEN b ELSE 0 END) AS BIGINT) AS sum_b_f2 " +
+      "FROM px GROUP BY doc_id ORDER BY doc_id"))
+
   /** AS-OF JOIN — purchase attribution: for every purchase event, the most
     * recent PRIOR (ts <= purchase ts) non-purchase event of the same user.
     * The Spark plan is [[graft.operators.Ops.asofJoin]]'s single-shuffle
@@ -2632,6 +2706,7 @@ object QueriesExtras {
     "q_image_decode" -> qImageDecode,
     "q_image_phash_dedup" -> qImagePhashDedup,
     "q_audio_decode" -> qAudioDecode,
+    "q_video_frames" -> qVideoFrames,
     "q_redact_pii" -> qRedactPii,
     "q_asof_attrib" -> qAsofAttrib,
     "q_asof_forward" -> qAsofForward,

@@ -83,6 +83,11 @@ object Multimodal {
     // decode needs no display; pin headless so a misconfigured DISPLAY
     // env can never turn a decode into an X11 connection attempt
     System.setProperty("java.awt.headless", "true")
+    // in-memory ImageIO streams: the default createImage*Stream wraps a
+    // FILE-backed cache — one temp file per payload, which serializes a
+    // parallel decode stage on filesystem metadata ops (measured: the
+    // q_video_frames row ran at single-thread speed until this)
+    javax.imageio.ImageIO.setUseCache(false)
 
     /** payload → (width, height, row-major 0xRRGGBB pixels), or None. */
     def decode(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
@@ -191,6 +196,110 @@ object Multimodal {
           Some((f.getSampleRate.toInt, out))
         }
       } catch { case _: Exception => None }
+  }
+
+  /** REAL multi-frame codec on the JDK's animated-GIF support — the
+    * frame-sample stage of the video surface exercised against a real
+    * multi-frame container: [[encode]] writes an animated GIF through the
+    * JDK's GIF writer (one full-size frame per image; a frame with ≤256
+    * distinct colors palettizes LOSSLESSLY, and an 8×8 frame has at most
+    * 64), [[decodeFrames]] reads every frame back through the JDK's GIF
+    * reader. The lossless round-trip is what lets q_video_frames be
+    * hash-gated the way the image/audio rows are. TRUE interframe video
+    * codecs (H.264 …) remain honestly out of scope — nothing in the JDK
+    * decodes them; [[FakeCodec]] stays the labeled stub for that. */
+  object GifAnimCodec {
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false) // see [[ImageIoCodec]]
+
+    /** Reusable encoder — ONE ImageIO SPI lookup + metadata DOM build for
+      * its lifetime. Per-row writer construction contends on the global
+      * IIORegistry across executor threads (measured: the 8-thread
+      * q_video_frames row ran at single-thread speed); a mapPartitions
+      * stage holds one Encoder per partition instead. NOT thread-safe —
+      * one per task, the mapPartitions contract. */
+    final class Encoder {
+      private val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      // INTERLACE OFF, explicitly: the writer's default metadata
+      // interlaces, and the JDK writer/reader pair disagrees on the
+      // interlace row schedule for heights below 8 — decoded rows come
+      // back permuted (measured on 6x4 frames). Non-interlaced frames
+      // round-trip exactly at every size.
+      private val meta = {
+        val m = wr.getDefaultImageMetadata(
+          javax.imageio.ImageTypeSpecifier.createFromBufferedImageType(
+            java.awt.image.BufferedImage.TYPE_INT_RGB),
+          wr.getDefaultWriteParam())
+        val fmt = m.getNativeMetadataFormatName()
+        val root = m.getAsTree(fmt)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        val ds = root.getElementsByTagName("ImageDescriptor")
+        (0 until ds.getLength).foreach(i =>
+          ds.item(i).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+            .setAttribute("interlaceFlag", "FALSE"))
+        m.setFromTree(fmt, root)
+        m
+      }
+
+      /** frames (row-major 0xRRGGBB, all w×h) → animated GIF bytes. */
+      def encode(width: Int, height: Int, frames: Seq[Array[Int]]): Array[Byte] = {
+        require(frames.nonEmpty, "no frames")
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        try {
+          wr.setOutput(ios)
+          wr.prepareWriteSequence(null)
+          frames.foreach { px =>
+            require(px.length == width * height,
+              s"frame pixel count ${px.length} != $width x $height")
+            val img = new java.awt.image.BufferedImage(width, height,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < height) {
+              var x = 0
+              while (x < width) { img.setRGB(x, y, px(y * width + x)); x += 1 }
+              y += 1
+            }
+            wr.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+          }
+          wr.endWriteSequence()
+        } finally ios.close()
+        bos.toByteArray
+      }
+    }
+
+    /** Reusable decoder — same SPI-contention rationale as [[Encoder]]. */
+    final class Decoder {
+      private val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+
+      /** payload → every frame as (width, height, row-major 0xRRGGBB), or
+        * None on corrupt / non-GIF bytes. */
+      def decodeFrames(payload: Array[Byte]): Option[Seq[(Int, Int, Array[Int])]] =
+        try {
+          rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(payload)))
+          val n = rd.getNumImages(true)
+          if (n <= 0) None
+          else Some((0 until n).map { f =>
+            val img = rd.read(f)
+            val (w, h) = (img.getWidth, img.getHeight)
+            val px = Array.ofDim[Int](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { px(y * w + x) = img.getRGB(x, y) & 0xffffff; x += 1 }
+              y += 1
+            }
+            (w, h, px)
+          })
+        } catch { case _: Exception => None }
+    }
+
+    /** One-shot convenience forms (tests, small corpora). */
+    def encode(width: Int, height: Int, frames: Seq[Array[Int]]): Array[Byte] =
+      new Encoder().encode(width, height, frames)
+    def decodeFrames(payload: Array[Byte]): Option[Seq[(Int, Int, Array[Int])]] =
+      new Decoder().decodeFrames(payload)
   }
 
   /** AVERAGE-HASH (aHash) perceptual fingerprint of an 8×8 pixel matrix —

@@ -154,6 +154,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(p3 sameElements Array((1L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 1L)))
   }
 
+  test("GifAnimCodec: multi-frame encode→decode is an exact per-frame round-trip") {
+    import graft.operators.Multimodal.GifAnimCodec
+    val (w, h) = (6, 4)
+    val frames = (0 until 3).map(f =>
+      Array.tabulate(w * h)(i => ((f * 83 + i * 13) % 256) * 0x010101))
+    val gif = GifAnimCodec.encode(w, h, frames)
+    assert(new String(gif.take(6), "US-ASCII").startsWith("GIF8"))
+    val Some(dec) = GifAnimCodec.decodeFrames(gif)
+    assert(dec.length == 3)
+    dec.zip(frames).foreach { case ((dw, dh, dp), src) =>
+      assert(dw == w && dh == h)
+      assert(dp sameElements src, "palettized frame must round-trip exactly")
+    }
+    // corrupt payloads: None, never a throw
+    assert(GifAnimCodec.decodeFrames("not a gif".getBytes("UTF-8")).isEmpty)
+    assert(GifAnimCodec.decodeFrames(Array.emptyByteArray).isEmpty)
+  }
+
   test("WavCodec: PCM encode→decode is an exact sample round-trip (real JDK audio parser)") {
     import graft.operators.Multimodal.WavCodec
     val samples = Array.tabulate(300)(i =>

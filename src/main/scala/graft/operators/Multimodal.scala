@@ -8,16 +8,20 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus decode / feature-extract / frame-sample stages.
   *
   * The Spark-side plumbing (schema, partitioning, batch shape) is real and
-  * tested. IMAGE decode is REAL as of round 11 ([[ImageIoCodec]]: the
-  * JDK's built-in ImageIO — PNG/GIF/BMP/JPEG, headless, no external
-  * library — with a lossless-PNG round-trip that makes the registered
-  * q_image_decode / q_image_phash_dedup queries hash-gateable), and so is
-  * AUDIO ([[WavCodec]]: spec-exact RIFF encode + the JDK AudioSystem
-  * parser for decode; q_audio_decode). VIDEO decode remains the one
-  * honest STUB — no video codec ships with the JDK or this container, so
-  * [[FakeCodec]] produces deterministic features from the raw bytes
-  * there; swapping in a real video codec means replacing FakeCodec only,
-  * every dataflow stage stays identical.
+  * tested, and as of round 11 so are the codecs for three modalities —
+  * all JDK-built-in, headless, no external library, each hash-gated
+  * through a lossless round-trip:
+  *   - IMAGE ([[ImageIoCodec]]: ImageIO PNG/GIF/BMP/JPEG;
+  *     q_image_decode, q_image_phash_dedup),
+  *   - AUDIO ([[WavCodec]]: spec-exact RIFF encode + the JDK AudioSystem
+  *     parser; q_audio_decode),
+  *   - MULTI-FRAME ([[GifAnimCodec]]: animated GIF write/read, the
+  *     frame-sample stage against a real container; q_video_frames).
+  * TRUE INTERFRAME VIDEO (H.264 …) remains the one honest STUB — no such
+  * codec ships with the JDK or this container, so [[FakeCodec]] produces
+  * deterministic features from the raw bytes there; swapping in a real
+  * video codec means replacing FakeCodec only, every dataflow stage
+  * stays identical.
   *
   * Scale notes: media rows are orders of magnitude wider than text rows, so
   * the operators (a) `repartition` by id before the decode stage so work
@@ -44,10 +48,11 @@ object Multimodal {
       StructField("height", IntegerType),
       StructField("durationMs", LongType))))))
 
-  /** STUB codec — deterministic fake standing in for a real VIDEO
-    * decoder (image and audio have real JDK-backed codecs above).
-    * Features are a function of the payload bytes only, so tests are
-    * reproducible. Replace with a real decoder to go to production. */
+  /** STUB codec — deterministic fake standing in for a real INTERFRAME
+    * VIDEO decoder (image, audio, and multi-frame containers have real
+    * JDK-backed codecs below). Features are a function of the payload
+    * bytes only, so tests are reproducible. Replace with a real decoder
+    * to go to production. */
   object FakeCodec {
     def decode(payload: Array[Byte], frames: Int): Array[Array[Byte]] = {
       // "frame-sample": `frames` evenly spaced byte windows of the payload.

@@ -1144,11 +1144,14 @@ object QueriesExtras {
         .repartition(64, col("doc_id"))
         .as[Long]
         .mapPartitions { it =>
+          // per-partition decoder: the AudioSystem static convenience
+          // serializes on a synchronized global provider lookup
+          val decdr = new WavCodec.Decoder
           it.map { id =>
             val samples = Array.tabulate(n)(i =>
               (((id * 31 + i.toLong * 7) % 65536L) - 32768L).toShort)
             val wav = WavCodec.encodePcm16(samples, 8000)
-            val (_, dec) = WavCodec.decode(wav).getOrElse(
+            val (_, dec) = decdr.decode(wav).getOrElse(
               throw new IllegalStateException(s"q_audio_decode: undecodable WAV for $id"))
             if (!java.util.Arrays.equals(dec, samples))
               throw new IllegalStateException(

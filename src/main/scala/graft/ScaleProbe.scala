@@ -183,7 +183,14 @@ object ScaleProbe {
     // rows stay k (= 10) at every scale and the cost curve is the
     // document-stats scan.
     "q_fuzzy_match", "q_label_prop", "q_kcore", "q_curation_pipeline",
-    "q_bm25_topk")
+    "q_bm25_topk",
+    // round-11 media family: per-document codec work (encode → real JDK
+    // decode → features) is embarrassingly parallel, and the phash dedup
+    // groups key on id - id%5 — the replica offset (10^7) is divisible
+    // by 5, so replica groups are disjoint from base groups and pair
+    // rows scale x10 exactly
+    "q_image_decode", "q_image_phash_dedup", "q_audio_decode",
+    "q_video_frames")
 
   /** Linear-COST families whose OUTPUT is not union-composable, so "rows
     * x10 exact" is unachievable by any replica synthesis and row parity is

@@ -83,9 +83,10 @@ object QueriesExtras {
 
   /** The INCREMENTAL near-dup path over N arriving batches ≡ the batch
     * LSH oracle: the corpus is split into 4 deterministic micro-batches
-    * (doc_id mod 4) and fed through the persisted band-key index sink
+    * (doc_id mod 4) and fed through the persisted signature-index sink
     * ([[graft.streaming.Streaming.incrementalNearDupSink]]: new docs join
-    * their band keys against new ∪ indexed keys, exact-verify, append);
+    * their band keys against keys derived from new ∪ indexed signatures,
+    * exact-verify, append);
     * the accumulated pairs state must equal the all-at-once
     * q_dedup_minhash_lsh result — same exact-Jaccard SQL oracle. The
     * state build is ingest-phase work (like the IVF index): built once
@@ -100,8 +101,8 @@ object QueriesExtras {
     (s, d) => {
       val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
       val stateDir = graft.operators.StateCache.ensure(s,
-        s"$d/documents.parquet", s"$d|n=5|t=0.8|batches=4",
-        "graft-incdedup", Seq("docs", "keys", "pairs")) { tmp =>
+        s"$d/documents.parquet", s"$d|n=5|t=0.8|batches=4|state=sigs",
+        "graft-incdedup", Seq("sigs", "pairs")) { tmp =>
         (0L until 4L).foreach(b => graft.streaming.Streaming.incrementalNearDupSink(
           "doc_id", "text", tmp, ngram = 5, threshold = 0.8)(
           docs.filter(col("doc_id") % 4 === b), b))

@@ -19,15 +19,32 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** The distinct-shingle set of one document as a Column over a staged
-    * word-array column `w` — shared by the exploded and array forms so the
-    * two can never drift. */
-  private def shingleSetOf(w: Column, n: Int): Column =
+  /** The shingle-set arithmetic as a built-in column chain — KEPT ONLY as
+    * the parity reference for [[graft.plans.ShingleSet]] (the spec
+    * property-checks the native expression against this form on
+    * whitespace-adversarial inputs). Production paths use the native
+    * expression: this chain's higher-order functions are CodegenFallback
+    * and cost ~0.6 ms/document — it was the dominant cost of the whole
+    * near-dup family at sf0.1. */
+  private[graft] def shingleSetHof(text: Column, n: Int): Column = {
+    val w = split(trim(text), "\\s+")
     array_distinct(
       when(size(w) >= n,
         transform(sequence(lit(1), size(w) - (n - 1)),
           i => concat_ws(" ", slice(w, i, lit(n)))))
         .otherwise(array().cast("array<string>")))
+  }
+
+  /** Distinct word n-gram shingle set straight from a raw text column —
+    * the ONE shingling every near-dup path shares ([[shingles]],
+    * [[shingleArray]] and the streaming sink's scan projection all route
+    * here, so the forms can never drift). Backed by the codegen'd
+    * [[graft.plans.ShingleSet]] expression. */
+  def shingleSet(text: Column, n: Int): Column = {
+    // Column → Expression plumbing goes through the function registry
+    // (the same seam the SQL surface uses); registration is idempotent
+    call_function("shingle_set", text, lit(n))
+  }
 
   /** Distinct word n-gram shingles, one row per (id, shingle).
     * Tokenization is `split(trim(text), "\s+")` — mirrored exactly by the
@@ -37,23 +54,22 @@ object Dedup {
     * attribute from a lower projection: `InferFiltersFromGenerate` only
     * fires on attribute children, and the `size(e) > 0 AND isnotnull(e)`
     * it infers gets substituted through the projection by predicate
-    * pushdown — re-evaluating the whole (interpreted-HOF) shingle
-    * expression several extra times per row (measured 6× on the pair
-    * queries at sf0.1). */
-  def shingles(df: DataFrame, id: String, text: String, n: Int): DataFrame =
-    df.select(col(id),
-        split(trim(col(text)), "\\s+").as("w"))
-      .select(col(id), explode(shingleSetOf(col("w"), n)).as("shingle"))
+    * pushdown — re-evaluating the shingle expression extra times per row
+    * (it mattered at ~0.6 ms/doc for the old HOF chain; the native
+    * expression keeps the same inline shape on principle). */
+  def shingles(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.select(col(id), explode(shingleSet(col(text), n)).as("shingle"))
+  }
 
   /** Distinct word n-gram shingles as ONE array column per document —
     * scan-stage compute, no explode, no shuffle. A document shorter than n
     * words gets an empty array. Feed this to projections (e.g.
-    * [[minHashSignaturesArr]]); for exploded consumers use [[shingles]]
-    * (see its Scaladoc for the generate-inference trap). */
-  def shingleArray(df: DataFrame, id: String, text: String, n: Int): DataFrame =
-    df.select(col(id),
-        split(trim(col(text)), "\\s+").as("w"))
-      .select(col(id), shingleSetOf(col("w"), n).as("sh_set"))
+    * [[minHashSignaturesArr]]); for exploded consumers use [[shingles]]. */
+  def shingleArray(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.select(col(id), shingleSet(col(text), n).as("sh_set"))
+  }
 
   /** Exact dedup: fingerprint = md5 of case/whitespace-normalized text;
     * keep the smallest id per group (deterministic survivor). */
@@ -81,7 +97,7 @@ object Dedup {
 
   /** Positioned k-token window hashes of one document over a staged
     * word-array column `w`: one (pos, md5-of-window) struct per sliding
-    * window, 1-based positions — UNLIKE [[shingleSetOf]] this keeps every
+    * window, 1-based positions — UNLIKE [[shingleSet]] this keeps every
     * occurrence and its position (span recovery needs both; distinctness
     * would merge repeated boilerplate into one anonymous shingle). */
   private def windowHashesOf(w: Column, k: Int): Column =

@@ -166,7 +166,10 @@ object Scale {
         .otherwise(raise_error(concat(
           lit(s"$what: candidate volume exceeds $factor x corpus size: "),
           col("__cand").cast("string"), lit(" candidates for "),
-          col("__base").cast("string"), lit(" rows"))).cast("boolean")))
+          col("__base").cast("string"), lit(" rows. If this corpus is "),
+          lit("legitimately duplicate-saturated, raise the cap (e.g. "),
+          lit("maxCandidatesPerDoc = Some(higher)) or disable it with "),
+          lit("maxCandidatesPerDoc = None"))).cast("boolean")))
       .select(outCols.map(col): _*)
   }
 
@@ -200,7 +203,10 @@ object Scale {
           lit(s"$what: projected band candidates exceed $factor x corpus "),
           lit(s"(pre-join bound over $bands bands): "),
           col("__slots").cast("string"), lit(" pair slots for "),
-          col("__base").cast("string"), lit(" rows"))).cast("boolean")))
+          col("__base").cast("string"), lit(" rows. If this corpus is "),
+          lit("legitimately duplicate-saturated, raise the cap (e.g. "),
+          lit("maxCandidatesPerDoc = Some(higher)) or disable it with "),
+          lit("maxCandidatesPerDoc = None"))).cast("boolean")))
       .select(outCols.map(col): _*)
   }
 

@@ -89,6 +89,12 @@ object GraftFunctions {
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (exprs: Seq[Expression]) => MinHashSig(exprs(0), exprs(1))),
+    (FunctionIdentifier("shingle_set"),
+      new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
+      (exprs: Seq[Expression]) => ShingleSet(exprs(0), exprs(1))),
+    (FunctionIdentifier("band_keys"),
+      new ExpressionInfo(classOf[BandKeys].getName, "band_keys"),
+      (exprs: Seq[Expression]) => BandKeys(exprs(0), exprs(1), exprs(2))),
     (FunctionIdentifier("bpe_encode"),
       new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
       (exprs: Seq[Expression]) => BpeEncode(exprs(0), exprs(1))),

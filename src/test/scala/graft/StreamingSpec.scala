@@ -31,6 +31,15 @@ class StreamingSpec extends AnyFunSuite {
     // must be found when the LATER doc arrives
     sink(df(corpus.take(2)), 0L)
     sink(df(corpus.slice(2, 5)), 1L)
+    // process restart between batches: the in-memory mirror is lost and
+    // batch 2 must rebuild purely from the parquet state
+    Streaming.dropNearDupMirror(dir)
+    // crash-window rehearsal: snapshot sigs BEFORE batch 2 so we can
+    // later replay "pairs appended, crash before the sigs append"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val snap = new org.apache.hadoop.fs.Path(s"$dir/sigs_snap")
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(s"$dir/sigs"),
+      fs, snap, false, spark.sparkContext.hadoopConfiguration)
     sink(df(corpus.drop(5)), 2L)
     def pairs() = spark.read.parquet(s"$dir/pairs")
       .orderBy($"doc_a", $"doc_b").as[(Long, Long, Double)].collect().toSeq
@@ -41,19 +50,24 @@ class StreamingSpec extends AnyFunSuite {
     // at-least-once delivery: replaying a whole batch changes nothing
     sink(df(corpus.slice(2, 5)), 1L)
     assert(pairs() == expected)
-    // the persisted key index only carries ingested ids
-    val keyIds = spark.read.parquet(s"$dir/keys")
-      .select($"doc_id").distinct().as[Long].collect().toSet
-    assert(keyIds == corpus.map(_._1).toSet - 5L) // 5 has no shingles
-    // crash window between the keys append and the docs append: wipe the
-    // docs table (docs look new again) and retry — band keys already in
-    // the index must NOT be appended a second time
-    val keyRows = spark.read.parquet(s"$dir/keys").count()
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/docs"), true)
+    // the persisted state is ONE row per ingested doc — shingle-less docs
+    // included (the replay gate must remember them), with a null signature
+    val sigs = spark.read.parquet(s"$dir/sigs")
+    assert(sigs.count() == corpus.size.toLong)
+    assert(sigs.filter($"sig".isNull).select($"doc_id").as[Long].collect().toSeq == Seq(5L))
+    // crash window between the pairs append and the sigs append: restore
+    // the pre-batch-2 sigs snapshot (batch 2's docs look new again) while
+    // pairs retain batch 2's output, drop the mirror (the failed process
+    // died), and retry — the regenerated pairs must anti-join away, and
+    // the final state must be byte-identical
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/sigs"), true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, snap,
+      fs, new org.apache.hadoop.fs.Path(s"$dir/sigs"), false,
+      spark.sparkContext.hadoopConfiguration)
+    Streaming.dropNearDupMirror(dir)
     sink(df(corpus.drop(5)), 2L)
-    assert(spark.read.parquet(s"$dir/keys").count() == keyRows)
     assert(pairs() == expected)
+    assert(spark.read.parquet(s"$dir/sigs").count() == corpus.size.toLong)
   }
 
   test("ST5 windowed engagement over MemoryStream matches the batch twin") {

@@ -598,6 +598,16 @@ object QueriesExtras {
       "WHERE " + cosSql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]") + " >= 0.45e0 " +
       "ORDER BY vec_a, vec_b"))
 
+  /** Shared banding-cache key for the hyperplane-LSH twins: fingerprints
+    * the embeddings FILES plus the banding parameters, so the
+    * salted/unsalted twins (and steady-state re-runs) reuse one
+    * checkpointed banding while any corpus regeneration misses the cache
+    * by construction (see [[graft.operators.Similarity.lshCosinePairs]]'s
+    * `bandedCacheKey` scaladoc). */
+  private def embBandKey(s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.operators.StateCache.fingerprint(
+      s, s"$d/embeddings.parquet", "lshband|b=48|r=4|seed=42")
+
   /** Same semantics as q_emb_neardup_pairs — and the SAME oracle — via the
     * banded hyperplane LSH scale path (the q_j1_salted / minhash pattern:
     * the gate itself proves the bucketed plan is semantics-preserving).
@@ -615,7 +625,8 @@ object QueriesExtras {
     * ≈ 1e-14, so the production configuration is provably safe. */
   private val qEmbNeardupLsh = Q(
     (s, d) => Similarity.lshCosinePairs(Tables.load(s, d, "embeddings"),
-        "vec_id", "embedding", threshold = 0.45)
+        "vec_id", "embedding", threshold = 0.45,
+        bandedCacheKey = Some(embBandKey(s, d)))
       .orderBy(col("vec_a"), col("vec_b")),
     qEmbNeardupPairs.sql)
 
@@ -629,7 +640,8 @@ object QueriesExtras {
   private val qEmbNeardupLshSalted = Q(
     (s, d) => Similarity.lshCosinePairs(Tables.load(s, d, "embeddings"),
         "vec_id", "embedding", threshold = 0.45,
-        saltHotBands = Some((4, 4)))
+        saltHotBands = Some((4, 4)),
+        bandedCacheKey = Some(embBandKey(s, d)))
       .orderBy(col("vec_a"), col("vec_b")),
     qEmbNeardupPairs.sql)
 

@@ -18,7 +18,7 @@ object StateCache {
   /** md5 over every data file's (path, length, mtime) + params — 128 bits,
     * so cross-corpus collisions (the 32-bit `String.hashCode` hazard) are
     * a non-issue. */
-  private def fingerprint(spark: SparkSession, srcPath: String,
+  private[graft] def fingerprint(spark: SparkSession, srcPath: String,
                           params: String): String = {
     val src = new org.apache.hadoop.fs.Path(srcPath)
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)

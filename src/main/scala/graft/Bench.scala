@@ -106,20 +106,77 @@ object Bench {
     val errored = results.collect { case (n, v) if v < 0 => n }
     val erroredJson =
       s""""errored":${errored.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL_PATH", "BENCH_DETAIL.json")
     val detailLine =
       s"""{"metric":"detail","value":${fmt(total)},$meta,$erroredJson,"queries":${toJson(results)}}"""
     println(detailLine)
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"), detailLine + "\n"): Unit
+      java.nio.file.Paths.get(detailPath), detailLine + "\n"): Unit
     catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write BENCH_DETAIL.json: ${e.getMessage}")
+      System.err.println(s"[bench] could not write $detailPath: ${e.getMessage}")
     }
+    // ---- noise-class re-measurement. SCALE_PROBE.md §6 pins two rows
+    // that swing ~2x across otherwise-identical idle JVMs (q_pagerank
+    // 3.98-8.75 s, q_negative_sample 2.7-4.7 s — JIT/GC layout luck, not
+    // plan changes), which polluted every round-over-round board
+    // comparison. The board keeps their in-board number (the run the
+    // driver grades), and a FRESH child JVM re-runs just those rows
+    // min-of-3 so the artifact carries both samples; `stable_value`
+    // is the board total over the rows that don't swing — the number to
+    // compare across rounds.
+    val noiseNames = Seq("q_pagerank", "q_negative_sample")
+      .filter(n => results.exists(_._1 == n))
+    val isNoiseChild = sys.env.contains("SPARK_GRAFT_NOISE_CHILD")
+    val noiseFresh: Map[String, Double] =
+      if (noiseNames.isEmpty || isNoiseChild) Map.empty
+      else try {
+        import scala.jdk.CollectionConverters._
+        val tmp = java.nio.file.Files.createTempFile("bench_noise", ".json")
+        val javaBin = new java.io.File(
+          new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+        val jvmArgs = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments.asScala.toSeq
+        val pb = new ProcessBuilder(
+          (Seq(javaBin) ++ jvmArgs ++
+            Seq("-cp", sys.props("java.class.path"), "graft.Bench")): _*)
+        pb.environment().put("SPARK_GRAFT_ONLY", noiseNames.mkString(","))
+        pb.environment().put("SPARK_GRAFT_NOISE_CHILD", "1")
+        pb.environment().put("SPARK_GRAFT_DETAIL_PATH", tmp.toString)
+        pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+        pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+        pb.redirectErrorStream(true)
+        pb.redirectOutput(java.lang.ProcessBuilder.Redirect.DISCARD)
+        val p = pb.start()
+        val done = p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
+        if (!done) { p.destroyForcibly(): Unit; Map.empty[String, Double] }
+        else {
+          val txt = new String(java.nio.file.Files.readAllBytes(tmp), "UTF-8")
+          val re = """"(q_[a-z0-9_]+)":(-?[0-9.]+)""".r
+          re.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .filter(kv => noiseNames.contains(kv._1)).toMap
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] noise-class child JVM failed: ${e.getMessage}")
+        Map.empty
+      }
+    val noiseJson =
+      if (noiseNames.isEmpty || isNoiseChild) ""
+      else {
+        val rows = noiseNames.map { n =>
+          s""""$n":{"board":${fmt(results.toMap.getOrElse(n, -1.0))},""" +
+            s""""fresh_jvm":${fmt(noiseFresh.getOrElse(n, -1.0))}}"""
+        }.mkString("{", ",", "}")
+        val stable = total -
+          noiseNames.map(n => math.max(results.toMap.getOrElse(n, 0.0), 0.0)).sum
+        s""","noise_class":$rows,"stable_value":${fmt(stable)}"""
+      }
     val headline = Seq("q1_pricing_summary", "q3_top_revenue", "q5_region_revenue",
       "q6_revenue_forecast", "q_a1_rollup", "q_j1_linkage", "q_sessionize",
       "q_dedup_exact", "q_dedup_minhash_lsh", "q_emb_neardup_lsh",
       "q_ann_brute_topk", "q_ann_ivf_topk", "q_text_stats", "q_tfidf_top_terms")
     val headlined = results.filter { case (n, _) => headline.contains(n) }
-    println(s"""{"metric":"total","value":${fmt(total)},$meta,"n_queries":${results.size},"n_errored":${errored.size},$erroredJson,"detail":"BENCH_DETAIL.json","queries":${toJson(headlined)}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},$meta,"n_queries":${results.size},"n_errored":${errored.size},$erroredJson$noiseJson,"detail":"BENCH_DETAIL.json","queries":${toJson(headlined)}}""")
     spark.stop()
     if (errored.nonEmpty) sys.exit(1)
   }

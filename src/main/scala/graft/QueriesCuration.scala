@@ -90,29 +90,31 @@ object QueriesCuration {
       "round(SUM(ln((cnt_t + 1.0) / (tot_t + 1024.0)) - ln((cnt_c + 1.0) / (tot_c + 1024.0))), 6) AS log_weight " +
       "FROM tk JOIN bs USING (b), tot GROUP BY doc_id ORDER BY doc_id"))
 
-  /** BPE tokenization ([[Bpe]]): train 64 merges on the corpus' own
-    * word-frequency table (distributed stats, vocabulary-bounded driver
-    * iteration), then encode every document in the scan stage via the
-    * `bpe_encode` codegen expression. NO SQL ORACLE by design — the merge
-    * table is data-dependent and its greedy application is iterative, which
-    * ANSI SQL cannot express; the driver records the rows-only check (the
-    * q_ann_lsh_topk precedent) and BpeSpec pins semantics against an
-    * independent reference implementation. The gate runs the
-    * SELF-CERTIFYING [[Bpe.encodeAudited]] form: losslessness
+  /** BPE tokenization ([[Bpe]]): train [[BpeRounds]] merges on the
+    * corpus' own word-frequency table (distributed stats,
+    * vocabulary-bounded driver iteration), then encode every document in
+    * the scan stage via the `bpe_encode` codegen expression. HASH-GREEN
+    * since round 12: the oracle ([[BpeEncodeSql]]) replays the same
+    * unrolled merge rounds as q_bpe_merges and reads each corpus word's
+    * encoding off the final training state — valid because sequential
+    * rank-order application ≡ the encoder's lowest-rank-first loop for
+    * in-vocab words, and the eval corpus IS the training corpus. BpeSpec
+    * still pins the encoder against an independent reference (including
+    * out-of-vocab words, which the SQL identity cannot cover). The gate
+    * runs the SELF-CERTIFYING [[Bpe.encodeAudited]] form: losslessness
     * (decode∘encode ≡ id) is asserted in-plan over the full column with a
-    * `raise_error` on the first violating document, so shaped garbage
-    * cannot pass the rows-only check. Tokens are emitted pipe-joined so
-    * the gate hashes a flat deterministic column. */
+    * `raise_error` on the first violating document. Tokens are emitted
+    * pipe-joined so the gate hashes a flat deterministic column. */
   private val qBpeEncode = Q(
     (s, d) => {
       val docs = t(s, d, "documents")
-      val model = Bpe.train(docs, "text", numMerges = 64)
+      val model = Bpe.train(docs, "text", numMerges = BpeRounds)
       Bpe.encodeAudited(docs, "doc_id", "text", model)
         .select(col("doc_id"), col("n_tokens"),
           concat_ws("|", col("tokens")).as("tokens_str"))
         .orderBy(col("doc_id"))
     },
-    None)
+    Some(BpeEncodeSql))
 
   /** Oracle SQL for [[qBpeMerges]]: the SAME 8 greedy merge rounds as
     * unrolled CTEs (the q_pagerank convention — iterate-in-SQL so a
@@ -130,8 +132,19 @@ object QueriesCuration {
     * round (no pair with weighted count ≥ 2) yields an empty `b`, whose
     * cross join empties all later states: the SQL emits exactly the
     * rounds the Scala early-stop emits. */
-  private val BpeMergesSql: String = {
-    val nRounds = 8
+  /** Merge rounds both BPE oracles unroll — and the `numMerges` the
+    * encode query trains, so the SQL-provable training state and the
+    * applied model are the same object. */
+  private lazy val BpeRounds = 8
+
+  /** The WITH-chain shared by [[BpeMergesSql]] and [[BpeEncodeSql]]:
+    * tokenize, build the vocab, unroll [[BpeRounds]] greedy merge rounds.
+    * `s<BpeRounds>` is the final per-word symbol state — which, because
+    * sequential rank-order application ≡ the encoder's lowest-rank-first
+    * loop for any word of the training vocab (a later merge's compound
+    * symbol cannot appear inside an earlier merge's pair), is also the
+    * ENCODING of every corpus word. */
+  private lazy val BpeTrainCtes: String = {
     def round(r: Int): String = {
       val prev = s"s${r - 1}"
       s"p$r AS MATERIALIZED (SELECT a, b, SUM(f) AS cnt FROM (" +
@@ -158,12 +171,34 @@ object QueriesCuration {
       "vocab AS (SELECT w, count(*) AS f FROM toks WHERE w <> '' GROUP BY w), " +
       "s0 AS MATERIALIZED (SELECT w, f, pos, substring(w, pos, 1) AS sym FROM (" +
       "SELECT w, f, unnest(range(1, length(w) + 1)) AS pos FROM vocab)), " +
-      (1 to nRounds).map(round).mkString(", ") + " " +
-      (1 to nRounds).map(r =>
+      (1 to BpeRounds).map(round).mkString(", ")
+  }
+
+  private lazy val BpeMergesSql: String =
+    BpeTrainCtes + " " +
+      (1 to BpeRounds).map(r =>
         s"SELECT CAST($r AS INT) AS rank, a AS lhs, b AS rhs FROM b$r")
         .mkString(" UNION ALL ") +
       " ORDER BY rank"
-  }
+
+  /** Oracle SQL for [[qBpeEncode]]: replay the learned model over every
+    * document. Word occurrences keep their position (`ord`), each joins
+    * the final training state `s<BpeRounds>` for its encoded symbol
+    * sequence (see [[BpeTrainCtes]] for why that state IS the encoding),
+    * and per-document aggregation reassembles the pipe-joined token
+    * stream in (word, symbol) order. A document with no non-empty words
+    * encodes to zero tokens. */
+  private lazy val BpeEncodeSql: String =
+    BpeTrainCtes + ", " +
+      "docw AS (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS ord FROM (" +
+      "SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS arr FROM documents)), " +
+      "occ AS (SELECT doc_id, ord, arr[ord] AS w FROM docw WHERE arr[ord] <> ''), " +
+      s"enc AS (SELECT o.doc_id, o.ord, s.pos, s.sym FROM occ o JOIN s$BpeRounds s ON o.w = s.w), " +
+      "agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_tokens, " +
+      "string_agg(sym, '|' ORDER BY ord, pos) AS tokens_str FROM enc GROUP BY doc_id) " +
+      "SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens, " +
+      "COALESCE(a.tokens_str, '') AS tokens_str " +
+      "FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"
 
   /** BPE MERGE-TABLE LEARNING, oracle-gated ([[Bpe.train]]): the first 8
     * learned merges (rank, lhs, rhs) from the documents corpus — the

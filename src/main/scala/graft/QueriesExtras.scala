@@ -694,30 +694,63 @@ object QueriesExtras {
           nPlanes = 6, maxHammingProbe = 3),
         emb, "vec_id", "embedding", anchorId = 0L, k = 10, minRecall = 0.6)
     },
-    Some {
-      // the SAME construction annTopK uses: hyperplanes(6, 64, seed=42),
-      // bucket bit i = [dot(v, plane_i) >= 0] weighted 2^i
-      val planes = Similarity.hyperplanes(6, 64)
-      // Locale.ROOT: %e under a comma-decimal default locale (de_DE)
-      // would render "1,23e+00" and break the generated SQL
-      def lit(p: Array[Double]) = p
-        .map(v => String.format(java.util.Locale.ROOT, "%.17e", Double.box(v)))
-        .mkString("[", ", ", "]")
-      val bucket = planes.zipWithIndex.map { case (p, i) =>
-        s"(CASE WHEN list_dot_product(v, ${lit(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
-      }.mkString(" + ")
-      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
-        s"b AS (SELECT vec_id, v, CAST($bucket AS BIGINT) AS bucket FROM e), " +
-        "q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0), " +
-        "approx AS (SELECT b.vec_id, " + cosSql("b.v", "q.qv") + " AS cosine " +
-        "FROM b, q WHERE bit_count(xor(b.bucket, q.qbucket)) <= 3 AND b.vec_id <> 0 " +
-        "ORDER BY cosine DESC, b.vec_id LIMIT 10), " +
-        "brute AS (SELECT vec_id FROM (SELECT e.vec_id, " + cosSql("e.v", "q.qv") +
-        " AS c FROM e, q WHERE e.vec_id <> 0) ORDER BY c DESC, vec_id LIMIT 10), " +
-        "rec AS (SELECT CAST(count(*) AS DOUBLE) / 10 AS recall_at_k " +
-        "FROM approx WHERE vec_id IN (SELECT vec_id FROM brute)) " +
-        "SELECT approx.vec_id, approx.cosine, rec.recall_at_k FROM approx, rec"
-    })
+    Some(annLshSql(maxHamming = 3)))
+
+  /** The declarative replay of [[Similarity.annTopK]] +
+    * [[Similarity.withRecallAudit]] shared by the hyperplane-LSH ANN rows
+    * (one probe-width knob): the 6 seeded hyperplanes are embedded as
+    * %.17e literals (exact double round-trip), DuckDB recomputes each
+    * vector's sign-bit bucket, the hamming ≤ `maxHamming` probe set, the
+    * exact re-scoring, and the recall@10 against brute force. */
+  private def annLshSql(maxHamming: Int): String = {
+    // the SAME construction annTopK uses: hyperplanes(6, 64, seed=42),
+    // bucket bit i = [dot(v, plane_i) >= 0] weighted 2^i
+    val planes = Similarity.hyperplanes(6, 64)
+    // Locale.ROOT: %e under a comma-decimal default locale (de_DE)
+    // would render "1,23e+00" and break the generated SQL
+    def lit(p: Array[Double]) = p
+      .map(v => String.format(java.util.Locale.ROOT, "%.17e", Double.box(v)))
+      .mkString("[", ", ", "]")
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(v, ${lit(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      s"b AS (SELECT vec_id, v, CAST($bucket AS BIGINT) AS bucket FROM e), " +
+      "q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0), " +
+      "approx AS (SELECT b.vec_id, " + cosSql("b.v", "q.qv") + " AS cosine " +
+      s"FROM b, q WHERE bit_count(xor(b.bucket, q.qbucket)) <= $maxHamming AND b.vec_id <> 0 " +
+      "ORDER BY cosine DESC, b.vec_id LIMIT 10), " +
+      "brute AS (SELECT vec_id FROM (SELECT e.vec_id, " + cosSql("e.v", "q.qv") +
+      " AS c FROM e, q WHERE e.vec_id <> 0) ORDER BY c DESC, vec_id LIMIT 10), " +
+      "rec AS (SELECT CAST(count(*) AS DOUBLE) / 10 AS recall_at_k " +
+      "FROM approx WHERE vec_id IN (SELECT vec_id FROM brute)) " +
+      "SELECT approx.vec_id, approx.cosine, rec.recall_at_k FROM approx, rec"
+  }
+
+  /** Hyperplane-LSH ANN at a SECOND, quality-gated operating point — the
+    * q_ann_ivfpq_probe_audit pattern applied to the sign-LSH family: same
+    * seeded planes and probe machinery as q_ann_lsh_topk, but the probe
+    * widens to hamming ≤ 4 (57 of 64 buckets — pruning still genuine, and
+    * with per-bit agreement 2/3 at this corpus's adversarial cos≈0.5
+    * regime a true neighbor lands inside the probe set w.p. ≈ 0.98, so
+    * the achieved recall is solidly high) and the in-plan floor is
+    * TIGHTENED to 0.8 (vs the production row's 0.6; measured recall@10 on
+    * the seeded planes: 1.0 / 0.9 / 0.9 at sf0.001/0.01/0.1) so a
+    * bucketing, probe-selection, or scoring regression that degrades
+    * retrieval fails the round via raise_error, while the floor keeps
+    * the same one-notch headroom as the IVF-PQ audit against a future
+    * corpus regeneration. Hash-green on top (the IVF-PQ audit can't be —
+    * MLlib float codebooks aren't SQL-replayable; these seeded planes
+    * are). */
+  private val qAnnLshProbeAudit = Q(
+    (s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.withRecallAudit(
+        Similarity.annTopK(emb, "vec_id", "embedding", anchorId = 0L, k = 10,
+          nPlanes = 6, maxHammingProbe = 4),
+        emb, "vec_id", "embedding", anchorId = 0L, k = 10, minRecall = 0.8)
+    },
+    Some(annLshSql(maxHamming = 4)))
 
   /** IVF ANN with full probing (nprobe == nlist) degenerates to exact
     * search, so it shares the brute-force oracle — the gate verifies the
@@ -2703,6 +2736,7 @@ object QueriesExtras {
     "q_group_centroids" -> qGroupCentroids,
     "q_ann_brute_topk" -> qAnnBruteTopk,
     "q_ann_lsh_topk" -> qAnnLshTopk,
+    "q_ann_lsh_probe_audit" -> qAnnLshProbeAudit,
     "q_ann_ivf_topk" -> qAnnIvfTopk,
     "q_ann_pq_topk" -> qAnnPqTopk,
     "q_ann_pq_exact_topk" -> qAnnPqExactTopk,

@@ -86,18 +86,27 @@ object Multimodal {
     * that stub stays honestly labeled. */
   object ImageIoCodec {
     // decode needs no display; pin headless so a misconfigured DISPLAY
-    // env can never turn a decode into an X11 connection attempt
-    System.setProperty("java.awt.headless", "true")
-    // in-memory ImageIO streams: the default createImage*Stream wraps a
-    // FILE-backed cache — one temp file per payload, which serializes a
+    // env can never turn a decode into an X11 connection attempt — but
+    // only when the embedding application hasn't configured AWT itself
+    // (a class-load side effect must never override explicit host config)
+    if (System.getProperty("java.awt.headless") == null)
+      System.setProperty("java.awt.headless", "true")
+    // In-memory ImageIO streams are scoped PER CALL SITE below
+    // (MemoryCacheImage*Stream) instead of flipping the process-global
+    // ImageIO.setUseCache(false): the default createImage*Stream wraps a
+    // FILE-backed cache — one temp file per payload, which serialized the
     // parallel decode stage on filesystem metadata ops (measured: the
-    // q_video_frames row ran at single-thread speed until this)
-    javax.imageio.ImageIO.setUseCache(false)
+    // q_video_frames row ran at single-thread speed) — but the global
+    // flag would also silently force EVERY other ImageIO consumer in the
+    // JVM fully in-heap (a large-image decode elsewhere could OOM instead
+    // of spilling to its temp-file cache).
 
     /** payload → (width, height, row-major 0xRRGGBB pixels), or None. */
     def decode(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
       try {
-        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+        Option(javax.imageio.ImageIO.read(
+          new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(payload))))
           .map { img =>
             val (w, h) = (img.getWidth, img.getHeight)
             val px = Array.ofDim[Int](w * h)
@@ -124,7 +133,9 @@ object Multimodal {
         y += 1
       }
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try javax.imageio.ImageIO.write(img, "png", ios): Unit
+      finally ios.close() // flushes the memory cache into bos
       bos.toByteArray
     }
 
@@ -260,8 +271,10 @@ object Multimodal {
     * codecs (H.264 …) remain honestly out of scope — nothing in the JDK
     * decodes them; [[FakeCodec]] stays the labeled stub for that. */
   object GifAnimCodec {
-    System.setProperty("java.awt.headless", "true")
-    javax.imageio.ImageIO.setUseCache(false) // see [[ImageIoCodec]]
+    // see [[ImageIoCodec]]: headless only if the host hasn't chosen, and
+    // in-memory streams scoped per call, never the global cache flag
+    if (System.getProperty("java.awt.headless") == null)
+      System.setProperty("java.awt.headless", "true")
 
     /** Reusable encoder — ONE ImageIO SPI lookup + metadata DOM build for
       * its lifetime. Per-row writer construction contends on the global
@@ -296,7 +309,7 @@ object Multimodal {
       def encode(width: Int, height: Int, frames: Seq[Array[Int]]): Array[Byte] = {
         require(frames.nonEmpty, "no frames")
         val bos = new java.io.ByteArrayOutputStream()
-        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
         try {
           wr.setOutput(ios)
           wr.prepareWriteSequence(null)
@@ -327,7 +340,7 @@ object Multimodal {
         * None on corrupt / non-GIF bytes. */
       def decodeFrames(payload: Array[Byte]): Option[Seq[(Int, Int, Array[Int])]] =
         try {
-          rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+          rd.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
             new java.io.ByteArrayInputStream(payload)))
           val n = rd.getNumImages(true)
           if (n <= 0) None

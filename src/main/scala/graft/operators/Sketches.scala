@@ -133,7 +133,15 @@ object Sketches {
     * sketch is HASH-ORACLE-ABLE end to end. Scale shape: one distinct
     * shuffle on (group, hash), one k-bounded window per group, then all
     * pair work happens on k·|groups| rows — kilobytes, the whole point of
-    * sketching. */
+    * sketching.
+    *
+    * EAGER, not a lazy plan builder: construction runs two Spark jobs
+    * before returning (the sketch materialization plus a
+    * vanishing-group audit — a group with zero prefilter survivors would
+    * disappear from the sketch along with the pair rows a declarative
+    * raise column would need, so the audit can only live at build time).
+    * Callers composing plans ahead of execution should treat a
+    * kmvPairwise call as executing, not as free plan assembly. */
   def kmvPairwise(df: DataFrame, group: String, value: String,
                   k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")

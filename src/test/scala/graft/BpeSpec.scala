@@ -85,8 +85,9 @@ class BpeSpec extends AnyFunSuite {
   test("train is prefix-stable: train(8) merges = first 8 merges of train(64)") {
     // greedy BPE learns merges one at a time with no lookahead, so a
     // shorter budget must be a prefix of a longer one — the invariant that
-    // makes q_bpe_merges' 8-round oracle a valid gate over the same model
-    // q_bpe_encode trains with numMerges=64
+    // lets q_bpe_merges' 8-round oracle gate any longer training run of
+    // the same model (q_bpe_encode trains with the same 8 rounds, so its
+    // oracle replays the exact applied table)
     val docs = Seq((1L, "low lower lowest newest newer new"),
       (2L, "wide wider widest low lower new"), (3L, "banana bandana cabana"))
       .toDF("doc_id", "text")

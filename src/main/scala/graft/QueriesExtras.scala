@@ -58,11 +58,18 @@ object QueriesExtras {
       .orderBy(col("doc_a"), col("doc_b")),
     Some(JaccardPairsSql))
 
+  /** Shared banding-cache key for the MinHash-LSH document twins (plain,
+    * salted, groups, provenance): fingerprints the documents FILES plus
+    * the banding parameters — see [[graft.operators.Scale.memo]]. */
+  private def docBandKey(s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.operators.StateCache.fingerprint(
+      s, s"$d/documents.parquet", "minhashband|n=5|h=128|b=32|r=4")
+
   /** Same semantics as q_dedup_ngram_pairs — and the same oracle — but via
     * the MinHash+LSH scale path (P(missed pair | j>=0.8) ≈ 5e-8). */
   private val qDedupMinhashLsh = Q(
     (s, d) => Dedup.nearDupPairs(Tables.load(s, d, "documents"),
-        "doc_id", "text", 5, 0.8)
+        "doc_id", "text", 5, 0.8, bandedCacheKey = Some(docBandKey(s, d)))
       .orderBy(col("doc_a"), col("doc_b")),
     Some(JaccardPairsSql))
 
@@ -77,7 +84,8 @@ object QueriesExtras {
     * list is ≤ |banded|/4096 rows and broadcastable. */
   private val qDedupMinhashLshSalted = Q(
     (s, d) => Dedup.nearDupPairsSalted(Tables.load(s, d, "documents"),
-        "doc_id", "text", 5, 0.8, salts = 4, hotMin = 4)
+        "doc_id", "text", 5, 0.8, salts = 4, hotMin = 4,
+        bandedCacheKey = Some(docBandKey(s, d)))
       .orderBy(col("doc_a"), col("doc_b")),
     Some(JaccardPairsSql))
 
@@ -106,6 +114,13 @@ object QueriesExtras {
         (0L until 4L).foreach(b => graft.streaming.Streaming.incrementalNearDupSink(
           "doc_id", "text", tmp, ngram = 5, threshold = 0.8)(
           docs.filter(col("doc_id") % 4 === b), b))
+        // the sink commits sigs by MOVING staged part files (no Spark
+        // write job → no _SUCCESS marker), but StateCache detects a
+        // published build by that marker — stamp it, or every call
+        // re-ingests the corpus
+        val fs = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.create(new org.apache.hadoop.fs.Path(s"$tmp/sigs/_SUCCESS"), true).close()
       }
       s.read.parquet(s"$stateDir/pairs")
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -170,7 +185,7 @@ object QueriesExtras {
   private val qDupProvenanceLsh = Q(
     (s, d) => Recursion.dupProvenance(s,
         Dedup.nearDupPairs(Tables.load(s, d, "documents"),
-          "doc_id", "text", 5, 0.8))
+          "doc_id", "text", 5, 0.8, bandedCacheKey = Some(docBandKey(s, d))))
       .orderBy(col("doc_id")),
     qDupProvenance.sql)
 
@@ -265,7 +280,7 @@ object QueriesExtras {
   private val qDedupGroupsLsh = Q(
     (s, d) => Dedup.dupGroups(
         Dedup.nearDupPairs(Tables.load(s, d, "documents"),
-          "doc_id", "text", 5, 0.8))
+          "doc_id", "text", 5, 0.8, bandedCacheKey = Some(docBandKey(s, d))))
       .orderBy(col("doc_id")),
     qDedupGroups.sql)
 

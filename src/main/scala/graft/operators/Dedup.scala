@@ -406,26 +406,47 @@ object Dedup {
 
   def nearDupPairs(docs: DataFrame, id: String, text: String, n: Int,
                    threshold: Double, bands: Int = 32, rows: Int = 4,
-                   maxCandidatesPerDoc: Option[Double] = Some(DefaultCandidatesPerDoc)): DataFrame = {
-    // no isNotNull filter on the signatures: a Filter over the sig
-    // projection would be pushed below it, re-evaluating minhash_sig per
-    // row; shingle-less docs (NULL sig) instead drop out at the banding
-    // explode's when-guard
-    val sig = scanSignatures(docs, id, text, n, bands * rows)
-    // with the cap on, the PRE-JOIN band-population gate
-    // (Scale.bandVolumeGuard) proves an over-cap volume before the
-    // self-join shuffles a pair row; the post-join count is the exact
-    // backstop. banded is checkpointed when guarded — it feeds the stats
-    // pass plus both join sides, and one materialization of n·bands
-    // narrow rows beats three signature-projection scans.
-    val banded0 = bandKeys(sig, id, bands, rows)
-    val banded = maxCandidatesPerDoc.fold(banded0)(f =>
-      Scale.bandVolumeGuard(banded0.localCheckpoint(), "band_key", docs, f,
-        bands, "nearDupPairs"))
+                   maxCandidatesPerDoc: Option[Double] = Some(DefaultCandidatesPerDoc),
+                   bandedCacheKey: Option[String] = None): DataFrame = {
+    val banded = bandedLsh(docs, id, text, n, bands, rows,
+      maxCandidatesPerDoc, bandedCacheKey)
     val cand0 = bandedSelfJoin(banded, id).localCheckpoint()
     val cand = maxCandidatesPerDoc.fold(cand0)(f =>
       Scale.candidateVolumeGuard(cand0, docs, f, "nearDupPairs"))
     verifyCandidates(docs, id, text, n, threshold, cand)
+  }
+
+  /** The shared guarded BANDING of the MinHash-LSH pair paths, memoizable
+    * per corpus via `bandedCacheKey` ([[Scale.memo]] — the
+    * ingest-phase-index pattern: banding a static corpus is build-once
+    * work shared by the plain/salted twins, the group/provenance
+    * consumers, and a query's steady-state re-runs; the caller
+    * fingerprints the corpus files into the key so changed data can never
+    * hit a stale entry).
+    *
+    * No isNotNull filter on the signatures: a Filter over the sig
+    * projection would be pushed below it, re-evaluating minhash_sig per
+    * row; shingle-less docs (NULL sig) instead drop out at the banding
+    * explode's when-guard. With the cap on, the PRE-JOIN band-population
+    * gate (Scale.bandVolumeGuard) proves an over-cap volume before the
+    * self-join shuffles a pair row (the post-join count is the exact
+    * backstop), and banded is checkpointed — it feeds the stats pass plus
+    * both join sides, and one materialization of n·bands narrow rows
+    * beats three signature-projection scans. */
+  private def bandedLsh(docs: DataFrame, id: String, text: String, n: Int,
+                        bands: Int, rows: Int, cap: Option[Double],
+                        bandedCacheKey: Option[String]): DataFrame = {
+    def build(): DataFrame = {
+      val sig = scanSignatures(docs, id, text, n, bands * rows)
+      val banded0 = bandKeys(sig, id, bands, rows)
+      cap.fold(banded0)(f =>
+        Scale.bandVolumeGuard(banded0.localCheckpoint(), "band_key", docs, f,
+          bands, "nearDupPairs"))
+    }
+    bandedCacheKey match {
+      case Some(k) => Scale.memo(k, docs.sparkSession)(build())
+      case None => build()
+    }
   }
 
   /** [[nearDupPairs]] with the HOT-BAND SKEW GUARD on candidate
@@ -441,15 +462,13 @@ object Dedup {
   def nearDupPairsSalted(docs: DataFrame, id: String, text: String, n: Int,
                          threshold: Double, bands: Int = 32, rows: Int = 4,
                          salts: Int = 8, hotMin: Int = 4096,
-                         maxCandidatesPerDoc: Option[Double] = Some(DefaultCandidatesPerDoc)): DataFrame = {
-    val sig = scanSignatures(docs, id, text, n, bands * rows)
-    val banded0 = bandKeys(sig, id, bands, rows)
-    // pre-join gate as in [[nearDupPairs]] — checkpointed so the stats
-    // pass and the salted helper's own materialization both read the
-    // signature projection once instead of re-running minhash per consumer
-    val banded = maxCandidatesPerDoc.fold(banded0)(f =>
-      Scale.bandVolumeGuard(banded0.localCheckpoint(), "band_key", docs, f,
-        bands, "nearDupPairsSalted"))
+                         maxCandidatesPerDoc: Option[Double] = Some(DefaultCandidatesPerDoc),
+                         bandedCacheKey: Option[String] = None): DataFrame = {
+    // the banding — and with a cache key, the memo entry — is shared with
+    // [[nearDupPairs]] (identical plan; its gate raise is tagged
+    // "nearDupPairs" accordingly)
+    val banded = bandedLsh(docs, id, text, n, bands, rows,
+      maxCandidatesPerDoc, bandedCacheKey)
     val cand0 = Scale.saltedBandSelfJoin(banded, id, "band_key",
         "doc_a", "doc_b", salts, hotMin,
         inputMaterialized = maxCandidatesPerDoc.isDefined)

@@ -10,6 +10,22 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Process-local memo for BUILD-ONCE plan state — a checkpointed
+    * banding, its guard statistics — keyed by a caller-provided corpus
+    * fingerprint (the [[graft.operators.StateCache]] discipline applied to
+    * in-memory state: banding a static corpus is ingest-phase work, and
+    * twin queries or steady-state re-runs should not re-scan, re-hash and
+    * re-count the same rows). The CALLER owns invalidation by
+    * fingerprinting the corpus files into the key, so changed data can
+    * never hit a stale entry; an entry built by a stopped session is
+    * rebuilt (checkpointed blocks die with their session). */
+  private val buildMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, Any)]()
+  def memo[T](key: String, spark: SparkSession)(build: => T): T =
+    buildMemo.compute(key, (_, old) =>
+      if (old != null && (old._1 eq spark)) old else (spark, build))
+      ._2.asInstanceOf[T]
+
   /** Salted equi-join for skewed fact keys: fact rows get a random salt in
     * [0, salts), the dim side is exploded ×salts, and the join key becomes
     * (key, salt) — a hot key's rows spread over `salts` reducers instead of

@@ -17,15 +17,6 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Process-local memo for [[lshCosinePairs]]'s `bandedCacheKey` seam:
-    * one checkpointed banding (plus its gate stats) per (corpus
-    * fingerprint, banding params) key. `banded = None` records the
-    * degenerate all-null-vector corpus so it is not re-probed. */
-  private final case class BandedCacheEntry(
-      session: org.apache.spark.sql.SparkSession, banded: Option[DataFrame])
-  private val bandedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, BandedCacheEntry]()
-
   private def asD(c: Column): Column = c.cast("array<double>")
 
   /** Sequential dot product via the native codegen expression
@@ -201,10 +192,7 @@ object Similarity {
     // session is rebuilt (checkpointed blocks die with their session).
     val bandedOpt = bandedCacheKey match {
       case Some(k) =>
-        val spark = org.apache.spark.sql.SparkSession.active
-        Option(Similarity.bandedCache.compute(k, (_, old) =>
-          if (old != null && (old.session eq spark)) old
-          else BandedCacheEntry(spark, bandedOf()))).flatMap(_.banded)
+        Scale.memo(k, org.apache.spark.sql.SparkSession.active)(bandedOf())
       case None => bandedOf()
     }
     val banded = bandedOpt.getOrElse {

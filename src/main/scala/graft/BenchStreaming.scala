@@ -202,7 +202,8 @@ object BenchStreaming {
       // and untimed; ids mix replicas across batches so cross-batch
       // probes stay representative.
       val bulkDir = s"$tmp/neardup_bulk_corpus"
-      docs.crossJoin(spark.range(16).select($"id".as("rep")))
+      val bulkReps = sys.env.getOrElse("SPARK_GRAFT_BULK_REPS", "16").toInt
+      docs.crossJoin(spark.range(bulkReps.toLong).select($"id".as("rep")))
         .select(($"rep" * 100000L + $"doc_id").as("doc_id"),
           concat_ws(" ", transform(split(trim($"text"), "\\s+"),
             (w, i) => when(i % 3 === 0,

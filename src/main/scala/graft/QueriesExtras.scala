@@ -1950,7 +1950,8 @@ object QueriesExtras {
     * window; nothing quadratic remains. */
   private val qMutualKnnDedupLsh = Q(
     (s, d) => Similarity.mutualKnnDedupLsh(Tables.load(s, d, "embeddings"),
-        "vec_id", "embedding", k = 3, threshold = 0.4)
+        "vec_id", "embedding", k = 3, threshold = 0.4,
+        bandedCacheKey = Some(embBandKey(s, d)))
       .select(col("vec_id"))
       .orderBy(col("vec_id")),
     qMutualKnnDedup.sql)
@@ -2515,7 +2516,8 @@ object QueriesExtras {
     * which throws loudly rather than passing — would fail this row. */
   private val qNeardupPurge = Q(
     (s, d) => Corpus.nearDupPurge(Tables.load(s, d, "documents"),
-        "doc_id", "text", n = 5, threshold = 0.8)
+        "doc_id", "text", n = 5, threshold = 0.8,
+        bandedCacheKey = Some(docBandKey(s, d)))
       .select(col("doc_id"), col("source"), col("lang"))
       .orderBy(col("doc_id")),
     Some("WITH RECURSIVE " + ShingleCte.stripPrefix("WITH ") +

@@ -206,7 +206,8 @@ object Corpus {
   def nearDupPurge(df: DataFrame, id: String, text: String, n: Int,
                    threshold: Double,
                    maxCandidatesPerDoc: Option[Double] =
-                     Some(Dedup.DefaultCandidatesPerDoc)): DataFrame = {
+                     Some(Dedup.DefaultCandidatesPerDoc),
+                   bandedCacheKey: Option[String] = None): DataFrame = {
     // The candidate cap passes through because a purge's TARGET workload
     // is a duplicate-saturated corpus — exactly where the default cap can
     // legitimately fire. The default stays on (fail loudly on an
@@ -218,7 +219,8 @@ object Corpus {
     // doc_a/doc_b) — so the loser set is selected by that contract and
     // aliased back to the caller's id for the anti-join
     val losers = Dedup.dupGroups(Dedup.nearDupPairs(df, id, text, n, threshold,
-        maxCandidatesPerDoc = maxCandidatesPerDoc))
+        maxCandidatesPerDoc = maxCandidatesPerDoc,
+        bandedCacheKey = bandedCacheKey))
       .filter(col("group_id") =!= col("doc_id"))
       .select(col("doc_id").as(id))
     df.join(losers, Seq(id), "left_anti")

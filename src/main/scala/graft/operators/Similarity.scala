@@ -419,10 +419,12 @@ object Similarity {
   def mutualKnnDedupLsh(emb: DataFrame, id: String, vec: String, k: Int,
                         threshold: Double, bands: Int = 48, rowsPerBand: Int = 4,
                         seed: Long = 42L,
-                        maxCandidatesPerVec: Option[Double] = Some(DefaultCandidatesPerVec)): DataFrame =
+                        maxCandidatesPerVec: Option[Double] = Some(DefaultCandidatesPerVec),
+                        bandedCacheKey: Option[String] = None): DataFrame =
     mutualKnnDedupFromPairs(emb,
       lshCosinePairs(emb, id, vec, threshold, bands, rowsPerBand, seed,
-        maxCandidatesPerVec = maxCandidatesPerVec), id, k)
+        maxCandidatesPerVec = maxCandidatesPerVec,
+        bandedCacheKey = bandedCacheKey), id, k)
 
   /** L2-normalize, zero-safe: a zero vector maps to the zero vector instead
     * of 0/0 → NULL (which would abort k-means training downstream). */

@@ -369,9 +369,12 @@ object Streaming {
       }
       val obsCand = s"graft_nd_cand_${java.util.UUID.randomUUID}"
       obs.expect(obsCand)
-      // the probe side is BROADCAST: bounded by the batch — the correct
-      // build side against an index that is unbounded at 100 TB
-      val cand = broadcast(probe.select(col(idCol).as("ka"), col("band_key")))
+      // probe side vs index: the probe is bounded by the batch where the
+      // index is unbounded at 100 TB, so the probe is the natural build
+      // side — but the choice is left to AQE (which sees the staged
+      // file's exact size): a forced broadcast() would OOM the driver on
+      // a million-document batch, while AQE degrades to a shuffle join
+      val cand = probe.select(col(idCol).as("ka"), col("band_key"))
         .join(keysOf(allSigs).select(col(idCol).as("kb"), col("band_key")), "band_key")
         .filter(col("ka") =!= col("kb"))
         .select(least(col("ka"), col("kb")).as("doc_a"),
@@ -391,7 +394,7 @@ object Streaming {
             struct(lit("b").as("side"), col("doc_b").as("doc")))).as("m"))
         .select(col("doc_a"), col("doc_b"),
           col("m.side").as("side"), col("m.doc").as(idCol))
-      val verified = broadcast(melt)
+      val verified = melt
         .join(allSigs.select(col(idCol), col(textCol)), Seq(idCol))
         .select(col("doc_a"), col("doc_b"), col("side"),
           graft.operators.Dedup.shingleSet(col(textCol), ngram).as("sh"))

@@ -70,6 +70,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/sigs").count() == corpus.size.toLong)
   }
 
+  test("incremental near-dup sink: CUMULATIVE volume gate raises on a saturated corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup_cap").toString + "/state"
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    def batchDf(ids: Range) = ids.map(i => (i.toLong, text)).toDF("doc_id", "text")
+    val sink = Streaming.incrementalNearDupSink("doc_id", "text", dir) _
+    // batch 0: 50 mutually-duplicate docs — C(50,2) = 1225 candidates,
+    // under the 32×50 cumulative cap, so it commits
+    sink(batchDf(0 until 50), 0L)
+    assert(spark.read.parquet(s"$dir/pairs").count() == 1225L)
+    // batch 1: 50 MORE of the same — the batch alone is modest, but the
+    // cumulative admitted volume (1225 + 3725 = 4950) crosses 32×100, and
+    // the pre-join slot bound (32·50·99 slots > 2·32·remaining budget)
+    // PROVES it before the pair join streams: the raise fires in-plan
+    val e = intercept[Throwable] { sink(batchDf(50 until 100), 1L) }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("duplicate-saturated"), msgs)
+    // the failed batch must not have committed its docs
+    assert(spark.read.parquet(s"$dir/sigs").count() == 50L)
+  }
+
   test("ST5 windowed engagement over MemoryStream matches the batch twin") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]

@@ -2531,6 +2531,13 @@ object QueriesExtras {
       "SELECT doc_id, source, lang FROM documents " +
       "WHERE doc_id NOT IN (SELECT id FROM losers) ORDER BY doc_id"))
 
+  /** Shared window-table cache key for the exact-substring family (spans,
+    * capped spans, purge): fingerprints the documents FILES plus the
+    * window width — see [[graft.operators.Scale.memo]]. */
+  private def docWinsKey(s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.operators.StateCache.fingerprint(
+      s, s"$d/documents.parquet", "winhash|k=8")
+
   /** EXACT-SUBSTRING shared spans ([[Dedup.substringSpans]], k = 8) — the
     * Lee et al. 2022 span-grain dedup family: every maximal ≥ 8-token
     * verbatim run shared across two documents, with 1-based positions in
@@ -2542,7 +2549,7 @@ object QueriesExtras {
     * divergence documented on q_span_corruption). */
   private val qSubstringSpans = Q(
     (s, d) => Dedup.substringSpans(Tables.load(s, d, "documents"),
-        "doc_id", "text", k = 8)
+        "doc_id", "text", k = 8, winsCacheKey = Some(docWinsKey(s, d)))
       .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start")),
     Some("WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
       "wins AS (SELECT doc_id, pos, md5(array_to_string(w[pos:pos+7], ' ')) AS h FROM " +
@@ -2566,7 +2573,8 @@ object QueriesExtras {
     * legitimately splits or drops — are hash-gated, not narrative. */
   private val qSubstringSpansCapped = Q(
     (s, d) => Dedup.substringSpans(Tables.load(s, d, "documents"),
-        "doc_id", "text", k = 8, maxDocFreq = Some(2))
+        "doc_id", "text", k = 8, maxDocFreq = Some(2),
+        winsCacheKey = Some(docWinsKey(s, d)))
       .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start")),
     Some("WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
       "wins0 AS (SELECT doc_id, pos, md5(array_to_string(w[pos:pos+7], ' ')) AS h FROM " +
@@ -2652,7 +2660,8 @@ object QueriesExtras {
     * oracle as q_neardup_purge. */
   private val qSubstringDedup = Q(
     (s, d) => Dedup.substringDedup(Tables.load(s, d, "documents"),
-        "doc_id", "text", k = 8, minSpanTokens = 20)
+        "doc_id", "text", k = 8, minSpanTokens = 20,
+        winsCacheKey = Some(docWinsKey(s, d)))
       .select(col("doc_id"), col("source"), col("lang"))
       .orderBy(col("doc_id")),
     Some("WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +

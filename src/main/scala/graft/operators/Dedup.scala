@@ -138,12 +138,27 @@ object Dedup {
     * Output: (doc_a, doc_b, a_start, b_start, len_tokens), 1-based token
     * positions, doc_a < doc_b, one row per maximal shared span. */
   def substringSpans(df: DataFrame, id: String, text: String, k: Int,
-                     maxDocFreq: Option[Int] = None): DataFrame = {
+                     maxDocFreq: Option[Int] = None,
+                     winsCacheKey: Option[String] = None): DataFrame = {
     require(k >= 2, s"substringSpans: need window k >= 2, got $k")
     import org.apache.spark.sql.expressions.Window
-    val wins0 = df.select(col(id), split(trim(col(text)), "\\s+").as("w"))
-      .select(col(id), explode(windowHashesOf(col("w"), k)).as("ph"))
-      .select(col(id), col("ph.pos").as("pos"), col("ph.h").as("h"))
+    // `winsCacheKey` memoizes the MATERIALIZED (id, pos, hash) window
+    // table per corpus ([[Scale.memo]]): tokenize + k-token window
+    // hashing is the expensive half of the scan stage, every spans/dedup
+    // variant over the same corpus consumes the identical table, and the
+    // un-capped self-join otherwise computes it once per join side.
+    val winsRaw = winsCacheKey match {
+      case Some(key) => Scale.memo(key, df.sparkSession)(
+        df.select(col(id), split(trim(col(text)), "\\s+").as("w"))
+          .select(col(id), explode(windowHashesOf(col("w"), k)).as("ph"))
+          .select(col(id), col("ph.pos").as("pos"), col("ph.h").as("h"))
+          .localCheckpoint())
+      case None =>
+        df.select(col(id), split(trim(col(text)), "\\s+").as("w"))
+          .select(col(id), explode(windowHashesOf(col("w"), k)).as("ph"))
+          .select(col(id), col("ph.pos").as("pos"), col("ph.h").as("h"))
+    }
+    val wins0 = winsRaw
     // HOT-WINDOW GUARD (the Scaladoc's document-frequency ceiling, as a
     // real parameter): a boilerplate window shared by m documents fans the
     // hash self-join out to m² rows — corpus-wide license headers at 100 TB
@@ -161,7 +176,8 @@ object Dedup {
     val wins = maxDocFreq match {
       case None => wins0
       case Some(cap) =>
-        val mat = wins0.localCheckpoint()
+        // already materialized when the memo holds it — don't pay twice
+        val mat = if (winsCacheKey.isDefined) wins0 else wins0.localCheckpoint()
         val ok = mat.groupBy(col("h"))
           .agg(count_distinct(col(id)).as("__df"))
           .filter(col("__df") <= cap).select(col("h"))
@@ -189,10 +205,11 @@ object Dedup {
     * decides) — a 50-token license header purges, an 8-token idiom does
     * not, with both visible in the span table. */
   def substringDedup(df: DataFrame, id: String, text: String, k: Int,
-                     minSpanTokens: Int): DataFrame = {
+                     minSpanTokens: Int,
+                     winsCacheKey: Option[String] = None): DataFrame = {
     require(minSpanTokens >= k,
       s"substringDedup: minSpanTokens ($minSpanTokens) must be >= window k ($k)")
-    val edges = substringSpans(df, id, text, k)
+    val edges = substringSpans(df, id, text, k, winsCacheKey = winsCacheKey)
       .filter(col("len_tokens") >= minSpanTokens)
       .select(col("doc_a"), col("doc_b")).distinct()
     val losers = dupGroups(edges)

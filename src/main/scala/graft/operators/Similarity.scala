@@ -249,7 +249,10 @@ object Similarity {
             .otherwise(raise_error(concat(
               lit(s"lshCosinePairs: band-join candidates exceed $factor x n: "),
               col("__cand").cast("string"), lit(" candidates for "),
-              col("__nvec").cast("string"), lit(" vectors"))))
+              col("__nvec").cast("string"), lit(" vectors. If this corpus is "),
+              lit("legitimately duplicate-saturated, raise the cap (e.g. "),
+              lit("maxCandidatesPerVec = Some(higher)) or disable it with "),
+              lit("maxCandidatesPerVec = None"))))
         (mat.crossJoin(stats), Some(guard))
     }
     rescoreCandidates(cand, emb, id, vec, audit)

@@ -8,6 +8,21 @@ class ScaleSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("Scale.memo: one build per (key, session); keys isolate; a new session rebuilds") {
+    var builds = 0
+    def build(): org.apache.spark.sql.DataFrame = { builds += 1; Seq(builds).toDF("b") }
+    val a1 = graft.operators.Scale.memo("scalespec-memo-a", spark)(build())
+    val a2 = graft.operators.Scale.memo("scalespec-memo-a", spark)(build())
+    assert((a1 eq a2) && builds == 1, "same key + session must reuse the built value")
+    graft.operators.Scale.memo("scalespec-memo-b", spark)(build()): Unit
+    assert(builds == 2, "a different key must build its own value")
+    // a different SparkSession (same context) must NOT see the old entry:
+    // its checkpointed blocks may be gone, so the memo rebuilds
+    val s2 = spark.newSession()
+    graft.operators.Scale.memo("scalespec-memo-a", s2)(build()): Unit
+    assert(builds == 3, "a new session must rebuild, not reuse")
+  }
+
   test("salted join ≡ plain join (skewed fact, 1:N)") {
     // hot key "k0" holds 80% of fact rows
     val fact = ((1 to 400).map(i => ("k0", i)) ++ (1 to 100).map(i => (s"k${i % 7 + 1}", i)))

@@ -15,10 +15,14 @@ object Scale {
     * fingerprint (the [[graft.operators.StateCache]] discipline applied to
     * in-memory state: banding a static corpus is ingest-phase work, and
     * twin queries or steady-state re-runs should not re-scan, re-hash and
-    * re-count the same rows). The CALLER owns invalidation by
-    * fingerprinting the corpus files into the key, so changed data can
-    * never hit a stale entry; an entry built by a stopped session is
-    * rebuilt (checkpointed blocks die with their session). */
+    * re-count the same rows). The CALLER owns the key contract: it must
+    * encode the corpus files (fingerprint them, so changed data can never
+    * hit a stale entry) AND every parameter that shapes the built value
+    * (shingle width, bands, rows, seed, …) — a key that omits a parameter
+    * silently serves the other configuration's table. An entry built by a
+    * stopped session is rebuilt (checkpointed blocks die with their
+    * session). Entries live for the process; one per (corpus, params) —
+    * bounded by the corpora a session touches. */
   private val buildMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, Any)]()
   def memo[T](key: String, spark: SparkSession)(build: => T): T =

@@ -216,8 +216,10 @@ object BenchStreaming {
       val bulkState = s"$tmp/neardup_bulk_state"
       val t1 = nowSec()
       (0L until docBatches.toLong).foreach { b =>
+        val tb = nowSec()
         Streaming.incrementalNearDupSink("doc_id", "text", bulkState)(
           bulk.filter($"doc_id" % docBatches === b), b)
+        System.err.println(f"[sbench] neardup bulk batch $b: ${nowSec() - tb}%.2f s")
       }
       val bulkSecs = nowSec() - t1
       val bulkPairs = spark.read.parquet(s"$bulkState/pairs").count()

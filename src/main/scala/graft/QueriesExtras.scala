@@ -1966,9 +1966,10 @@ object QueriesExtras {
     * recall is structural (p = 1), not probabilistic, while the
     * near-random rest of the corpus (max pairwise cos ≈ 0.55) collides
     * in a 16-bit band at ≤ p^16 ≈ 0.2% — the candidate set stays O(n)
-    * and the in-plan audit PROVES it: the band join `raise_error`s if
-    * candidates ever exceed 8·n, so the "never quadratic at a realistic
-    * threshold" claim is executable, not narrative. Oracle: the same
+    * and the eager audit PROVES it: lshCosinePairs counts the
+    * materialized candidates at build time and throws if they ever
+    * exceed 8·n, so the "never quadratic at a realistic threshold"
+    * claim is executable, not narrative. Oracle: the same
     * recursive-CTE composition as `q_mutual_knn_dedup`, over the same
     * planted frame (list_transform twin derivation mirrored). */
   private val qMutualKnnDedupBenign = Q(

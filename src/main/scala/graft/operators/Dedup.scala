@@ -425,12 +425,46 @@ object Dedup {
                    threshold: Double, bands: Int = 32, rows: Int = 4,
                    maxCandidatesPerDoc: Option[Double] = Some(DefaultCandidatesPerDoc),
                    bandedCacheKey: Option[String] = None): DataFrame = {
+    val base = maxCandidatesPerDoc.map(_ => ndBaseCount(docs, bandedCacheKey))
     val banded = bandedLsh(docs, id, text, n, bands, rows,
-      maxCandidatesPerDoc, bandedCacheKey)
-    val cand0 = bandedSelfJoin(banded, id).localCheckpoint()
-    val cand = maxCandidatesPerDoc.fold(cand0)(f =>
-      Scale.candidateVolumeGuard(cand0, docs, f, "nearDupPairs"))
+      maxCandidatesPerDoc, bandedCacheKey, base)
+    val cand = bandedSelfJoin(banded, id).localCheckpoint()
+    maxCandidatesPerDoc.foreach(f =>
+      auditCandVolume(cand, base.get, f, "nearDupPairs"))
     verifyCandidates(docs, id, text, n, threshold, cand)
+  }
+
+  /** 1-row corpus-count frame for the volume gates, memoized alongside the
+    * banding when a cache key is given — the salted/unsalted twins and a
+    * query's steady-state re-runs share ONE count scan of the corpus.
+    * Built BEFORE the banding memo is entered: [[Scale.memo]] rides a
+    * ConcurrentHashMap.compute, and a nested memo call from inside another
+    * entry's build can hit the map's recursive-update restriction. */
+  private def ndBaseCount(docs: DataFrame, cacheKey: Option[String]): DataFrame =
+    cacheKey match {
+      case Some(k) => Scale.memo(k + ":basecount", docs.sparkSession)(
+        Scale.baseCountFrame(docs))
+      case None => Scale.baseCountFrame(docs)
+    }
+
+  /** EAGER post-join candidate-volume audit (the exact backstop of the
+    * pre-join band-population gate): the candidate frame is already
+    * materialized when this runs — it feeds the count AND the verify — so
+    * the check is one cheap count job over checkpointed blocks plus a
+    * driver compare, and it throws BEFORE the verify is planned (even for
+    * a caller that never executes the returned plan). This replaced a
+    * per-row in-plan raise_error guard riding a broadcast-stats
+    * checkpoint, whose extra stats job cost ~0.2 s per query at sf0.1 and
+    * proved nothing the eager check doesn't. */
+  private def auditCandVolume(cand: DataFrame, baseCount: DataFrame,
+                              factor: Double, what: String): Unit = {
+    val nCand = cand.count()
+    val nDocs = baseCount.head().getLong(0)
+    if (nCand > factor * nDocs) throw new IllegalStateException(
+      s"$what: candidate volume exceeds $factor x corpus size: $nCand " +
+        s"candidates for $nDocs rows. If this corpus is legitimately " +
+        "duplicate-saturated, raise the cap (e.g. maxCandidatesPerDoc = " +
+        "Some(higher)) or disable it with maxCandidatesPerDoc = None")
   }
 
   /** The shared guarded BANDING of the MinHash-LSH pair paths, memoizable
@@ -452,13 +486,14 @@ object Dedup {
     * beats three signature-projection scans. */
   private def bandedLsh(docs: DataFrame, id: String, text: String, n: Int,
                         bands: Int, rows: Int, cap: Option[Double],
-                        bandedCacheKey: Option[String]): DataFrame = {
+                        bandedCacheKey: Option[String],
+                        baseCount: Option[DataFrame]): DataFrame = {
     def build(): DataFrame = {
       val sig = scanSignatures(docs, id, text, n, bands * rows)
       val banded0 = bandKeys(sig, id, bands, rows)
       cap.fold(banded0)(f =>
         Scale.bandVolumeGuard(banded0.localCheckpoint(), "band_key", docs, f,
-          bands, "nearDupPairs"))
+          bands, "nearDupPairs", baseCount))
     }
     bandedCacheKey match {
       case Some(k) => Scale.memo(k, docs.sparkSession)(build())
@@ -484,14 +519,15 @@ object Dedup {
     // the banding — and with a cache key, the memo entry — is shared with
     // [[nearDupPairs]] (identical plan; its gate raise is tagged
     // "nearDupPairs" accordingly)
+    val base = maxCandidatesPerDoc.map(_ => ndBaseCount(docs, bandedCacheKey))
     val banded = bandedLsh(docs, id, text, n, bands, rows,
-      maxCandidatesPerDoc, bandedCacheKey)
-    val cand0 = Scale.saltedBandSelfJoin(banded, id, "band_key",
+      maxCandidatesPerDoc, bandedCacheKey, base)
+    val cand = Scale.saltedBandSelfJoin(banded, id, "band_key",
         "doc_a", "doc_b", salts, hotMin,
         inputMaterialized = maxCandidatesPerDoc.isDefined)
       .localCheckpoint()
-    val cand = maxCandidatesPerDoc.fold(cand0)(f =>
-      Scale.candidateVolumeGuard(cand0, docs, f, "nearDupPairsSalted"))
+    maxCandidatesPerDoc.foreach(f =>
+      auditCandVolume(cand, base.get, f, "nearDupPairsSalted"))
     verifyCandidates(docs, id, text, n, threshold, cand)
   }
 

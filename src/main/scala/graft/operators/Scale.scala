@@ -25,10 +25,30 @@ object Scale {
     * bounded by the corpora a session touches. */
   private val buildMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, Any)]()
-  def memo[T](key: String, spark: SparkSession)(build: => T): T =
-    buildMemo.compute(key, (_, old) =>
-      if (old != null && (old._1 eq spark)) old else (spark, build))
-      ._2.asInstanceOf[T]
+  def memo[T](key: String, spark: SparkSession)(build: => T): T = {
+    // get-then-put rather than compute(): build runs OUTSIDE the map's
+    // lock, so a build may itself call memo (nested keys) without hitting
+    // ConcurrentHashMap's recursive-update restriction. The race this
+    // admits — two threads building the same key concurrently, last put
+    // wins — is benign: builds are idempotent (a checkpointed frame of the
+    // same static corpus), so losing the race only re-pays the build once.
+    val cur = buildMemo.get(key)
+    if (cur != null && (cur._1 eq spark)) cur._2.asInstanceOf[T]
+    else {
+      val built: (SparkSession, Any) = (spark, build)
+      buildMemo.put(key, built)
+      built._2.asInstanceOf[T]
+    }
+  }
+
+  /** Materialized 1-row `__base` corpus-count frame for the volume guards.
+    * EAGER (runs the count job at call time); build it once per static
+    * corpus — typically under [[memo]] keyed by the corpus fingerprint —
+    * and pass it to [[candidateVolumeGuard]] / [[bandVolumeGuard]] so twin
+    * queries and steady-state re-runs share one count scan instead of
+    * re-counting the corpus per guarded stage. */
+  def baseCountFrame(corpus: DataFrame): DataFrame =
+    broadcast(corpus.agg(count(lit(1)).as("__base")).localCheckpoint())
 
   /** Salted equi-join for skewed fact keys: fact rows get a random salt in
     * [0, salts), the dim side is exploded ×salts, and the join key becomes
@@ -168,9 +188,14 @@ object Scale {
     * frame, so the per-row guard is a constant comparison; `cand` should
     * already be materialized by the caller (it feeds the count AND the
     * downstream verify). Semantics-preserving while silent: when the cap
-    * holds, output ≡ input (the oracle gates stay hash-green). */
+    * holds, output ≡ input (the oracle gates stay hash-green).
+    *
+    * `baseCount` (optional) is a precomputed 1-row `__base` corpus-count
+    * frame — pass [[baseCountFrame]]'s (possibly memoized) result so twin
+    * queries over the same static corpus don't re-run the count scan. */
   def candidateVolumeGuard(cand: DataFrame, corpus: DataFrame,
-                           factor: Double, what: String): DataFrame = {
+                           factor: Double, what: String,
+                           baseCount: Option[DataFrame] = None): DataFrame = {
     require(factor > 0, s"factor must be positive, got $factor")
     val outCols = cand.columns
     // the 1-row stats frame is materialized once: the guarded output is
@@ -180,7 +205,7 @@ object Scale {
     // when left lazy — the broadcast subtrees are NOT exchange-reused
     // across consumer plans)
     val stats = broadcast(cand.agg(count(lit(1)).as("__cand"))
-      .crossJoin(corpus.agg(count(lit(1)).as("__base")))
+      .crossJoin(baseCount.getOrElse(corpus.agg(count(lit(1)).as("__base"))))
       .localCheckpoint())
     cand.crossJoin(stats)
       .filter(when(col("__cand").cast("double") <=
@@ -208,15 +233,18 @@ object Scale {
     * collisions are sparse (slots ≈ unique), which is exactly when the
     * join is survivable and the post-join gate backstops. Callers should
     * pass a materialized `banded` (it feeds this stats pass AND both join
-    * sides). */
+    * sides). `baseCount` (optional) is a precomputed 1-row `__base`
+    * corpus-count frame (see [[baseCountFrame]]) so twin queries over the
+    * same static corpus share one count scan. */
   def bandVolumeGuard(banded: DataFrame, keyCol: String, corpus: DataFrame,
-                      factor: Double, bands: Int, what: String): DataFrame = {
+                      factor: Double, bands: Int, what: String,
+                      baseCount: Option[DataFrame] = None): DataFrame = {
     val outCols = banded.columns
     val slots = banded.groupBy(col(keyCol)).agg(count(lit(1)).as("__m"))
       .agg(coalesce(sum(col("__m").cast("double") * (col("__m") - 1).cast("double") / 2),
         lit(0.0)).as("__slots"))
     val stats = broadcast(slots
-      .crossJoin(corpus.agg(count(lit(1)).as("__base")))
+      .crossJoin(baseCount.getOrElse(corpus.agg(count(lit(1)).as("__base"))))
       .localCheckpoint())
     banded.crossJoin(stats)
       .filter(when(col("__slots") <=

@@ -109,7 +109,7 @@ object Similarity {
 
   /** Default candidate-volume cap for the registered hyperplane-LSH
     * production paths: candidates must stay under 2048 × |vectors| or the
-    * plan raises in-flight (the [[lshCosinePairs]] audit /
+    * query fails loudly (the [[lshCosinePairs]] eager audit /
     * [[Scale.candidateVolumeGuard]]). Sized to the ADVERSARIAL testdata
     * regime (cos-0.45 over near-random embeddings measures ~940
     * candidates/vec at sf0.1 — ~94% of all pairs on a 2000-vector corpus,
@@ -144,13 +144,34 @@ object Similarity {
     *
     * The candidate-volume audit DEFAULTS ON ([[DefaultCandidatesPerVec]]);
     * pass `maxCandidatesPerVec = None` only for deliberately-uncapped
-    * measurement runs. */
+    * measurement runs.
+    *
+    * EAGER while capped, not a lazy plan builder (the [[graft.operators
+    * .Sketches.kmvPairwise]] contract): construction materializes the
+    * banding and the candidate frame and runs the volume audits before
+    * returning, so an over-cap corpus throws at call time — even for a
+    * caller that never executes the returned plan. */
   def lshCosinePairs(emb: DataFrame, id: String, vec: String, threshold: Double,
                      bands: Int = 48, rowsPerBand: Int = 4, seed: Long = 42L,
                      dim: Option[Int] = None,
                      maxCandidatesPerVec: Option[Double] = Some(DefaultCandidatesPerVec),
                      saltHotBands: Option[(Int, Int)] = None,
                      bandedCacheKey: Option[String] = None): DataFrame = {
+    // ONE corpus-count frame feeds both volume gates (pre-join band
+    // populations + post-join candidate audit), and under `bandedCacheKey`
+    // it is memoized alongside the banding — the salted/unsalted twins and
+    // steady-state re-runs share a single count scan of the corpus. Built
+    // BEFORE the banding memo is entered: Scale.memo rides a
+    // ConcurrentHashMap.compute, and a nested memo call from inside
+    // another entry's build can hit the map's recursive-update restriction.
+    val baseCount: Option[DataFrame] =
+      if (maxCandidatesPerVec.isEmpty) None
+      else Some(bandedCacheKey match {
+        case Some(k) =>
+          Scale.memo(k + ":basecount",
+            org.apache.spark.sql.SparkSession.active)(Scale.baseCountFrame(emb))
+        case None => Scale.baseCountFrame(emb)
+      })
     def bandedOf(): Option[DataFrame] = {
       // dim from table metadata when known (skips a scan); else from the data
       val d = dim.getOrElse {
@@ -176,7 +197,7 @@ object Similarity {
       // narrow rows once beats three sig-projection scans.
       Some(maxCandidatesPerVec match {
         case Some(f) => Scale.bandVolumeGuard(banded0.localCheckpoint(),
-          "band_key", emb, f, bands, "lshCosinePairs")
+          "band_key", emb, f, bands, "lshCosinePairs", baseCount)
         case None => banded0
       })
     }
@@ -229,33 +250,32 @@ object Similarity {
     // path while |candidates| stays O(c·n) — a degenerate plane region, a
     // near-duplicate-saturated corpus, or an under-banded r would silently
     // regress candidate generation toward all-pairs and the query would
-    // still return correct rows, just at quadratic cost. With a cap the
-    // plan itself raise_errors when candidates exceed c·n, making the
-    // "never quadratic in practice" claim executable instead of narrative.
-    // The candidate list is materialized (consumed by the count AND the
-    // scoring join — the mutualKnnDedupFromPairs discipline).
-    val (cand, audit) = maxCandidatesPerVec match {
-      case None => (cand0, None)
+    // still return correct rows, just at quadratic cost. The candidate
+    // list is eagerly materialized regardless (it feeds the count AND the
+    // scoring join — the mutualKnnDedupFromPairs discipline), so the audit
+    // is EAGER and driver-side (the kmvPairwise contract): count the
+    // checkpointed blocks, compare against the memoized corpus count, and
+    // throw before the scoring join is planned. This replaced an in-plan
+    // per-row raise_error guard riding a broadcast-stats checkpoint — the
+    // extra stats job plus the per-row branch cost ~0.2-0.3 s per query at
+    // sf0.1 and proved nothing the eager check doesn't: the blow-up is
+    // decidable the moment the candidate frame exists, and the throw here
+    // fires even for a caller that never executes the returned plan.
+    val cand = maxCandidatesPerVec match {
+      case None => cand0
       case Some(factor) =>
         val mat = cand0.localCheckpoint()
-        // 1-row stats materialized once (the guarded rescore output may be
-        // consumed repeatedly, e.g. by the mutual-kNN rank stages)
-        val stats = broadcast(mat.agg(count(lit(1)).as("__cand"))
-          .crossJoin(emb.agg(count(lit(1)).as("__nvec")))
-          .localCheckpoint())
-        val guard: Column => Column = c =>
-          when(col("__cand").cast("double") <=
-              lit(factor) * col("__nvec").cast("double"), c)
-            .otherwise(raise_error(concat(
-              lit(s"lshCosinePairs: band-join candidates exceed $factor x n: "),
-              col("__cand").cast("string"), lit(" candidates for "),
-              col("__nvec").cast("string"), lit(" vectors. If this corpus is "),
-              lit("legitimately duplicate-saturated, raise the cap (e.g. "),
-              lit("maxCandidatesPerVec = Some(higher)) or disable it with "),
-              lit("maxCandidatesPerVec = None"))))
-        (mat.crossJoin(stats), Some(guard))
+        val nCand = mat.count()
+        val nVec = baseCount.get.head().getLong(0)
+        if (nCand > factor * nVec) throw new IllegalStateException(
+          s"lshCosinePairs: band-join candidates exceed $factor x n: " +
+            s"$nCand candidates for $nVec vectors. If this corpus is " +
+            "legitimately duplicate-saturated, raise the cap (e.g. " +
+            "maxCandidatesPerVec = Some(higher)) or disable it with " +
+            "maxCandidatesPerVec = None")
+        mat
     }
-    rescoreCandidates(cand, emb, id, vec, audit)
+    rescoreCandidates(cand, emb, id, vec)
       .filter(col("cosine") >= threshold)
   }
 
@@ -269,17 +289,14 @@ object Similarity {
     * partitioning satisfies both joins and ONLY the narrow candidate side
     * moves (spec-asserted in ScaleSpec: two exchanges, none above a
     * bucketed scan — the 100 TB shape, since the vector payload is orders
-    * of magnitude wider than the (id, id) pairs). `guard` is
-    * [[lshCosinePairs]]'s in-plan candidate-count audit wrapper. */
+    * of magnitude wider than the (id, id) pairs). */
   private[graft] def rescoreCandidates(cand: DataFrame, emb: DataFrame,
-                                       id: String, vec: String,
-                                       guard: Option[Column => Column] = None): DataFrame = {
+                                       id: String, vec: String): DataFrame = {
     val va = emb.select(col(id).as("vec_a"), asD(col(vec)).as("va"), norm(col(vec)).as("na"))
     val vb = emb.select(col(id).as("vec_b"), asD(col(vec)).as("vb"), norm(col(vec)).as("nb"))
     val cosRaw = round(safeDiv(dot(col("va"), col("vb")), col("na") * col("nb")), 6)
     cand.join(va, "vec_a").join(vb, "vec_b")
-      .select(col("vec_a"), col("vec_b"),
-        guard.fold(cosRaw)(g => g(cosRaw)).as("cosine"))
+      .select(col("vec_a"), col("vec_b"), cosRaw.as("cosine"))
   }
 
   /** INT8 SYMMETRIC QUANTIZATION of an embedding column — the storage-

@@ -282,6 +282,14 @@ object Streaming {
                             (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     graft.plans.GraftFunctions.register(spark)
+    // GRAFT_ND_DEBUG=1: per-stage wall times on stderr (profiling aid only)
+    val dbg = sys.env.contains("GRAFT_ND_DEBUG")
+    var tMark = System.nanoTime()
+    def mark(stage: String): Unit = if (dbg) {
+      val now = System.nanoTime()
+      System.err.println(f"[nd b$batchId] $stage: ${(now - tMark) / 1e9}%.2f s")
+      tMark = now
+    }
     val obs = ndListener(spark)
     val (sigsDir, pairsDir) = (s"$stateDir/sigs", s"$stateDir/pairs")
     val stagingRoot = s"$stateDir/.staging"
@@ -325,6 +333,7 @@ object Streaming {
             lit(bands * rowsPerBand)).as("sig"))
         .observe(obsNew, count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(staged)
+      mark("stage-write")
       val nNew = obs.await(obsNew, 10000).map(_.getLong(0))
         .getOrElse(spark.read.parquet(staged).count())
       if (nNew == 0L) {
@@ -415,6 +424,7 @@ object Streaming {
       // and the anti-join drops them; the sigs commit below is what stops
       // the docs looking new
       freshPairs.write.mode("append").parquet(pairsDir)
+      mark("pairs-write")
       val cumCand = st.cumCand +
         obs.await(obsCand, 10000).map(_.getLong(0)).getOrElse(cand.count())
       maxCandidatesPerDoc.foreach { f =>
@@ -434,6 +444,7 @@ object Streaming {
           fs.rename(f.getPath, new org.apache.hadoop.fs.Path(s"$sigsDir/$nm")): Unit
       }
       fs.delete(new org.apache.hadoop.fs.Path(staged), true): Unit
+      mark("commit")
       nearDupTallies.put(stateDir, NearDupTally(nDocs, cumCand))
     } catch { case e: Throwable => nearDupTallies.remove(stateDir); throw e }
   }

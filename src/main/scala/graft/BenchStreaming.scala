@@ -177,22 +177,43 @@ object BenchStreaming {
     // runs in — where the fixed per-batch cost amortizes and the recorded
     // rate is the sink's genuine document throughput.
     locally {
-      val stateDir = s"$tmp/neardup_state"
       val docs = Tables.load(spark, sfDir, "documents")
         .select($"doc_id", $"text")
       val nDocs = docs.count()
       val docBatches = 4
-      val t0 = nowSec()
-      (0L until docBatches.toLong).foreach { b =>
-        Streaming.incrementalNearDupSink("doc_id", "text", stateDir)(
-          docs.filter($"doc_id" % docBatches === b), b)
+      // drive one corpus through the sink into `state`, returning wall secs
+      def ingest(src: DataFrame, state: String): Double = {
+        val t = nowSec()
+        (0L until docBatches.toLong).foreach { b =>
+          val tb = nowSec()
+          Streaming.incrementalNearDupSink("doc_id", "text", state)(
+            src.filter($"doc_id" % docBatches === b), b)
+          System.err.println(
+            f"[sbench] neardup $state batch $b: ${nowSec() - tb}%.2f s")
+        }
+        nowSec() - t
       }
-      val secs = nowSec() - t0
-      val pairs = spark.read.parquet(s"$stateDir/pairs").count()
-      val sigRows = spark.read.parquet(s"$stateDir/sigs").count()
-      record("neardup_incremental", nDocs, docBatches, secs, Seq(
-        "pairs_out" -> pairs.toString,
-        "state_sig_rows" -> sigRows.toString))
+      // untimed warmup: the sink's fused per-batch plans codegen/JIT on
+      // first use, and at these batch sizes that first-use cost is 2-4x a
+      // steady-state batch (measured: batch 0 at 6.8 s vs batch 3 at
+      // 3.7 s for identical work) — the same reason every other sink here
+      // runs an untimed warmup batch. A 500-doc throwaway corpus compiles
+      // every plan the measured runs execute.
+      ingest(docs.limit(500), s"$tmp/neardup_warm"): Unit
+      // min-of-2 over fresh state dirs (the board's min-of-N convention —
+      // this host's wall clock swings x2-4 under outside load); both runs'
+      // walls are recorded, and the runs must agree on pairs_out exactly
+      // (the sink is deterministic; a mismatch would be a real bug).
+      val runs = (1 to 2).map(i => ingest(docs, s"$tmp/neardup_state_$i"))
+      val pairsOut = (1 to 2).map(i =>
+        spark.read.parquet(s"$tmp/neardup_state_$i/pairs").count())
+      require(pairsOut.distinct.size == 1,
+        s"neardup runs disagree on pairs_out: $pairsOut")
+      val sigRows = spark.read.parquet(s"$tmp/neardup_state_1/sigs").count()
+      record("neardup_incremental", nDocs, docBatches, runs.min, Seq(
+        "pairs_out" -> pairsOut.head.toString,
+        "state_sig_rows" -> sigRows.toString,
+        "runs" -> runs.map(r => f"$r%.3f").mkString("[", ",", "]")))
 
       // bulk twin: 16 tagged replicas of the corpus (a replica marker is
       // woven in every 3rd word, so every 5-shingle of every replica
@@ -213,23 +234,31 @@ object BenchStreaming {
         .write.mode("overwrite").parquet(bulkDir)
       val bulk = spark.read.parquet(bulkDir)
       val nBulk = bulk.count()
-      val bulkState = s"$tmp/neardup_bulk_state"
-      val t1 = nowSec()
-      (0L until docBatches.toLong).foreach { b =>
-        val tb = nowSec()
-        Streaming.incrementalNearDupSink("doc_id", "text", bulkState)(
-          bulk.filter($"doc_id" % docBatches === b), b)
-        System.err.println(f"[sbench] neardup bulk batch $b: ${nowSec() - tb}%.2f s")
-      }
-      val bulkSecs = nowSec() - t1
-      val bulkPairs = spark.read.parquet(s"$bulkState/pairs").count()
-      record("neardup_incremental_bulk", nBulk, docBatches, bulkSecs, Seq(
-        "pairs_out" -> bulkPairs.toString,
-        "batch_docs" -> (nBulk / docBatches).toString))
+      // GRAFT_ND_DEBUG: per-Spark-job wall times for the bulk loop
+      if (sys.env.contains("GRAFT_ND_DEBUG"))
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          private val st = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+          override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            st.put(js.jobId, System.nanoTime()): Unit
+          override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val s = st.remove(je.jobId)
+            if (s != null && (System.nanoTime() - s) > 2e8)
+              System.err.println(f"[ndjob] job ${je.jobId}: ${(System.nanoTime() - s) / 1e9}%.2f s")
+          }
+        })
+      val bulkRuns = (1 to 2).map(i => ingest(bulk, s"$tmp/neardup_bulk_state_$i"))
+      val bulkPairs = (1 to 2).map(i =>
+        spark.read.parquet(s"$tmp/neardup_bulk_state_$i/pairs").count())
+      require(bulkPairs.distinct.size == 1,
+        s"neardup bulk runs disagree on pairs_out: $bulkPairs")
+      record("neardup_incremental_bulk", nBulk, docBatches, bulkRuns.min, Seq(
+        "pairs_out" -> bulkPairs.head.toString,
+        "batch_docs" -> (nBulk / docBatches).toString,
+        "runs" -> bulkRuns.map(r => f"$r%.3f").mkString("[", ",", "]")))
     }
 
     val json = s"""{"metric":"streaming","unit":"sec","sf":"$sfDir",""" +
-      s""""store":"rocksdb","sinks":{""" +
+      s""""store":"rocksdb","cpus":$cpus,"sinks":{""" +
       results.map { case (k, v) => s""""$k":$v""" }.mkString(",") + "}}"
     println(json)
     try java.nio.file.Files.writeString(

@@ -566,8 +566,79 @@ object QueriesCuration {
       "UNION ALL SELECT 'returnflag_domain', n, v_returnflag_domain FROM a " +
       "UNION ALL SELECT 'tax_nonneg', n, v_tax_nonneg FROM a) ORDER BY rule"))
 
+  /** K-ANONYMITY SUPPRESSION ([[graft.operators.Privacy.kAnonymize]]) over
+    * customer with quasi-identifiers (nation, market segment, 2000-unit
+    * balance bucket): groups under k=4 rows release '*' in every QI
+    * column. The oracle replays the group counts with one window — the
+    * operator itself uses the broadcast-join shape (the fact side never
+    * shuffles; see the operator scaladoc). floor(acctbal/2000e0) is IEEE
+    * division + floor, bit-identical cross-engine. */
+  private val qKAnonymize = Q(
+    (s, d) => {
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey").as("nation_q"),
+          col("c_mktsegment").as("segment_q"),
+          floor(col("c_acctbal") / lit(2000.0)).cast("long").as("bal_q"))
+      graft.operators.Privacy
+        .kAnonymize(cust, Seq("nation_q", "segment_q", "bal_q"), k = 4)
+        .orderBy(col("c_custkey"))
+    },
+    Some("SELECT c_custkey, " +
+      "CASE WHEN n >= 4 THEN CAST(nation_q AS VARCHAR) ELSE '*' END AS nation_q, " +
+      "CASE WHEN n >= 4 THEN segment_q ELSE '*' END AS segment_q, " +
+      "CASE WHEN n >= 4 THEN CAST(bal_q AS VARCHAR) ELSE '*' END AS bal_q " +
+      "FROM (SELECT c_custkey, c_nationkey AS nation_q, c_mktsegment AS segment_q, " +
+      "CAST(floor(c_acctbal/2000e0) AS BIGINT) AS bal_q, " +
+      "count(*) OVER (PARTITION BY c_nationkey, c_mktsegment, " +
+      "CAST(floor(c_acctbal/2000e0) AS BIGINT)) AS n FROM customer) " +
+      "ORDER BY c_custkey"))
+
+  /** K/L-DIVERSITY AUDIT ([[graft.operators.Privacy.lDiversityAudit]]):
+    * per (nation, balance-bucket) group, size and distinct market
+    * segments with the k=10 / l=3 compliance flags — the pre-release scan
+    * that finds groups k-anonymity alone would wrongly pass (large but
+    * sensitive-homogeneous). One aggregation, |groups| output rows. */
+  private val qLDiversity = Q(
+    (s, d) => {
+      val cust = t(s, d, "customer")
+        .select(col("c_nationkey").as("nation_q"),
+          floor(col("c_acctbal") / lit(2000.0)).cast("long").as("bal_q"),
+          col("c_mktsegment"))
+      graft.operators.Privacy
+        .lDiversityAudit(cust, Seq("nation_q", "bal_q"), "c_mktsegment",
+          k = 10, l = 3)
+        .orderBy(col("nation_q"), col("bal_q"))
+    },
+    Some("SELECT c_nationkey AS nation_q, " +
+      "CAST(floor(c_acctbal/2000e0) AS BIGINT) AS bal_q, " +
+      "count(*) AS n, count(DISTINCT c_mktsegment) AS l_distinct, " +
+      "count(*) >= 10 AS k_anonymous, " +
+      "count(DISTINCT c_mktsegment) >= 3 AS l_diverse " +
+      "FROM customer GROUP BY 1, 2 ORDER BY nation_q, bal_q"))
+
+  /** LAPLACE-NOISED HISTOGRAM ([[graft.operators.Privacy.dpNoisyCount]]):
+    * customer counts per nation at eps = 1, noise drawn from the keyed
+    * PRF (portable md5 hash of the group value + salt) through the
+    * inverse Laplace CDF — deterministic, so the oracle replays the draw
+    * in SQL and the row is hash-green despite being 'noisy'. Rounded to
+    * 6 decimals so cross-libm ln drift can't flap the gate. */
+  private val qDpHistogram = Q(
+    (s, d) => graft.operators.Privacy
+      .dpNoisyCount(t(s, d, "customer").select(col("c_nationkey")),
+        "c_nationkey", eps = 1.0)
+      .orderBy(col("c_nationkey")),
+    Some("SELECT c_nationkey, n, round(n + -1.0e0 * sign(u) * " +
+      "ln(1.0e0 - 2.0e0 * abs(u)), 6) AS noisy_n FROM (" +
+      "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n, " +
+      "(CAST(('0x' || substr(md5(CAST(c_nationkey AS VARCHAR) || 'graft-dp'), 1, 8))::BIGINT AS DOUBLE) " +
+      "+ 0.5e0) / 4294967296.0e0 - 0.5e0 AS u " +
+      "FROM customer GROUP BY 1) ORDER BY c_nationkey"))
+
   val registry: Seq[(String, Q)] = Seq(
     "q_expectations" -> qExpectations,
+    "q_k_anonymize" -> qKAnonymize,
+    "q_l_diversity" -> qLDiversity,
+    "q_dp_histogram" -> qDpHistogram,
     "q_bpe_encode" -> qBpeEncode,
     "q_bpe_merges" -> qBpeMerges,
     "q_pagerank" -> qPageRank,

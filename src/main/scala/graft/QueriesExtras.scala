@@ -2730,7 +2730,51 @@ object QueriesExtras {
       "FROM c JOIN dirty x ON c.id_a = x.p_partkey JOIN dirty y ON c.id_b = y.p_partkey " +
       "WHERE levenshtein(x.nm, y.nm) <= 2 ORDER BY id_a, id_b"))
 
+  /** Z-VALUE (Morton interleave) of (p_partkey, p_retailprice) — the
+    * clustering key [[graft.operators.Scale.writeZOrdered]] lays files out
+    * by for multi-column data skipping (the layout's skipping effect is
+    * spec-verified on real file footprints in ScaleSpec; THIS row gates
+    * the key's arithmetic cross-engine). Each column min/max-scales to a
+    * 16-bit code — IEEE division then floor, bit-identical in both
+    * engines — and the codes' bits interleave into one BIGINT. The oracle
+    * unrolls the 16-bit interleave as literal shift/mask terms generated
+    * by the same Scala loop that builds the Spark expression, so the two
+    * plans can't drift independently. */
+  private val qZorderValue = Q(
+    (s, d) => {
+      val p = Tables.load(s, d, "part")
+        .select(col("p_partkey"), col("p_retailprice"))
+      val b = p.agg(
+        min(col("p_partkey")).cast("double"), max(col("p_partkey")).cast("double"),
+        min(col("p_retailprice")).cast("double"), max(col("p_retailprice")).cast("double"))
+        .head()
+      val z = graft.operators.Scale.zValue(Seq(
+        (col("p_partkey"), b.getDouble(0), b.getDouble(1)),
+        (col("p_retailprice"), b.getDouble(2), b.getDouble(3))))
+      p.select(col("p_partkey"), z.as("zval")).orderBy(col("p_partkey"))
+    },
+    Some {
+      // scaled 16-bit code of column expression e given lo/hi CTE fields
+      def code(e: String, lo: String, hi: String): String =
+        s"LEAST(GREATEST(CAST(floor((CAST($e AS DOUBLE) - $lo) / " +
+          s"GREATEST($hi - $lo, 2.2250738585072014e-308) * 65535.0e0) AS BIGINT), 0), 65535)"
+      // the same bit plan Scale.zValue emits: bit b of code j lands at b*2+j
+      def spread(c: String, j: Int): String =
+        (0 until 16).map(b => s"((($c >> $b) & 1) << ${b * 2 + j})").mkString(" | ")
+      "WITH bounds AS (SELECT CAST(min(p_partkey) AS DOUBLE) AS klo, " +
+        "CAST(max(p_partkey) AS DOUBLE) AS khi, " +
+        "CAST(min(p_retailprice) AS DOUBLE) AS plo, " +
+        "CAST(max(p_retailprice) AS DOUBLE) AS phi FROM part), " +
+        "coded AS (SELECT p_partkey, " +
+        code("p_partkey", "klo", "khi") + " AS ck, " +
+        code("p_retailprice", "plo", "phi") + " AS cp " +
+        "FROM part, bounds) " +
+        s"SELECT p_partkey, (${spread("ck", 0)}) | (${spread("cp", 1)}) AS zval " +
+        "FROM coded ORDER BY p_partkey"
+    })
+
   val registry: Seq[(String, Q)] = Seq(
+    "q_zorder_value" -> qZorderValue,
     "q_j1_linkage_salted" -> qJ1Salted,
     "q_a9_engagement_map" -> qA9EngagementMap,
     "q_a6_engagement_stats" -> qA6EngagementStats,

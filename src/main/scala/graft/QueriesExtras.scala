@@ -17,7 +17,7 @@ object QueriesExtras {
   // RE2's \s (DuckDB) disagree. Holds for all driver testdata (verified at
   // every sf); a corpus that can violate it needs the explicit class
   // "[ \t\n\f\r]+" on BOTH sides.
-  private val ShingleCte =
+  private val ShingleBaseCte =
     "WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
     // position table sized from the CORPUS (max words + 1), so there is no
     // hard-coded bound to go stale: longer documents automatically widen
@@ -25,7 +25,9 @@ object QueriesExtras {
     "pos AS (SELECT unnest(range(1, (SELECT COALESCE(max(len(w)), 0) + 1 FROM words))) AS i), " +
     "sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i+4), ' ') AS g " +
     "FROM words JOIN pos ON pos.i <= len(w) - 4), " +
-    "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
+    "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+
+  private val ShingleCte = ShingleBaseCte +
     "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter " +
     "FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) "
 
@@ -57,6 +59,27 @@ object QueriesExtras {
         "doc_id", "text", n = 5, threshold = 0.8)
       .orderBy(col("doc_a"), col("doc_b")),
     Some(JaccardPairsSql))
+
+  /** DIRECTED CONTAINMENT dedup ([[Dedup.prefixContainmentPairs]]):
+    * |A∩B|/|A| ≥ 0.8 over the same 5-gram shingles — the partial-copy
+    * signal symmetric Jaccard structurally misses (a paragraph quoted
+    * inside a long document has containment ≈ 1, Jaccard ≈ 0). Exact by
+    * the containment prefix-filter lemma (floor-based prefix length — see
+    * the operator scaladoc for the FP-safety argument); the oracle is the
+    * exhaustive directed shingle join. Every mutual near-dup from the
+    * Jaccard family shows up here in BOTH orientations (containment ≥
+    * jaccard pointwise), so the row also cross-checks that family. */
+  private val qDedupContainment = Q(
+    (s, d) => Dedup.prefixContainmentPairs(Tables.load(s, d, "documents"),
+        "doc_id", "text", n = 5, threshold = 0.8)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(ShingleBaseCte +
+      "dp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter " +
+      "FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id GROUP BY 1, 2) " +
+      "SELECT doc_a, doc_b, CAST(inter AS DOUBLE)/sa.sz AS containment " +
+      "FROM dp JOIN sizes sa ON sa.doc_id = doc_a " +
+      "WHERE CAST(inter AS DOUBLE)/sa.sz >= 0.8e0 " +
+      "ORDER BY doc_a, doc_b"))
 
   /** Shared banding-cache key for the MinHash-LSH document twins (plain,
     * salted, groups, provenance): fingerprints the documents FILES plus
@@ -2775,6 +2798,7 @@ object QueriesExtras {
 
   val registry: Seq[(String, Q)] = Seq(
     "q_zorder_value" -> qZorderValue,
+    "q_dedup_containment" -> qDedupContainment,
     "q_j1_linkage_salted" -> qJ1Salted,
     "q_a9_engagement_map" -> qA9EngagementMap,
     "q_a6_engagement_stats" -> qA6EngagementStats,

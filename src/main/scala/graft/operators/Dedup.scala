@@ -273,6 +273,67 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** DIRECTED CONTAINMENT pairs — `|A ∩ B| / |A| ≥ t` over n-gram shingle
+    * sets: "document A is (nearly) contained in document B". The signal
+    * Jaccard structurally misses: a paragraph quoted verbatim inside a
+    * much longer document has containment ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0,
+    * so no symmetric-similarity dedup ever pairs them — yet it is exactly
+    * the partial-copy duplication a training corpus wants found. Output is
+    * DIRECTED (doc_a = the contained side, no doc_a < doc_b fold; a
+    * mutual near-dup emits both orientations).
+    *
+    * Exact by the containment form of the prefix-filter lemma: with
+    * shingles globally ordered rarest-first, if `|A ∩ B| ≥ ⌈t·|A|⌉` then
+    * at least one of A's first `|A| − ⌈t·|A|⌉ + 1` tokens is in B —
+    * otherwise the intersection fits inside A's remaining ⌈t·|A|⌉ − 1
+    * tokens. So only A-side PREFIX tokens join; the B side must expose
+    * all its tokens (containment bounds nothing about |B|), which is the
+    * one asymmetry vs [[prefixJaccardPairs]] — the join is
+    * prefix × postings, with rarest-first keeping the probed postings
+    * short. The prefix length uses floor(t·|A|), not ceil: one token
+    * longer when t·|A| is integral, but immune to the FP hazard where
+    * `t·sz` rounds UP across an integer and a ceil-based prefix comes out
+    * one too SHORT (provably complete: floor_double(t·sz) ≤ ⌈t·sz⌉_real =
+    * the minimal qualifying intersection, since t·sz_double ≤ m_min + ulp).
+    *
+    * Same distributed rarest-first rank construction as
+    * [[prefixJaccardPairs]]; candidates verify on the full rank arrays. */
+  def prefixContainmentPairs(df: DataFrame, id: String, text: String, n: Int,
+                             threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"containment threshold must be in (0, 1], got $threshold")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sh = shingles(df, id, text, n).select(col(id).as("doc"), col("shingle"))
+    val order = sh.groupBy(col("shingle")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf"), col("shingle"))
+      .select(col("shingle")).as[String]
+      .rdd.zipWithIndex()
+      .map { case (s, i) => (s, i + 1L) }
+      .toDF("shingle", "rk")
+    val docs = sh.join(order, "shingle")
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_list(col("rk"))).as("rks"))
+      .withColumn("sz", size(col("rks")))
+      .withColumn("plen",
+        (col("sz") - floor(lit(threshold) * col("sz")) + 1).cast("int"))
+      .localCheckpoint()
+    val pfx = docs.select(col("doc"),
+      explode(slice(col("rks"), lit(1), least(col("plen"), col("sz")))).as("rk"))
+    val all = docs.select(col("doc"), explode(col("rks")).as("rk"))
+    val cand = pfx.select(col("doc").as("doc_a"), col("rk"))
+      .join(all.select(col("doc").as("doc_b"), col("rk")), "rk")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val va = docs.select(col("doc").as("doc_a"), col("rks").as("ra"), col("sz").as("sz_a"))
+    val vb = docs.select(col("doc").as("doc_b"), col("rks").as("rb"))
+    cand.join(va, "doc_a").join(vb, "doc_b")
+      .withColumn("inter", size(array_intersect(col("ra"), col("rb"))).cast("long"))
+      .withColumn("containment", col("inter").cast("double") / col("sz_a"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
+
   /** MinHash signatures: the variable-length shingle is hashed ONCE
     * (xxhash64), then the numHashes permutations re-hash that fixed 8-byte
     * value with the permutation index (`xxhash64(h, i)`) — numHashes

@@ -69,6 +69,50 @@ class DedupSpec extends AnyFunSuite {
     assert(exhaustive.nonEmpty) // the planted pairs must actually be found
   }
 
+  test("prefixContainmentPairs: directed, catches subset-copies Jaccard misses") {
+    // doc 20 is doc 10's text VERBATIM inside a much longer document:
+    // containment(20 -> 21) = 1.0 while jaccard is far below threshold
+    val sub = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta"),
+      (21L, "alpha beta gamma delta epsilon zeta " +
+        "one two three four five six seven eight nine ten " +
+        "eleven twelve thirteen fourteen fifteen sixteen seventeen"),
+      (22L, "totally unrelated filler content goes right here now")
+    ).toDF("doc_id", "text")
+    val got = Dedup.prefixContainmentPairs(sub, "doc_id", "text", n = 5,
+        threshold = 0.8)
+      .orderBy($"doc_a", $"doc_b").as[(Long, Long, Double)].collect()
+    // exactly the one DIRECTED pair: 20 contained in 21, never the reverse
+    assert(got sameElements Array((20L, 21L, 1.0)))
+    val j = Dedup.jaccardPairs(Dedup.shingles(sub, "doc_id", "text", 5),
+      "doc_id", 0.8)
+    assert(j.count() == 0, "jaccard at the same threshold must miss it")
+  }
+
+  test("prefixContainmentPairs ≡ exhaustive directed containment (filter loses nothing)") {
+    // exhaustive twin: directed shared-shingle join, inter/|A|
+    val sh = Dedup.shingles(docs, "doc_id", "text", 5)
+      .select($"doc_id".as("doc"), $"shingle")
+    val sz = sh.groupBy($"doc").count().withColumnRenamed("count", "sz")
+    val exhaustive = sh.select($"doc".as("doc_a"), $"shingle")
+      .join(sh.select($"doc".as("doc_b"), $"shingle"), "shingle")
+      .filter($"doc_a" =!= $"doc_b")
+      .groupBy($"doc_a", $"doc_b").count()
+      .join(sz.select($"doc".as("doc_a"), $"sz"), "doc_a")
+      .select($"doc_a", $"doc_b",
+        ($"count".cast("double") / $"sz".cast("double")).as("containment"))
+      .filter($"containment" >= 0.5)
+      .orderBy($"doc_a", $"doc_b").as[(Long, Long, Double)].collect()
+    val prefix = Dedup.prefixContainmentPairs(docs, "doc_id", "text", n = 5,
+        threshold = 0.5)
+      .orderBy($"doc_a", $"doc_b").as[(Long, Long, Double)].collect()
+    assert(prefix sameElements exhaustive)
+    assert(exhaustive.nonEmpty)
+    // the symmetric dups appear in BOTH orientations (directed output)
+    assert(prefix.exists(p => p._1 == 1L && p._2 == 4L) &&
+      prefix.exists(p => p._1 == 4L && p._2 == 1L))
+  }
+
   test("nearDupPairs (scan-stage signatures) ≡ exhaustive jaccard pairs") {
     val exact = Dedup.jaccardPairs(
         Dedup.shingles(docs, "doc_id", "text", 5), "doc_id", 0.5)

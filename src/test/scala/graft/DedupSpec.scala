@@ -147,6 +147,12 @@ class DedupSpec extends AnyFunSuite {
         salts = 4, hotMin = 4).collect()
     }
     assert(e2.getMessage.contains("candidates exceed"), e2.getMessage)
+    // round-12 eager contract: construction ALONE raises — a caller that
+    // never executes the returned plan still hears about the blow-up
+    val e3 = intercept[Exception] {
+      Dedup.nearDupPairs(hot, "doc_id", "text", 5, 0.8): Unit
+    }
+    assert(e3.getMessage.contains("candidates exceed"), e3.getMessage)
   }
 
   test("dupGroups: chained clusters A~B, B~C collapse to one group") {

@@ -257,6 +257,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("candidates exceed"), e.getMessage)
   }
 
+  test("capped lshCosinePairs is EAGER: an over-cap corpus throws at CALL time") {
+    // the round-12 contract (the kmvPairwise discipline): the volume
+    // audits run while the plan is BUILT — a caller that never executes
+    // the returned frame still hears about the blow-up. No .collect() here
+    // on purpose; the construction call itself must raise.
+    val hot = spark.range(4200)
+      .select($"id".as("vec_id"),
+        typedLit(Array(1.0f, 0.5f)).as("embedding"))
+    val e = intercept[Exception] {
+      Similarity.lshCosinePairs(hot, "vec_id", "embedding", 0.9,
+        bands = 1, rowsPerBand = 1): Unit
+    }
+    assert(e.getMessage.contains("candidates exceed"), e.getMessage)
+  }
+
   test("maxSimTopK: each query vector matches its best token; sums are exact") {
     // doc 10 carries both query directions (maxsim ≈ 2), doc 20 only the
     // first (≈ 1), doc 30 is orthogonal to both (0)

@@ -190,7 +190,20 @@ object ScaleProbe {
     // by 5, so replica groups are disjoint from base groups and pair
     // rows scale x10 exactly
     "q_image_decode", "q_image_phash_dedup", "q_audio_decode",
-    "q_video_frames")
+    "q_video_frames",
+    // round-12 additions. containment: a NEW pair-generating family —
+    // the bijective shingle remap preserves every within-replica
+    // containment and zeroes cross-replica overlap, so directed pair
+    // rows scale x10 exactly. zorder: per-row codegen over part, rows
+    // x10 exact (bounds widen with the offset keys but every row still
+    // gets a code). k_anonymize: rows x10 exact (one output row per
+    // customer); the replicas share QI values so group sizes grow x10
+    // and the SUPPRESSION PATTERN legitimately changes — the probe's
+    // contract here is row parity + linear cost, not value identity.
+    // dp_histogram: output rows scale-invariant (25 nations), cost is
+    // the one aggregation.
+    "q_dedup_containment", "q_zorder_value", "q_k_anonymize",
+    "q_dp_histogram")
 
   /** Linear-COST families whose OUTPUT is not union-composable, so "rows
     * x10 exact" is unachievable by any replica synthesis and row parity is

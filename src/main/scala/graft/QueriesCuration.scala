@@ -188,14 +188,20 @@ object QueriesCuration {
     * and per-document aggregation reassembles the pipe-joined token
     * stream in (word, symbol) order. A document with no non-empty words
     * encodes to zero tokens. */
-  private lazy val BpeEncodeSql: String =
+  /** Shared encode-side CTE chain (train + per-doc token counts) — the
+    * common prefix of [[BpeEncodeSql]] and the tokenize→pack pipeline
+    * oracle. Ends with `agg` (doc_id, n_tokens, tokens_str). */
+  private lazy val BpeEncodeCtes: String =
     BpeTrainCtes + ", " +
       "docw AS (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS ord FROM (" +
       "SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS arr FROM documents)), " +
       "occ AS (SELECT doc_id, ord, arr[ord] AS w FROM docw WHERE arr[ord] <> ''), " +
       s"enc AS (SELECT o.doc_id, o.ord, s.pos, s.sym FROM occ o JOIN s$BpeRounds s ON o.w = s.w), " +
       "agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_tokens, " +
-      "string_agg(sym, '|' ORDER BY ord, pos) AS tokens_str FROM enc GROUP BY doc_id) " +
+      "string_agg(sym, '|' ORDER BY ord, pos) AS tokens_str FROM enc GROUP BY doc_id)"
+
+  private lazy val BpeEncodeSql: String =
+    BpeEncodeCtes + " " +
       "SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens, " +
       "COALESCE(a.tokens_str, '') AS tokens_str " +
       "FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"
@@ -566,6 +572,38 @@ object QueriesCuration {
       "UNION ALL SELECT 'returnflag_domain', n, v_returnflag_domain FROM a " +
       "UNION ALL SELECT 'tax_nonneg', n, v_tax_nonneg FROM a) ORDER BY rule"))
 
+  /** END-TO-END TOKENIZE → PACK pipeline (the q_curation_pipeline
+    * discipline applied to the tokenizer family): BPE-train on the corpus
+    * ([[Bpe.train]], 8 merges), encode every document
+    * ([[Bpe.encodeAudited]] — its per-doc token counts are the
+    * hash-green q_bpe_encode claim), then greedily pack documents into
+    * fixed token-budget training sequences per language
+    * ([[graft.operators.TextAnalysis.packSequences]], budget 8192 BPE
+    * tokens). One plan end to end; the oracle replays the SAME
+    * composition — the unrolled merge rounds, the per-doc counts, and
+    * the running-sum pack cut — as one CTE chain, so the COMPOSITION is
+    * gated, not just the stages. Scale shape: BPE stats are
+    * vocabulary-bounded, the pack is one window per language partition. */
+  private val qTokenizePack = Q(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val model = Bpe.train(docs, "text", numMerges = BpeRounds)
+      val counts = Bpe.encodeAudited(docs, "doc_id", "text", model)
+        .select(col("doc_id"), col("n_tokens"))
+      val withLang = docs.select(col("doc_id"), col("lang")).join(counts, "doc_id")
+      graft.operators.TextAnalysis.packSequences(withLang, "doc_id",
+          col("n_tokens"), budget = 8192L, groupCol = "lang")
+        .orderBy(col("lang"), col("doc_id"))
+    },
+    Some(BpeEncodeCtes + ", " +
+      "nt AS (SELECT d.lang, d.doc_id, CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens " +
+      "FROM documents d LEFT JOIN agg a USING (doc_id)), " +
+      "c AS (SELECT lang, doc_id, n_tokens, CAST(SUM(n_tokens) OVER " +
+      "(PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM nt) " +
+      "SELECT lang, doc_id, n_tokens, cum_tokens, " +
+      "CAST(floor((cum_tokens - n_tokens) / 8192) AS BIGINT) AS pack_id " +
+      "FROM c ORDER BY lang, doc_id"))
+
   /** K-ANONYMITY SUPPRESSION ([[graft.operators.Privacy.kAnonymize]]) over
     * customer with quasi-identifiers (nation, market segment, 2000-unit
     * balance bucket): groups under k=4 rows release '*' in every QI
@@ -639,6 +677,7 @@ object QueriesCuration {
     "q_k_anonymize" -> qKAnonymize,
     "q_l_diversity" -> qLDiversity,
     "q_dp_histogram" -> qDpHistogram,
+    "q_tokenize_pack" -> qTokenizePack,
     "q_bpe_encode" -> qBpeEncode,
     "q_bpe_merges" -> qBpeMerges,
     "q_pagerank" -> qPageRank,

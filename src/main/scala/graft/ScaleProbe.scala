@@ -203,7 +203,14 @@ object ScaleProbe {
     // dp_histogram: output rows scale-invariant (25 nations), cost is
     // the one aggregation.
     "q_dedup_containment", "q_zorder_value", "q_k_anonymize",
-    "q_dp_histogram")
+    "q_dp_histogram",
+    // tokenize→pack: one output row per document (x10 exact). The ~r<r>
+    // token suffixes change the 10x corpus's vocabulary, so the LEARNED
+    // merge table legitimately differs from the base corpus's — the
+    // contract is row parity + linear cost (BPE stats stay
+    // vocabulary-bounded; the pack is one window per language), not
+    // value identity.
+    "q_tokenize_pack")
 
   /** Linear-COST families whose OUTPUT is not union-composable, so "rows
     * x10 exact" is unachievable by any replica synthesis and row parity is

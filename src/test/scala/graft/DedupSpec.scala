@@ -113,6 +113,37 @@ class DedupSpec extends AnyFunSuite {
       prefix.exists(p => p._1 == 4L && p._2 == 1L))
   }
 
+  test("prefixContainmentPairs property: ≡ exhaustive on a random collision-heavy corpus") {
+    // tiny vocabulary => heavy shingle collisions => many boundary pairs,
+    // including integral t·|A| at t = 0.5/1.0 — exactly the FP boundary
+    // the floor-based prefix length exists for (a ceil prefix can come
+    // out one too short when t·sz FP-rounds up across an integer)
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val corpus = (1L to 40L).map { i =>
+      val len = 6 + rnd.nextInt(20)
+      (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val sh = Dedup.shingles(corpus, "doc_id", "text", 5)
+      .select($"doc_id".as("doc"), $"shingle")
+    val sz = sh.groupBy($"doc").count().withColumnRenamed("count", "sz")
+    for (t <- Seq(0.5, 0.7, 1.0)) {
+      val exhaustive = sh.select($"doc".as("doc_a"), $"shingle")
+        .join(sh.select($"doc".as("doc_b"), $"shingle"), "shingle")
+        .filter($"doc_a" =!= $"doc_b")
+        .groupBy($"doc_a", $"doc_b").count()
+        .join(sz.select($"doc".as("doc_a"), $"sz"), "doc_a")
+        .select($"doc_a", $"doc_b",
+          ($"count".cast("double") / $"sz".cast("double")).as("c"))
+        .filter($"c" >= t)
+        .orderBy($"doc_a", $"doc_b").as[(Long, Long, Double)].collect()
+      val prefix = Dedup.prefixContainmentPairs(corpus, "doc_id", "text",
+          n = 5, threshold = t)
+        .orderBy($"doc_a", $"doc_b").as[(Long, Long, Double)].collect()
+      assert(prefix sameElements exhaustive, s"divergence at threshold $t")
+    }
+  }
+
   test("nearDupPairs (scan-stage signatures) ≡ exhaustive jaccard pairs") {
     val exact = Dedup.jaccardPairs(
         Dedup.shingles(docs, "doc_id", "text", 5), "doc_id", 0.5)

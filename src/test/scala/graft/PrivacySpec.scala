@@ -69,6 +69,30 @@ class PrivacySpec extends AnyFunSuite {
     assert(!tromso._5 && !tromso._6)
   }
 
+  test("kAnonymize property: released QI combinations never under k; suppression minimal") {
+    // randomized corpus: the k-anonymity CONTRACT is that every released
+    // (non-'*') quasi-identifier combination appears >= k times in the
+    // output, and that only rows whose original group was under k were
+    // suppressed (suppression must not over-fire)
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).map(i =>
+      (i.toLong, s"c${rnd.nextInt(12)}", s"a${rnd.nextInt(6)}", s"d${rnd.nextInt(3)}"))
+    val df = rows.toDF("id", "city", "age_band", "disease")
+    val out = Privacy.kAnonymize(df, Seq("city", "age_band"), k = 5)
+    val released = out.filter($"city" =!= "*")
+      .groupBy($"city", $"age_band").count()
+      .filter($"count" < 5).count()
+    assert(released == 0, "a released QI combination appeared under k times")
+    val suppressedIds = out.filter($"city" === "*")
+      .select($"id").as[Long].collect().toSet
+    val groupSizes = rows.groupBy(r => (r._2, r._3)).view.mapValues(_.size).toMap
+    assert(rows.filter(r => suppressedIds(r._1))
+      .forall(r => groupSizes((r._2, r._3)) < 5),
+      "a row from an at-or-over-k group was suppressed")
+    assert(suppressedIds.nonEmpty && suppressedIds.size < rows.size,
+      "corpus must exercise both branches")
+  }
+
   test("dpNoisyCount: deterministic per (value, salt), eps scales the noise") {
     val df = people.select($"city")
     val a = Privacy.dpNoisyCount(df, "city", eps = 1.0)

@@ -81,6 +81,62 @@ object QueriesExtras {
       "WHERE CAST(inter AS DOUBLE)/sa.sz >= 0.8e0 " +
       "ORDER BY doc_a, doc_b"))
 
+  /** ROUGE-2 over lang-adjacent document pairs
+    * ([[TextAnalysis.rougeN]]): each doc scored against the next doc_id
+    * in its language — the deterministic stand-in for a
+    * (candidate, reference) eval table. Exact clipped-multiset bigram
+    * overlap (Lin 2004): one melted count aggregation computes both
+    * sides' per-gram counts and the clipped min together (no per-side
+    * frames, no self-join), one per-pair rollup — two shuffles. Zero-gram
+    * sides score 0 by the standard convention; ratios rounded to 6 (the
+    * cosine discipline). The oracle replays tokenize → bigrams (no
+    * distinct — ROUGE is a MULTISET metric, unlike the shingle CTEs) →
+    * full-outer per-gram counts → clipped rollup, with F1 composed from
+    * the same unrounded p/r expressions in the same operation order. */
+  private val qRouge2 = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      val pairs = Tables.load(s, d, "documents")
+        .select(col("lang"), col("doc_id").as("cand_id"),
+          lead(col("doc_id"), 1).over(w).as("ref_id"),
+          col("text").as("cand_text"),
+          lead(col("text"), 1).over(w).as("ref_text"))
+        .filter(col("ref_id").isNotNull)
+      TextAnalysis.rougeN(pairs, Seq("cand_id", "ref_id"),
+          "cand_text", "ref_text", n = 2)
+        .orderBy(col("cand_id"))
+    },
+    Some("WITH prs AS (SELECT doc_id AS cand_id, " +
+      "lead(doc_id) OVER w AS ref_id, text AS cand_text, " +
+      "lead(text) OVER w AS ref_text FROM documents " +
+      "WINDOW w AS (PARTITION BY lang ORDER BY doc_id)), " +
+      "pp AS (SELECT * FROM prs WHERE ref_id IS NOT NULL), " +
+      "ctk AS (SELECT cand_id, list_filter(string_split_regex(trim(cand_text), '\\s+'), t -> t <> '') AS w FROM pp), " +
+      "rtk AS (SELECT cand_id, list_filter(string_split_regex(trim(ref_text), '\\s+'), t -> t <> '') AS w FROM pp), " +
+      "pos AS (SELECT unnest(range(1, (SELECT COALESCE(max(len(w)), 0) + 1 " +
+      "FROM (SELECT w FROM ctk UNION ALL SELECT w FROM rtk) u))) AS i), " +
+      "cg AS (SELECT cand_id, array_to_string(list_slice(w, i, i + 1), ' ') AS g FROM ctk JOIN pos ON pos.i <= len(w) - 1), " +
+      "rg AS (SELECT cand_id, array_to_string(list_slice(w, i, i + 1), ' ') AS g FROM rtk JOIN pos ON pos.i <= len(w) - 1), " +
+      "cc AS (SELECT cand_id, g, count(*) AS nc FROM cg GROUP BY 1, 2), " +
+      "rc AS (SELECT cand_id, g, count(*) AS nr FROM rg GROUP BY 1, 2), " +
+      "j AS (SELECT COALESCE(cc.cand_id, rc.cand_id) AS cand_id, " +
+      "COALESCE(cc.nc, 0) AS nc, COALESCE(rc.nr, 0) AS nr " +
+      "FROM cc FULL OUTER JOIN rc ON cc.cand_id = rc.cand_id AND cc.g = rc.g), " +
+      "agg AS (SELECT cand_id, SUM(LEAST(nc, nr)) AS clipped, " +
+      "SUM(nc) AS ctot, SUM(nr) AS rtot FROM j GROUP BY 1) " +
+      "SELECT p.cand_id, p.ref_id, " +
+      "round(CASE WHEN COALESCE(ctot, 0) > 0 THEN CAST(clipped AS DOUBLE)/CAST(ctot AS DOUBLE) ELSE 0.0e0 END, 6) AS \"precision\", " +
+      "round(CASE WHEN COALESCE(rtot, 0) > 0 THEN CAST(clipped AS DOUBLE)/CAST(rtot AS DOUBLE) ELSE 0.0e0 END, 6) AS recall, " +
+      "round(CASE WHEN (CASE WHEN COALESCE(ctot, 0) > 0 THEN CAST(clipped AS DOUBLE)/CAST(ctot AS DOUBLE) ELSE 0.0e0 END) + " +
+      "(CASE WHEN COALESCE(rtot, 0) > 0 THEN CAST(clipped AS DOUBLE)/CAST(rtot AS DOUBLE) ELSE 0.0e0 END) > 0 " +
+      "THEN 2.0e0 * (CASE WHEN COALESCE(ctot, 0) > 0 THEN CAST(clipped AS DOUBLE)/CAST(ctot AS DOUBLE) ELSE 0.0e0 END) * " +
+      "(CASE WHEN COALESCE(rtot, 0) > 0 THEN CAST(clipped AS DOUBLE)/CAST(rtot AS DOUBLE) ELSE 0.0e0 END) / " +
+      "((CASE WHEN COALESCE(ctot, 0) > 0 THEN CAST(clipped AS DOUBLE)/CAST(ctot AS DOUBLE) ELSE 0.0e0 END) + " +
+      "(CASE WHEN COALESCE(rtot, 0) > 0 THEN CAST(clipped AS DOUBLE)/CAST(rtot AS DOUBLE) ELSE 0.0e0 END)) " +
+      "ELSE 0.0e0 END, 6) AS f1 " +
+      "FROM pp p LEFT JOIN agg a ON a.cand_id = p.cand_id ORDER BY p.cand_id"))
+
   /** Shared banding-cache key for the MinHash-LSH document twins (plain,
     * salted, groups, provenance): fingerprints the documents FILES plus
     * the banding parameters — see [[graft.operators.Scale.memo]]. */
@@ -2799,6 +2855,7 @@ object QueriesExtras {
   val registry: Seq[(String, Q)] = Seq(
     "q_zorder_value" -> qZorderValue,
     "q_dedup_containment" -> qDedupContainment,
+    "q_rouge2" -> qRouge2,
     "q_j1_linkage_salted" -> qJ1Salted,
     "q_a9_engagement_map" -> qA9EngagementMap,
     "q_a6_engagement_stats" -> qA6EngagementStats,

@@ -447,6 +447,59 @@ object TextAnalysis {
       lower(translate(text, "’‘“”—–", "''\"\"--")),
       "[\\s\\x00-\\x1f]+", " "))
 
+  /** ROUGE-N between paired texts — the standard n-gram-overlap metric an
+    * eval pipeline computes over millions of (candidate, reference) pairs
+    * (summarization/QA scoring, and a useful near-dup diagnostic). Exact
+    * MULTISET overlap with clipped counts (Lin 2004): per pair,
+    * `clipped = Σ_g min(count_cand(g), count_ref(g))`, recall =
+    * clipped/|ref grams|, precision = clipped/|cand grams|, F1 the
+    * harmonic mean — all emitted rounded to 6 decimals (division is the
+    * only non-rational step). A side shorter than n tokens has zero
+    * grams; its ratios are defined as 0 (the standard convention), never
+    * a division error.
+    *
+    * Scale shape: grams explode to (pair, gram, side) rows, ONE count
+    * aggregation on (pair, gram) computes both sides' counts and the
+    * clipped min TOGETHER (no per-side frames, no self-join), then one
+    * per-pair rollup — two shuffles total, both on pair-dominated keys.
+    * `idCols` must uniquely key the pairs frame. */
+  def rougeN(pairs: DataFrame, idCols: Seq[String], candCol: String,
+             refCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    def grams(c: Column): Column = {
+      val toks = filter(split(trim(c), "\\s+"), t => t =!= "")
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val ids = idCols.map(col)
+    val melted = pairs.select(ids :+
+      explode(concat(
+        transform(grams(col(candCol)), g => struct(g.as("g"), lit(1L).as("c"), lit(0L).as("r"))),
+        transform(grams(col(refCol)), g => struct(g.as("g"), lit(0L).as("c"), lit(1L).as("r"))))).as("m"): _*)
+    val perGram = melted
+      .groupBy(ids :+ col("m.g").as("g"): _*)
+      .agg(sum(col("m.c")).as("cc"), sum(col("m.r")).as("rc"))
+    val perPair = perGram
+      .groupBy(ids: _*)
+      .agg(sum(least(col("cc"), col("rc"))).as("clipped"),
+        sum(col("cc")).as("cand_total"), sum(col("rc")).as("ref_total"))
+    val p = when(col("cand_total") > 0,
+      col("clipped").cast("double") / col("cand_total")).otherwise(lit(0.0))
+    val r = when(col("ref_total") > 0,
+      col("clipped").cast("double") / col("ref_total")).otherwise(lit(0.0))
+    // a pair with zero grams on BOTH sides never reaches perGram — restore
+    // it with all-zero scores (left join back to the pair universe)
+    pairs.select(ids: _*)
+      .join(perPair, idCols, "left")
+      .select(ids ++ Seq(
+        round(coalesce(p, lit(0.0)), 6).as("precision"),
+        round(coalesce(r, lit(0.0)), 6).as("recall"),
+        round(coalesce(when(p + r > 0, lit(2.0) * p * r / (p + r))
+          .otherwise(lit(0.0)), lit(0.0)), 6).as("f1")): _*)
+  }
+
   /** SENTENCE SEGMENTATION — regex runs of non-terminators closed by a
     * `.!?` run, plus the unterminated tail: the deterministic pre-pass for
     * sentence-grain dedup/packing. One `regexp_extract_all` in the scan

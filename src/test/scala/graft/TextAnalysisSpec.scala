@@ -251,4 +251,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(top(1L) == "zebra")
     assert(top(2L) == "quartz")
   }
+
+  test("rougeN: clipped multiset overlap, hand-computed; edge pairs score 0") {
+    val pairs = Seq(
+      // cand bigrams: {ab,bc,ca,ab} ref: {ab,bd} -> clipped: min(2,1)[ab]=1
+      // p = 1/4, r = 1/2, f = 2*(1/4)*(1/2)/(3/4) = 1/3
+      (1L, "a b c a b", "a b d"),
+      // identical texts -> perfect score
+      (2L, "x y z w", "x y z w"),
+      // candidate shorter than n=2 -> zero cand grams -> p=r=f=0
+      (3L, "solo", "x y z"),
+      // both sides empty -> the join-back path; all zeros
+      (4L, "", "")
+    ).toDF("pair_id", "cand", "ref").withColumn("ref_id", $"pair_id")
+    val got = TextAnalysis.rougeN(pairs, Seq("pair_id"), "cand", "ref", n = 2)
+      .orderBy($"pair_id").as[(Long, Double, Double, Double)].collect()
+    assert(got(0) == ((1L, 0.25, 0.5, 0.333333)))
+    assert(got(1) == ((2L, 1.0, 1.0, 1.0)))
+    assert(got(2) == ((3L, 0.0, 0.0, 0.0)))
+    assert(got(3) == ((4L, 0.0, 0.0, 0.0)))
+  }
 }

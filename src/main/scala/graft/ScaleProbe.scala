@@ -210,7 +210,11 @@ object ScaleProbe {
     // contract is row parity + linear cost (BPE stats stay
     // vocabulary-bounded; the pack is one window per language), not
     // value identity.
-    "q_tokenize_pack")
+    "q_tokenize_pack",
+    // rouge2: one row per lang-adjacent pair = n_docs − n_langs, so x10
+    // up to the constant lang-count offset (4995 → 49995); cost is the
+    // melted bigram count aggregation, linear in corpus tokens.
+    "q_rouge2")
 
   /** Linear-COST families whose OUTPUT is not union-composable, so "rows
     * x10 exact" is unachievable by any replica synthesis and row parity is

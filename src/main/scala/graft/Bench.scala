@@ -124,7 +124,12 @@ object Bench {
     // min-of-3 so the artifact carries both samples; `stable_value`
     // is the board total over the rows that don't swing — the number to
     // compare across rounds.
-    val noiseNames = Seq("q_pagerank", "q_negative_sample")
+    // q_audio_decode joined the class in round 13: 0.30-1.08 s across
+    // fresh idle JVMs with zero code change (solo min-of-3 probe 0.771 s,
+    // board values 0.30-0.52 s) — the work itself is 5k tiny in-memory
+    // WAV round-trips behind one 64-way shuffle, far too small to drift
+    // structurally; the swing is JIT/provider-init timing luck.
+    val noiseNames = Seq("q_pagerank", "q_negative_sample", "q_audio_decode")
       .filter(n => results.exists(_._1 == n))
     val isNoiseChild = sys.env.contains("SPARK_GRAFT_NOISE_CHILD")
     val noiseFresh: Map[String, Double] =

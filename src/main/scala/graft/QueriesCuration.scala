@@ -663,7 +663,8 @@ object QueriesCuration {
   private val qDpHistogram = Q(
     (s, d) => graft.operators.Privacy
       .dpNoisyCount(t(s, d, "customer").select(col("c_nationkey")),
-        "c_nationkey", eps = 1.0)
+        "c_nationkey", eps = 1.0,
+        salt = graft.operators.Privacy.TestOnlyPublicSalt)
       .orderBy(col("c_nationkey")),
     Some("SELECT c_nationkey, n, round(n + -1.0e0 * sign(u) * " +
       "ln(1.0e0 - 2.0e0 * abs(u)), 6) AS noisy_n FROM (" +
@@ -672,7 +673,73 @@ object QueriesCuration {
       "+ 0.5e0) / 4294967296.0e0 - 0.5e0 AS u " +
       "FROM customer GROUP BY 1) ORDER BY c_nationkey"))
 
+  /** Unrolled-epoch CTE chain for the quality-classifier oracle: replays
+    * [[graft.operators.QualityClassifier.train]]'s full fixed-point
+    * gradient-descent trajectory (hard-sigmoid, FP = 1e5, lr = 4/n) in
+    * SQL — the q_kmeans_assign/q_pagerank discipline applied to a learned
+    * model. Epoch 1 folds to a constant (w₀ = 0 ⇒ p = FP/2 exactly);
+    * epochs 2..E rebuild margins/predictions/gradients under the previous
+    * weight table. Every value is an exact integer or an exact-double
+    * floor division, so the trained scores hash-match bit-for-bit. */
+  private def qualityClfSql(epochs: Int): String = {
+    def upd(e: String, prevW: Option[String]): String = {
+      val base = prevW.map(p => s"COALESCE($p.w, 0)").getOrElse("0")
+      val join = prevW.map(p => s" LEFT JOIN $p USING (b)").getOrElse("")
+      s"SELECT $e.b, $base - CAST(FLOOR(CAST(4 * $e.g AS DOUBLE) / " +
+        s"(CAST(n AS DOUBLE) * 100000.0)) AS BIGINT) AS w FROM $e$join, nn"
+    }
+    def pExpr(mraw: String): String =
+      s"GREATEST(0, LEAST(100000, 50000 + CAST(FLOOR(FLOOR(CAST($mraw AS DOUBLE) " +
+        "/ 100000.0) / 4.0) AS BIGINT)))"
+    def epoch(r: Int): String =
+      s"m$r AS (SELECT x.doc_id, CAST(SUM(COALESCE(w${r - 1}.w, 0) * x.x) AS BIGINT) AS mraw " +
+        s"FROM x LEFT JOIN w${r - 1} USING (b) GROUP BY x.doc_id), " +
+        s"p$r AS (SELECT doc_id, ${pExpr("mraw")} AS p FROM m$r), " +
+        s"e$r AS (SELECT x.b, CAST(SUM((p$r.p - tl.y) * x.x) AS BIGINT) AS g " +
+        s"FROM x JOIN p$r USING (doc_id) JOIN tl USING (doc_id) GROUP BY x.b), " +
+        s"w$r AS MATERIALIZED (${upd(s"e$r", Some(s"w${r - 1}"))})"
+    "WITH tl AS (SELECT doc_id, lower(text) AS txt, " +
+      "CASE WHEN lang = 'en' THEN 100000 ELSE 0 END AS y FROM documents), " +
+      "gr AS (SELECT doc_id, substring(txt, pos, 3) AS g FROM (" +
+      "SELECT doc_id, txt, unnest(range(1, length(txt) - 1)) AS pos FROM tl " +
+      "WHERE length(txt) >= 3)), " +
+      "c AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS b, " +
+      "count(*) AS cnt FROM gr GROUP BY 1, 2), " +
+      "tt AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS tot FROM c GROUP BY 1), " +
+      "x AS MATERIALIZED (SELECT doc_id, b, CAST(FLOOR(CAST(cnt AS DOUBLE) * 100000.0 " +
+      "/ CAST(tot AS DOUBLE)) AS BIGINT) AS x FROM c JOIN tt USING (doc_id) " +
+      "UNION ALL SELECT doc_id, 1024, 100000 FROM tl), " +
+      "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tl), " +
+      "e1 AS (SELECT x.b, CAST(SUM((50000 - tl.y) * x.x) AS BIGINT) AS g " +
+      "FROM x JOIN tl USING (doc_id) GROUP BY x.b), " +
+      s"w1 AS MATERIALIZED (${upd("e1", None)}), " +
+      (2 to epochs).map(epoch).mkString(", ") + ", " +
+      s"ms AS (SELECT x.doc_id, CAST(SUM(COALESCE(w$epochs.w, 0) * x.x) AS BIGINT) AS mraw " +
+      s"FROM x LEFT JOIN w$epochs USING (b) GROUP BY x.doc_id) " +
+      s"SELECT doc_id, score_fp, score_fp >= 50000 AS pred FROM (" +
+      s"SELECT doc_id, ${pExpr("mraw")} AS score_fp FROM ms) ORDER BY doc_id"
+  }
+
+  /** TRAIN-AND-SCORE QUALITY CLASSIFIER
+    * ([[graft.operators.QualityClassifier]]): fastText-style logistic
+    * gate over hashed char-3-gram features, trained IN-PLAN for 3
+    * fixed-point full-batch epochs (hard sigmoid, integer weights) and
+    * scored as one scan+agg pass — the most-used curation operator a
+    * corpus pipeline runs between heuristic filters and tokenization.
+    * The label here is the lang='en' flag (the [[qDsirWeights]] target
+    * convention); the oracle replays the ENTIRE training trajectory as
+    * unrolled-epoch CTEs, so the gate hash-verifies the learned model
+    * itself, not just the scoring pass. QualityClassifierSpec proves the
+    * learned boundary separates planted junk from clean text. */
+  private val qQualityClf = Q(
+    (s, d) => graft.operators.QualityClassifier
+      .trainScore(t(s, d, "documents"), "doc_id", "text",
+        label = col("lang") === "en", buckets = 1024, epochs = 3)
+      .orderBy(col("doc_id")),
+    Some(qualityClfSql(3)))
+
   val registry: Seq[(String, Q)] = Seq(
+    "q_quality_clf" -> qQualityClf,
     "q_expectations" -> qExpectations,
     "q_k_anonymize" -> qKAnonymize,
     "q_l_diversity" -> qLDiversity,

@@ -88,9 +88,21 @@ object Privacy {
     * `(h + 0.5)/2³² − 0.5` keeps u strictly inside (−0.5, 0.5), so
     * `ln(1 − 2|u|)` never sees 0; the emitted value is rounded to 6
     * decimals (the [[Similarity]] cosine convention) so last-ulp libm
-    * `ln` drift between engines cannot flap the hash gate. */
+    * `ln` drift between engines cannot flap the hash gate.
+    *
+    * `salt` is REQUIRED and is the whole privacy story: a salt known to
+    * the release's audience makes every draw predictable, i.e. zero DP
+    * protection. Pass a per-release secret in production;
+    * [[TestOnlyPublicSalt]] exists solely for regression gates and says
+    * so in its name — there is deliberately no default, so an unsafe
+    * configuration must be typed out. */
+  /** A PUBLIC, checked-in salt for tests and the DuckDB regression gate
+    * ONLY — a release built with it has zero differential-privacy
+    * protection, because anyone with this code can replay every draw. */
+  val TestOnlyPublicSalt: String = "graft-dp"
+
   def dpNoisyCount(df: DataFrame, group: String, eps: Double,
-                   salt: String = "graft-dp"): DataFrame = {
+                   salt: String): DataFrame = {
     require(eps > 0, s"eps must be positive, got $eps")
     val h = conv(substring(md5(concat(col(group).cast("string"), lit(salt))),
       1, 8), 16, 10).cast("double")

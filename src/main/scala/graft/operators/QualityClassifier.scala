@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Train-and-score document QUALITY CLASSIFIER — the fastText-style gate
+  * (Joulin et al., "Bag of Tricks for Efficient Text Classification",
+  * EACL 2017) every major corpus pipeline runs between heuristic filters
+  * and tokenization (GPT-3's WebText-similarity LR, CCNet, RefinedWeb):
+  * a logistic-regression-shaped linear model over HASHED CHARACTER
+  * N-GRAM features, trained in-plan for a bounded number of epochs,
+  * scoring as pure scan+agg stages.
+  *
+  * What makes it gate-able (the [[Clustering]] discipline): FIXED-POINT
+  * arithmetic end-to-end. Features, labels, predictions, and weights are
+  * integers in 1e-5 units ([[FP]]); the sigmoid is the piecewise-linear
+  * HARD sigmoid `clamp(½ + z/4, 0, 1)` (Courbariaux et al. 2015's
+  * BinaryConnect trick), so every margin, prediction, gradient, and
+  * weight update is EXACTLY representable and bit-identical in any
+  * engine at any partitioning — full-batch gradient descent whose entire
+  * training trajectory the DuckDB oracle replays as unrolled-epoch CTEs.
+  * (Float LR depends on summation order and libm exp; this doesn't.)
+  * All floor-divisions route through exact doubles; the only magnitude
+  * that grows with the corpus is the per-bucket gradient sum, and
+  * [[train]] GUARDS it with an executable `require` (|G_b| ≤ 2⁵³/lrNum)
+  * rather than a narrative bound. A corpus that trips it should train on
+  * a deterministic sample — which is what production quality classifiers
+  * do anyway (fastText gates train on ~10⁶ docs and score the full
+  * corpus; scoring here is corpus-scale, training state is
+  * `buckets`-bounded).
+  *
+  * Scale shape:
+  *  - FEATURES are built once: explode to char-3-gram grain (map-only),
+  *    hash to `buckets` cells via the repo's portable md5 bucket
+  *    ([[Dsir.featureBucket]]), ONE partial+final aggregation to
+  *    (doc, bucket, count) grain — shuffled rows are bounded by
+  *    docs·min(grams, buckets), not corpus characters — then the frame is
+  *    repartitioned by doc and localCheckpoint'ed so every epoch re-scans
+  *    a materialized narrow table co-located on the doc key.
+  *  - Each EPOCH is two bounded jobs off that table: margins = one
+  *    exchange-free aggregation on the doc key (weights ship as a
+  *    `buckets`-sized literal array inside the projection — index
+  *    metadata, the [[Clustering]] centroid pattern); gradient = one join
+  *    (only the docs-sized error side shuffles; the feature side reuses
+  *    its partitioning) + one bucket aggregation with map-side combine.
+  *    The per-epoch driver collect is ≤ buckets+1 rows — bounded model
+  *    state, never corpus rows.
+  *  - SCORING is one pass of the same margin plan with the final weights:
+  *    no training-only state survives into the scoring plan.
+  *
+  * Determinism notes mirrored by the oracle:
+  *  - features x_{d,b} = floor(cnt·FP / tot_d) — length-normalized
+  *    (fastText's mean-of-features), exact integer;
+  *  - bias = one extra feature at index `buckets` with x = FP;
+  *  - epoch-1 margins under w₀ = 0 are all 0 ⇒ p = FP/2 exactly;
+  *  - update w ← w − floor(lrNum·G / (n·FP)).
+  */
+object QualityClassifier {
+
+  /** Fixed-point scale: 1e5 units ≈ 5 decimal digits. Chosen (vs the
+    * repo's usual 1e6) so the worst-case gradient sum n·FP²/2 and the
+    * update numerator lrNum·G stay below 2⁵³ for n up to ~10⁸ docs —
+    * every floor-division in the trajectory is over exact doubles. */
+  val FP: Long = 100000L
+
+  /** A trained model: `weights(b)` in FP units for buckets 0..buckets-1,
+    * plus the bias at index `buckets`. */
+  final case class Model(weights: Array[Long], buckets: Int) {
+    require(weights.length == buckets + 1,
+      s"weights must be buckets+1 long (bias last), got ${weights.length} for $buckets")
+  }
+
+  /** (doc, bucket, x, y) feature grain: hashed char-3-gram counts,
+    * length-normalized to FP units, bias row appended, label in FP units.
+    * Repartitioned on the doc key and localCheckpoint'ed — the epochs and
+    * the scoring pass all re-scan this one materialized table. */
+  private def featureFrame(df: DataFrame, id: String, text: String,
+                           label: Column, buckets: Int): DataFrame = {
+    val t0 = df.select(col(id).as("__id"), lower(col(text)).as("__t"),
+      when(label, lit(FP)).otherwise(lit(0L)).as("__y"))
+    val grams = t0.filter(length(col("__t")) >= 3)
+      .select(col("__id"),
+        explode(sequence(lit(1), length(col("__t")) - 2)).as("__pos"),
+        col("__t"))
+      .select(col("__id"), expr("substring(__t, __pos, 3)").as("__gram"))
+    val cnts = grams
+      .groupBy(col("__id"), Dsir.featureBucket(col("__gram"), buckets).as("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+    val tots = cnts.groupBy(col("__id")).agg(sum(col("__cnt")).as("__tot"))
+    val x = cnts.join(tots, "__id")
+      .select(col("__id"), col("__b"),
+        floor(col("__cnt").cast("double") * lit(100000.0)
+          / col("__tot").cast("double")).as("__x"))
+      .unionByName(t0.select(col("__id"), lit(buckets.toLong).as("__b"),
+        lit(FP).as("__x")))
+    x.join(t0.select(col("__id"), col("__y")), "__id")
+      .repartition(col("__id"))
+      .localCheckpoint()
+  }
+
+  /** Hard-sigmoid prediction in FP units from a raw margin
+    * Σ w_b·x_{d,b} (FP² units): clamp(FP/2 + ⌊⌊mraw/FP⌋/4⌋, 0, FP). */
+  private def pCol(mraw: Column): Column = {
+    val m = floor(mraw.cast("double") / lit(100000.0))
+    val d = floor(m.cast("double") / lit(4.0))
+    greatest(lit(0L), least(lit(FP), lit(FP / 2) + d))
+  }
+
+  private def marginCol(weights: Array[Long]): Column =
+    sum(element_at(typedlit(weights.toIndexedSeq),
+      (col("__b") + 1).cast("int")) * col("__x"))
+
+  /** Train `epochs` rounds of full-batch hard-sigmoid gradient descent.
+    * EAGER (the [[Bpe.train]] contract): runs 2 bounded Spark jobs per
+    * epoch at call time; per-epoch driver state is the buckets+1-row
+    * gradient — bounded model metadata. */
+  def train(df: DataFrame, id: String, text: String, label: Column,
+            buckets: Int = 1024, epochs: Int = 3, lrNum: Long = 4L): Model = {
+    require(buckets > 0 && epochs > 0, s"need buckets/epochs > 0, got $buckets/$epochs")
+    require(lrNum >= 1L && lrNum <= 8L,
+      s"lrNum must be in [1, 8] (exactness bound: lrNum·|G| < 2^53), got $lrNum")
+    val feats = featureFrame(df, id, text, label, buckets)
+    val n = feats.select(col("__id")).distinct().count()
+    require(n > 0, "QualityClassifier.train: empty corpus")
+    val w = Array.fill(buckets + 1)(0L)
+    for (_ <- 1 to epochs) {
+      val errs = feats
+        .groupBy(col("__id"), col("__y"))
+        .agg(marginCol(w).as("__mraw"))
+        .select(col("__id"), (pCol(col("__mraw")) - col("__y")).as("__err"))
+      val grad = feats.join(errs, "__id")
+        .groupBy(col("__b")).agg(sum(col("__err") * col("__x")).as("__g"))
+        .collect()
+      grad.foreach { r =>
+        val g = r.getLong(1)
+        // executable exactness bound, not a narrative one: the floor
+        // division below is exact only while its numerator is an exact
+        // double — beyond this, train on a deterministic sample
+        require(math.abs(g) <= (1L << 53) / lrNum,
+          s"QualityClassifier.train: |gradient| ${math.abs(g)} exceeds the " +
+            s"2^53/lrNum exact-double bound — train on a sample of the corpus " +
+            "(scoring stays corpus-scale; see scaladoc)")
+        w(r.getLong(0).toInt) -=
+          math.floor((lrNum * g).toDouble / (n.toDouble * 100000.0)).toLong
+      }
+    }
+    Model(w, buckets)
+  }
+
+  /** Score every document with a trained model: `(id, score_fp, pred)`
+    * where score_fp ∈ [0, FP] is the hard-sigmoid quality score in FP
+    * units and pred = score_fp ≥ FP/2. One feature pass + one doc-key
+    * aggregation; the model rides as a literal array. */
+  def score(df: DataFrame, id: String, text: String, label: Column,
+            model: Model): DataFrame = {
+    val feats = featureFrame(df, id, text, label, model.buckets)
+    feats.groupBy(col("__id"))
+      .agg(marginCol(model.weights).as("__mraw"))
+      .select(col("__id").as(id), pCol(col("__mraw")).as("score_fp"))
+      .withColumn("pred", col("score_fp") >= lit(FP / 2))
+  }
+
+  /** train + score on the same corpus — the self-contained gate form. */
+  def trainScore(df: DataFrame, id: String, text: String, label: Column,
+                 buckets: Int = 1024, epochs: Int = 3): DataFrame =
+    score(df, id, text, label, train(df, id, text, label, buckets, epochs))
+}

@@ -24,7 +24,7 @@ object Scale {
     * session). Entries live for the process; one per (corpus, params) —
     * bounded by the corpora a session touches. */
   private val buildMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, Any)]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), (SparkSession, Any)]()
   def memo[T](key: String, spark: SparkSession)(build: => T): T = {
     // get-then-put rather than compute(): build runs OUTSIDE the map's
     // lock, so a build may itself call memo (nested keys) without hitting
@@ -32,11 +32,21 @@ object Scale {
     // admits — two threads building the same key concurrently, last put
     // wins — is benign: builds are idempotent (a checkpointed frame of the
     // same static corpus), so losing the race only re-pays the build once.
-    val cur = buildMemo.get(key)
+    // The map key carries the SESSION IDENTITY, so two live sessions that
+    // share a corpus key each keep their own entry instead of thrashing
+    // each other's cached frames (checkpointed blocks are session-owned).
+    val k = (key, System.identityHashCode(spark))
+    val cur = buildMemo.get(k)
     if (cur != null && (cur._1 eq spark)) cur._2.asInstanceOf[T]
     else {
+      // a miss is the cheap moment to drop entries owned by stopped
+      // sessions — their checkpointed blocks are gone, and purging here
+      // bounds growth across many short-lived (e.g. test) sessions
+      buildMemo.forEach { (kk, vv) =>
+        if (vv._1.sparkContext.isStopped) buildMemo.remove(kk, vv): Unit
+      }
       val built: (SparkSession, Any) = (spark, build)
-      buildMemo.put(key, built)
+      buildMemo.put(k, built)
       built._2.asInstanceOf[T]
     }
   }

@@ -169,7 +169,7 @@ object Similarity {
       else Some(bandedCacheKey match {
         case Some(k) =>
           Scale.memo(k + ":basecount",
-            org.apache.spark.sql.SparkSession.active)(Scale.baseCountFrame(emb))
+            emb.sparkSession)(Scale.baseCountFrame(emb))
         case None => Scale.baseCountFrame(emb)
       })
     def bandedOf(): Option[DataFrame] = {
@@ -184,7 +184,7 @@ object Similarity {
       // = (j << r) | the band's sign bits, as a LONG (small shuffle rows,
       // cheap hash). A ragged/null vector yields a null key array → zero
       // rows out of explode, never a fake bucket.
-      graft.plans.GraftFunctions.register(org.apache.spark.sql.SparkSession.active)
+      graft.plans.GraftFunctions.register(emb.sparkSession)
       val keysCol = call_function("lsh_band_keys",
         asD(col(vec)), typedlit(planes.flatten.toIndexedSeq),
         lit(bands), lit(rowsPerBand))
@@ -213,7 +213,7 @@ object Similarity {
     // session is rebuilt (checkpointed blocks die with their session).
     val bandedOpt = bandedCacheKey match {
       case Some(k) =>
-        Scale.memo(k, org.apache.spark.sql.SparkSession.active)(bandedOf())
+        Scale.memo(k, emb.sparkSession)(bandedOf())
       case None => bandedOf()
     }
     val banded = bandedOpt.getOrElse {
@@ -315,7 +315,7 @@ object Similarity {
     // one generated loop per row (graft.plans.Int8Quantize) — the three
     // transform/zip_with HOF columns this replaces ran interpreted and
     // made the query one of the slowest shuffle-free scans in the bench
-    graft.plans.GraftFunctions.register(org.apache.spark.sql.SparkSession.active)
+    graft.plans.GraftFunctions.register(emb.sparkSession)
     val q = call_function("int8_quantize", asD(col(vec)))
     emb.filter(col(vec).isNotNull)
       .select(col(id), q.as("__q"))

@@ -95,9 +95,9 @@ class PrivacySpec extends AnyFunSuite {
 
   test("dpNoisyCount: deterministic per (value, salt), eps scales the noise") {
     val df = people.select($"city")
-    val a = Privacy.dpNoisyCount(df, "city", eps = 1.0)
+    val a = Privacy.dpNoisyCount(df, "city", eps = 1.0, salt = Privacy.TestOnlyPublicSalt)
       .orderBy($"city").as[(String, Long, Double)].collect()
-    val b = Privacy.dpNoisyCount(df, "city", eps = 1.0)
+    val b = Privacy.dpNoisyCount(df, "city", eps = 1.0, salt = Privacy.TestOnlyPublicSalt)
       .orderBy($"city").as[(String, Long, Double)].collect()
     assert(a sameElements b, "same salt => same draw")
     // raw counts exact; noise is bounded by the inverse-CDF at the
@@ -110,7 +110,7 @@ class PrivacySpec extends AnyFunSuite {
       .orderBy($"city").as[(String, Long, Double)].collect()
     assert(!(c sameElements a))
     // smaller eps => strictly larger |noise| (scale multiplies linearly)
-    val wide = Privacy.dpNoisyCount(df, "city", eps = 0.1)
+    val wide = Privacy.dpNoisyCount(df, "city", eps = 0.1, salt = Privacy.TestOnlyPublicSalt)
       .orderBy($"city").as[(String, Long, Double)].collect()
     a.zip(wide).foreach { case (n1, n10) =>
       assert(math.abs(n10._3 - n10._2) > math.abs(n1._3 - n1._2))

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.QualityClassifier
+
+class QualityClassifierSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val clean = Seq(
+    "the quick brown fox jumps over the lazy dog near the quiet river",
+    "a measured paragraph with ordinary words and a normal sentence shape",
+    "training data pipelines filter documents by learned quality scores",
+    "spark catalyst plans the aggregation and prunes unused columns early",
+    "readable prose tends to reuse common trigrams of the language")
+  private val junk = Seq(
+    "zzz zzz zzzz zz zzzzz zzz zz zzzz zzz zz zzz zzzz zz zzz",
+    "qqq xqx qxq xxqq qqxx qxqx xqxq qqqx xqqq qxxq qqxx xqqx",
+    "kkkk kkk kk kkkkk kkk kk kkkk kkk kk kkk kkkk kk kkk kkk",
+    "wwww xxxx wwxx xxww wxwx xwxw wwwx xwww wxxw wwxx xwwx ww",
+    "jjj zjz jzj zzjj jjzz jzjz zjzj jjjz zjjj jzzj jjzz zjjz")
+
+  /** 40 labeled docs: 20 clean (label true), 20 junk (label false),
+    * cycling the five exemplars so per-class trigram mass is stable. */
+  private def corpus = (
+    (0 until 20).map(i => (i.toLong, clean(i % clean.length), true)) ++
+    (20 until 40).map(i => (i.toLong, junk(i % junk.length), false))
+  ).toDF("doc_id", "text", "label")
+
+  test("learned boundary separates planted junk from clean text") {
+    val scored = QualityClassifier
+      .trainScore(corpus, "doc_id", "text", col("label"), buckets = 256, epochs = 3)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(scored.size == 40)
+    val cleanScores = (0 until 20).map(i => scored(i.toLong))
+    val junkScores = (20 until 40).map(i => scored(i.toLong))
+    assert(cleanScores.forall(_._2), s"every clean doc must score >= 1/2: $cleanScores")
+    assert(junkScores.forall(!_._2), s"every junk doc must score < 1/2: $junkScores")
+    // the margin is real, not a knife-edge rounding artifact (3 epochs at
+    // lr 4/n move scores ~1e3 FP units per epoch around the FP/2 pivot)
+    assert(cleanScores.map(_._1).min > junkScores.map(_._1).max + QualityClassifier.FP / 100)
+  }
+
+  test("generalizes: held-out docs score on the right side") {
+    val model = QualityClassifier
+      .train(corpus, "doc_id", "text", col("label"), buckets = 256, epochs = 3)
+    val heldOut = Seq(
+      (100L, "the lazy dog naps by the quiet river under a brown tree", true),
+      (101L, "zz qqq zzzz xqx kk zzz wwww jjj zz qxq kkk zzzz", false)
+    ).toDF("doc_id", "text", "label")
+    val s = QualityClassifier.score(heldOut, "doc_id", "text", col("label"), model)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    assert(s(100L) && !s(101L), s"held-out separation failed: $s")
+  }
+
+  test("training is partitioning-independent (fixed-point exactness)") {
+    val a = QualityClassifier
+      .train(corpus.repartition(1), "doc_id", "text", col("label"), 256, 3)
+    val b = QualityClassifier
+      .train(corpus.repartition(7, col("text")), "doc_id", "text", col("label"), 256, 3)
+    assert(a.weights.sameElements(b.weights),
+      "weights must be bit-identical at any partitioning")
+    assert(a.weights.exists(_ != 0L), "training must actually move weights")
+  }
+
+  test("guards: empty corpus, bad lr, gradient bound message") {
+    val e = intercept[IllegalArgumentException] {
+      QualityClassifier.train(corpus.limit(0), "doc_id", "text", col("label"), 16, 1)
+    }
+    assert(e.getMessage.contains("empty corpus"))
+    val lr = intercept[IllegalArgumentException] {
+      QualityClassifier.train(corpus, "doc_id", "text", col("label"), 16, 1, lrNum = 9L)
+    }
+    assert(lr.getMessage.contains("lrNum"))
+  }
+
+  test("docs shorter than one trigram still score via the bias feature") {
+    val tiny = Seq((1L, "ab", true), (2L, "xy", false)).toDF("doc_id", "text", "label")
+    val model = QualityClassifier.Model(Array.fill(17)(0L), 16)
+    val s = QualityClassifier.score(tiny, "doc_id", "text", col("label"), model)
+      .as[(Long, Long, Boolean)].collect()
+    // zero weights ⇒ margin 0 ⇒ exactly FP/2 for both rows
+    assert(s.length == 2 && s.forall(_._2 == QualityClassifier.FP / 2))
+  }
+}

@@ -738,8 +738,39 @@ object QueriesCuration {
       .orderBy(col("doc_id")),
     Some(qualityClfSql(3)))
 
+  /** AHO–CORASICK BLOCKLIST FILTER ([[graft.operators.Blocklist]]): per
+    * document, the sorted-distinct blocklisted terms it contains, their
+    * count, and the drop flag — C4-style badword gating as ONE scan
+    * stage (the `ac_matches` codegen automaton walks each row once
+    * regardless of lexicon size; BlocklistSpec proves the plan shape).
+    * The planted lexicon exercises the automaton's hard cases — nested
+    * suffixes (`scan`/`can`/`an`), a shared prefix pair (`tab`/`table`),
+    * a cross-word phrase with a space (`fast sort`), an embedded term
+    * (`que` inside `query`), and an absent term (`xyzzy`). The oracle
+    * mirrors with a bounded OR-of-`contains` over the same planted
+    * lexicon — valid only because the oracle's lexicon is tiny; the
+    * Spark plan's whole point is that it does NOT scale with lexicon
+    * size. */
+  private val qBlocklistFilter = Q(
+    (s, d) => graft.operators.Blocklist
+      .audit(t(s, d, "documents"), "doc_id", "text",
+        Seq("an", "can", "fast sort", "merge", "que", "scan", "tab",
+          "table", "xyzzy"))
+      .select(col("doc_id"), array_join(col("hits"), "|").as("hits_str"),
+        col("n_hits"), col("blocked"))
+      .orderBy(col("doc_id")),
+    Some("WITH pats(p) AS (VALUES ('an'), ('can'), ('fast sort'), ('merge'), " +
+      "('que'), ('scan'), ('tab'), ('table'), ('xyzzy')), " +
+      "m AS (SELECT d.doc_id, p FROM documents d, pats WHERE contains(lower(d.text), p)), " +
+      "h AS (SELECT doc_id, string_agg(p, '|' ORDER BY p) AS hits_str, " +
+      "CAST(count(*) AS INT) AS n_hits FROM m GROUP BY doc_id) " +
+      "SELECT d.doc_id, COALESCE(h.hits_str, '') AS hits_str, " +
+      "COALESCE(h.n_hits, 0) AS n_hits, COALESCE(h.n_hits, 0) > 0 AS blocked " +
+      "FROM documents d LEFT JOIN h USING (doc_id) ORDER BY doc_id"))
+
   val registry: Seq[(String, Q)] = Seq(
     "q_quality_clf" -> qQualityClf,
+    "q_blocklist_filter" -> qBlocklistFilter,
     "q_expectations" -> qExpectations,
     "q_k_anonymize" -> qKAnonymize,
     "q_l_diversity" -> qLDiversity,

@@ -106,7 +106,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => DeflateRatio(exprs(0))),
     (FunctionIdentifier("int8_quantize"),
       new ExpressionInfo(classOf[Int8Quantize].getName, "int8_quantize"),
-      (exprs: Seq[Expression]) => Int8Quantize(exprs(0))))
+      (exprs: Seq[Expression]) => Int8Quantize(exprs(0))),
+    (FunctionIdentifier("ac_matches"),
+      new ExpressionInfo(classOf[AcMatches].getName, "ac_matches"),
+      (exprs: Seq[Expression]) => AcMatches(exprs(0), exprs(1))))
 
   /** Idempotent per-session registration (for library callers that don't
     * control session construction). */

@@ -768,9 +768,109 @@ object QueriesCuration {
       "COALESCE(h.n_hits, 0) AS n_hits, COALESCE(h.n_hits, 0) > 0 AS blocked " +
       "FROM documents d LEFT JOIN h USING (doc_id) ORDER BY doc_id"))
 
+  /** DP-unroll bound of the unigram-LM oracle: positions 1..12 are
+    * unrolled as CTEs, so the oracle covers words up to 12 chars; the
+    * Spark query REQUIRES the training corpus fits (the expression
+    * itself handles any length). */
+  private val UniMaxLen = 12
+  private val UniMaxPiece = 4
+
+  /** One unrolled Viterbi pass under cost table `ct`: CTEs `v{n}_0..12`,
+    * each position keeping the arg-min (cost, np, path) state over the
+    * ≤ [[UniMaxPiece]] pieces that could end there —
+    * `row_number() OVER (ORDER BY cost, np, path)` IS the codec's
+    * tie-break. `seg{n}` reads each word's state at its own length. */
+  private def uniViterbi(n: Int, ct: String): String = {
+    def pos(j: Int): String = {
+      val branches = (1 to math.min(UniMaxPiece, j)).map { l =>
+        s"SELECT s.w, s.f, s.cost + c.cost AS cost, s.np + 1 AS np, " +
+          s"CASE WHEN s.path = '' THEN c.p ELSE s.path || '|' || c.p END AS path " +
+          s"FROM v${n}_${j - l} s JOIN $ct c ON c.p = substring(s.w, ${j - l + 1}, $l) " +
+          s"WHERE length(s.w) >= $j"
+      }.mkString(" UNION ALL ")
+      s"v${n}_$j AS (SELECT w, f, cost, np, path FROM (" +
+        "SELECT w, f, cost, np, path, " +
+        "row_number() OVER (PARTITION BY w ORDER BY cost, np, path) AS rn " +
+        s"FROM ($branches) cands) rk WHERE rn = 1)"
+    }
+    s"v${n}_0 AS (SELECT w, f, CAST(0 AS BIGINT) AS cost, 0 AS np, '' AS path FROM w0), " +
+      (1 to UniMaxLen).map(pos).mkString(", ") + ", " +
+      s"seg$n AS MATERIALIZED (SELECT w, f, np, path FROM (" +
+      (1 to UniMaxLen).map(j => s"SELECT w, f, np, path, $j AS j FROM v${n}_$j")
+        .mkString(" UNION ALL ") +
+      ") u WHERE j = length(w))"
+  }
+
+  /** Requantized cost table after a recount: vocabulary narrows to the
+    * pieces the round's segmentations used; single chars never die
+    * (frequency floor 1 — the coverage guarantee). */
+  private def uniRecount(n: Int, prevC: String): String =
+    s"f$n AS (SELECT unnest(string_split(path, '|')) AS p, f FROM seg$n), " +
+      s"f${n}g AS (SELECT p, CAST(SUM(f) AS BIGINT) AS fr FROM f$n GROUP BY p), " +
+      s"c$n AS MATERIALIZED (SELECT p, 64 - (length(bin(fr)) - 1) AS cost FROM (" +
+      s"SELECT $prevC.p, COALESCE(f${n}g.fr, " +
+      s"CASE WHEN length($prevC.p) = 1 THEN 1 ELSE 0 END) AS fr " +
+      s"FROM $prevC LEFT JOIN f${n}g ON $prevC.p = f${n}g.p) WHERE fr >= 1)"
+
+  /** Oracle for [[qUnigramTok]]: replays the ENTIRE trajectory —
+    * substring seeding, 2 hard-EM rounds (Viterbi E-step + recount
+    * M-step), and the final per-word Viterbi — in exact integer
+    * arithmetic (costs are `64 − ⌊log₂ f⌋` via `length(bin(f)) − 1`),
+    * then reads each document's encoding off the final per-word
+    * segmentation, BPE-oracle style (valid because the eval corpus IS
+    * the training corpus). */
+  private lazy val UnigramTokSql: String =
+    "WITH toks AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w FROM documents), " +
+      "w0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f FROM toks WHERE w <> '' GROUP BY w), " +
+      s"sl AS (SELECT w, f, unnest(range(1, ${UniMaxPiece + 1})) AS l FROM w0), " +
+      "sp AS (SELECT w, f, l, unnest(range(1, length(w) - l + 2)) AS s FROM sl WHERE l <= length(w)), " +
+      "seed AS MATERIALIZED (SELECT substring(w, CAST(s AS INT), CAST(l AS INT)) AS p, " +
+      "CAST(SUM(f) AS BIGINT) AS fr FROM sp GROUP BY 1), " +
+      "c0 AS MATERIALIZED (SELECT p, 64 - (length(bin(fr)) - 1) AS cost FROM seed), " +
+      uniViterbi(1, "c0") + ", " + uniRecount(1, "c0") + ", " +
+      uniViterbi(2, "c1") + ", " + uniRecount(2, "c1") + ", " +
+      uniViterbi(3, "c2") + ", " +
+      "docw AS (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS ord FROM (" +
+      "SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS arr FROM documents)), " +
+      "occ AS (SELECT doc_id, ord, arr[ord] AS w FROM docw WHERE arr[ord] <> ''), " +
+      "enc AS (SELECT o.doc_id, o.ord, s.np, s.path FROM occ o JOIN seg3 s ON o.w = s.w), " +
+      "agg AS (SELECT doc_id, CAST(SUM(np) AS INT) AS n_pieces, " +
+      "string_agg(path, '|' ORDER BY ord) AS pieces_str FROM enc GROUP BY doc_id) " +
+      "SELECT d.doc_id, COALESCE(a.n_pieces, 0) AS n_pieces, " +
+      "COALESCE(a.pieces_str, '') AS pieces_str " +
+      "FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"
+
+  /** UNIGRAM-LM TOKENIZATION ([[graft.operators.UnigramLm]]): train a
+    * SentencePiece-style piece table by 2 integer-exact hard-EM rounds
+    * over the corpus' word-frequency table (distributed stats,
+    * vocabulary-bounded driver iteration — the [[qBpeEncode]] contract),
+    * then Viterbi-encode every document in the scan stage via the
+    * `unigram_encode` codegen expression. HASH-GREEN the way
+    * q_bpe_encode is: the oracle replays seeding, both EM rounds, and
+    * the final segmentation as unrolled CTEs. The driver-side `require`
+    * keeps the gate honest: the oracle's DP unroll covers words ≤
+    * [[UniMaxLen]] chars, so a corpus that outgrows it fails LOUDLY
+    * instead of hash-drifting. Pieces are emitted pipe-joined so the
+    * gate hashes a flat deterministic column. */
+  private val qUnigramTok = Q(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val model = graft.operators.UnigramLm.train(
+        docs, "text", maxPieceLen = UniMaxPiece, rounds = 2)
+      require(model.maxWordLen <= UniMaxLen,
+        s"q_unigram_tok: corpus word of length ${model.maxWordLen} exceeds " +
+          s"the oracle's $UniMaxLen-position DP unroll")
+      graft.operators.UnigramLm.encode(docs, "doc_id", "text", model)
+        .select(col("doc_id"), col("n_pieces"),
+          array_join(col("pieces"), "|").as("pieces_str"))
+        .orderBy(col("doc_id"))
+    },
+    Some(UnigramTokSql))
+
   val registry: Seq[(String, Q)] = Seq(
     "q_quality_clf" -> qQualityClf,
     "q_blocklist_filter" -> qBlocklistFilter,
+    "q_unigram_tok" -> qUnigramTok,
     "q_expectations" -> qExpectations,
     "q_k_anonymize" -> qKAnonymize,
     "q_l_diversity" -> qLDiversity,

@@ -109,7 +109,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => Int8Quantize(exprs(0))),
     (FunctionIdentifier("ac_matches"),
       new ExpressionInfo(classOf[AcMatches].getName, "ac_matches"),
-      (exprs: Seq[Expression]) => AcMatches(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => AcMatches(exprs(0), exprs(1))),
+    (FunctionIdentifier("unigram_encode"),
+      new ExpressionInfo(classOf[UnigramEncode].getName, "unigram_encode"),
+      (exprs: Seq[Expression]) => UnigramEncode(exprs(0), exprs(1), exprs(2))))
 
   /** Idempotent per-session registration (for library callers that don't
     * control session construction). */

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Profiling aid for the incremental near-dup sink's SMALL-batch regime
+  * (VERDICT r12 item 7): drives the sf0.1 documents corpus through the
+  * sink in 1.25k-doc batches with GRAFT_ND_DEBUG-style stage marks and
+  * prints per-batch walls plus the Spark-UI-free stage census (number of
+  * jobs/stages per batch via a SparkListener) — the data for deciding
+  * which fixed cost to attack. Not part of any gate. */
+object ProfileNearDup {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("GRAFT_ND_AQE", "true"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    @volatile var jobs = 0
+    @volatile var stages = 0
+    @volatile var tasks = 0
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs += 1; stages += j.stageInfos.size
+        if (sys.env.contains("GRAFT_ND_JOBS"))
+          System.err.println(s"[ndprof-job] ${j.jobId}: " +
+            j.stageInfos.map(s => s"${s.name.takeWhile(_ != '\n').take(60)}(${s.numTasks})")
+              .mkString(" | "))
+      }
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        tasks += 1
+    })
+
+    val docs = Tables.load(spark, sfDir, "documents").select($"doc_id", $"text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ndprof").toString
+    val docBatches = 4
+    def ingest(src: org.apache.spark.sql.DataFrame, state: String): Double = {
+      val t = System.nanoTime()
+      (0L until docBatches.toLong).foreach { b =>
+        val (j0, s0, t0) = (jobs, stages, tasks)
+        val tb = System.nanoTime()
+        graft.streaming.Streaming.incrementalNearDupSink("doc_id", "text", state)(
+          src.filter($"doc_id" % docBatches === b), b)
+        System.err.println(f"[ndprof] $state b$b: ${(System.nanoTime() - tb) / 1e9}%.2f s " +
+          s"jobs=${jobs - j0} stages=${stages - s0} tasks=${tasks - t0}")
+      }
+      (System.nanoTime() - t) / 1e9
+    }
+    ingest(docs.limit(500), s"$tmp/warm"): Unit
+    val runs = (1 to 2).map(i => ingest(docs, s"$tmp/state_$i"))
+    val pairs = spark.read.parquet(s"$tmp/state_1/pairs").count()
+    println(f"[ndprof] min wall ${runs.min}%.2f s => ${5000 / runs.min}%.0f docs/s, pairs=$pairs")
+    spark.stop()
+  }
+}

@@ -162,8 +162,21 @@ object Streaming {
     * 2.4× SLOWER at 20k-doc batches — the extra checkpoint jobs, cache
     * scans and statistics shuffles cost more than re-deriving keys from
     * the column-pruned parquet scan with the codegen'd
-    * [[graft.plans.BandKeys]]. */
-  private final case class NearDupTally(nDocs: Long, cumCand: Long)
+    * [[graft.plans.BandKeys]].
+    *
+    * `lastBatchId` (round 13) powers the FRESH-BATCH FAST PATH: every
+    * candidate pair contains at least one doc that entered the index
+    * THIS batch (probe keys come only from staged-new docs, and new docs
+    * were anti-joined against the index), so on a batch that is provably
+    * not a replay — tally present from an unbroken run AND batchId
+    * strictly above the last committed one — a discovered pair CANNOT
+    * already exist in the pairs table, and the dedupe anti-join (plus its
+    * pairs-table scan and broadcast build) is skipped. Every failure
+    * path drops the tally, and a rebuilt tally carries lastBatchId = −1,
+    * so a retry, restart, or crash-window replay always takes the
+    * conservative anti-join — the exactly-once specs pin this. */
+  private final case class NearDupTally(nDocs: Long, cumCand: Long,
+                                        lastBatchId: Long = -1L)
   private val nearDupTallies =
     new java.util.concurrent.ConcurrentHashMap[String, NearDupTally]()
   /** Test seam: simulate a process restart (tallies lost, parquet kept). */
@@ -299,22 +312,51 @@ object Streaming {
       sigs.select(col(idCol), explode(call_function("band_keys",
         col("sig"), lit(bands), lit(rowsPerBand))).as("band_key"))
     try {
-      val st = Option(nearDupTallies.get(stateDir)).getOrElse {
+      val stOpt = Option(nearDupTallies.get(stateDir))
+      val st = stOpt.getOrElse {
         // rebuild (first call in this process, or after a failure): exact
         // doc count from the sigs table, candidate floor from the pairs
         // table; orphaned staging from dead processes is dead weight —
-        // every live batch overwrites its own staging path first
+        // every live batch overwrites its own staging path first.
+        // lastBatchId stays -1: an unknown history must take the
+        // conservative (anti-joined) pairs path.
         fs.delete(new org.apache.hadoop.fs.Path(stagingRoot), true): Unit
         NearDupTally(
           if (stateExists(spark, sigsDir)) spark.read.parquet(sigsDir).count() else 0L,
           if (stateExists(spark, pairsDir)) spark.read.parquet(pairsDir).count() else 0L)
       }
+      // fresh-batch fast path (see NearDupTally scaladoc): provably not a
+      // replay => a new pair cannot already be persisted, skip the dedupe
+      // anti-join and never even list the pairs table this batch
+      val freshBatch = stOpt.isDefined && batchId > st.lastBatchId
+      // explicit schemas on every state/staged read: a schema-less
+      // spark.read.parquet runs a footer-inference JOB per call — two
+      // pure-overhead jobs per micro-batch at small batch sizes. Both
+      // schemas derive from the batch itself (no hardcoded types): the
+      // sigs schema is the staged projection's own analyzed schema
+      import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+      val sigSchema = batch
+        .select(col(idCol), col(textCol),
+          call_function("minhash_sig",
+            graft.operators.Dedup.shingleSet(col(textCol), ngram),
+            lit(bands * rowsPerBand)).as("sig"))
+        .schema
+      val idType = sigSchema(idCol).dataType
+      val pairSchema = StructType(Seq(
+        StructField("doc_a", idType), StructField("doc_b", idType),
+        StructField("jaccard", DoubleType)))
       val sigsState = if (stateExists(spark, sigsDir))
-        Some(spark.read.parquet(sigsDir)) else None
-      val pairsState = if (stateExists(spark, pairsDir))
-        Some(spark.read.parquet(pairsDir)) else None
+        Some(spark.read.schema(sigSchema).parquet(sigsDir)) else None
+      val pairsState = if (!freshBatch && stateExists(spark, pairsDir))
+        Some(spark.read.schema(pairSchema).parquet(pairsDir)) else None
       val incoming = graft.operators.Ops.dedupFirstWins(
-        batch.select(col(idCol), col(textCol)), Seq(idCol), Seq(col(textCol)))
+        batch.select(col(idCol), col(textCol))
+          // pinned to the cluster's width FIRST: the dedupe window and the
+          // (broadcast) index anti-join then reuse this one exchange, and
+          // the minhash projection — the sink's real CPU — inherits the
+          // spread (the previous shape re-exchanged after the window)
+          .repartition(spark.sparkContext.defaultParallelism, col(idCol)),
+        Seq(idCol), Seq(col(textCol)))
       // job 1 — STAGE. The repartition pins the signature compute to the
       // cluster's width: minhash is the sink's real CPU, and without it a
       // large batch coalesces to however few partitions the source (or
@@ -326,7 +368,6 @@ object Streaming {
       obs.expect(obsNew)
       sigsState.fold(incoming)(s =>
           incoming.join(s.select(col(idCol)), Seq(idCol), "left_anti"))
-        .repartition(spark.sparkContext.defaultParallelism, col(idCol))
         .select(col(idCol), col(textCol),
           call_function("minhash_sig",
             graft.operators.Dedup.shingleSet(col(textCol), ngram),
@@ -338,11 +379,12 @@ object Streaming {
         .getOrElse(spark.read.parquet(staged).count())
       if (nNew == 0L) {
         fs.delete(new org.apache.hadoop.fs.Path(staged), true): Unit
-        nearDupTallies.put(stateDir, st)
+        nearDupTallies.put(stateDir,
+          st.copy(lastBatchId = math.max(batchId, st.lastBatchId)))
         return
       }
       val nDocs = st.nDocs + nNew
-      val newSigs = spark.read.parquet(staged)
+      val newSigs = spark.read.schema(sigSchema).parquet(staged)
       val newKeys = keysOf(newSigs)
       val allSigs = sigsState.fold(newSigs)(newSigs.unionByName(_))
       val allKeys = keysOf(allSigs)
@@ -401,15 +443,24 @@ object Streaming {
         .filter(col("ka") =!= col("kb"))
         .select(least(col("ka"), col("kb")).as("doc_a"),
           greatest(col("ka"), col("kb")).as("doc_b"))
-        .distinct()
-        .observe(obsCand, count(lit(1)).as("n"))
       // exact-Jaccard verify over the candidates' shingle ARRAYS in ONE
       // index scan: each pair melts into (pair, side, doc) rows, the melt
-      // broadcast-joins the corpus once, shingles are computed only for
-      // join survivors (candidate docs — 2·|cand| computations, never the
-      // whole index), and a per-pair regroup reassembles the two arrays.
-      // Arithmetic is identical to the batch twin's exploded form (both
-      // count DISTINCT shared shingles over shingleSet tokenization).
+      // broadcast-joins the corpus once, and a per-pair regroup both
+      // DEDUPES multi-band collisions and reassembles the two sides —
+      // collapsing what used to be a separate pre-scoring distinct()
+      // exchange into the aggregation's own (round 13: one fewer AQE
+      // stage per batch; at the small operating point the wall is almost
+      // pure stage scheduling). The regroup carries raw TEXT, not
+      // shingle arrays, so shingles are still computed exactly twice per
+      // unique pair — AFTER the aggregation; the trade is shuffling a
+      // pair's text once per colliding band (≤ `bands`×) instead of
+      // paying the extra exchange. The candidate count the cumulative
+      // gate audits is observed on the aggregated (distinct-pair) rows,
+      // BEFORE the jaccard filter — identical to the old distinct count,
+      // because both ids of every candidate are present in allSigs by
+      // construction. Arithmetic is identical to the batch twin's
+      // exploded form (both count DISTINCT shared shingles over
+      // shingleSet tokenization).
       val melt = cand.select(col("doc_a"), col("doc_b"),
           explode(array(
             struct(lit("a").as("side"), col("doc_a").as("doc")),
@@ -418,18 +469,23 @@ object Streaming {
           col("m.side").as("side"), col("m.doc").as(idCol))
       val verified = melt
         .join(allSigs.select(col(idCol), col(textCol)), Seq(idCol))
-        .select(col("doc_a"), col("doc_b"), col("side"),
-          graft.operators.Dedup.shingleSet(col(textCol), ngram).as("sh"))
-        // exactly one 'a' row and one 'b' row per pair, so first() over the
-        // side-filtered column is deterministic
+        // duplicate (pair, side) rows from multi-band collisions carry
+        // the SAME doc text, so first() stays deterministic
         .groupBy(col("doc_a"), col("doc_b"))
-        .agg(first(when(col("side") === "a", col("sh")), ignoreNulls = true).as("sh_a"),
-          first(when(col("side") === "b", col("sh")), ignoreNulls = true).as("sh_b"))
+        .agg(first(when(col("side") === "a", col(textCol)), ignoreNulls = true).as("t_a"),
+          first(when(col("side") === "b", col(textCol)), ignoreNulls = true).as("t_b"))
+        .observe(obsCand, count(lit(1)).as("n"))
+        .select(col("doc_a"), col("doc_b"),
+          graft.operators.Dedup.shingleSet(col("t_a"), ngram).as("sh_a"),
+          graft.operators.Dedup.shingleSet(col("t_b"), ngram).as("sh_b"))
         .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
         .withColumn("jaccard", col("inter").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
         .filter(col("jaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      // freshBatch => pairsState is None by construction and `verified`
+      // appends directly; otherwise (retry/restart/replay) the anti-join
+      // drops pairs a crashed predecessor already persisted
       val freshPairs = pairsState.fold(verified)(p =>
         verified.join(p.select(col("doc_a"), col("doc_b")),
           Seq("doc_a", "doc_b"), "left_anti"))
@@ -439,7 +495,8 @@ object Streaming {
       freshPairs.write.mode("append").parquet(pairsDir)
       mark("pairs-write")
       val cumCand = st.cumCand +
-        obs.await(obsCand, 10000).map(_.getLong(0)).getOrElse(cand.count())
+        obs.await(obsCand, 10000).map(_.getLong(0))
+          .getOrElse(cand.distinct().count())
       maxCandidatesPerDoc.foreach { f =>
         if (cumCand > f * nDocs) throw new IllegalStateException(
           s"incrementalNearDupSink: the exact post-join candidate volume " +
@@ -458,7 +515,8 @@ object Streaming {
       }
       fs.delete(new org.apache.hadoop.fs.Path(staged), true): Unit
       mark("commit")
-      nearDupTallies.put(stateDir, NearDupTally(nDocs, cumCand))
+      nearDupTallies.put(stateDir,
+        NearDupTally(nDocs, cumCand, math.max(batchId, st.lastBatchId)))
     } catch { case e: Throwable => nearDupTallies.remove(stateDir); throw e }
   }
 

@@ -214,7 +214,24 @@ object ScaleProbe {
     // rouge2: one row per lang-adjacent pair = n_docs − n_langs, so x10
     // up to the constant lang-count offset (4995 → 49995); cost is the
     // melted bigram count aggregation, linear in corpus tokens.
-    "q_rouge2")
+    "q_rouge2",
+    // round-13 additions. quality_clf: one output row per doc (x10
+    // exact); the ~r<r> token suffixes change the char-3-gram feature
+    // distribution, so the LEARNED weights legitimately differ from the
+    // base corpus's — contract is row parity + linear cost (features are
+    // one explode + one agg, each epoch two bounded jobs over the
+    // checkpointed doc-key-partitioned feature table, driver state =
+    // buckets+1 rows). blocklist: one row per doc (x10 exact), one
+    // automaton scan per row — hit VALUES differ per replica because the
+    // suffixes break the cross-word 'fast sort' phrase, which is the
+    // point (substring semantics survive, phrase semantics change with
+    // the text). unigram_tok: one row per doc (x10 exact); replica
+    // suffixes multiply the vocabulary x10 (~r<r> words are new), which
+    // scales the driver-side EM with the VOCABULARY (the Bpe contract,
+    // 310 words here) while the encode stays one codegen Viterbi per
+    // row; suffixed words top out at 11 chars, inside the oracle-bound
+    // require(maxWordLen <= 12) the query enforces.
+    "q_quality_clf", "q_blocklist_filter", "q_unigram_tok")
 
   /** Linear-COST families whose OUTPUT is not union-composable, so "rows
     * x10 exact" is unachievable by any replica synthesis and row parity is

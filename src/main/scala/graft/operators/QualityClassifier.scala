@@ -30,13 +30,16 @@ import org.apache.spark.sql.functions._
   * `buckets`-bounded).
   *
   * Scale shape:
-  *  - FEATURES are built once: explode to char-3-gram grain (map-only),
-  *    hash to `buckets` cells via the repo's portable md5 bucket
-  *    ([[Dsir.featureBucket]]), ONE partial+final aggregation to
-  *    (doc, bucket, count) grain — shuffled rows are bounded by
-  *    docs·min(grams, buckets), not corpus characters — then the frame is
-  *    repartitioned by doc and localCheckpoint'ed so every epoch re-scans
-  *    a materialized narrow table co-located on the doc key.
+  *  - FEATURES are built once, in ONE map-only projection: the
+  *    [[graft.plans.CharGramBuckets]] codegen expression emits each
+  *    doc's bucket histogram pre-aggregated (same portable md5 bucket as
+  *    [[Dsir.featureBucket]], bit-identical to the oracle's), the gram
+  *    total is just `length − 2`, and the bias entry concatenates onto
+  *    the list — no corpus-character-sized explode, no (doc, bucket)
+  *    aggregation, no joins. The exploded (doc, bucket, x, y) frame —
+  *    bounded by docs·min(grams, buckets+1) rows — is repartitioned by
+  *    doc and localCheckpoint'ed so every epoch re-scans a materialized
+  *    narrow table co-located on the doc key.
   *  - Each EPOCH is two bounded jobs off that table: margins = one
   *    exchange-free aggregation on the doc key (weights ship as a
   *    `buckets`-sized literal array inside the projection — index
@@ -76,24 +79,31 @@ object QualityClassifier {
     * the scoring pass all re-scan this one materialized table. */
   private def featureFrame(df: DataFrame, id: String, text: String,
                            label: Column, buckets: Int): DataFrame = {
-    val t0 = df.select(col(id).as("__id"), lower(col(text)).as("__t"),
-      when(label, lit(FP)).otherwise(lit(0L)).as("__y"))
-    val grams = t0.filter(length(col("__t")) >= 3)
-      .select(col("__id"),
-        explode(sequence(lit(1), length(col("__t")) - 2)).as("__pos"),
-        col("__t"))
-      .select(col("__id"), expr("substring(__t, __pos, 3)").as("__gram"))
-    val cnts = grams
-      .groupBy(col("__id"), Dsir.featureBucket(col("__gram"), buckets).as("__b"))
-      .agg(count(lit(1)).as("__cnt"))
-    val tots = cnts.groupBy(col("__id")).agg(sum(col("__cnt")).as("__tot"))
-    val x = cnts.join(tots, "__id")
-      .select(col("__id"), col("__b"),
-        floor(col("__cnt").cast("double") * lit(100000.0)
-          / col("__tot").cast("double")).as("__x"))
-      .unionByName(t0.select(col("__id"), lit(buckets.toLong).as("__b"),
-        lit(FP).as("__x")))
-    x.join(t0.select(col("__id"), col("__y")), "__id")
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    // histograms are born per-doc-aggregated in ONE codegen pass
+    // (graft.plans.CharGramBuckets) — the relational form exploded a row
+    // per character into a corpus-sized (doc, bucket) aggregation, plus
+    // a totals aggregation and two joins; here the total gram count is
+    // just length-2 and the bias entry concatenates onto the entry list,
+    // so the whole table is a single map-only projection
+    val gb = coalesce(
+      call_function("char_gram_buckets", col("__t"), lit(3), lit(buckets)),
+      typedlit(Seq.empty[(Long, Long)])
+        .cast("array<struct<b:bigint,cnt:bigint>>"))
+    // the bias rides the entry list as bucket `buckets` (cnt unused); x is
+    // computed per EXPLODED row — no arithmetic inside a HOF lambda, where
+    // it would re-evaluate per element
+    val entries = concat(gb, array(struct(lit(buckets.toLong).as("b"), lit(0L).as("cnt"))))
+    df.select(col(id).as("__id"),
+        when(label, lit(FP)).otherwise(lit(0L)).as("__y"),
+        lower(col(text)).as("__t"))
+      .select(col("__id"), col("__y"),
+        greatest(length(col("__t")) - 2, lit(0)).cast("double").as("__tot"),
+        explode(entries).as("__e"))
+      .select(col("__id"), col("__y"), col("__e.b").as("__b"),
+        when(col("__e.b") === buckets.toLong, lit(FP))
+          .otherwise(floor(col("__e.cnt").cast("double") * lit(100000.0) / col("__tot")))
+          .as("__x"))
       .repartition(col("__id"))
       .localCheckpoint()
   }
@@ -115,12 +125,15 @@ object QualityClassifier {
     * epoch at call time; per-epoch driver state is the buckets+1-row
     * gradient — bounded model metadata. */
   def train(df: DataFrame, id: String, text: String, label: Column,
-            buckets: Int = 1024, epochs: Int = 3, lrNum: Long = 4L): Model = {
+            buckets: Int = 1024, epochs: Int = 3, lrNum: Long = 4L): Model =
+    trainOnFeats(featureFrame(df, id, text, label, buckets), df.count(),
+      buckets, epochs, lrNum)
+
+  private def trainOnFeats(feats: DataFrame, n: Long, buckets: Int,
+                           epochs: Int, lrNum: Long): Model = {
     require(buckets > 0 && epochs > 0, s"need buckets/epochs > 0, got $buckets/$epochs")
     require(lrNum >= 1L && lrNum <= 8L,
       s"lrNum must be in [1, 8] (exactness bound: lrNum·|G| < 2^53), got $lrNum")
-    val feats = featureFrame(df, id, text, label, buckets)
-    val n = feats.select(col("__id")).distinct().count()
     require(n > 0, "QualityClassifier.train: empty corpus")
     val w = Array.fill(buckets + 1)(0L)
     for (_ <- 1 to epochs) {
@@ -152,16 +165,23 @@ object QualityClassifier {
     * units and pred = score_fp ≥ FP/2. One feature pass + one doc-key
     * aggregation; the model rides as a literal array. */
   def score(df: DataFrame, id: String, text: String, label: Column,
-            model: Model): DataFrame = {
-    val feats = featureFrame(df, id, text, label, model.buckets)
+            model: Model): DataFrame =
+    scoreFeats(featureFrame(df, id, text, label, model.buckets), id, model)
+
+  private def scoreFeats(feats: DataFrame, id: String, model: Model): DataFrame =
     feats.groupBy(col("__id"))
       .agg(marginCol(model.weights).as("__mraw"))
       .select(col("__id").as(id), pCol(col("__mraw")).as("score_fp"))
       .withColumn("pred", col("score_fp") >= lit(FP / 2))
-  }
 
-  /** train + score on the same corpus — the self-contained gate form. */
+  /** train + score on the same corpus — the self-contained gate form.
+    * The checkpointed feature table is built ONCE and shared between the
+    * training epochs and the scoring pass (a separate train + score pays
+    * the gram explode, hash aggregation, and checkpoint twice). */
   def trainScore(df: DataFrame, id: String, text: String, label: Column,
-                 buckets: Int = 1024, epochs: Int = 3): DataFrame =
-    score(df, id, text, label, train(df, id, text, label, buckets, epochs))
+                 buckets: Int = 1024, epochs: Int = 3): DataFrame = {
+    val feats = featureFrame(df, id, text, label, buckets)
+    scoreFeats(feats, id,
+      trainOnFeats(feats, df.count(), buckets, epochs, lrNum = 4L))
+  }
 }

@@ -112,7 +112,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => AcMatches(exprs(0), exprs(1))),
     (FunctionIdentifier("unigram_encode"),
       new ExpressionInfo(classOf[UnigramEncode].getName, "unigram_encode"),
-      (exprs: Seq[Expression]) => UnigramEncode(exprs(0), exprs(1), exprs(2))))
+      (exprs: Seq[Expression]) => UnigramEncode(exprs(0), exprs(1), exprs(2))),
+    (FunctionIdentifier("char_gram_buckets"),
+      new ExpressionInfo(classOf[CharGramBuckets].getName, "char_gram_buckets"),
+      (exprs: Seq[Expression]) => CharGramBuckets(exprs(0), exprs(1), exprs(2))))
 
   /** Idempotent per-session registration (for library callers that don't
     * control session construction). */

@@ -1,0 +1,128 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: a document's HASHED CHARACTER-N-GRAM
+  * BUCKET HISTOGRAM in one scan-stage pass — the feature extractor of
+  * [[graft.operators.QualityClassifier]].
+  *
+  * `char_gram_buckets(text, n, buckets)` → `array<struct<b:bigint,
+  * cnt:bigint>>`: for every position i, the n-char substring hashes into
+  * `buckets` cells via the repo's portable md5 construction (first 8 md5
+  * hex chars as an unsigned 32-bit integer, mod buckets — bit-identical
+  * to `conv(substring(md5(g),1,8),16,10) % buckets` and the DuckDB
+  * oracle's `('0x'||substr(md5(g),1,8))::BIGINT % buckets`), and the
+  * entry list comes back sorted by bucket. Texts shorter than n yield an
+  * empty array; NULL yields NULL.
+  *
+  * Why an expression: the relational form explodes a row per CHARACTER
+  * (corpus-character-sized shuffle into a (doc, bucket) aggregation) and
+  * pays one `Md5` expression evaluation — digest allocation included —
+  * per gram. Here the histogram accumulates in a bucket-sized local
+  * array per row with a thread-local reused digest, so the feature table
+  * is born pre-aggregated: the caller just explodes entries, and the
+  * corpus-sized groupBy disappears (measured: the q_quality_clf feature
+  * build dropped from ~2 s of its 4.3 s to scan speed at sf0.1).
+  */
+case class CharGramBuckets(text: Expression, n: Expression, buckets: Expression)
+    extends Expression {
+
+  override def children: Seq[Expression] = Seq(text, n, buckets)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (text.dataType, n.dataType, buckets.dataType) match {
+      case (StringType, IntegerType, IntegerType) if n.foldable && buckets.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "char_gram_buckets: expects (string, foldable int, foldable int), got " +
+          s"(${text.dataType.simpleString}, ${n.dataType.simpleString}, " +
+          s"${buckets.dataType.simpleString})")
+    }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("b", LongType, nullable = false),
+      StructField("cnt", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def prettyName: String = "char_gram_buckets"
+
+  @transient private lazy val hasher: GramHasher = {
+    val nv = n.eval().asInstanceOf[Int]
+    val bv = buckets.eval().asInstanceOf[Int]
+    require(nv >= 1 && bv >= 1, s"char_gram_buckets: need n/buckets >= 1, got $nv/$bv")
+    new GramHasher(nv, bv)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = text.eval(input)
+    if (v == null) null else hasher.histogram(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tGen = text.genCode(ctx)
+    val hRef = ctx.addReferenceObj("gramHasher", hasher, classOf[GramHasher].getName)
+    ev.copy(code = code"""
+      ${tGen.code}
+      boolean ${ev.isNull} = true;
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${tGen.isNull}) {
+        ${ev.value} = $hRef.histogram(${tGen.value});
+        ${ev.isNull} = false;
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(text = newChildren(0), n = newChildren(1), buckets = newChildren(2))
+}
+
+/** The per-row kernel. Thread-local digest: expression reference objects
+  * are shared across an executor's concurrently-running tasks, and
+  * MessageDigest is not thread-safe. */
+final class GramHasher(n: Int, buckets: Int) extends Serializable {
+
+  @transient private lazy val md =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 4 digest bytes as the unsigned 32-bit value the portable hash
+    * construction reads off the first 8 hex chars. */
+  private def bucketOf(gram: String): Int = {
+    val digest = md.get()
+    digest.reset()
+    val d = digest.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (u % buckets).toInt
+  }
+
+  def histogram(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val counts = new Array[Long](buckets)
+    var nonzero = 0
+    var i = 0
+    while (i + n <= s.length) {
+      val b = bucketOf(s.substring(i, i + n))
+      if (counts(b) == 0L) nonzero += 1
+      counts(b) += 1L
+      i += 1
+    }
+    val out = new Array[Any](nonzero)
+    var b = 0
+    var k = 0
+    while (b < buckets) {
+      if (counts(b) != 0L) {
+        out(k) = InternalRow(b.toLong, counts(b))
+        k += 1
+      }
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}

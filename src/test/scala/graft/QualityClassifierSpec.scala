@@ -75,6 +75,28 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(lr.getMessage.contains("lrNum"))
   }
 
+  test("char_gram_buckets ≡ the relational md5-bucket form") {
+    graft.plans.GraftFunctions.register(spark)
+    val texts = Seq("hello world", "aaa", "ab", "", "ünïcødé grams héré",
+      "the quick brown fox") ++
+      (1 to 30).map(i => scala.util.Random.javaRandomToRandom(
+        new java.util.Random(i)).alphanumeric.take(40).mkString)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+        explode(call_function("char_gram_buckets", $"text", lit(3), lit(64))).as("e"))
+      .select($"doc_id", $"e.b", $"e.cnt")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = df.select($"doc_id",
+        explode(sequence(lit(1), greatest(length($"text") - 2, lit(0)))).as("pos"), $"text")
+      .filter(length($"text") >= 3)
+      .select($"doc_id",
+        graft.operators.Dsir.featureBucket(expr("substring(text, pos, 3)"), 64).as("b"))
+      .groupBy($"doc_id", $"b").agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want, s"histogram mismatch: ${got.diff(want)} vs ${want.diff(got)}")
+  }
+
   test("docs shorter than one trigram still score via the bias feature") {
     val tiny = Seq((1L, "ab", true), (2L, "xy", false)).toDF("doc_id", "text", "label")
     val model = QualityClassifier.Model(Array.fill(17)(0L), 16)

@@ -681,7 +681,15 @@ object QueriesCuration {
     * epochs 2..E rebuild margins/predictions/gradients under the previous
     * weight table. Every value is an exact integer or an exact-double
     * floor division, so the trained scores hash-match bit-for-bit. */
-  private def qualityClfSql(epochs: Int): String = {
+  private def qualityClfSql(epochs: Int): String =
+    qualityClfCtes(epochs) + " " +
+      "SELECT doc_id, score_fp, score_fp >= 50000 AS pred FROM scored ORDER BY doc_id"
+
+  /** The shared training-replay prefix: WITH ... ends at `scored`
+    * (doc_id, score_fp) — the final-epoch scores of every document.
+    * [[qualityClfSql]] reads predictions off it; the PR-curve oracle
+    * aggregates it. */
+  private def qualityClfCtes(epochs: Int): String = {
     def upd(e: String, prevW: Option[String]): String = {
       val base = prevW.map(p => s"COALESCE($p.w, 0)").getOrElse("0")
       val join = prevW.map(p => s" LEFT JOIN $p USING (b)").getOrElse("")
@@ -715,9 +723,8 @@ object QueriesCuration {
       s"w1 AS MATERIALIZED (${upd("e1", None)}), " +
       (2 to epochs).map(epoch).mkString(", ") + ", " +
       s"ms AS (SELECT x.doc_id, CAST(SUM(COALESCE(w$epochs.w, 0) * x.x) AS BIGINT) AS mraw " +
-      s"FROM x LEFT JOIN w$epochs USING (b) GROUP BY x.doc_id) " +
-      s"SELECT doc_id, score_fp, score_fp >= 50000 AS pred FROM (" +
-      s"SELECT doc_id, ${pExpr("mraw")} AS score_fp FROM ms) ORDER BY doc_id"
+      s"FROM x LEFT JOIN w$epochs USING (b) GROUP BY x.doc_id), " +
+      s"scored AS (SELECT doc_id, ${pExpr("mraw")} AS score_fp FROM ms)"
   }
 
   /** TRAIN-AND-SCORE QUALITY CLASSIFIER
@@ -867,10 +874,44 @@ object QueriesCuration {
     },
     Some(UnigramTokSql))
 
+  /** CLASSIFIER PR-CURVE ([[graft.operators.Profiler.prCurve]]): the
+    * threshold-calibration sweep over the trained quality classifier's
+    * scores — train → score → calibrate as ONE gated plan (the
+    * [[qTokenizePack]] composition discipline). One row per distinct
+    * score with exact integer tp/fp/fn and the derived precision /
+    * recall / F1 (F1 from the raw counts, never the rounded ratios).
+    * The oracle extends the [[qualityClfCtes]] training replay with the
+    * same score-descending cumulative window. */
+  private val qClfPrCurve = Q(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val scored = graft.operators.QualityClassifier.trainScore(
+        docs, "doc_id", "text", label = col("lang") === "en",
+        buckets = 1024, epochs = 3)
+      graft.operators.Profiler.prCurve(
+          scored.join(docs.select(col("doc_id"), col("lang")), "doc_id"),
+          "score_fp", label = col("lang") === "en")
+        .orderBy(col("thr").desc)
+    },
+    Some(qualityClfCtes(3) + ", " +
+      "per AS (SELECT score_fp AS thr, " +
+      "CAST(SUM(CASE WHEN tl.y = 100000 THEN 1 ELSE 0 END) AS BIGINT) AS pos, " +
+      "CAST(SUM(CASE WHEN tl.y = 100000 THEN 0 ELSE 1 END) AS BIGINT) AS neg " +
+      "FROM scored JOIN tl USING (doc_id) GROUP BY 1), " +
+      "cum AS (SELECT thr, CAST(SUM(pos) OVER (ORDER BY thr DESC) AS BIGINT) AS tp, " +
+      "CAST(SUM(neg) OVER (ORDER BY thr DESC) AS BIGINT) AS fp, " +
+      "CAST(SUM(pos) OVER () AS BIGINT) AS tot FROM per) " +
+      "SELECT thr, tp, fp, tot - tp AS fn, " +
+      "round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS \"precision\", " +
+      "CASE WHEN tot > 0 THEN round(CAST(tp AS DOUBLE) / tot, 6) END AS recall, " +
+      "round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + tot - tp), 6) AS f1 " +
+      "FROM cum ORDER BY thr DESC"))
+
   val registry: Seq[(String, Q)] = Seq(
     "q_quality_clf" -> qQualityClf,
     "q_blocklist_filter" -> qBlocklistFilter,
     "q_unigram_tok" -> qUnigramTok,
+    "q_clf_pr_curve" -> qClfPrCurve,
     "q_expectations" -> qExpectations,
     "q_k_anonymize" -> qKAnonymize,
     "q_l_diversity" -> qLDiversity,

@@ -411,4 +411,40 @@ object Profiler {
       .withColumn("is_anomaly", coalesce(abs(col("z")) > zThresh, lit(false)))
       .select(col(group), col(t), col(x), col("z"), col("is_anomaly"))
   }
+
+  /** PRECISION-RECALL CURVE of a scored, labeled frame — the threshold
+    * calibration step between training a quality classifier and wiring
+    * its cutoff into a corpus gate (every deployed fastText-style filter
+    * publishes exactly this sweep). One row PER DISTINCT SCORE t:
+    * counts of the `score >= t` decision (tp/fp/fn), precision, recall,
+    * and F1 (computed directly as 2·tp/(2·tp+fp+fn) from the exact
+    * integer counts — never from the rounded p/r).
+    *
+    * The full curve costs ONE aggregation keyed by score plus a window
+    * over the DISTINCT-SCORE rows — bins, not rows (the
+    * [[graft.operators.Ops.histogramQuantiles]] contract): cumulative
+    * tp/fp at score t ≡ counts above threshold because the window runs
+    * score-descending. The single-partition window is bounded by the
+    * score domain (the fixed-point classifier emits ≤ FP+1 distinct
+    * values), never by the corpus. */
+  def prCurve(scored: DataFrame, score: String, label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("thr").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    scored
+      .groupBy(col(score).as("thr"))
+      .agg(sum(when(label, 1L).otherwise(0L)).as("__pos"),
+        sum(when(label, 0L).otherwise(1L)).as("__neg"))
+      .withColumn("tp", sum(col("__pos")).over(w))
+      .withColumn("fp", sum(col("__neg")).over(w))
+      .withColumn("fn", sum(col("__pos")).over(all) - col("tp"))
+      .select(col("thr"), col("tp"), col("fp"), col("fn"),
+        round(col("tp").cast("double") / (col("tp") + col("fp")), 6).as("precision"),
+        when(col("tp") + col("fn") > 0,
+          round(col("tp").cast("double") / (col("tp") + col("fn")), 6)).as("recall"),
+        round((lit(2L) * col("tp")).cast("double")
+          / (lit(2L) * col("tp") + col("fp") + col("fn")), 6).as("f1"))
+  }
 }

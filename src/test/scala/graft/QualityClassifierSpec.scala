@@ -97,6 +97,27 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(got == want, s"histogram mismatch: ${got.diff(want)} vs ${want.diff(got)}")
   }
 
+  test("prCurve: hand-computed sweep, exact counts, F1 from raw counts") {
+    // scores desc: 90(+) 80(-) 70(+) 70(+) 60(-)  => 3 pos, 2 neg
+    val df = Seq((90L, true), (80L, false), (70L, true), (70L, true), (60L, false))
+      .toDF("s", "y")
+    val got = graft.operators.Profiler.prCurve(df, "s", $"y")
+      .orderBy($"thr".desc)
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (90L, 1L, 0L, 2L, 1.0, round6(1.0 / 3), 0.5),
+      (80L, 1L, 1L, 2L, 0.5, round6(1.0 / 3), round6(2.0 / 5)),
+      (70L, 3L, 1L, 0L, 0.75, 1.0, round6(6.0 / 7)),
+      (60L, 3L, 2L, 0L, 0.6, 1.0, 0.75)), s"got $got")
+    // all-negative corpus: recall is null, precision still defined
+    val neg = graft.operators.Profiler.prCurve(
+        Seq((10L, false)).toDF("s", "y"), "s", $"y")
+      .select($"tp", $"recall").collect().head
+    assert(neg.getLong(0) == 0L && neg.isNullAt(1))
+  }
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("docs shorter than one trigram still score via the bias feature") {
     val tiny = Seq((1L, "ab", true), (2L, "xy", false)).toDF("doc_id", "text", "label")
     val model = QualityClassifier.Model(Array.fill(17)(0L), 16)

@@ -231,7 +231,12 @@ object ScaleProbe {
     // 310 words here) while the encode stays one codegen Viterbi per
     // row; suffixed words top out at 11 chars, inside the oracle-bound
     // require(maxWordLen <= 12) the query enforces.
-    "q_quality_clf", "q_blocklist_filter", "q_unigram_tok")
+    "q_quality_clf", "q_blocklist_filter", "q_unigram_tok",
+    // clf_pr_curve: train->score->calibrate as one plan. Output is BINS
+    // (one row per distinct fixed-point score, <= FP+1), not docs, so
+    // the contract is bounded output + linear cost — the per-score agg
+    // is the linear part; the descending window runs over bin rows only.
+    "q_clf_pr_curve")
 
   /** Linear-COST families whose OUTPUT is not union-composable, so "rows
     * x10 exact" is unachievable by any replica synthesis and row parity is

@@ -907,8 +907,43 @@ object QueriesCuration {
       "round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + tot - tp), 6) AS f1 " +
       "FROM cum ORDER BY thr DESC"))
 
+  /** KNESER–NEY PERPLEXITY GATE ([[graft.operators.TextAnalysis.knLogProb]]):
+    * the CCNet-style learned-LM filter — train interpolated-KN bigrams on
+    * the `lang = 'en'` reference slice, score EVERY document (en docs
+    * land near the model's own entropy; other languages and token soup
+    * fall to the uniform floor). The oracle rebuilds the entire
+    * estimator — pair counts, continuation/context distinct counts, the
+    * discount split, the uniform floor — formula-for-formula in SQL. */
+  private val qKnPerplexity = Q(
+    (s, d) => graft.operators.TextAnalysis.knLogProb(
+        t(s, d, "documents"), "doc_id", "text", ref = col("lang") === "en")
+      .orderBy(col("doc_id")),
+    Some("WITH w AS (SELECT doc_id, lang, " +
+      "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS ws " +
+      "FROM documents), " +
+      "bgall AS (SELECT doc_id, lang, unnest(list_slice(ws, 1, len(ws) - 1)) AS w1, " +
+      "unnest(list_slice(ws, 2, len(ws))) AS w2 FROM w WHERE len(ws) >= 2), " +
+      "bi AS (SELECT w1, w2, count(*) AS bcnt FROM bgall WHERE lang = 'en' GROUP BY 1, 2), " +
+      "ctx AS (SELECT w1, SUM(bcnt) AS c1, count(*) AS n1p_ctx FROM bi GROUP BY 1), " +
+      "pred AS (SELECT w2, count(*) AS n1p_pred FROM bi GROUP BY 1), " +
+      "tot AS (SELECT CAST(count(*) AS DOUBLE) AS t_bigrams FROM bi), " +
+      "vt AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v_train FROM " +
+      "(SELECT unnest(ws) AS tok FROM w WHERE lang = 'en')), " +
+      "sc AS (SELECT doc_id, bcnt, c1, n1p_ctx, " +
+      "CAST(coalesce(n1p_pred, 0) AS DOUBLE) / t_bigrams AS pcont, v_train " +
+      "FROM bgall LEFT JOIN bi USING (w1, w2) LEFT JOIN ctx USING (w1) " +
+      "LEFT JOIN pred USING (w2) CROSS JOIN tot CROSS JOIN vt), " +
+      "pr AS (SELECT doc_id, (1.0e0 - 0.1e0) * " +
+      "(CASE WHEN c1 IS NOT NULL THEN " +
+      "greatest(CAST(coalesce(bcnt, 0) AS DOUBLE) - 0.75e0, 0.0e0) / CAST(c1 AS DOUBLE) " +
+      "+ 0.75e0 * CAST(n1p_ctx AS DOUBLE) / CAST(c1 AS DOUBLE) * pcont " +
+      "ELSE pcont END) + 0.1e0 / (v_train + 1.0e0) AS p FROM sc) " +
+      "SELECT doc_id, count(*) AS n_bigrams, round(avg(ln(p)), 6) AS kn_logprob " +
+      "FROM pr GROUP BY doc_id ORDER BY doc_id"))
+
   val registry: Seq[(String, Q)] = Seq(
     "q_quality_clf" -> qQualityClf,
+    "q_kn_perplexity" -> qKnPerplexity,
     "q_blocklist_filter" -> qBlocklistFilter,
     "q_unigram_tok" -> qUnigramTok,
     "q_clf_pr_curve" -> qClfPrCurve,

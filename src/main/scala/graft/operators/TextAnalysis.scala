@@ -567,6 +567,82 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), round(avg(log(p)), 6).as("avg_logprob"))
   }
 
+  /** KNESER–NEY PERPLEXITY GATE — the CCNet-style learned-LM quality
+    * filter: train an interpolated-KN bigram model on a REFERENCE slice
+    * of the corpus (`ref`, e.g. `lang === "en"` — CCNet trains on
+    * Wikipedia), then score EVERY document by its average token
+    * log-probability under that model. Low scores flag text unlike the
+    * reference (wrong language, shuffled tokens, boilerplate soup) —
+    * the gate every production corpus pipeline applies after the
+    * heuristic flags and before the learned classifier.
+    *
+    * The estimator is the textbook interpolated Kneser–Ney (public
+    * construction, Chen & Goodman 1998):
+    *
+    *   p_cont(w2)    = N1+(·,w2) / N1+(·,·)
+    *   p_kn(w2|w1)   = max(c(w1,w2) − D, 0)/c(w1)
+    *                   + D · N1+(w1,·)/c(w1) · p_cont(w2)   [c(w1) > 0]
+    *                 = p_cont(w2)                           [w1 unseen]
+    *   p             = (1 − ε)·p_kn + ε/(V + 1)
+    *
+    * with D = `discount` (0.75, the standard value) and a uniform floor
+    * ε/(V+1) over the training vocabulary V so unseen successors score
+    * a small positive probability instead of −∞ — that floor is what
+    * lets one model rank out-of-domain documents instead of erroring on
+    * them. All arithmetic is plain double with literal constants, every
+    * division explicitly cast — the DuckDB oracle mirrors the formula
+    * token-for-token; round(6) on the final avg soaks cross-libm ln
+    * drift (the [[bigramLogProb]] precedent).
+    *
+    * Scale shape: the four model tables (pair counts, context counts +
+    * distinct-successor counts, distinct-predecessor counts, the 1-row
+    * totals) are TRAINING-VOCABULARY-bounded aggregations; scoring is
+    * three token-keyed equi-joins plus one doc-grain aggregation —
+    * nothing quadratic, nothing driver-side. An ingest-phase deployment
+    * would checkpoint the `bi` table once per reference snapshot (the
+    * [[graft.operators.Scale.memo]] pattern) instead of letting the
+    * scoring plan recompute its lineage per derived table.
+    *
+    * Output: (id, n_bigrams, kn_logprob), docs with ≥ 2 tokens only —
+    * the [[bigramLogProb]] "unscorable" contract. */
+  def knLogProb(df: DataFrame, id: String, text: String, ref: Column,
+                discount: Double = 0.75, floorEps: Double = 0.1): DataFrame = {
+    val ws = filter(words(lower(col(text))), w => w =!= "")
+    val bgLen = greatest(size(ws) - 1, lit(0))
+    def bigrams(d: DataFrame): DataFrame = d.select(col(id),
+        explode(zip_with(
+          slice(ws, lit(1), bgLen), slice(ws, lit(2), bgLen),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(id), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val train = df.where(ref)
+    val bi = bigrams(train).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("bcnt"))
+    val ctx = bi.groupBy(col("w1"))
+      .agg(sum(col("bcnt")).as("c1"), count(lit(1)).as("n1p_ctx"))
+    val pred = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1p_pred"))
+    // 1-row totals: distinct training bigrams (the p_cont denominator)
+    // and the training vocabulary (the uniform-floor denominator)
+    val totals = bi.agg(count(lit(1)).cast("double").as("t_bigrams"))
+      .crossJoin(train.select(explode(ws).as("tok"))
+        .agg(count_distinct(col("tok")).cast("double").as("v_train")))
+    val d = lit(discount)
+    val pcont = coalesce(col("n1p_pred"), lit(0L)).cast("double") / col("t_bigrams")
+    val pkn = when(col("c1").isNotNull,
+        greatest(coalesce(col("bcnt"), lit(0L)).cast("double") - d, lit(0.0))
+          / col("c1").cast("double")
+          + d * col("n1p_ctx").cast("double") / col("c1").cast("double") * pcont)
+      .otherwise(pcont)
+    val p = (lit(1.0) - lit(floorEps)) * pkn +
+      lit(floorEps) / (col("v_train") + lit(1.0))
+    bigrams(df)
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(pred, Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(log(p)), 6).as("kn_logprob"))
+  }
+
   /** URL CANONICALIZATION — the key-normalization step of web-corpus dedup
     * (CCNet/C4 keep one document per canonical URL). Rules, applied to a
     * `scheme://host[:port][/path][?query][#fragment]` URL:

@@ -218,6 +218,57 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(scores.values.forall(_ < 0))
   }
 
+  test("knLogProb: exact KN arithmetic on a hand-derivable model") {
+    import graft.operators.TextAnalysis
+    // train slice = doc 1 only: bigrams (a,b)x2, (b,a)x1
+    //   bi: (a,b)=2, (b,a)=1; ctx: a->(c1=2,n1p=1), b->(c1=1,n1p=1)
+    //   pred: a<-{b}=1, b<-{a}=1; T=2 distinct pairs; V=2
+    val corpus = Seq(
+      (1L, "a b a b", "en"),
+      (2L, "a b", "fr"),   // seen pair
+      (3L, "c a", "fr"),   // unseen context -> pure continuation
+      (4L, "a z", "fr"),   // unseen successor -> uniform floor only
+      (5L, "x", "fr"))     // one token: unscorable, absent
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.knLogProb(corpus, "doc_id", "text",
+        ref = col("lang") === "en")
+      .orderBy($"doc_id").as[(Long, Long, Double)].collect()
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pcontB = 1.0 / 2.0
+    val floor = 0.1 / (2.0 + 1.0)
+    val seen = 0.9 * (math.max(2.0 - 0.75, 0.0) / 2.0 + 0.75 * 1.0 / 2.0 * pcontB) + floor
+    val unseenCtx = 0.9 * (1.0 / 2.0) + floor          // p_cont(a) = 1/2
+    val unseenSucc = 0.9 * (0.75 * 1.0 / 2.0 * 0.0) + floor // max(-D,0)=0, pcont(z)=0
+    val expect = Map(
+      2L -> r6(math.log(seen)), 3L -> r6(math.log(unseenCtx)),
+      4L -> r6(math.log(unseenSucc)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L)) // doc 5 absent
+    assert(got.forall(_._2 >= 1L))
+    got.filter(_._1 >= 2L).foreach { case (id, n, lp) =>
+      assert(n == 1L)
+      assert(lp == expect(id), s"doc $id: $lp != ${expect(id)}")
+    }
+    // the in-domain doc must outscore both fallback regimes
+    val s = got.map(r => r._1 -> r._3).toMap
+    assert(s(2L) > s(3L) && s(3L) > s(4L))
+  }
+
+  test("knLogProb: reference-trained model ranks shuffled text below natural") {
+    import graft.operators.TextAnalysis
+    val corpus = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the cat sat on the rug", "en"),
+      (3L, "the dog sat on the mat", "en"),
+      (4L, "the cat sat on the hat", "fr"), // held out, natural order
+      (5L, "mat the on sat cat the", "fr")) // same unigrams, soup order
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.knLogProb(corpus, "doc_id", "text",
+        ref = col("lang") === "en")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(got(4L) > got(5L), got.toString) // natural order wins
+    assert(got.values.forall(_ < 0))
+  }
+
   test("bm25TopK: term-bearing docs only, rare-term boost, length penalty") {
     import graft.operators.TextAnalysis
     val docs = Seq(

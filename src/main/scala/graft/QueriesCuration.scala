@@ -941,9 +941,54 @@ object QueriesCuration {
       "SELECT doc_id, count(*) AS n_bigrams, round(avg(ln(p)), 6) AS kn_logprob " +
       "FROM pr GROUP BY doc_id ORDER BY doc_id"))
 
+  /** Unrolled integer power iteration for the PCA oracle: Gram build,
+    * 2^20 matrix normalization, `iters` matvec + L∞-renormalize rounds —
+    * every step HUGEINT-exact with the positive-mod floor-division
+    * identity, mirroring [[graft.operators.Pca.topEigvec]] bit for bit.
+    * dim is pinned to the testdata's 64 (the Spark side derives it; a
+    * regenerated corpus with another width fails the compare loudly). */
+  private def pcaCtes(iters: Int, dim: Int = 64): String = {
+    val rounds = (1 to iters).map { k =>
+      s"w$k AS MATERIALIZED (SELECT gn.i AS i, SUM(gn.g * v${k - 1}.val) AS w " +
+        s"FROM gn JOIN v${k - 1} ON gn.j = v${k - 1}.i GROUP BY 1), " +
+        s"m$k AS (SELECT MAX(abs(w)) AS m FROM w$k), " +
+        s"v$k AS MATERIALIZED (SELECT i, (w * 4096 - ((w * 4096 % m + m) % m)) // m AS val " +
+        s"FROM w$k CROSS JOIN m$k)"
+    }.mkString(", ")
+    "WITH e AS MATERIALIZED (SELECT vec_id, i - 1 AS i, " +
+      "CAST(round(CAST(embedding[i] AS DOUBLE) * 128.0e0) AS BIGINT) AS ei " +
+      s"FROM embeddings, (SELECT unnest(range(1, ${dim + 1})) AS i) ii), " +
+      "g AS MATERIALIZED (SELECT a.i AS i, b.i AS j, SUM(a.ei * b.ei) AS g " +
+      "FROM e a JOIN e b USING (vec_id) GROUP BY 1, 2), " +
+      "gmax AS (SELECT MAX(abs(g)) AS m FROM g), " +
+      "gn AS MATERIALIZED (SELECT i, j, (CAST(g AS HUGEINT) * 1048576 - " +
+      "((CAST(g AS HUGEINT) * 1048576 % m + m) % m)) // m AS g " +
+      "FROM g CROSS JOIN gmax), " +
+      s"v0 AS (SELECT i, CAST(4096 AS HUGEINT) AS val " +
+      s"FROM (SELECT unnest(range(0, $dim)) AS i) vi), " +
+      rounds
+  }
+
+  /** PCA TOP-1 PROJECTION ([[graft.operators.Pca.projectTop1]]): the
+    * embedding-whitening diagnostic — quantize once, exact integer Gram,
+    * 12 integer power-iteration rounds (driver-side on the dim²-bounded
+    * matrix), then score every vector with the eigenvector as a literal.
+    * The oracle replays the ENTIRE training trajectory (Gram → normalize
+    * → 12 matvec/renorm rounds) as unrolled HUGEINT CTEs, so the learned
+    * direction — not just the projections — is hash-verified. */
+  private val qPcaProject = Q(
+    (s, d) => graft.operators.Pca.projectTop1(
+        t(s, d, "embeddings"), "vec_id", "embedding", iters = 12)
+      .orderBy(col("vec_id")),
+    Some(pcaCtes(12) + " SELECT vec_id, CAST(pc1_fp AS BIGINT) AS pc1_fp, " +
+      "round(CAST(pc1_fp AS DOUBLE) / 524288.0e0, 6) AS pc1 FROM " +
+      "(SELECT e.vec_id, SUM(e.ei * v.val) AS pc1_fp FROM e " +
+      "JOIN v12 v USING (i) GROUP BY 1) ORDER BY vec_id"))
+
   val registry: Seq[(String, Q)] = Seq(
     "q_quality_clf" -> qQualityClf,
     "q_kn_perplexity" -> qKnPerplexity,
+    "q_pca_project" -> qPcaProject,
     "q_blocklist_filter" -> qBlocklistFilter,
     "q_unigram_tok" -> qUnigramTok,
     "q_clf_pr_curve" -> qClfPrCurve,

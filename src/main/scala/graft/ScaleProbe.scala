@@ -236,7 +236,17 @@ object ScaleProbe {
     // (one row per distinct fixed-point score, <= FP+1), not docs, so
     // the contract is bounded output + linear cost — the per-score agg
     // is the linear part; the descending window runs over bin rows only.
-    "q_clf_pr_curve")
+    "q_clf_pr_curve",
+    // kn_perplexity: one row per >=2-token doc (x10 exact — token counts
+    // are suffix-invariant). The ~r suffixes multiply the training
+    // vocabulary x10, so the LEARNED KN model legitimately differs from
+    // the base corpus's: row parity + linear cost is the contract (model
+    // tables are vocabulary-bounded aggs; scoring is token-keyed joins).
+    // pca_project: one row per vector (x10 exact). Replicas are signed
+    // circular shifts — orthogonal, so the 10x second-moment matrix is a
+    // sum of conjugated copies and the LEARNED direction legitimately
+    // differs; the Gram shuffle stays dim^2 groups at any corpus size.
+    "q_kn_perplexity", "q_pca_project")
 
   /** Linear-COST families whose OUTPUT is not union-composable, so "rows
     * x10 exact" is unachievable by any replica synthesis and row parity is

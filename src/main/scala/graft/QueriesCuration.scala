@@ -985,10 +985,95 @@ object QueriesCuration {
       "(SELECT e.vec_id, SUM(e.ei * v.val) AS pc1_fp FROM e " +
       "JOIN v12 v USING (i) GROUP BY 1) ORDER BY vec_id"))
 
+  /** Unrolled fixed-point EM for the Fellegi–Sunter oracle: each epoch
+    * is an E-step CTE (the posterior's double chain, every division
+    * parenthesized so both engines build the identical IEEE tree,
+    * floor-quantized to FP units), an integer-sum aggregate, and a
+    * parameter CTE of clamped HUGEINT floor divisions — mirroring
+    * [[graft.operators.RecordLinkage.emLinkage]]'s driver BigInt math
+    * exactly (all operands positive, so `//` truncation IS floor). */
+  private def fsCtes(epochs: Int): String = {
+    val fields = Seq("a_type", "a_time", "a_val")
+    val fcols = fields.mkString(", ")
+    def lik(param: String, f: String): String =
+      s"((CASE WHEN $f = 1 THEN CAST($param AS DOUBLE) " +
+        s"ELSE CAST(100000 - $param AS DOUBLE) END) / 100000.0e0)"
+    def chain(prefix: String): String = fields.zipWithIndex
+      .map { case (f, i) => lik(s"$prefix${i + 1}", f) }.mkString(" * ")
+    def estep(name: String, pr: String): String =
+      s"$name AS MATERIALIZED (SELECT id_a, id_b, $fcols, " +
+        "CAST(floor(num / den * 100000.0e0) AS BIGINT) AS w FROM (" +
+        s"SELECT id_a, id_b, $fcols, num, " +
+        "num + (CAST(100000 - p AS DOUBLE) / 100000.0e0) * (luprod) AS den " +
+        s"FROM (SELECT id_a, id_b, $fcols, p, " +
+        s"(CAST(p AS DOUBLE) / 100000.0e0) * (${chain("m")}) AS num, " +
+        s"${chain("u")} AS luprod FROM pv CROSS JOIN $pr) t1) t2)"
+    val rounds = (1 to epochs).map { k =>
+      estep(s"e$k", s"pr${k - 1}") + ", " +
+        s"g$k AS (SELECT SUM(w) AS s, count(*) AS n, " +
+        fields.indices.map(i =>
+          s"SUM(w * ${fields(i)}) AS sa${i + 1}, SUM(${fields(i)}) AS ca${i + 1}")
+          .mkString(", ") + s" FROM e$k), " +
+        s"pr$k AS (SELECT least(greatest(s // n, 1), 99999) AS p, " +
+        fields.indices.map { i =>
+          s"least(greatest((CAST(sa${i + 1} AS HUGEINT) * 100000) // s, 1), 99999) AS m${i + 1}, " +
+            s"least(greatest(((CAST(ca${i + 1} AS HUGEINT) * 100000 - sa${i + 1}) * 100000) " +
+            s"// (CAST(n AS HUGEINT) * 100000 - s), 1), 99999) AS u${i + 1}"
+        }.mkString(", ") + s" FROM g$k)"
+    }.mkString(", ")
+    "WITH rr AS (SELECT event_id AS id, user_id AS blk, " +
+      "row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rk " +
+      "FROM events), " +
+      "prs AS (SELECT a.id AS id_a, b.id AS id_b FROM rr a JOIN rr b " +
+      "ON a.blk = b.blk AND b.rk - a.rk BETWEEN 1 AND 2), " +
+      "pv AS MATERIALIZED (SELECT id_a, id_b, " +
+      "CASE WHEN ea.event_type = eb.event_type THEN 1 ELSE 0 END AS a_type, " +
+      "CASE WHEN abs(epoch_us(ea.ts) - epoch_us(eb.ts)) <= 3600000000 THEN 1 ELSE 0 END AS a_time, " +
+      "CASE WHEN abs(ea.value - eb.value) <= 10.0e0 THEN 1 ELSE 0 END AS a_val " +
+      "FROM prs JOIN events ea ON ea.event_id = id_a " +
+      "JOIN events eb ON eb.event_id = id_b), " +
+      "pr0 AS (SELECT 10000 AS p, 90000 AS m1, 90000 AS m2, 90000 AS m3, " +
+      "10000 AS u1, 10000 AS u2, 10000 AS u3), " +
+      rounds + ", " + estep("ef", s"pr$epochs")
+  }
+
+  /** FELLEGI–SUNTER LINKAGE ([[graft.operators.RecordLinkage.emLinkage]]):
+    * blocked sorted-neighborhood candidates over the event stream (same
+    * user, time-adjacent — window 3), comparison vector = (same type,
+    * within 1 h, value within 10), match weights learned by 3 rounds of
+    * fixed-point EM. The oracle replays candidate generation AND the
+    * whole EM trajectory — the learned parameters, not just the final
+    * weights, are hash-verified. */
+  private val qFsLinkage = Q(
+    (s, d) => {
+      import graft.operators.RecordLinkage
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"), unix_micros(col("ts")).as("ts_us"))
+      val attrs = (side: String) => ev.select(col("event_id").as(side),
+        col("event_type").as(s"ty_$side"), col("value").as(s"v_$side"),
+        col("ts_us").as(s"t_$side"))
+      val pairs = RecordLinkage.blockedWindowPairs(ev, "event_id",
+          col("user_id"), col("ts_us"), window = 3)
+        .join(attrs("id_a"), "id_a").join(attrs("id_b"), "id_b")
+        .select(col("id_a"), col("id_b"),
+          when(col("ty_id_a") === col("ty_id_b"), 1L).otherwise(0L).as("a_type"),
+          when(abs(col("t_id_a") - col("t_id_b")) <= lit(3600000000L), 1L)
+            .otherwise(0L).as("a_time"),
+          when(abs(col("v_id_a") - col("v_id_b")) <= lit(10.0), 1L)
+            .otherwise(0L).as("a_val"))
+      val (scored, _) = RecordLinkage.emLinkage(pairs,
+        Seq("a_type", "a_time", "a_val"), epochs = 3)
+      scored.orderBy(col("id_a"), col("id_b"))
+    },
+    Some(fsCtes(3) + " SELECT id_a, id_b, CAST(a_type AS BIGINT) AS a_type, " +
+      "CAST(a_time AS BIGINT) AS a_time, CAST(a_val AS BIGINT) AS a_val, " +
+      "w AS w_fp, w >= 50000 AS is_match FROM ef ORDER BY id_a, id_b"))
+
   val registry: Seq[(String, Q)] = Seq(
     "q_quality_clf" -> qQualityClf,
     "q_kn_perplexity" -> qKnPerplexity,
     "q_pca_project" -> qPcaProject,
+    "q_fs_linkage" -> qFsLinkage,
     "q_blocklist_filter" -> qBlocklistFilter,
     "q_unigram_tok" -> qUnigramTok,
     "q_clf_pr_curve" -> qClfPrCurve,

@@ -246,7 +246,14 @@ object ScaleProbe {
     // circular shifts — orthogonal, so the 10x second-moment matrix is a
     // sum of conjugated copies and the LEARNED direction legitimately
     // differs; the Gram shuffle stays dim^2 groups at any corpus size.
-    "q_kn_perplexity", "q_pca_project")
+    "q_kn_perplexity", "q_pca_project",
+    // fs_linkage: candidate pairs are per-user rank windows and replica
+    // user universes are DISJOINT with identical in-block structure, so
+    // pairs scale x10 exactly AND the EM sums scale x10 uniformly -- the
+    // learned (p, m, u) are scale-INVARIANT and every posterior weight
+    // reproduces identically per replica. The strongest probe contract
+    // of the learned-operator family: value identity, not just parity.
+    "q_fs_linkage")
 
   /** Linear-COST families whose OUTPUT is not union-composable, so "rows
     * x10 exact" is unachievable by any replica synthesis and row parity is

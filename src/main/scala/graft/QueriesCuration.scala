@@ -1069,11 +1069,50 @@ object QueriesCuration {
       "CAST(a_time AS BIGINT) AS a_time, CAST(a_val AS BIGINT) AS a_val, " +
       "w AS w_fp, w >= 50000 AS is_match FROM ef ORDER BY id_a, id_b"))
 
+  /** HTML TEXT EXTRACTION ([[graft.operators.TextAnalysis.htmlExtract]])
+    * over PLANTED markup (the corpus has none — the [[qSentences]]
+    * planting discipline): every document is wrapped in a full page with
+    * a title, a style block, a script block whose JS string contains a
+    * decoy `</p>` tag and a bare `<`, and entity-encoded text. The
+    * oracle rebuilds the same wrap and the same strip/decode chain
+    * regex-for-regex (RE2-compatible patterns; `&amp;` decoded last). */
+  private val qHtmlExtract = Q(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val html = concat(
+        lit("<html><head><title>"), col("source"), lit(" #"), col("doc_id"),
+        lit("</title><style>p {color: #333}</style></head><body><p>"),
+        substring(col("text"), 1, 60),
+        lit("</p><script type=\"text/js\">var s = \"</p>\"; if (1 < 2) f();</script><p>Tom &amp; Jerry &lt;3 "),
+        col("lang"), lit("&gt;</p><br/></body></html>"))
+      val (title, body) = graft.operators.TextAnalysis.htmlExtract(html)
+      docs.select(col("doc_id"), title.as("title"), body.as("body"))
+        .orderBy(col("doc_id"))
+    },
+    Some("WITH h AS (SELECT doc_id, '<html><head><title>' || source || ' #' || " +
+      "CAST(doc_id AS VARCHAR) || '</title><style>p {color: #333}</style></head><body><p>' || " +
+      "substring(text, 1, 60) || " +
+      "'</p><script type=\"text/js\">var s = \"</p>\"; if (1 < 2) f();</script><p>Tom &amp; Jerry &lt;3 ' || " +
+      "lang || '&gt;</p><br/></body></html>' AS html FROM documents), " +
+      "s1 AS (SELECT doc_id, html, regexp_replace(regexp_replace(regexp_replace(html, " +
+      "'(?s)<head(\\s[^>]*)?>.*?</head>', ' ', 'g'), " +
+      "'(?s)<script[^>]*>.*?</script>', ' ', 'g'), " +
+      "'(?s)<style[^>]*>.*?</style>', ' ', 'g') AS nb FROM h), " +
+      "s2 AS (SELECT doc_id, html, regexp_replace(nb, '<[^>]*>', ' ', 'g') AS nt FROM s1), " +
+      "s3 AS (SELECT doc_id, html, regexp_replace(regexp_replace(regexp_replace(" +
+      "regexp_replace(regexp_replace(regexp_replace(nt, " +
+      "'&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '\"', 'g'), " +
+      "'&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS dec FROM s2) " +
+      "SELECT doc_id, regexp_extract(html, '(?s)<title>(.*?)</title>', 1) AS title, " +
+      "trim(regexp_replace(dec, '[\\s\\x00-\\x1f]+', ' ', 'g')) AS body " +
+      "FROM s3 ORDER BY doc_id"))
+
   val registry: Seq[(String, Q)] = Seq(
     "q_quality_clf" -> qQualityClf,
     "q_kn_perplexity" -> qKnPerplexity,
     "q_pca_project" -> qPcaProject,
     "q_fs_linkage" -> qFsLinkage,
+    "q_html_extract" -> qHtmlExtract,
     "q_blocklist_filter" -> qBlocklistFilter,
     "q_unigram_tok" -> qUnigramTok,
     "q_clf_pr_curve" -> qClfPrCurve,

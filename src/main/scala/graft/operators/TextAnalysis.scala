@@ -447,6 +447,47 @@ object TextAnalysis {
       lower(translate(text, "’‘“”—–", "''\"\"--")),
       "[\\s\\x00-\\x1f]+", " "))
 
+  /** HTML TEXT EXTRACTION — the markup-stripping pass at the head of
+    * every web-corpus pipeline (C4/CCNet run a full DOM extractor; this
+    * is the deterministic regex core: drop non-content blocks, strip
+    * tags, decode the frequent entities, collapse whitespace). Rules,
+    * each a single RE2-compatible pattern so Spark's java.util.regex and
+    * the DuckDB oracle agree byte for byte:
+    *
+    *  1. the `<head>…</head>` block (title/meta/style — non-content by
+    *     construction) and `<script>…</script>` / `<style>…</style>`
+    *     blocks removed WITH their content ((?s) dotall + non-greedy, so
+    *     each block closes at its own end tag; an unclosed block
+    *     survives to rule 2 and only loses its tags — documented
+    *     degradation, never data loss past the block);
+    *  2. every remaining `<…>` tag replaced by a space (block boundaries
+    *     must separate words — `<p>a</p><p>b</p>` is "a b", not "ab");
+    *  3. entity decode for the six dominant named entities, `&amp;`
+    *     LAST (decoding it first would re-expose `&amp;lt;` as a fresh
+    *     `&lt;` — the standard single-pass ordering);
+    *  4. whitespace runs collapsed, trimmed.
+    *
+    * The `<title>` content is extracted separately before stripping
+    * (group 1 of the first `<title>…</title>`, empty when absent — the
+    * [[canonicalUrl]] not-a-URL convention). Per-row, shuffle-free,
+    * codegen'd. */
+  def htmlExtract(html: Column): (Column, Column) = {
+    val noBlocks = regexp_replace(
+      regexp_replace(
+        // <head(\s…)?> — NOT <head[^>]*>, which would swallow <header>
+        regexp_replace(html, "(?s)<head(\\s[^>]*)?>.*?</head>", " "),
+        "(?s)<script[^>]*>.*?</script>", " "),
+      "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => regexp_replace(c, ent, ch) }
+    val body = trim(regexp_replace(decoded, "[\\s\\x00-\\x1f]+", " "))
+    val title = regexp_extract(html, "(?s)<title>(.*?)</title>", 1)
+    (title, body)
+  }
+
   /** ROUGE-N between paired texts — the standard n-gram-overlap metric an
     * eval pipeline computes over millions of (candidate, reference) pairs
     * (summarization/QA scoring, and a useful near-dup diagnostic). Exact

@@ -269,6 +269,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.values.forall(_ < 0))
   }
 
+  test("htmlExtract: blocks drop with content, tags space-separate, entities decode") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "<html><head><title>My Page</title><style>p{x}</style></head>" +
+        "<body><p>a</p><p>b</p><script>var s=\"</p>\"; 1 < 2;</script>" +
+        "Tom &amp; Jerry &lt;3 &amp;lt; &quot;q&quot; &#39;s&#39;&nbsp;end</body></html>"),
+      (2L, "no markup at all"),
+      (3L, "<p>unclosed <script>alert(1)"), // unclosed block: tags-only degradation
+      (4L, "<header>kept</header><head>gone</head>tail")) // head != header
+
+      .toDF("id", "h")
+    val (t2, b) = TextAnalysis.htmlExtract($"h")
+    val got = df.select($"id", t2.as("t"), b.as("b"))
+      .orderBy($"id").as[(Long, String, String)].collect()
+    assert(got(0)._2 == "My Page")
+    // <p>a</p><p>b</p> -> "a b" (tag = space); script content (with its
+    // decoy </p> and bare <) is GONE; &amp;lt; decodes to the literal
+    // four chars "&lt;" (amp decoded last), quotes/apostrophes/nbsp fold
+    assert(got(0)._3 == "a b Tom & Jerry <3 &lt; \"q\" 's' end", got(0)._3)
+    assert(got(1) == ((2L, "", "no markup at all")))
+    // unclosed script: block rule can't fire, tag rule still strips tags
+    assert(got(2)._3 == "unclosed alert(1)")
+    // <header> is a CONTENT tag — only the <head> block drops
+    assert(got(3)._3 == "kept tail")
+  }
+
   test("bm25TopK: term-bearing docs only, rare-term boost, length penalty") {
     import graft.operators.TextAnalysis
     val docs = Seq(

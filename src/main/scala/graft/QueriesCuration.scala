@@ -1107,12 +1107,34 @@ object QueriesCuration {
       "trim(regexp_replace(dec, '[\\s\\x00-\\x1f]+', ' ', 'g')) AS body " +
       "FROM s3 ORDER BY doc_id"))
 
+  /** φ-FREQUENT TOKENS ([[graft.operators.HeavyHitters.frequentItems]],
+    * k = 49): exact items with frequency > n/50 over the corpus token
+    * stream, found by per-partition Misra–Gries candidate pruning + one
+    * exact verification pass — the shuffle carries ≤ k·partitions
+    * candidate rows plus the qualifying counts, never the vocabulary.
+    * The oracle is the GROUP-BY-HAVING definition of φ-frequency (the
+    * output is exact by the two-pass construction, so the pruning stage
+    * needs no oracle of its own). */
+  private val qHeavyHitters = Q(
+    (s, d) => graft.operators.HeavyHitters.frequentItems(
+      t(s, d, "documents").select(
+        explode(graft.operators.TextAnalysis.words(lower(col("text")))).as("tok"))
+        .filter(col("tok") =!= ""),
+      col("tok"), k = 49),
+    Some("WITH toks AS (SELECT unnest(list_filter(string_split_regex(" +
+      "trim(lower(text)), '\\s+'), x -> x <> '')) AS item FROM documents), " +
+      "tot AS (SELECT count(*) AS n_total FROM toks) " +
+      "SELECT item, count(*) AS cnt, n_total FROM toks CROSS JOIN tot " +
+      "GROUP BY item, n_total HAVING count(*) * 50 > n_total " +
+      "ORDER BY cnt DESC, item"))
+
   val registry: Seq[(String, Q)] = Seq(
     "q_quality_clf" -> qQualityClf,
     "q_kn_perplexity" -> qKnPerplexity,
     "q_pca_project" -> qPcaProject,
     "q_fs_linkage" -> qFsLinkage,
     "q_html_extract" -> qHtmlExtract,
+    "q_heavy_hitters" -> qHeavyHitters,
     "q_blocklist_filter" -> qBlocklistFilter,
     "q_unigram_tok" -> qUnigramTok,
     "q_clf_pr_curve" -> qClfPrCurve,

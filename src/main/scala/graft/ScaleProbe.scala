@@ -253,7 +253,10 @@ object ScaleProbe {
     // learned (p, m, u) are scale-INVARIANT and every posterior weight
     // reproduces identically per replica. The strongest probe contract
     // of the learned-operator family: value identity, not just parity.
-    "q_fs_linkage")
+    "q_fs_linkage",
+    // html_extract: one row per doc (x10 exact), per-row regex work over
+    // planted markup -- embarrassingly parallel scan, nothing joins.
+    "q_html_extract")
 
   /** Linear-COST families whose OUTPUT is not union-composable, so "rows
     * x10 exact" is unachievable by any replica synthesis and row parity is
@@ -267,7 +270,13 @@ object ScaleProbe {
     * same small-vocabulary regime (cross-replica hamming<=1 collisions:
     * ~33/2^32 per pair, single digits at this scale); cost is the
     * pigeonhole bucket join. */
-  private val tierC = Seq("q_snm_pairs", "q_simhash_pairs")
+  private val tierC = Seq("q_snm_pairs", "q_simhash_pairs",
+    // heavy_hitters: the ~r token remap SPLITS every base token into 10
+    // replica variants, so every relative frequency drops x10 and the
+    // phi > 1/50 qualifying set legitimately empties at 10x -- output is
+    // bounded (<= k) by construction either way; the contract here is
+    // the cost ratio of the MG sweep + verification pass, not row parity.
+    "q_heavy_hitters")
 
   /** Optional comma-separated SPARK_GRAFT_PROBE_ONLY filter so a new
     * family can be probed without re-timing the whole board. */

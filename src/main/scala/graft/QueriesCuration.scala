@@ -1128,6 +1128,46 @@ object QueriesCuration {
       "GROUP BY item, n_total HAVING count(*) * 50 > n_total " +
       "ORDER BY cnt DESC, item"))
 
+  /** N-GRAM SPAN SCRUB ([[graft.operators.Corpus.ngramScrub]], n = 4,
+    * src0 as the benchmark — the [[qContamination]] convention):
+    * surgical decontamination that removes only benchmark-matching
+    * token spans and keeps the rest of each document. Every corpus doc
+    * appears in the output with exact kept/removed counts and the
+    * reassembled clean text; the oracle rebuilds positioned grams,
+    * covered slots, the anti-join, and the ordered reassembly. */
+  private val qNgramScrub = Q(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Corpus.ngramScrub(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", n = 4)
+        .orderBy(col("doc_id"))
+    },
+    Some("WITH words AS (SELECT doc_id, source, " +
+      "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w " +
+      "FROM documents), " +
+      "pos AS (SELECT unnest(range(1, (SELECT COALESCE(max(len(w)), 0) + 1 FROM words))) AS i), " +
+      "grams AS (SELECT doc_id, source, i AS p, " +
+      "array_to_string(list_slice(w, i, i + 3), ' ') AS g " +
+      "FROM words JOIN pos ON pos.i <= len(w) - 3), " +
+      "bs AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'), " +
+      "covered AS (SELECT DISTINCT doc_id, p + o AS pos FROM " +
+      "(SELECT doc_id, p FROM grams WHERE source <> 'src0' AND g IN (SELECT g FROM bs)) h " +
+      "CROSS JOIN (SELECT unnest(range(0, 4)) AS o) oo), " +
+      "toks AS (SELECT doc_id, i AS pos, w[i] AS tok FROM words " +
+      "JOIN pos ON pos.i <= len(w) WHERE source <> 'src0'), " +
+      "kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t LEFT JOIN covered c " +
+      "ON t.doc_id = c.doc_id AND t.pos = c.pos WHERE c.pos IS NULL), " +
+      "ka AS (SELECT doc_id, count(*) AS n_kept, " +
+      "string_agg(tok, ' ' ORDER BY pos) AS clean_text FROM kept GROUP BY 1), " +
+      "base AS (SELECT doc_id, len(w) AS n_tokens FROM words WHERE source <> 'src0') " +
+      "SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens, " +
+      "COALESCE(ka.n_kept, 0) AS n_kept, " +
+      "CAST(b.n_tokens AS BIGINT) - COALESCE(ka.n_kept, 0) AS n_removed, " +
+      "COALESCE(ka.clean_text, '') AS clean_text " +
+      "FROM base b LEFT JOIN ka USING (doc_id) ORDER BY b.doc_id"))
+
   val registry: Seq[(String, Q)] = Seq(
     "q_quality_clf" -> qQualityClf,
     "q_kn_perplexity" -> qKnPerplexity,
@@ -1135,6 +1175,7 @@ object QueriesCuration {
     "q_fs_linkage" -> qFsLinkage,
     "q_html_extract" -> qHtmlExtract,
     "q_heavy_hitters" -> qHeavyHitters,
+    "q_ngram_scrub" -> qNgramScrub,
     "q_blocklist_filter" -> qBlocklistFilter,
     "q_unigram_tok" -> qUnigramTok,
     "q_clf_pr_curve" -> qClfPrCurve,

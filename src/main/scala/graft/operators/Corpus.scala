@@ -195,6 +195,64 @@ object Corpus {
     corpus.join(contaminated, Seq(id), "left_anti")
   }
 
+  /** N-GRAM SPAN SCRUB — SURGICAL decontamination (the GPT-3 appendix-C
+    * construction): instead of dropping every document that shares an
+    * n-gram with the benchmark ([[decontaminate]]'s doc-level policy),
+    * remove only the TOKEN SPANS covered by a matching n-gram and keep
+    * the rest of the document. The doc-level form wastes data when a
+    * long document quotes one benchmark sentence; the span form is what
+    * production pipelines actually ship.
+    *
+    * Plan, every stage linear and keyed:
+    *  1. positioned corpus n-grams (scan-stage transform over the token
+    *     array — start positions ride a struct, no join on position);
+    *  2. one equi-join against the benchmark's DISTINCT grams marks the
+    *     matched starts;
+    *  3. covered positions = each matched start exploded to its n token
+    *     slots, dedup'd (matches overlap);
+    *  4. kept tokens = positioned tokens ANTI-JOIN covered, reassembled
+    *     per document with an order-free sort_array(collect_list(struct))
+    *     — per-doc memory is the document's own tokens, the
+    *     [[graft.operators.TextAnalysis]] reassembly convention.
+    *
+    * Every input document appears in the output — a fully-scrubbed doc
+    * keeps n_kept = 0 and clean_text = '' (callers usually drop those;
+    * that policy stays theirs), a doc shorter than n words has no gram
+    * and survives untouched. Token positions are 1-based on both engines
+    * (the oracle mirrors with list_slice + range). */
+  def ngramScrub(corpus: DataFrame, benchmark: DataFrame, id: String,
+                 text: String, n: Int = 5): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val ws = filter(TextAnalysis.words(col(text)), w => w =!= "")
+    def grams(d: DataFrame): DataFrame = {
+      val starts = when(size(ws) - lit(n - 1) >= 1,
+        sequence(lit(1), size(ws) - lit(n - 1))).otherwise(array().cast("array<int>"))
+      d.select(col(id), explode(transform(starts,
+          i => struct(i.as("p"), array_join(slice(ws, i, lit(n)), " ").as("g")))).as("__s"))
+        .select(col(id), col("__s.p").as("p"), col("__s.g").as("g"))
+    }
+    val bg = grams(benchmark).select(col("g")).distinct()
+    val covered = grams(corpus)
+      .join(bg, Seq("g"), "left_semi")
+      .select(col(id), explode(sequence(col("p"), col("p") + lit(n - 1))).as("pos"))
+      .distinct()
+    val toks = corpus
+      .select(col(id), posexplode(ws).as(Seq("pos0", "tok")))
+      .select(col(id), (col("pos0") + 1).as("pos"), col("tok"))
+    val kept = toks.join(covered, Seq(id, "pos"), "left_anti")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"))
+    corpus.select(col(id), size(ws).cast("long").as("n_tokens"))
+      .join(kept, Seq(id), "left")
+      .select(col(id), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Near-duplicate purge: resolve duplicate clusters over the bucketed
     * MinHash+LSH pair path ([[Dedup.nearDupPairs]] →
     * [[Dedup.dupGroups]]) and keep one canonical document per cluster

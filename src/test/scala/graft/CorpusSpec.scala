@@ -8,6 +8,26 @@ class CorpusSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("ngramScrub: only benchmark-covered spans drop; overlaps merge; short docs survive") {
+    import graft.operators.Corpus
+    val corpus = Seq(
+      (1L, "a b c d e f g"),  // benchmark gram "c d e" -> drop positions 3-5
+      (2L, "x c d e c d e y"), // two overlapping matches -> 2..7 covered
+      (3L, "p q r s"),         // no match: untouched
+      (4L, "c d e"),           // fully covered -> empty
+      (5L, "c d"))             // shorter than n: no gram, untouched
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "z z c d e z")).toDF("doc_id", "text")
+    val got = Corpus.ngramScrub(corpus, bench, "doc_id", "text", n = 3)
+      .orderBy($"doc_id").as[(Long, Long, Long, Long, String)].collect()
+    assert(got.toSeq == Seq(
+      (1L, 7L, 4L, 3L, "a b f g"),
+      (2L, 8L, 2L, 6L, "x y"),
+      (3L, 4L, 4L, 0L, "p q r s"),
+      (4L, 3L, 0L, 3L, ""),
+      (5L, 2L, 2L, 0L, "c d")))
+  }
+
   test("paragraphDedup: first occurrence survives corpus-wide, docs rebuilt in order") {
     // size=2 paragraphs; "a b" appears in docs 1 (pos 0) and 2 (pos 1) and
     // twice inside doc 3

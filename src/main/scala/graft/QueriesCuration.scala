@@ -1168,6 +1168,28 @@ object QueriesCuration {
       "COALESCE(ka.clean_text, '') AS clean_text " +
       "FROM base b LEFT JOIN ka USING (doc_id) ORDER BY b.doc_id"))
 
+  /** SOFT QUALITY SAMPLE ([[graft.operators.Sampling.softFilterByScore]]
+    * over [[graft.operators.QualityClassifier.trainScore]]): train the
+    * quality gate, then keep each document with probability equal to its
+    * learned score — the RefinedWeb/FineWeb soft-filter policy that
+    * downsamples borderline text instead of cliff-dropping it. Train →
+    * score → stochastic-by-hash keep as ONE gated plan; the oracle
+    * replays the training CTEs and re-derives membership from the same
+    * portable md5 ppm draw. */
+  private val qSoftQualitySample = Q(
+    (s, d) => {
+      val scored = graft.operators.QualityClassifier.trainScore(
+        t(s, d, "documents"), "doc_id", "text",
+        label = col("lang") === "en", buckets = 1024, epochs = 3)
+      graft.operators.Sampling.softFilterByScore(
+          scored, "doc_id", col("score_fp"))
+        .select(col("doc_id"), col("score_fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some(qualityClfCtes(3) + " SELECT doc_id, score_fp FROM scored " +
+      "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft-soft'), 1, 8))::BIGINT " +
+      "% 1000000 < score_fp * 10 ORDER BY doc_id"))
+
   val registry: Seq[(String, Q)] = Seq(
     "q_quality_clf" -> qQualityClf,
     "q_kn_perplexity" -> qKnPerplexity,
@@ -1176,6 +1198,7 @@ object QueriesCuration {
     "q_html_extract" -> qHtmlExtract,
     "q_heavy_hitters" -> qHeavyHitters,
     "q_ngram_scrub" -> qNgramScrub,
+    "q_soft_quality_sample" -> qSoftQualitySample,
     "q_blocklist_filter" -> qBlocklistFilter,
     "q_unigram_tok" -> qUnigramTok,
     "q_clf_pr_curve" -> qClfPrCurve,

@@ -31,6 +31,18 @@ object Sampling {
                    salt: String = "graft"): DataFrame =
     df.filter(hashBucket(col(id), salt, 100) < pct)
 
+  /** SOFT quality filter (the RefinedWeb/FineWeb policy): keep each row
+    * with probability proportional to its quality score instead of a
+    * hard threshold — a doc scoring 0.73 survives 73% of salt draws, so
+    * borderline text is downsampled rather than cliff-dropped. `scoreFp`
+    * is a fixed-point score in [0, 1e5] (the
+    * [[graft.operators.QualityClassifier]] scale); the draw is the
+    * portable salted md5 ppm bucket, so membership is deterministic,
+    * engine-portable, and re-derivable by the oracle. Map-only. */
+  def softFilterByScore(df: DataFrame, id: String, scoreFp: Column,
+                        salt: String = "graft-soft"): DataFrame =
+    df.filter(hashBucket(col(id), salt, 1000000) < scoreFp * lit(10L))
+
   /** Stratified sample: a different keep-percentage per stratum (e.g.
     * downsample dominant languages, keep all of rare ones — the standard
     * corpus-rebalancing move). Same per-row portable hash, so membership

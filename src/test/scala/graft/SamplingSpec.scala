@@ -26,6 +26,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(!assigned.select($"id", $"split").exceptAll(other.select($"id", $"split")).isEmpty)
   }
 
+  test("softFilterByScore: membership is exactly hash < score, rate tracks score") {
+    // scores 0, 25k, 50k, 75k, 100k cycling over 2000 ids
+    val scored = ids.withColumn("score_fp", ($"id" % 5) * 25000L)
+    val kept = Sampling.softFilterByScore(scored, "id", $"score_fp")
+      .as[(Long, Long)].collect().map(_._1).toSet
+    // exact membership: re-derive the draw per row
+    val expected = scored
+      .withColumn("u", Sampling.hashBucket($"id", "graft-soft", 1000000))
+      .filter($"u" < $"score_fp" * 10).as[(Long, Long, Long)].collect()
+      .map(_._1).toSet
+    assert(kept == expected)
+    // zero-score rows never survive; full-score rows always do
+    val byScore = scored.as[(Long, Long)].collect().groupBy(_._2)
+    assert(byScore(0L).forall(r => !kept.contains(r._1)))
+    assert(byScore(100000L).forall(r => kept.contains(r._1)))
+    // keep-rate of the 50% band lands near half (portable-hash uniformity)
+    val half = byScore(50000L).map(_._1)
+    val rate = half.count(kept.contains).toDouble / half.length
+    assert(rate > 0.4 && rate < 0.6, rate.toString)
+  }
+
   test("sampleByHash keeps a stable subset of the requested size") {
     val s10 = Sampling.sampleByHash(ids, "id", 10)
     val n = s10.count()

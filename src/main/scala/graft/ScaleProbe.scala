@@ -256,7 +256,12 @@ object ScaleProbe {
     "q_fs_linkage",
     // html_extract: one row per doc (x10 exact), per-row regex work over
     // planted markup -- embarrassingly parallel scan, nothing joins.
-    "q_html_extract")
+    "q_html_extract",
+    // ngram_scrub: one row per corpus doc (x10 exact). The ~r suffixes
+    // make replica gram spaces DISJOINT, so each replica's src0 slice
+    // only matches its own docs: scrub decisions reproduce identically
+    // per replica (value identity modulo the suffix remap).
+    "q_ngram_scrub")
 
   /** Linear-COST families whose OUTPUT is not union-composable, so "rows
     * x10 exact" is unachievable by any replica synthesis and row parity is
@@ -276,7 +281,14 @@ object ScaleProbe {
     // phi > 1/50 qualifying set legitimately empties at 10x -- output is
     // bounded (<= k) by construction either way; the contract here is
     // the cost ratio of the MG sweep + verification pass, not row parity.
-    "q_heavy_hitters")
+    "q_heavy_hitters",
+    // soft_quality_sample: membership is a per-doc draw against the
+    // LEARNED score, and the 10x corpus legitimately trains a different
+    // model (the quality_clf contract), so the kept-row count varies
+    // with the score distribution -- bounded by the corpus either way;
+    // the cost contract is the classifier's (probed x2.2) + a map-only
+    // hash filter.
+    "q_soft_quality_sample")
 
   /** Optional comma-separated SPARK_GRAFT_PROBE_ONLY filter so a new
     * family can be probed without re-timing the whole board. */

@@ -225,10 +225,17 @@ object Corpus {
     require(n >= 1, s"n must be >= 1, got $n")
     val ws = filter(TextAnalysis.words(col(text)), w => w =!= "")
     def grams(d: DataFrame): DataFrame = {
-      val starts = when(size(ws) - lit(n - 1) >= 1,
-        sequence(lit(1), size(ws) - lit(n - 1))).otherwise(array().cast("array<int>"))
-      d.select(col(id), explode(transform(starts,
-          i => struct(i.as("p"), array_join(slice(ws, i, lit(n)), " ").as("g")))).as("__s"))
+      // ws is HOISTED to a materialized column before the transform: the
+      // lambda below must reference an attribute, not the tokenizer
+      // expression — a captured expression re-evaluates PER ELEMENT,
+      // turning gram building into O(tokens²)/doc (the q_rouge2 scale
+      // killer, caught again here by the 10× probe's flat wall).
+      val w = d.select(col(id), ws.as("__w"))
+      val starts = when(size(col("__w")) - lit(n - 1) >= 1,
+        sequence(lit(1), size(col("__w")) - lit(n - 1)))
+        .otherwise(array().cast("array<int>"))
+      w.select(col(id), explode(transform(starts,
+          i => struct(i.as("p"), array_join(slice(col("__w"), i, lit(n)), " ").as("g")))).as("__s"))
         .select(col(id), col("__s.p").as("p"), col("__s.g").as("g"))
     }
     val bg = grams(benchmark).select(col("g")).distinct()

@@ -918,7 +918,13 @@ object QueriesCuration {
     (s, d) => graft.operators.TextAnalysis.knLogProb(
         t(s, d, "documents"), "doc_id", "text", ref = col("lang") === "en")
       .orderBy(col("doc_id")),
-    Some("WITH w AS (SELECT doc_id, lang, " +
+    Some(knCtes + " SELECT doc_id, n_bigrams, kn_logprob FROM kn ORDER BY doc_id"))
+
+  /** The KN estimator replay, factored so [[qKnPerplexity]] and the
+    * CCNet-style bucket row share one mirror: ends at
+    * `kn(doc_id, n_bigrams, kn_logprob)`. */
+  private def knCtes: String =
+    ("WITH w AS (SELECT doc_id, lang, " +
       "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS ws " +
       "FROM documents), " +
       "bgall AS (SELECT doc_id, lang, unnest(list_slice(ws, 1, len(ws) - 1)) AS w1, " +
@@ -937,9 +943,9 @@ object QueriesCuration {
       "(CASE WHEN c1 IS NOT NULL THEN " +
       "greatest(CAST(coalesce(bcnt, 0) AS DOUBLE) - 0.75e0, 0.0e0) / CAST(c1 AS DOUBLE) " +
       "+ 0.75e0 * CAST(n1p_ctx AS DOUBLE) / CAST(c1 AS DOUBLE) * pcont " +
-      "ELSE pcont END) + 0.1e0 / (v_train + 1.0e0) AS p FROM sc) " +
-      "SELECT doc_id, count(*) AS n_bigrams, round(avg(ln(p)), 6) AS kn_logprob " +
-      "FROM pr GROUP BY doc_id ORDER BY doc_id"))
+      "ELSE pcont END) + 0.1e0 / (v_train + 1.0e0) AS p FROM sc), " +
+      "kn AS (SELECT doc_id, count(*) AS n_bigrams, round(avg(ln(p)), 6) AS kn_logprob " +
+      "FROM pr GROUP BY doc_id)")
 
   /** Unrolled integer power iteration for the PCA oracle: Gram build,
     * 2^20 matrix normalization, `iters` matvec + L∞-renormalize rounds —
@@ -1190,6 +1196,44 @@ object QueriesCuration {
       "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft-soft'), 1, 8))::BIGINT " +
       "% 1000000 < score_fp * 10 ORDER BY doc_id"))
 
+  /** CCNet PERPLEXITY BUCKETS: the head/middle/tail split CCNet ships —
+    * score every doc under the reference-trained KN model
+    * ([[qKnPerplexity]]'s estimator), then cut each LANGUAGE at its own
+    * exact discrete terciles ([[graft.operators.Ops.histogramQuantiles]]
+    * rank-pick — no interpolation, so both engines pick the identical
+    * boundary values) and label head (most reference-like) / middle /
+    * tail. Train → score → per-group calibrate → label as ONE gated
+    * plan. */
+  private val qPplBuckets = Q(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val scored = graft.operators.TextAnalysis.knLogProb(
+          docs, "doc_id", "text", ref = col("lang") === "en")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      val qs = graft.operators.Ops.histogramQuantiles(scored, "lang", "kn_logprob",
+        Seq(1.0 / 3, 2.0 / 3))
+      scored.join(broadcast(qs.select(col("lang"), col("p33"), col("p67"))), "lang")
+        .select(col("doc_id"), col("lang"), col("kn_logprob"),
+          when(col("kn_logprob") > col("p67"), "head")
+            .when(col("kn_logprob") > col("p33"), "middle")
+            .otherwise("tail").as("ppl_bucket"))
+        .orderBy(col("doc_id"))
+    },
+    Some(knCtes + ", " +
+      "wl AS (SELECT doc_id, lang, kn_logprob FROM kn JOIN documents USING (doc_id)), " +
+      "vc AS (SELECT lang, kn_logprob AS v, count(*) AS c FROM wl GROUP BY 1, 2), " +
+      "cum AS (SELECT lang, v, " +
+      "SUM(c) OVER (PARTITION BY lang ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc, " +
+      "SUM(c) OVER (PARTITION BY lang) AS n FROM vc), " +
+      "qs AS (SELECT lang, " +
+      "MIN(CASE WHEN cumc >= CAST(floor((n - 1) * (1.0e0 / 3.0e0)) AS BIGINT) + 1 THEN v END) AS p33, " +
+      "MIN(CASE WHEN cumc >= CAST(floor((n - 1) * (2.0e0 / 3.0e0)) AS BIGINT) + 1 THEN v END) AS p67 " +
+      "FROM cum GROUP BY 1) " +
+      "SELECT doc_id, wl.lang, kn_logprob, " +
+      "CASE WHEN kn_logprob > p67 THEN 'head' WHEN kn_logprob > p33 THEN 'middle' " +
+      "ELSE 'tail' END AS ppl_bucket FROM wl JOIN qs ON wl.lang = qs.lang " +
+      "ORDER BY doc_id"))
+
   val registry: Seq[(String, Q)] = Seq(
     "q_quality_clf" -> qQualityClf,
     "q_kn_perplexity" -> qKnPerplexity,
@@ -1199,6 +1243,7 @@ object QueriesCuration {
     "q_heavy_hitters" -> qHeavyHitters,
     "q_ngram_scrub" -> qNgramScrub,
     "q_soft_quality_sample" -> qSoftQualitySample,
+    "q_ppl_buckets" -> qPplBuckets,
     "q_blocklist_filter" -> qBlocklistFilter,
     "q_unigram_tok" -> qUnigramTok,
     "q_clf_pr_curve" -> qClfPrCurve,

@@ -261,7 +261,13 @@ object ScaleProbe {
     // make replica gram spaces DISJOINT, so each replica's src0 slice
     // only matches its own docs: scrub decisions reproduce identically
     // per replica (value identity modulo the suffix remap).
-    "q_ngram_scrub")
+    "q_ngram_scrub",
+    // ppl_buckets: one row per >=2-token doc (x10 exact). The learned KN
+    // model differs at 10x (the kn_perplexity contract) but the output
+    // is ALWAYS a per-language tercile split, so the bucket sizes stay
+    // n/3 per lang at any scale -- row parity + linear cost + the
+    // structural tercile invariant.
+    "q_ppl_buckets")
 
   /** Linear-COST families whose OUTPUT is not union-composable, so "rows
     * x10 exact" is unachievable by any replica synthesis and row parity is

@@ -16,6 +16,15 @@ object QueriesCuration {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
 
+  /** Memo keys for the trained-model families (the docBandKey contract:
+    * corpus fingerprint + every parameter that shapes the build). */
+  private def clfKey(s: SparkSession, d: String): String =
+    graft.operators.StateCache.fingerprint(
+      s, s"$d/documents.parquet", "qualityclf|b=1024|e=3|lr=4|label=en")
+  private def knKey(s: SparkSession, d: String): String =
+    graft.operators.StateCache.fingerprint(
+      s, s"$d/documents.parquet", "knbigram|ref=en|D=0.75|eps=0.1")
+
   /** SCD2 history build ([[Changelog.scd2]]): purchase events as attribute
     * changes of their user; every version becomes a validity interval
     * `[valid_from, valid_to)` with the open interval flagged current. One
@@ -741,7 +750,8 @@ object QueriesCuration {
   private val qQualityClf = Q(
     (s, d) => graft.operators.QualityClassifier
       .trainScore(t(s, d, "documents"), "doc_id", "text",
-        label = col("lang") === "en", buckets = 1024, epochs = 3)
+        label = col("lang") === "en", buckets = 1024, epochs = 3,
+        cacheKey = Some(clfKey(s, d)))
       .orderBy(col("doc_id")),
     Some(qualityClfSql(3)))
 
@@ -887,7 +897,7 @@ object QueriesCuration {
       val docs = t(s, d, "documents")
       val scored = graft.operators.QualityClassifier.trainScore(
         docs, "doc_id", "text", label = col("lang") === "en",
-        buckets = 1024, epochs = 3)
+        buckets = 1024, epochs = 3, cacheKey = Some(clfKey(s, d)))
       graft.operators.Profiler.prCurve(
           scored.join(docs.select(col("doc_id"), col("lang")), "doc_id"),
           "score_fp", label = col("lang") === "en")
@@ -916,7 +926,8 @@ object QueriesCuration {
     * discount split, the uniform floor — formula-for-formula in SQL. */
   private val qKnPerplexity = Q(
     (s, d) => graft.operators.TextAnalysis.knLogProb(
-        t(s, d, "documents"), "doc_id", "text", ref = col("lang") === "en")
+        t(s, d, "documents"), "doc_id", "text", ref = col("lang") === "en",
+        cacheKey = Some(knKey(s, d)))
       .orderBy(col("doc_id")),
     Some(knCtes + " SELECT doc_id, n_bigrams, kn_logprob FROM kn ORDER BY doc_id"))
 
@@ -1186,7 +1197,8 @@ object QueriesCuration {
     (s, d) => {
       val scored = graft.operators.QualityClassifier.trainScore(
         t(s, d, "documents"), "doc_id", "text",
-        label = col("lang") === "en", buckets = 1024, epochs = 3)
+        label = col("lang") === "en", buckets = 1024, epochs = 3,
+        cacheKey = Some(clfKey(s, d)))
       graft.operators.Sampling.softFilterByScore(
           scored, "doc_id", col("score_fp"))
         .select(col("doc_id"), col("score_fp"))
@@ -1208,7 +1220,8 @@ object QueriesCuration {
     (s, d) => {
       val docs = t(s, d, "documents")
       val scored = graft.operators.TextAnalysis.knLogProb(
-          docs, "doc_id", "text", ref = col("lang") === "en")
+          docs, "doc_id", "text", ref = col("lang") === "en",
+          cacheKey = Some(knKey(s, d)))
         .join(docs.select(col("doc_id"), col("lang")), "doc_id")
       val qs = graft.operators.Ops.histogramQuantiles(scored, "lang", "kn_logprob",
         Seq(1.0 / 3, 2.0 / 3))

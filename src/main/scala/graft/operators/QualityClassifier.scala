@@ -177,11 +177,27 @@ object QualityClassifier {
   /** train + score on the same corpus — the self-contained gate form.
     * The checkpointed feature table is built ONCE and shared between the
     * training epochs and the scoring pass (a separate train + score pays
-    * the gram explode, hash aggregation, and checkpoint twice). */
+    * the gram explode, hash aggregation, and checkpoint twice).
+    *
+    * `cacheKey` (the [[graft.operators.Dedup]] `bandedCacheKey`
+    * contract): registered sibling queries that train the SAME gate on
+    * the SAME static corpus — the score row, its PR-curve calibration,
+    * the soft-sample policy — share one (features, model) build through
+    * [[graft.operators.Scale.memo]] instead of re-running the feature
+    * pass and the training epochs per query. The key must fingerprint
+    * the corpus AND every training parameter; training a static gate is
+    * ingest-phase work, which is exactly what the memo exists for. */
   def trainScore(df: DataFrame, id: String, text: String, label: Column,
-                 buckets: Int = 1024, epochs: Int = 3): DataFrame = {
-    val feats = featureFrame(df, id, text, label, buckets)
-    scoreFeats(feats, id,
-      trainOnFeats(feats, df.count(), buckets, epochs, lrNum = 4L))
+                 buckets: Int = 1024, epochs: Int = 3,
+                 cacheKey: Option[String] = None): DataFrame = {
+    def build(): (DataFrame, Model) = {
+      val feats = featureFrame(df, id, text, label, buckets)
+      (feats, trainOnFeats(feats, df.count(), buckets, epochs, lrNum = 4L))
+    }
+    val (feats, model) = cacheKey match {
+      case Some(k) => Scale.memo(k, df.sparkSession)(build())
+      case None => build()
+    }
+    scoreFeats(feats, id, model)
   }
 }

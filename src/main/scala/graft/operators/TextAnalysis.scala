@@ -647,7 +647,8 @@ object TextAnalysis {
     * Output: (id, n_bigrams, kn_logprob), docs with ≥ 2 tokens only —
     * the [[bigramLogProb]] "unscorable" contract. */
   def knLogProb(df: DataFrame, id: String, text: String, ref: Column,
-                discount: Double = 0.75, floorEps: Double = 0.1): DataFrame = {
+                discount: Double = 0.75, floorEps: Double = 0.1,
+                cacheKey: Option[String] = None): DataFrame = {
     val ws = filter(words(lower(col(text))), w => w =!= "")
     val bgLen = greatest(size(ws) - 1, lit(0))
     def bigrams(d: DataFrame): DataFrame = d.select(col(id),
@@ -656,16 +657,28 @@ object TextAnalysis {
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col(id), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val train = df.where(ref)
-    val bi = bigrams(train).groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("bcnt"))
+    // `cacheKey` (the bandedCacheKey contract): training the model on a
+    // static reference slice is ingest-phase work — sibling queries (the
+    // raw gate, the CCNet bucket split) share ONE checkpointed pair-count
+    // table + totals through Scale.memo, and the derived ctx/pred tables
+    // become vocabulary-bounded re-aggregations of the checkpoint instead
+    // of fresh corpus scans. EAGER when set (localCheckpoint at call).
+    def buildModel(): (DataFrame, DataFrame) = {
+      val b = bigrams(train).groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("bcnt"))
+      val t = b.agg(count(lit(1)).cast("double").as("t_bigrams"))
+        .crossJoin(train.select(explode(ws).as("tok"))
+          .agg(count_distinct(col("tok")).cast("double").as("v_train")))
+      cacheKey match {
+        case Some(k) => graft.operators.Scale.memo(k, df.sparkSession)(
+          (b.repartition(col("w1")).localCheckpoint(), t.localCheckpoint()))
+        case None => (b, t)
+      }
+    }
+    val (bi, totals) = buildModel()
     val ctx = bi.groupBy(col("w1"))
       .agg(sum(col("bcnt")).as("c1"), count(lit(1)).as("n1p_ctx"))
     val pred = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1p_pred"))
-    // 1-row totals: distinct training bigrams (the p_cont denominator)
-    // and the training vocabulary (the uniform-floor denominator)
-    val totals = bi.agg(count(lit(1)).cast("double").as("t_bigrams"))
-      .crossJoin(train.select(explode(ws).as("tok"))
-        .agg(count_distinct(col("tok")).cast("double").as("v_train")))
     val d = lit(discount)
     val pcont = coalesce(col("n1p_pred"), lit(0L)).cast("double") / col("t_bigrams")
     val pkn = when(col("c1").isNotNull,

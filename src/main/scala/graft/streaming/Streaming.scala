@@ -694,6 +694,92 @@ object Streaming {
     fs.delete(old, true): Unit
   }
 
+  /** STREAMING φ-FREQUENT ITEMS (trending) — an incremental MISRA–GRIES
+    * summary over an unbounded item stream, the streaming twin of
+    * [[graft.operators.HeavyHitters.frequentItems]] and the primitive
+    * behind every "trending topics" board: per micro-batch, the batch's EXACT
+    * item counts (a batch-bounded aggregation) merge into the stored
+    * k-counter summary, and the merged table prunes by subtracting the
+    * (k+1)-th largest count (the mergeable-summaries step, Agarwal et
+    * al. 2013 — the bound `true(x) − est(x) ≤ n_total/(k+1)` holds under
+    * ANY merge tree, so batch boundaries never affect the guarantee).
+    * State is ≤ k rows REGARDLESS of stream length or vocabulary — this
+    * never stores a per-item table.
+    *
+    * Crash/replay discipline is [[incrementalRollupSink]]'s verbatim:
+    * the applied batchId AND the running total ride an `_applied` marker
+    * INSIDE the state dir, published by the same rename-aside atomic
+    * swap, so a replayed batch is skipped and no crash point separates
+    * the summary from its marker. Per batch: one batch-grain count, one
+    * checkpointed merge, one k+1-row driver pull — bounded work, bounded
+    * state. Readers compare `est · (k+1) > n_total` (the marker's n) for
+    * the φ-frequency decision, exactly as the batch operator's
+    * verification pass does. */
+  def trendingSink(itemCol: String, k: Int, stateDir: String)
+                  (batch: DataFrame, batchId: Long): Unit = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = batch.sparkSession
+    recoverSwap(spark, stateDir, "trendingSink")
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readMarker(dir: String): (Long, Long) = {
+      val m = new org.apache.hadoop.fs.Path(s"$dir/_applied")
+      if (!fs.exists(m)) (-1L, 0L)
+      else {
+        val in = fs.open(m)
+        val parts =
+          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+            "UTF-8").trim.split(" ")
+          finally in.close()
+        (parts(0).toLong, parts(1).toLong)
+      }
+    }
+    val (applied, nPrev) = readMarker(stateDir)
+    if (batchId <= applied) return // replayed batch: already merged
+    val counts = batch
+      .select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull)
+      .groupBy(col("item")).agg(count(lit(1)).as("est"))
+    val nBatch = counts.agg(coalesce(sum(col("est")), lit(0L))).collect()(0).getLong(0)
+    val merged = (
+      if (stateExists(spark, stateDir))
+        counts.unionByName(spark.read.parquet(stateDir))
+          .groupBy(col("item")).agg(sum(col("est")).as("est"))
+      else counts
+    ).localCheckpoint()
+    val topK1 = merged.orderBy(col("est").desc, col("item")).limit(k + 1).collect()
+    val d = if (topK1.length <= k) 0L else topK1.last.getLong(1)
+    val pruned = merged.filter(col("est") > d)
+      .select(col("item"), (col("est") - d).as("est"))
+    pruned.write.mode("overwrite").parquet(stateDir + "_next")
+    val out = fs.create(new org.apache.hadoop.fs.Path(stateDir + "_next/_applied"), true)
+    try out.write(s"$batchId ${nPrev + nBatch}".getBytes("UTF-8")) finally out.close()
+    val cur = new org.apache.hadoop.fs.Path(stateDir)
+    val next = new org.apache.hadoop.fs.Path(stateDir + "_next")
+    val old = new org.apache.hadoop.fs.Path(stateDir + "_old")
+    if (fs.exists(cur) && !fs.rename(cur, old))
+      throw new java.io.IOException(s"trendingSink: failed to move $cur aside")
+    if (!fs.rename(next, cur))
+      throw new java.io.IOException(s"trendingSink: failed to publish $next")
+    fs.delete(old, true): Unit
+  }
+
+  /** The running total (for the φ threshold) and last applied batch of a
+    * [[trendingSink]] state dir: (batchId, n_total). */
+  def trendingMarker(spark: SparkSession, stateDir: String): (Long, Long) = {
+    val m = new org.apache.hadoop.fs.Path(s"$stateDir/_applied")
+    val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(m)) (-1L, 0L)
+    else {
+      val in = fs.open(m)
+      val parts =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          "UTF-8").trim.split(" ")
+        finally in.close()
+      (parts(0).toLong, parts(1).toLong)
+    }
+  }
+
   /** ST6 stretch — CUSTOM-STATE sessionization via flatMapGroupsWithState
     * (the arbitrary-state API `session_window` can't replace when the
     * emitted record needs custom shape or the close condition isn't a pure

@@ -449,6 +449,54 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("trending sink: MG guarantee holds across batches; replays are no-ops") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_trend").toString + "/state"
+    val k = 4
+    // skewed stream split across 3 batches: item wj appears ~ 600/(j+1)
+    // times total, dealt round-robin so every batch sees every item
+    val all = (0 until 12).flatMap(j => Seq.fill(600 / (j + 1))(s"w$j"))
+    val batches = all.zipWithIndex.groupBy(_._2 % 3).toSeq.sortBy(_._1)
+      .map(_._2.map(_._1))
+    val sink = Streaming.trendingSink("item", k, dir) _
+    batches.zipWithIndex.foreach { case (b, i) => sink(b.toDF("item"), i.toLong) }
+    sink(batches(1).toDF("item"), 1L) // replay: must be skipped
+    val (bid, n) = Streaming.trendingMarker(spark, dir)
+    assert(bid == 2L && n == all.size.toLong, (bid, n).toString)
+    val st = spark.read.parquet(dir).as[(String, Long)].collect().toMap
+    assert(st.size <= k)
+    val truth = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // MG bound: est never exceeds truth; undercount <= n/(k+1) for EVERY
+    // item (absent => est 0)
+    truth.foreach { case (it, t) =>
+      val e = st.getOrElse(it, 0L)
+      assert(e <= t, s"$it overcounted: $e > $t")
+      assert(t - e <= n / (k + 1), s"$it bound broken: $t - $e > ${n / (k + 1)}")
+    }
+    // superset: every phi-frequent item survived the stream
+    truth.filter(_._2 * (k + 1) > n).keys
+      .foreach(it => assert(st.contains(it), s"phi-frequent $it evicted"))
+  }
+
+  test("trending sink: crash-window recovery keeps the summary exactly-once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_trend_crash").toString + "/state"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val sink = Streaming.trendingSink("item", 3, dir) _
+    sink(Seq.fill(5)("a").toDF("item"), 0L)
+    // crash between move-aside and publish while applying batch 1: the
+    // merged summary (with its in-swap marker) lives only in _next —
+    // recovery must publish it and the replay must be skipped
+    Seq(("a", 8L), ("b", 3L)).toDF("item", "est").write.parquet(dir + "_next")
+    val out = fs.create(p(dir + "_next/_applied"), true)
+    out.write("1 11".getBytes("UTF-8")); out.close()
+    assert(fs.rename(p(dir), p(dir + "_old")))
+    sink(Seq.fill(3)("a").toDF("item"), 1L) // replay of batch 1
+    val st = spark.read.parquet(dir).as[(String, Long)].collect().toMap
+    assert(st == Map("a" -> 8L, "b" -> 3L), st.toString)
+    assert(Streaming.trendingMarker(spark, dir) == ((1L, 11L)))
+  }
+
   test("incremental rollup sink: crash-window recovery keeps exactly-once merges") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rollup_crash").toString + "/state"
     val fs = new org.apache.hadoop.fs.Path(dir)

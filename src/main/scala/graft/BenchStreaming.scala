@@ -169,6 +169,29 @@ object BenchStreaming {
         "worst_violation_rate" -> f"$worstRate%.4f"))
     }
 
+    // ---- 3b. trending sink: incremental Misra-Gries k-counter summary.
+    // user_id as the item stream (near-uniform keys = the eviction-heavy
+    // WORST case for MG — every batch churns the counter set)
+    locally {
+      val stateDir = s"$tmp/trend_state"
+      val ckpt = s"$tmp/trend_ckpt"
+      val mem = MemoryStream[SBenchEv]
+      val q = mem.toDS().toDF()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(Streaming.trendingSink("user_id", 100, stateDir) _)
+        .start()
+      val t0 = nowSec()
+      chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+      val secs = nowSec() - t0
+      val stateRows = spark.read.parquet(stateDir).count()
+      val nTot = Streaming.trendingMarker(spark, stateDir)._2
+      q.stop()
+      record("trending_mg", events.length.toLong, nBatches, secs, Seq(
+        "state_rows" -> stateRows.toString,
+        "n_total" -> nTot.toString))
+    }
+
     // ---- 4. persisted near-dup index sink (documents corpus). Two
     // operating points: the raw sf corpus in 1.25k-doc micro-batches is
     // LATENCY-bound (the sink runs 2 Spark jobs per batch; at that size

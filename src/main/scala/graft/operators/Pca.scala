@@ -32,8 +32,10 @@ import org.apache.spark.sql.functions._
   * 4 096 longs at dim 64), iterations run driver-side on that bounded
   * matrix, and scoring is one scan with the eigenvector as a literal.
   * Overflow is guarded: |e| ≤ 2^7·maxAbs, so the exact Gram sum stays
-  * inside 2^63 for any corpus under ~2^45 rows at unit-scale embeddings,
-  * and the guard raises in-plan if the bound is ever approached.
+  * inside 2^63 for any corpus under ~2^45 rows at unit-scale embeddings;
+  * past the bound the Spark-4 ANSI integer arithmetic raises in-plan
+  * (product and sum overflow both throw — PcaSpec pins this
+  * executably), never wrapping silently.
   */
 object Pca {
 

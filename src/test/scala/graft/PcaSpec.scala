@@ -38,6 +38,20 @@ class PcaSpec extends AnyFunSuite {
       (1L, 64L * 4096, 0.5), (2L, -32L * 4096, -0.25), (3L, 128L * 4096, 1.0)))
   }
 
+  test("gram: integer overflow raises in-plan (ANSI), never wraps silently") {
+    // e = round(3e8 * 128) ~ 3.8e10; e*e ~ 1.5e21 > 2^63 — the product
+    // itself overflows, and the scaladoc's "guard raises in-plan" claim
+    // rests on Spark 4 ANSI arithmetic; this spec pins that it DOES
+    val df = Seq((1L, Array(3.0e8f, 0.0f)), (2L, Array(3.0e8f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception](Pca.gram(df, "vec_id", "embedding").collect())
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(c => c.getMessage != null &&
+      (c.getMessage.toLowerCase.contains("overflow") ||
+        c.getMessage.contains("ARITHMETIC_OVERFLOW"))), e.toString)
+  }
+
   test("projectTop1: identical output under any partitioning (fixed-point)") {
     val base = (1 to 200).map { k =>
       val t = (k % 17 - 8) / 8.0f

@@ -1247,6 +1247,42 @@ object QueriesCuration {
       "ELSE 'tail' END AS ppl_bucket FROM wl JOIN qs ON wl.lang = qs.lang " +
       "ORDER BY doc_id"))
 
+  /** QUALITY-SIGNALS TABLE — the wide per-document table every curation
+    * pipeline MATERIALIZES before gating decisions: identity + size
+    * stats + the trained classifier score + the reference-LM logprob,
+    * as ONE gated plan. Composes the two trained-model families through
+    * their shared [[graft.operators.Scale.memo]] entries (the board
+    * pays scoring only), and the oracle concatenates BOTH training
+    * replays — the knCtes and qualityClfCtes chains are name-disjoint
+    * by construction — so two learned models hash-verify in a single
+    * row. kn_logprob is null for <2-token docs (the unscorable
+    * convention); the left join preserves them. */
+  private val qQualitySignals = Q(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val nTok = size(filter(
+        graft.operators.TextAnalysis.words(lower(col("text"))), w => w =!= ""))
+      val clf = graft.operators.QualityClassifier.trainScore(
+          docs, "doc_id", "text", label = col("lang") === "en",
+          buckets = 1024, epochs = 3, cacheKey = Some(clfKey(s, d)))
+        .select(col("doc_id"), col("score_fp"))
+      val kn = graft.operators.TextAnalysis.knLogProb(
+          docs, "doc_id", "text", ref = col("lang") === "en",
+          cacheKey = Some(knKey(s, d)))
+        .select(col("doc_id"), col("kn_logprob"))
+      docs.select(col("doc_id"), col("lang"), col("n_chars"),
+          nTok.cast("long").as("n_tokens"))
+        .join(clf, "doc_id")
+        .join(kn, Seq("doc_id"), "left")
+        .orderBy(col("doc_id"))
+    },
+    Some(knCtes + ", " + qualityClfCtes(3).stripPrefix("WITH ") +
+      " SELECT d.doc_id, d.lang, d.n_chars, " +
+      "CAST(len(list_filter(string_split_regex(trim(lower(d.text)), '\\s+'), " +
+      "x -> x <> '')) AS BIGINT) AS n_tokens, scored.score_fp, kn.kn_logprob " +
+      "FROM documents d JOIN scored USING (doc_id) LEFT JOIN kn USING (doc_id) " +
+      "ORDER BY doc_id"))
+
   val registry: Seq[(String, Q)] = Seq(
     "q_quality_clf" -> qQualityClf,
     "q_kn_perplexity" -> qKnPerplexity,
@@ -1257,6 +1293,7 @@ object QueriesCuration {
     "q_ngram_scrub" -> qNgramScrub,
     "q_soft_quality_sample" -> qSoftQualitySample,
     "q_ppl_buckets" -> qPplBuckets,
+    "q_quality_signals" -> qQualitySignals,
     "q_blocklist_filter" -> qBlocklistFilter,
     "q_unigram_tok" -> qUnigramTok,
     "q_clf_pr_curve" -> qClfPrCurve,

@@ -267,7 +267,12 @@ object ScaleProbe {
     // is ALWAYS a per-language tercile split, so the bucket sizes stay
     // n/3 per lang at any scale -- row parity + linear cost + the
     // structural tercile invariant.
-    "q_ppl_buckets")
+    "q_ppl_buckets",
+    // quality_signals: one row per doc (x10 exact), composing the two
+    // memoized model families -- the probe measures the scoring-only
+    // steady state plus the two joins; learned values legitimately
+    // differ at 10x (the quality_clf / kn_perplexity contracts).
+    "q_quality_signals")
 
   /** Linear-COST families whose OUTPUT is not union-composable, so "rows
     * x10 exact" is unachievable by any replica synthesis and row parity is

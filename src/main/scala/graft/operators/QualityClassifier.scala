@@ -174,6 +174,37 @@ object QualityClassifier {
       .select(col("__id").as(id), pCol(col("__mraw")).as("score_fp"))
       .withColumn("pred", col("score_fp") >= lit(FP / 2))
 
+  /** SHUFFLE-FREE scoring with a FROZEN model — the deployment shape: a
+    * gate trained offline (ingest-phase, [[train]]/[[trainScore]]) scores
+    * fresh data as a pure per-row projection. The margin folds inside the
+    * row over the pre-aggregated gram histogram
+    * (`Σ w[b]·floor(cnt·FP/tot)` via `aggregate`, + the bias term), so
+    * there is NO explode, NO (doc, bucket) frame and NO exchange — which
+    * makes it STREAMING-SAFE (append mode, zero state) and the right
+    * scorer for a corpus the feature table was never built for. Integer
+    * arithmetic is identical to the training-side margin, so scores are
+    * bit-equal to [[score]]'s (spec-pinned).
+    *
+    * Output: (id, score_fp, pred) — the [[score]] schema. */
+  def rowScore(df: DataFrame, id: String, text: String, model: Model): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val wLit = typedlit(model.weights.toIndexedSeq)
+    val gb = coalesce(
+      call_function("char_gram_buckets", col("__t"), lit(3), lit(model.buckets)),
+      typedlit(Seq.empty[(Long, Long)])
+        .cast("array<struct<b:bigint,cnt:bigint>>"))
+    val mraw = aggregate(col("__gb"), lit(0L),
+      (acc, e) => acc + element_at(wLit, (e.getField("b") + 1).cast("int")) *
+        floor(e.getField("cnt").cast("double") * lit(100000.0) / col("__tot"))
+          .cast("long")) +
+      lit(model.weights(model.buckets)) * lit(FP)
+    df.select(col(id), lower(col(text)).as("__t"))
+      .select(col(id), gb.as("__gb"),
+        greatest(length(col("__t")) - 2, lit(0)).cast("double").as("__tot"))
+      .select(col(id), pCol(mraw).as("score_fp"))
+      .withColumn("pred", col("score_fp") >= lit(FP / 2))
+  }
+
   /** train + score on the same corpus — the self-contained gate form.
     * The checkpointed feature table is built ONCE and shared between the
     * training epochs and the scoring pass (a separate train + score pays

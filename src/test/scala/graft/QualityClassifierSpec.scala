@@ -42,6 +42,47 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(cleanScores.map(_._1).min > junkScores.map(_._1).max + QualityClassifier.FP / 100)
   }
 
+  test("rowScore ≡ score bit-for-bit, with a shuffle-free plan") {
+    val model = QualityClassifier.train(corpus, "doc_id", "text",
+      col("label"), buckets = 256, epochs = 3)
+    val viaFeats = QualityClassifier.score(corpus, "doc_id", "text",
+        col("label"), model)
+      .orderBy($"doc_id").as[(Long, Long, Boolean)].collect()
+    val viaRow = QualityClassifier.rowScore(corpus, "doc_id", "text", model)
+      .orderBy($"doc_id").as[(Long, Long, Boolean)].collect()
+    assert(viaRow sameElements viaFeats)
+    // empty and sub-trigram docs ride the bias feature identically
+    val edge = Seq((1L, ""), (2L, "ab")).toDF("doc_id", "text")
+    val a = QualityClassifier.rowScore(edge, "doc_id", "text", model)
+      .orderBy($"doc_id").as[(Long, Long, Boolean)].collect()
+    val b = QualityClassifier.score(edge, "doc_id", "text", lit(false), model)
+      .orderBy($"doc_id").as[(Long, Long, Boolean)].collect()
+    assert(a sameElements b)
+    // the scorer is one projection: no Exchange anywhere in the plan
+    val plan = QualityClassifier.rowScore(corpus, "doc_id", "text", model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("rowScore is streaming-safe: frozen model scores a stream, no state") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val model = QualityClassifier.train(corpus, "doc_id", "text",
+      col("label"), buckets = 256, epochs = 3)
+    val mem = MemoryStream[(Long, String)]
+    val q = QualityClassifier.rowScore(
+        mem.toDS().toDF("doc_id", "text"), "doc_id", "text", model)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("clf_stream").start()
+    try {
+      mem.addData((0L, clean(0)), (20L, junk(0)))
+      q.processAllAvailable()
+      val got = spark.table("clf_stream")
+        .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._3).toMap
+      assert(got == Map(0L -> true, 20L -> false), got.toString)
+    } finally q.stop()
+  }
+
   test("generalizes: held-out docs score on the right side") {
     val model = QualityClassifier
       .train(corpus, "doc_id", "text", col("label"), buckets = 256, epochs = 3)

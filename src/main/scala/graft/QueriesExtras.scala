@@ -316,6 +316,39 @@ object QueriesExtras {
       .orderBy(col("user_id"), col("day")),
     Some(SpineOracleSql))
 
+  /** LINEAR GAP INTERPOLATION ([[Recursion.interpolateDaily]]): the
+    * feature-engineering step after densification — event-less days
+    * inside a user's span fill by the straight line between the nearest
+    * observed days, edges stay null (no extrapolation). Daily totals
+    * aggregate as exact DECIMAL before ONE double conversion; the oracle
+    * mirrors the spine, the ignoreNulls nearest-observation windows, and
+    * the interpolation expression term-for-term. */
+  private val qInterpolateGaps = Q(
+    (s, d) => Recursion.interpolateDaily(
+        Tables.load(s, d, "events"), "user_id", "ts", "value")
+      .orderBy(col("user_id"), col("day")),
+    Some("WITH daily AS (SELECT user_id, " +
+      "CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day, " +
+      "SUM(CAST(value AS DECIMAL(18,6))) AS v FROM events GROUP BY 1, 2), " +
+      "bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1), " +
+      "spine AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM bounds), " +
+      "j AS (SELECT s.user_id, s.day, CAST(v AS DOUBLE) AS vd FROM spine s " +
+      "LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day), " +
+      "w AS (SELECT user_id, day, vd, " +
+      "last_value(vd IGNORE NULLS) OVER pw AS pv, " +
+      "last_value(CASE WHEN vd IS NOT NULL THEN day END IGNORE NULLS) OVER pw AS pd, " +
+      "first_value(vd IGNORE NULLS) OVER fw AS nv, " +
+      "first_value(CASE WHEN vd IS NOT NULL THEN day END IGNORE NULLS) OVER fw AS nd " +
+      "FROM j WINDOW pw AS (PARTITION BY user_id ORDER BY day " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), " +
+      "fw AS (PARTITION BY user_id ORDER BY day " +
+      "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)) " +
+      "SELECT user_id, day, round(CASE WHEN vd IS NOT NULL THEN vd " +
+      "WHEN pv IS NOT NULL AND nv IS NOT NULL THEN pv + (nv - pv) * " +
+      "(CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE)) END, 6) AS value, " +
+      "(vd IS NULL AND pv IS NOT NULL AND nv IS NOT NULL) AS interpolated " +
+      "FROM w ORDER BY user_id, day"))
+
   /** Decontamination against a benchmark subset (src0 plays the eval set):
     * fraction of each corpus doc's 5-gram shingles appearing anywhere in
     * the benchmark. Semi-join against the benchmark's distinct shingles —
@@ -2880,6 +2913,7 @@ object QueriesExtras {
     "q_dup_provenance_lsh" -> qDupProvenanceLsh,
     "q_activity_spine" -> qActivitySpine,
     "q_activity_spine_recursive" -> qActivitySpineRecursive,
+    "q_interpolate_gaps" -> qInterpolateGaps,
     "q_boilerplate_purge" -> qBoilerplatePurge,
     "q_url_dedup" -> qUrlDedup,
     "q_hll_distinct" -> qHllDistinct,

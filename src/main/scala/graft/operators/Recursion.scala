@@ -113,6 +113,60 @@ object Recursion {
         coalesce(col("n"), lit(0L)).as("n_events"))
   }
 
+  /** LINEAR GAP INTERPOLATION over the day spine — the feature-
+    * engineering step after densification: a user's daily measure on a
+    * day with no events is filled by the straight line between the
+    * NEAREST observed days (`v = v₀ + (v₁−v₀)·(d−d₀)/(d₁−d₀)`), days
+    * before the first / after the last observation stay null (no
+    * extrapolation — callers choose their own edge policy). Observed
+    * days pass through unchanged and are flagged.
+    *
+    * Determinism: daily totals aggregate as DECIMAL(18,6) (exact,
+    * order-independent — the money-sum rule), convert to double once,
+    * and the interpolation arithmetic is a fixed expression over exact
+    * endpoints, round(6) on output. The nearest-observation lookups are
+    * `last/first(…, ignoreNulls)` windows over open-ended frames —
+    * O(1) running state per row after the one spine sort, never a
+    * per-gap join.
+    *
+    * Scale shape: one fact aggregation to (group, day) grain, the
+    * spine generation from per-group bounds (≤ span-days rows per
+    * group), one left join on (group, day), ONE window sort per group.
+    * Nothing rescans the fact table. Output: (group, day, value,
+    * interpolated) for every spine day. */
+  def interpolateDaily(events: DataFrame, group: String, tsCol: String,
+                       valueCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val day = floor(unix_micros(col(tsCol)) / lit(86400000000L)).cast("long")
+    val daily = events.groupBy(col(group), day.as("day"))
+      .agg(sum(col(valueCol).cast("decimal(18,6)")).as("v"))
+    val bounds = daily.groupBy(col(group))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = bounds.select(col(group),
+      explode(sequence(col("d0"), col("d1"))).as("day"))
+    val j = spine.join(daily, Seq(group, "day"), "left_outer")
+      .withColumn("vd", col("v").cast("double"))
+    val past = Window.partitionBy(col(group)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val future = Window.partitionBy(col(group)).orderBy(col("day"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val knownDay = when(col("vd").isNotNull, col("day"))
+    val w = j
+      .withColumn("pv", last(col("vd"), ignoreNulls = true).over(past))
+      .withColumn("pd", last(knownDay, ignoreNulls = true).over(past))
+      .withColumn("nv", first(col("vd"), ignoreNulls = true).over(future))
+      .withColumn("nd", first(knownDay, ignoreNulls = true).over(future))
+    w.select(col(group), col("day"),
+      round(when(col("vd").isNotNull, col("vd"))
+        .when(col("pv").isNotNull && col("nv").isNotNull,
+          col("pv") + (col("nv") - col("pv")) *
+            ((col("day") - col("pd")).cast("double") /
+              (col("nd") - col("pd")).cast("double"))), 6).as("value"),
+      (col("vd").isNull && col("pv").isNotNull && col("nv").isNotNull)
+        .as("interpolated"))
+  }
+
   /** [[activitySpine]] as an engine-native recursive CTE — the recursion
     * surface twin: one `day + 1` level per iteration, terminating at each
     * group's `d1` (well-founded; depth = max span days, which must stay

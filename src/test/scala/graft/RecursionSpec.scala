@@ -40,6 +40,30 @@ class RecursionSpec extends AnyFunSuite {
       (1L, d0 + 3, 2L), (2L, d0 + 1, 1L)))
   }
 
+  test("interpolateDaily: straight-line fill between nearest observed days") {
+    // user 1: day0 v=10, day3 v=40 -> day1 = 20, day2 = 30 (interpolated);
+    //         day5 v=100 -> day4 = (40 + (100-40)*(1/2)) = 70
+    // user 2: single day -> one actual row, nothing to fill
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 4.0), (1L, "2024-01-01 11:00:00", 6.0),
+      (1L, "2024-01-04 09:00:00", 40.0), (1L, "2024-01-06 09:00:00", 100.0),
+      (2L, "2024-01-02 00:00:00", 7.5))
+      .toDF("user_id", "s", "value")
+      .select(col("user_id"), col("s").cast("timestamp").as("ts"), col("value"))
+    val got = Recursion.interpolateDaily(ev, "user_id", "ts", "value")
+      .orderBy($"user_id", $"day")
+      .as[(Long, Long, Option[Double], Boolean)].collect().toSeq
+    val d0 = 19723L
+    assert(got == Seq(
+      (1L, d0, Some(10.0), false),
+      (1L, d0 + 1, Some(20.0), true),
+      (1L, d0 + 2, Some(30.0), true),
+      (1L, d0 + 3, Some(40.0), false),
+      (1L, d0 + 4, Some(70.0), true),
+      (1L, d0 + 5, Some(100.0), false),
+      (2L, d0 + 1, Some(7.5), false)), got.toString)
+  }
+
   test("recursive spine ≡ sequence+explode spine on real events (sf0.001)") {
     val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
     val seq1 = Recursion.activitySpine(ev, "user_id", "ts")

@@ -272,7 +272,11 @@ object ScaleProbe {
     // memoized model families -- the probe measures the scoring-only
     // steady state plus the two joins; learned values legitimately
     // differ at 10x (the quality_clf / kn_perplexity contracts).
-    "q_quality_signals")
+    "q_quality_signals",
+    // interpolate_gaps: the activity-spine scale contract (frontier =
+    // users x10, per-user day spans scale-invariant), so spine rows and
+    // fills scale x10 exactly with identical per-replica values.
+    "q_interpolate_gaps")
 
   /** Linear-COST families whose OUTPUT is not union-composable, so "rows
     * x10 exact" is unachievable by any replica synthesis and row parity is

@@ -349,6 +349,39 @@ object QueriesExtras {
       "(vd IS NULL AND pv IS NOT NULL AND nv IS NOT NULL) AS interpolated " +
       "FROM w ORDER BY user_id, day"))
 
+  /** CUSUM CHANGE-POINT ALARMS ([[graft.operators.Profiler.cusumAlarms]],
+    * slack 25, threshold 250 over per-user daily spend): the sequential
+    * drift detector as three stock windows via the prefix-min identity —
+    * the `max(0, s + d)` recurrence never materializes. Daily totals are
+    * exact-DECIMAL; the day grain makes the window order unique, and the
+    * running double sums accumulate in the same left-to-right order on
+    * both engines, so round(6) statistics hash-match. */
+  private val qCusumAlarms = Q(
+    (s, d) => {
+      val day = floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+      val daily = Tables.load(s, d, "events")
+        .groupBy(col("user_id"), day.as("day"))
+        .agg(sum(col("value").cast("decimal(18,6)")).as("v"))
+      graft.operators.Profiler.cusumAlarms(daily, "user_id", "day", "v",
+          slack = 25.0, h = 250.0)
+        .withColumn("v", col("v").cast("double"))
+        .orderBy(col("user_id"), col("day"))
+    },
+    Some("WITH daily AS (SELECT user_id, " +
+      "CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day, " +
+      "SUM(CAST(value AS DECIMAL(18,6))) AS v FROM events GROUP BY 1, 2), " +
+      "m AS (SELECT user_id, day, v, " +
+      "CAST(SUM(v) OVER (PARTITION BY user_id) AS DOUBLE) / " +
+      "CAST(COUNT(*) OVER (PARTITION BY user_id) AS DOUBLE) AS mu FROM daily), " +
+      "p AS (SELECT user_id, day, v, " +
+      "SUM(CAST(v AS DOUBLE) - mu - 25.0e0) OVER (PARTITION BY user_id ORDER BY day " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp FROM m), " +
+      "sct AS (SELECT user_id, day, v, pp - least(0.0e0, MIN(pp) OVER " +
+      "(PARTITION BY user_id ORDER BY day " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cs FROM p) " +
+      "SELECT user_id, day, CAST(v AS DOUBLE) AS v, round(cs, 6) AS cusum, " +
+      "cs > 250.0e0 AS alarm FROM sct ORDER BY user_id, day"))
+
   /** Decontamination against a benchmark subset (src0 plays the eval set):
     * fraction of each corpus doc's 5-gram shingles appearing anywhere in
     * the benchmark. Semi-join against the benchmark's distinct shingles —
@@ -2914,6 +2947,7 @@ object QueriesExtras {
     "q_activity_spine" -> qActivitySpine,
     "q_activity_spine_recursive" -> qActivitySpineRecursive,
     "q_interpolate_gaps" -> qInterpolateGaps,
+    "q_cusum_alarms" -> qCusumAlarms,
     "q_boilerplate_purge" -> qBoilerplatePurge,
     "q_url_dedup" -> qUrlDedup,
     "q_hll_distinct" -> qHllDistinct,

@@ -412,6 +412,40 @@ object Profiler {
       .select(col(group), col(t), col(x), col("z"), col("is_anomaly"))
   }
 
+  /** CUSUM CHANGE-POINT ALARMS (Page 1954) — the sequential drift
+    * detector monitoring pipelines run beside the pointwise z-score: the
+    * one-sided statistic `s_i = max(0, s_{i−1} + (x_i − μ − slack))`
+    * accumulates PERSISTENT upward drift and alarms at `s_i > h`, where
+    * a z-score only sees single-point spikes. The recurrence looks
+    * sequential, but the classic prefix identity
+    * `s_i = p_i − min(0, min_{j≤i} p_j)` (p = running sum of the
+    * deviations) turns it into THREE stock windows — running sum,
+    * running min, subtraction — one sort per group, no recursion, no
+    * UDAF, scale-free.
+    *
+    * μ is each group's own mean over the series (an exact-DECIMAL sum
+    * divided once — order-independent), `slack`/`h` are caller policy.
+    * Running double sums accumulate left-to-right in day order on both
+    * engines — identical association, so round(6) outputs hash-match.
+    * Output: (group, t, x, cusum, alarm) per observed point. */
+  def cusumAlarms(series: DataFrame, group: String, t: String, x: String,
+                  slack: Double, h: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy(col(group))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val run = Window.partitionBy(col(group)).orderBy(col(t))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mu = sum(col(x).cast("decimal(18,6)")).over(all).cast("double") /
+      count(lit(1)).over(all).cast("double")
+    val dev = col(x).cast("double") - col("__mu") - lit(slack)
+    series.select(col(group), col(t), col(x), mu.as("__mu"))
+      .withColumn("__p", sum(dev).over(run))
+      .withColumn("__s", col("__p") - least(lit(0.0), min(col("__p")).over(run)))
+      .select(col(group), col(t), col(x),
+        round(col("__s"), 6).as("cusum"),
+        (col("__s") > lit(h)).as("alarm"))
+  }
+
   /** PRECISION-RECALL CURVE of a scored, labeled frame — the threshold
     * calibration step between training a quality classifier and wiring
     * its cutoff into a corpus gate (every deployed fastText-style filter

@@ -186,6 +186,27 @@ class OpsSpec extends AnyFunSuite {
     assert(again sameElements got)
   }
 
+  test("cusumAlarms: prefix-min identity reproduces the clamped recurrence") {
+    import graft.operators.Profiler
+    // group mean = 12; slack 2 -> deviations d = v - 14:
+    // v: 10, 22, 4, 14, 10 -> d: -4, 8, -10, 0, -4
+    // recurrence s = max(0, s + d): 0, 8, 0, 0, 0
+    val df = Seq((1L, 10.0), (2L, 22.0), (3L, 4.0), (4L, 14.0), (5L, 10.0))
+      .map { case (t, v) => ("g", t, v) }.toDF("g", "t", "v")
+    val got = Profiler.cusumAlarms(df, "g", "t", "v", slack = 2.0, h = 3.0)
+      .orderBy($"t").as[(String, Long, Double, Double, Boolean)].collect()
+    assert(got.map(_._4).toSeq == Seq(0.0, 8.0, 0.0, 0.0, 0.0), got.mkString(","))
+    // alarms strictly above h = 3: only the drift point
+    assert(got.map(_._5).toSeq == Seq(false, true, false, false, false))
+    // independent groups don't share state
+    val two = (df.collect().map(r => ("h", r.getLong(1), r.getDouble(2) + 100)).toSeq)
+      .toDF("g", "t", "v").unionByName(df)
+    val g2 = Profiler.cusumAlarms(two, "g", "t", "v", slack = 2.0, h = 3.0)
+      .filter($"g" === "h").orderBy($"t")
+      .as[(String, Long, Double, Double, Boolean)].collect()
+    assert(g2.map(_._4).toSeq == Seq(0.0, 8.0, 0.0, 0.0, 0.0), g2.mkString(","))
+  }
+
   test("madOutliers flags spikes, not the bulk; all-equal group flags nothing") {
     import graft.operators.Profiler
     // group a: bulk around 10 (med 10, MAD 1), one spike at 100

@@ -276,7 +276,11 @@ object ScaleProbe {
     // interpolate_gaps: the activity-spine scale contract (frontier =
     // users x10, per-user day spans scale-invariant), so spine rows and
     // fills scale x10 exactly with identical per-replica values.
-    "q_interpolate_gaps")
+    "q_interpolate_gaps",
+    // cusum_alarms: disjoint replica user universes with untouched
+    // timestamps/values -- per-user statistics reproduce identically,
+    // rows and alarms x10 exact. One sort per user partition.
+    "q_cusum_alarms")
 
   /** Linear-COST families whose OUTPUT is not union-composable, so "rows
     * x10 exact" is unachievable by any replica synthesis and row parity is

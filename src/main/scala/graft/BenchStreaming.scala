@@ -68,6 +68,14 @@ object BenchStreaming {
     val nBatches = chunks.size
     val results = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
+    // GRAFT_SBENCH_ONLY=neardup (comma-separated substrings) runs a subset
+    // of the sink sections — an A/B profiling aid; the committed artifact
+    // is always a full run (record() refuses to write the JSON otherwise)
+    val only = sys.env.get("GRAFT_SBENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def section(name: String)(body: => Unit): Unit =
+      if (only.forall(_.exists(name.contains))) body
+
     def record(name: String, rowsIn: Long, batches: Int, secs: Double,
                extra: Seq[(String, String)]): Unit = {
       val fields = Seq(
@@ -80,7 +88,7 @@ object BenchStreaming {
     }
 
     // ---- 1. transformWithState sessionizer (event-time timers, ListState)
-    locally {
+    section("sessionize") {
       val ckpt = s"$tmp/tws_ckpt"
       val mem = MemoryStream[(Long, Timestamp)]
       val q = Streaming.sessionizeTws(mem.toDS())
@@ -120,7 +128,7 @@ object BenchStreaming {
     }
 
     // ---- 2. exactly-once incremental rollup ledger (A2 merge shape)
-    locally {
+    section("rollup") {
       val stateDir = s"$tmp/rollup_state"
       val ckpt = s"$tmp/rollup_ckpt"
       val mem = MemoryStream[(Long, Double)]
@@ -143,7 +151,7 @@ object BenchStreaming {
     }
 
     // ---- 3. continuous quality monitor (Expectations over the stream)
-    locally {
+    section("quality") {
       val stateDir = s"$tmp/quality_state"
       val ckpt = s"$tmp/quality_ckpt"
       val rules = Seq(
@@ -172,7 +180,7 @@ object BenchStreaming {
     // ---- 3b. trending sink: incremental Misra-Gries k-counter summary.
     // user_id as the item stream (near-uniform keys = the eviction-heavy
     // WORST case for MG — every batch churns the counter set)
-    locally {
+    section("trending") {
       val stateDir = s"$tmp/trend_state"
       val ckpt = s"$tmp/trend_ckpt"
       val mem = MemoryStream[SBenchEv]
@@ -199,7 +207,7 @@ object BenchStreaming {
     // twin feeds 10k-doc batches — the regime a 100 TB ingest actually
     // runs in — where the fixed per-batch cost amortizes and the recorded
     // rate is the sink's genuine document throughput.
-    locally {
+    section("neardup") {
       val docs = Tables.load(spark, sfDir, "documents")
         .select($"doc_id", $"text")
       val nDocs = docs.count()
@@ -284,11 +292,13 @@ object BenchStreaming {
       s""""store":"rocksdb","cpus":$cpus,"sinks":{""" +
       results.map { case (k, v) => s""""$k":$v""" }.mkString(",") + "}}"
     println(json)
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_STREAMING.json"), json + "\n"): Unit
-    catch { case e: Throwable =>
-      System.err.println(s"[sbench] could not write BENCH_STREAMING.json: ${e.getMessage}")
-    }
+    // a filtered run is a profiling aid, never the committed artifact
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_STREAMING.json"), json + "\n"): Unit
+      catch { case e: Throwable =>
+        System.err.println(s"[sbench] could not write BENCH_STREAMING.json: ${e.getMessage}")
+      }
     spark.stop()
   }
 }

@@ -26,6 +26,8 @@ object ProfileNearDup {
     @volatile var jobs = 0
     @volatile var stages = 0
     @volatile var tasks = 0
+    @volatile var runMs = 0L
+    @volatile var cpuMs = 0L
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs += 1; stages += j.stageInfos.size
@@ -34,22 +36,38 @@ object ProfileNearDup {
             j.stageInfos.map(s => s"${s.name.takeWhile(_ != '\n').take(60)}(${s.numTasks})")
               .mkString(" | "))
       }
-      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         tasks += 1
+        if (t.taskMetrics != null) {
+          runMs += t.taskMetrics.executorRunTime
+          cpuMs += t.taskMetrics.executorCpuTime / 1000000L
+        }
+      }
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (sys.env.contains("GRAFT_ND_STAGES")) {
+          val i = s.stageInfo
+          val wall = for {a <- i.completionTime; b <- i.submissionTime} yield a - b
+          System.err.println(f"[ndprof-stage] ${i.stageId} ${wall.getOrElse(-1L)}%d ms " +
+            s"tasks=${i.numTasks} ${i.name.takeWhile(_ != '\n').take(70)}")
+        }
     })
 
     val docs = Tables.load(spark, sfDir, "documents").select($"doc_id", $"text")
     val tmp = java.nio.file.Files.createTempDirectory("graft_ndprof").toString
-    val docBatches = 4
+    // GRAFT_ND_BATCHES: micro-batch count (default 4 ≈ the bench point;
+    // 20 → 250-doc batches, the long-run file-accretion regime)
+    val docBatches = sys.env.getOrElse("GRAFT_ND_BATCHES", "4").toInt
     def ingest(src: org.apache.spark.sql.DataFrame, state: String): Double = {
       val t = System.nanoTime()
       (0L until docBatches.toLong).foreach { b =>
-        val (j0, s0, t0) = (jobs, stages, tasks)
+        val (j0, s0, t0, r0, c0) = (jobs, stages, tasks, runMs, cpuMs)
         val tb = System.nanoTime()
         graft.streaming.Streaming.incrementalNearDupSink("doc_id", "text", state)(
           src.filter($"doc_id" % docBatches === b), b)
         System.err.println(f"[ndprof] $state b$b: ${(System.nanoTime() - tb) / 1e9}%.2f s " +
-          s"jobs=${jobs - j0} stages=${stages - s0} tasks=${tasks - t0}")
+          s"jobs=${jobs - j0} stages=${stages - s0} tasks=${tasks - t0} " +
+          s"run=${runMs - r0}ms cpu=${cpuMs - c0}ms")
       }
       (System.nanoTime() - t) / 1e9
     }

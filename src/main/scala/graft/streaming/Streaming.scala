@@ -174,9 +174,16 @@ object Streaming {
     * pairs-table scan and broadcast build) is skipped. Every failure
     * path drops the tally, and a rebuilt tally carries lastBatchId = −1,
     * so a retry, restart, or crash-window replay always takes the
-    * conservative anti-join — the exactly-once specs pin this. */
+    * conservative anti-join — the exactly-once specs pin this.
+    *
+    * `lastNNew` (round 14) is the previous batch's new-doc count — the
+    * predictor for the SMALL-BATCH EXECUTION PROFILE of the stage job
+    * (whose plan must be chosen before this batch's size is known; the
+    * pairs job keys on the exact `nNew` instead). A wrong guess changes
+    * join strategy, never results. */
   private final case class NearDupTally(nDocs: Long, cumCand: Long,
-                                        lastBatchId: Long = -1L)
+                                        lastBatchId: Long = -1L,
+                                        lastNNew: Long = -1L)
   private val nearDupTallies =
     new java.util.concurrent.ConcurrentHashMap[String, NearDupTally]()
   /** Test seam: simulate a process restart (tallies lost, parquet kept). */
@@ -238,19 +245,24 @@ object Streaming {
     *    bands/rows tradeoff) a replan instead of a state migration.
     *  - `pairs` (doc_a, doc_b, jaccard) — verified near-dup pairs.
     *
-    * Per batch the sink runs exactly TWO Spark jobs (at micro-batch sizes
-    * its cost is job launches and exchange barriers, not rows — measured:
-    * ~9 jobs ≈ 2.4 s/batch at 1.25k docs, 2 jobs ≈ 1 s):
+    * Per batch the sink runs exactly TWO Spark actions (under the
+    * small-batch profile below, exactly two JOBS — every other stage is
+    * fused into them):
     *
     *  1. STAGE: the batch's genuinely-new rows (replay anti-join) get
     *     their signature computed once and written to
     *     `stateDir/.staging/sigs_b<batchId>` — the staged parquet IS the
     *     batch's materialization (no localCheckpoint job), and the write
     *     is `overwrite` so a retried batch replaces its own leftovers.
+    *     Small batches stage as ONE file (single-partition exchange after
+    *     the cluster-width minhash): the index's file count then grows
+    *     per batch, not per batch×width — measured on 20×250-doc batches,
+    *     the multi-file form's per-batch task time climbed 1.4→2.3 s from
+    *     file accretion alone while the 1-file form stayed flat.
     *  2. PAIRS: one fused plan — band keys derived from signatures
     *     (codegen'd [[graft.plans.BandKeys]]), the in-plan pre-join volume
-    *     gate, the probe join (new keys BROADCAST against the index scan:
-    *     the probe is bounded by the batch, the index is not), exact
+    *     gate, the probe join (new keys against the index keyset: the
+    *     probe is bounded by the batch, the index is not), exact
     *     verify over shingle arrays, the already-known-pairs anti-join,
     *     and the append to `pairs`.
     *
@@ -286,15 +298,48 @@ object Streaming {
     * exact candidate count then updates `cumCand` and is re-checked
     * driver-side before the sigs commit. On tally rebuild `cumCand`
     * restarts from the persisted pair count (a floor — the gate is an
-    * audit, it never owes exactness across restarts). */
+    * audit, it never owes exactness across restarts).
+    *
+    * SMALL-BATCH EXECUTION PROFILE (round 14): at micro-batch sizes the
+    * sink's wall is not rows but JOB LAUNCHES — under AQE every exchange
+    * and broadcast materializes as its own stage-job with ~90 ms of
+    * scheduling latency, 11 of them per steady batch. When a batch is
+    * provably small (`nNew` ≤ `smallBatchDocs` for the pairs job — known
+    * exactly, the stage job already counted it; the previous batch's
+    * `lastNNew` for the stage job, whose plan precedes the count), the
+    * sink plans WITHOUT AQE and pins join strategies itself, collapsing a
+    * steady batch to THREE jobs: the staged write (shuffle-hash anti-join,
+    * batch side builds), the gate-stats broadcast build, and one fused
+    * pairs job (shuffle-hash probe + verify joins — never a sort, never
+    * an index-side broadcast). Intra-job stage latency is
+    * DAGScheduler-cheap (~ms), so the fixed cost collapses. Large batches
+    * keep AQE and its runtime strategy choice (broadcast-vs-shuffle from
+    * exact staged file sizes). The profile changes JOIN STRATEGY ONLY —
+    * never dataflow, gate arithmetic, or state layout; the
+    * streamed-≡-batch, replay, crash-window and cumulative-gate specs run
+    * through both profiles, and a wrong `lastNNew` guess costs only plan
+    * shape. The AQE flag is restored after every action (it is
+    * session-global: a session running concurrent interactive queries
+    * during a micro-batch would briefly plan them without AQE — the one
+    * caveat, acceptable for a dedicated ingest session). */
   def incrementalNearDupSink(idCol: String, textCol: String, stateDir: String,
                              ngram: Int = 5, threshold: Double = 0.8,
                              bands: Int = 32, rowsPerBand: Int = 4,
                              maxCandidatesPerDoc: Option[Double] =
-                               Some(graft.operators.Dedup.DefaultCandidatesPerDoc))
+                               Some(graft.operators.Dedup.DefaultCandidatesPerDoc),
+                             smallBatchDocs: Long = 8192L)
                             (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     graft.plans.GraftFunctions.register(spark)
+    // runs one action under the small-batch profile (AQE off), restoring
+    // the session flag even on failure; plan construction happens inside
+    // the thunk so strategy resolution sees the flag
+    def withProfile[T](small: Boolean)(act: => T): T =
+      if (!small) act else {
+        val was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try act finally spark.conf.set("spark.sql.adaptive.enabled", was)
+      }
     // GRAFT_ND_DEBUG=1: per-stage wall times on stderr (profiling aid only)
     val dbg = sys.env.contains("GRAFT_ND_DEBUG")
     var tMark = System.nanoTime()
@@ -366,29 +411,62 @@ object Streaming {
       val staged = s"$stagingRoot/sigs_b$batchId"
       val obsNew = s"graft_nd_new_${java.util.UUID.randomUUID}"
       obs.expect(obsNew)
-      sigsState.fold(incoming)(s =>
-          incoming.join(s.select(col(idCol)), Seq(idCol), "left_anti"))
-        .select(col(idCol), col(textCol),
-          call_function("minhash_sig",
-            graft.operators.Dedup.shingleSet(col(textCol), ngram),
-            lit(bands * rowsPerBand)).as("sig"))
-        .observe(obsNew, count(lit(1)).as("n"))
-        .write.mode("overwrite").parquet(staged)
+      // the stage plan precedes this batch's count, so its profile is
+      // guessed from the PREVIOUS batch's size; under the small profile
+      // the anti-join is a shuffle-hash join (anti joins only support
+      // build-right, so the hash is built over the index's ID column —
+      // narrow — partition-sliced by the shuffle; never a sort, never a
+      // whole-index broadcast, and the stage job stays ONE job)
+      val guessSmall = stOpt.exists(t => t.lastNNew >= 0 &&
+        t.lastNNew <= smallBatchDocs && t.nDocs <= (smallBatchDocs << 5))
+      withProfile(guessSmall) {
+        val sigged = sigsState.fold(incoming)(s =>
+            incoming.join(
+              if (guessSmall) s.select(col(idCol)).hint("shuffle_hash")
+              else s.select(col(idCol)),
+              Seq(idCol), "left_anti"))
+          .select(col(idCol), col(textCol),
+            call_function("minhash_sig",
+              graft.operators.Dedup.shingleSet(col(textCol), ngram),
+              lit(bands * rowsPerBand)).as("sig"))
+        // small profile: ONE staged file per batch — minhash still runs
+        // at cluster width, the single-partition exchange only carries
+        // the batch's finished rows. Committed 1-file batches keep the
+        // index's file count linear in BATCHES, not batches×width: every
+        // subsequent scan of the index (4 per batch) pays per-file reader
+        // setup, which at micro-batch sizes outweighs the exchange.
+        (if (guessSmall) sigged.repartition(1) else sigged)
+          .observe(obsNew, count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(staged)
+      }
       mark("stage-write")
       val nNew = obs.await(obsNew, 10000).map(_.getLong(0))
         .getOrElse(spark.read.parquet(staged).count())
+      mark("nNew-await")
       if (nNew == 0L) {
         fs.delete(new org.apache.hadoop.fs.Path(staged), true): Unit
         nearDupTallies.put(stateDir,
-          st.copy(lastBatchId = math.max(batchId, st.lastBatchId)))
+          st.copy(lastBatchId = math.max(batchId, st.lastBatchId),
+            lastNNew = 0L))
         return
       }
       val nDocs = st.nDocs + nNew
+      // the pairs job's profile keys on the EXACT size of this batch, and
+      // on the index staying modest: the fused shuffle-hash verify join
+      // shuffles corpus text once per batch, the right trade only while
+      // job launches dominate rows (the AQE path instead broadcasts the
+      // gate-bounded pair list and never shuffles the corpus)
+      val small = nNew <= smallBatchDocs && st.nDocs <= (smallBatchDocs << 5)
       val newSigs = spark.read.schema(sigSchema).parquet(staged)
       val newKeys = keysOf(newSigs)
       val allSigs = sigsState.fold(newSigs)(newSigs.unionByName(_))
       val allKeys = keysOf(allSigs)
       // job 2 — PAIRS, one fused plan start to finish.
+      // small profile: one explicit hash exchange of the index keyset,
+      // shared (ReuseExchange) between the gate's band counts and the
+      // probe join's stream side
+      val allKeysJ =
+        if (small) allKeys.repartition(col("band_key")) else allKeys
       val probe = maxCandidatesPerDoc.fold(newKeys) { f =>
         // pre-join gate: per band b with n_b probe keys and a_b index keys
         // (index ⊇ probe) the join emits n_b·(a_b − 1) non-self slots; a
@@ -408,18 +486,57 @@ object Streaming {
         // ingest the gate input should become maintained per-band-count
         // state rather than any per-batch derivation; until then the flat
         // hash aggregate is the cheapest exact form.
-        // The budget is a LocalRelation row, not a literal, so the plan —
-        // and its cached codegen — is identical across batches.
-        val stats = newKeys.withColumn("__new", lit(true))
-          .unionByName(keysOf(sigsState.getOrElse(newSigs.limit(0)))
-            .withColumn("__new", lit(false)))
-          .groupBy(col("band_key"))
-          .agg(count(lit(1)).as("__na"),
-            sum(when(col("__new"), 1L).otherwise(0L)).as("__np"))
-          .agg(coalesce(sum(col("__np") * (col("__na") - 1)), lit(0L)).as("__slots"))
-        val budgetDf = spark.createDataFrame(Seq(
-          NdBudget(2.0 * bands * (f * nDocs - st.cumCand))))
-        newKeys.crossJoin(broadcast(stats.crossJoin(budgetDf)))
+        // Under the AQE profile the budget is a LocalRelation row, not a
+        // literal, so the plan — and its cached codegen — is identical
+        // across batches; the small profile instead folds it as a literal
+        // column on the 1-row aggregate (killing the BNLJ's own broadcast
+        // job — one fewer job launch, the small point's real currency;
+        // the literal lives above the aggregate, so the scan/agg codegen
+        // still caches).
+        val budgetVal = 2.0 * bands * (f * nDocs - st.cumCand)
+        val statsWithBudget = if (small) {
+          // small profile: the same explicitly-partitioned index-keys
+          // exchange (`allKeysJ`) feeds BOTH this band-count aggregate
+          // and the probe join's stream side (ReuseExchange) — the index
+          // keyset is scanned and shuffled once per batch, not twice.
+          // Identical arithmetic to the union form: bands with no probe
+          // key contribute 0 slots, so joining na (all keys) with np
+          // (probe keys) computes the same Σ np·(na−1).
+          val na = allKeysJ.groupBy(col("band_key"))
+            .agg(count(lit(1)).as("__na"))
+          val np = newKeys.groupBy(col("band_key"))
+            .agg(count(lit(1)).as("__np"))
+          na.join(np.hint("shuffle_hash"), "band_key")
+            .agg(coalesce(sum(col("__np") * (col("__na") - 1)), lit(0L))
+              .as("__slots"))
+            // budget as a literal column, not a LocalRelation: kills the
+            // BNLJ's own broadcast job (job launches are the small
+            // point's currency); the literal sits above the aggregate,
+            // so the scan/agg codegen still caches
+            .withColumn("__slot_budget", lit(budgetVal))
+        } else
+          newKeys.withColumn("__new", lit(true))
+            .unionByName(keysOf(sigsState.getOrElse(newSigs.limit(0)))
+              .withColumn("__new", lit(false)))
+            .groupBy(col("band_key"))
+            .agg(count(lit(1)).as("__na"),
+              sum(when(col("__new"), 1L).otherwise(0L)).as("__np"))
+            .agg(coalesce(sum(col("__np") * (col("__na") - 1)), lit(0L))
+              .as("__slots"))
+            // LocalRelation row, not a literal: the AQE plan — and its
+            // cached codegen — stays identical across batches
+            .crossJoin(spark.createDataFrame(Seq(NdBudget(budgetVal))))
+        // broadcast builds BLOCK the driver before the action job is even
+        // submitted (executeBroadcast awaits during RDD DAG construction),
+        // so under the small profile the 1-row stats side rides a
+        // replicate-NL cartesian instead: its aggregate becomes ordinary
+        // stages INSIDE the pairs job, scheduled concurrently with the
+        // key/text scans rather than serialized ahead of them
+        val gated = if (small)
+          newKeys.crossJoin(statsWithBudget.hint("shuffle_replicate_nl"))
+        else
+          newKeys.crossJoin(broadcast(statsWithBudget))
+        gated
           .filter(when(col("__slots").cast("double") <= col("__slot_budget"), lit(true))
             .otherwise(raise_error(concat(
               lit("incrementalNearDupSink: projected band-join volume ("),
@@ -435,11 +552,19 @@ object Streaming {
       obs.expect(obsCand)
       // probe side vs index: the probe is bounded by the batch where the
       // index is unbounded at 100 TB, so the probe is the natural build
-      // side — but the choice is left to AQE (which sees the staged
-      // file's exact size): a forced broadcast() would OOM the driver on
-      // a million-document batch, while AQE degrades to a shuffle join
-      val cand = probe.select(col(idCol).as("ka"), col("band_key"))
-        .join(allKeys.select(col(idCol).as("kb"), col("band_key")), "band_key")
+      // side. Large batches leave the choice to AQE (which sees the
+      // staged file's exact size): a forced broadcast() would OOM the
+      // driver on a million-document batch, while AQE degrades to a
+      // shuffle join. The small profile pins a SHUFFLE-HASH join building
+      // the (provably ≤ smallBatchDocs·bands-row) probe side — the index
+      // keyset streams, never sorted, never broadcast, and the whole
+      // pairs plan fuses into one job.
+      val probeSide = {
+        val p = probe.select(col(idCol).as("ka"), col("band_key"))
+        if (small) p.hint("shuffle_hash") else p
+      }
+      val cand = probeSide
+        .join(allKeysJ.select(col(idCol).as("kb"), col("band_key")), "band_key")
         .filter(col("ka") =!= col("kb"))
         .select(least(col("ka"), col("kb")).as("doc_a"),
           greatest(col("ka"), col("kb")).as("doc_b"))
@@ -467,7 +592,9 @@ object Streaming {
             struct(lit("b").as("side"), col("doc_b").as("doc")))).as("m"))
         .select(col("doc_a"), col("doc_b"),
           col("m.side").as("side"), col("m.doc").as(idCol))
-      val verified = melt
+      // small profile: build side = melt (gate-bounded pair rows); the
+      // corpus text side streams
+      val verified = (if (small) melt.hint("shuffle_hash") else melt)
         .join(allSigs.select(col(idCol), col(textCol)), Seq(idCol))
         // duplicate (pair, side) rows from multi-band collisions carry
         // the SAME doc text, so first() stays deterministic
@@ -492,7 +619,16 @@ object Streaming {
       // crash window: pairs first — a retry regenerates the same pairs
       // and the anti-join drops them; the sigs commit below is what stops
       // the docs looking new
-      freshPairs.write.mode("append").parquet(pairsDir)
+      mark("plan-build")
+      // small profile: the surviving pairs are a handful of rows — an
+      // explicit single-partition exchange AFTER the (parallel) verify
+      // keeps one write task and one file per batch (replays then
+      // re-read fewer, bigger pair files); coalesce(1) would instead
+      // collapse the verify itself into that one task
+      withProfile(small) {
+        (if (small) freshPairs.repartition(1) else freshPairs)
+          .write.mode("append").parquet(pairsDir)
+      }
       mark("pairs-write")
       val cumCand = st.cumCand +
         obs.await(obsCand, 10000).map(_.getLong(0))
@@ -516,7 +652,7 @@ object Streaming {
       fs.delete(new org.apache.hadoop.fs.Path(staged), true): Unit
       mark("commit")
       nearDupTallies.put(stateDir,
-        NearDupTally(nDocs, cumCand, math.max(batchId, st.lastBatchId)))
+        NearDupTally(nDocs, cumCand, math.max(batchId, st.lastBatchId), nNew))
     } catch { case e: Throwable => nearDupTallies.remove(stateDir); throw e }
   }
 

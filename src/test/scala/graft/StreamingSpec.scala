@@ -70,6 +70,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/sigs").count() == corpus.size.toLong)
   }
 
+  test("incremental near-dup sink: small and AQE execution profiles agree exactly") {
+    // the small-batch profile (AQE off, pinned shuffle-hash joins,
+    // cartesian-carried gate) changes join strategy only — the same
+    // corpus through smallBatchDocs = 0 (every batch plans under AQE)
+    // and the default (every batch takes the small profile) must leave
+    // byte-identical pairs state
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different words appear in this other document here"),
+      (4L, "the quick brown fox jumps over the lazy dog today"),
+      (5L, "short text"),
+      (6L, "yet another entirely unrelated document with its own words"),
+      (7L, "the quick brown fox jumps over the lazy dog tomorrow"))
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    def ingest(smallBatchDocs: Long): Seq[(Long, Long, Double)] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ndprof_eq")
+        .toString + "/state"
+      val sink = Streaming.incrementalNearDupSink("doc_id", "text", dir,
+        ngram = 5, threshold = 0.5, smallBatchDocs = smallBatchDocs) _
+      sink(df(corpus.take(2)), 0L)
+      sink(df(corpus.slice(2, 5)), 1L)
+      sink(df(corpus.drop(5)), 2L)
+      spark.read.parquet(s"$dir/pairs")
+        .orderBy($"doc_a", $"doc_b").as[(Long, Long, Double)].collect().toSeq
+    }
+    val aqe = ingest(smallBatchDocs = 0L)
+    val small = ingest(smallBatchDocs = 8192L)
+    assert(aqe == small && aqe.nonEmpty)
+  }
+
   test("incremental near-dup sink: CUMULATIVE volume gate raises on a saturated corpus") {
     val dir = java.nio.file.Files.createTempDirectory("graft_neardup_cap").toString + "/state"
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"

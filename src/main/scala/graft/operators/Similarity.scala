@@ -261,7 +261,7 @@ object Similarity {
     // sf0.1 and proved nothing the eager check doesn't: the blow-up is
     // decidable the moment the candidate frame exists, and the throw here
     // fires even for a caller that never executes the returned plan.
-    val cand = maxCandidatesPerVec match {
+    def candOf(): DataFrame = maxCandidatesPerVec match {
       case None => cand0
       case Some(factor) =>
         val mat = cand0.localCheckpoint()
@@ -275,8 +275,27 @@ object Similarity {
             "maxCandidatesPerVec = None")
         mat
     }
-    rescoreCandidates(cand, emb, id, vec)
-      .filter(col("cosine") >= threshold)
+    // The SCORED candidate frame is threshold-independent (the threshold
+    // only filters it), so under `bandedCacheKey` the checkpointed
+    // (vec_a, vec_b, cosine) rows are memoized one level above the
+    // banding (round 14): the mutual-kNN row (cos ≥ 0.4), the near-dup
+    // row (cos ≥ 0.45) and the cluster/purge compositions then share ONE
+    // candidate self-join + eager audit + double-sided vector re-score
+    // per corpus instead of each repeating the family's most expensive
+    // stages. The salt setting is part of the key — the salted twin
+    // exists to exercise [[Scale.saltedBandSelfJoin]], and sharing the
+    // plain frame with it would quietly un-test that path. Memoized only
+    // when capped: the audit contract already materializes the frame,
+    // so the checkpoint is free; uncapped measurement runs stay lazy.
+    val scored = (bandedCacheKey, maxCandidatesPerVec) match {
+      case (Some(k), Some(_)) =>
+        val saltTag = saltHotBands
+          .map { case (s, h) => s"salt$s-$h" }.getOrElse("plain")
+        Scale.memo(s"$k:scored:$saltTag", emb.sparkSession)(
+          rescoreCandidates(candOf(), emb, id, vec).localCheckpoint())
+      case _ => rescoreCandidates(candOf(), emb, id, vec)
+    }
+    scored.filter(col("cosine") >= threshold)
   }
 
   /** The exact-cosine RE-SCORE tail shared by [[lshCosinePairs]] and the

@@ -61,7 +61,19 @@ object HeavyHitters {
 
   /** Exact φ-frequent items of `key`: every item with
     * count·(k+1) > n, with its exact count. Output:
-    * (item, cnt, n_total), cnt descending then item. */
+    * (item, cnt, n_total), cnt descending then item.
+    *
+    * DETERMINISTIC-INPUT REQUIREMENT: `df` is evaluated THREE times (the
+    * MG candidate sweep, the n_total count, the exact verification
+    * counts). For a deterministic plan — any parquet/table scan and
+    * deterministic transforms, i.e. every registered caller — the three
+    * passes see the same rows and the superset/exactness guarantees
+    * hold. A non-deterministic input (an unseeded sample, a changing
+    * source, rand()) must be materialized first
+    * (`df.localCheckpoint()`): otherwise the passes can disagree and the
+    * guarantee silently breaks. Not checkpointed here — that would tax
+    * every deterministic caller with an extra materialization job to
+    * protect a caller class this repo doesn't have. */
   def frequentItems(df: DataFrame, key: Column, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = df.sparkSession

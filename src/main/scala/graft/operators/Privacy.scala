@@ -72,6 +72,11 @@ object Privacy {
       .withColumn("l_diverse", col("l_distinct") >= l)
   }
 
+  /** A PUBLIC, checked-in salt for tests and the DuckDB regression gate
+    * ONLY — a release built with it has zero differential-privacy
+    * protection, because anyone with this code can replay every draw. */
+  val TestOnlyPublicSalt: String = "graft-dp"
+
   /** LAPLACE-NOISED group counts — the Laplace mechanism at sensitivity 1
     * (each individual contributes one row to one group), scale 1/eps.
     * The noise source is a KEYED PRF, not an RNG: u ∈ (−0.5, 0.5) derives
@@ -96,11 +101,6 @@ object Privacy {
     * [[TestOnlyPublicSalt]] exists solely for regression gates and says
     * so in its name — there is deliberately no default, so an unsafe
     * configuration must be typed out. */
-  /** A PUBLIC, checked-in salt for tests and the DuckDB regression gate
-    * ONLY — a release built with it has zero differential-privacy
-    * protection, because anyone with this code can replay every draw. */
-  val TestOnlyPublicSalt: String = "graft-dp"
-
   def dpNoisyCount(df: DataFrame, group: String, eps: Double,
                    salt: String): DataFrame = {
     require(eps > 0, s"eps must be positive, got $eps")

@@ -97,8 +97,13 @@ object QualityClassifier {
     df.select(col(id).as("__id"),
         when(label, lit(FP)).otherwise(lit(0L)).as("__y"),
         lower(col(text)).as("__t"))
+      // floor at 1, not 0: a doc with fewer than 3 codepoints emits NO
+      // gram entries (char_gram_buckets counts codepoints, same as
+      // length() here and the oracle's substr), so __tot is then never
+      // read by a gram row — the floor only removes the ÷0 → Infinity →
+      // Long overflow hazard structurally instead of by that argument
       .select(col("__id"), col("__y"),
-        greatest(length(col("__t")) - 2, lit(0)).cast("double").as("__tot"),
+        greatest(length(col("__t")) - 2, lit(1)).cast("double").as("__tot"),
         explode(entries).as("__e"))
       .select(col("__id"), col("__y"), col("__e.b").as("__b"),
         when(col("__e.b") === buckets.toLong, lit(FP))
@@ -198,9 +203,12 @@ object QualityClassifier {
         floor(e.getField("cnt").cast("double") * lit(100000.0) / col("__tot"))
           .cast("long")) +
       lit(model.weights(model.buckets)) * lit(FP)
+    // same floor-at-1 as featureFrame: a sub-3-codepoint doc has an
+    // empty histogram, so the lambda never divides — the floor only
+    // removes the ÷0 hazard (bit-equality with score() is spec-pinned)
     df.select(col(id), lower(col(text)).as("__t"))
       .select(col(id), gb.as("__gb"),
-        greatest(length(col("__t")) - 2, lit(0)).cast("double").as("__tot"))
+        greatest(length(col("__t")) - 2, lit(1)).cast("double").as("__tot"))
       .select(col(id), pCol(mraw).as("score_fp"))
       .withColumn("pred", col("score_fp") >= lit(FP / 2))
   }

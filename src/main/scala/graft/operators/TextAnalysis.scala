@@ -680,7 +680,15 @@ object TextAnalysis {
       .agg(sum(col("bcnt")).as("c1"), count(lit(1)).as("n1p_ctx"))
     val pred = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1p_pred"))
     val d = lit(discount)
-    val pcont = coalesce(col("n1p_pred"), lit(0L)).cast("double") / col("t_bigrams")
+    // executable-require convention: an empty training slice (ref matches
+    // no doc with ≥ 2 tokens) makes t_bigrams = 0 and every pcont 0/0 =
+    // NaN, which would silently poison every kn_logprob — raise instead,
+    // in-plan (no extra driver job; fires only if a scored row exists)
+    val tb = when(col("t_bigrams") > 0, col("t_bigrams"))
+      .otherwise(raise_error(lit("knLogProb: the training slice is empty " +
+        "(ref matches no document with >= 2 tokens) — the KN model is " +
+        "undefined; fix the ref predicate")).cast("double"))
+    val pcont = coalesce(col("n1p_pred"), lit(0L)).cast("double") / tb
     val pkn = when(col("c1").isNotNull,
         greatest(coalesce(col("bcnt"), lit(0L)).cast("double") - d, lit(0.0))
           / col("c1").cast("double")

@@ -14,7 +14,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[graft.operators.QualityClassifier]].
   *
   * `char_gram_buckets(text, n, buckets)` → `array<struct<b:bigint,
-  * cnt:bigint>>`: for every position i, the n-char substring hashes into
+  * cnt:bigint>>`: for every CODEPOINT position i (Spark `length()` /
+  * DuckDB `substr` units — non-BMP text yields exactly
+  * `length(text) − n + 1` grams), the n-codepoint substring hashes into
   * `buckets` cells via the repo's portable md5 construction (first 8 md5
   * hex chars as an unsigned 32-bit integer, mod buckets — bit-identical
   * to `conv(substring(md5(g),1,8),16,10) % buckets` and the DuckDB
@@ -106,9 +108,20 @@ final class GramHasher(n: Int, buckets: Int) extends Serializable {
     val s = text.toString
     val counts = new Array[Long](buckets)
     var nonzero = 0
+    // grams span n CODEPOINTS, not UTF-16 chars: Spark's length() (the
+    // caller's normalizer) and DuckDB's substr (the oracle's gram
+    // derivation) both count codepoints, so a UTF-16 walk would emit
+    // MORE grams than length()-n+1 on non-BMP text and mis-normalize
+    // the features. Boundary offsets are precomputed once per row.
+    val cp = s.codePointCount(0, s.length)
+    val off = new Array[Int](cp + 1)
+    var u = 0
+    var c = 0
+    while (c < cp) { off(c) = u; u += Character.charCount(s.codePointAt(u)); c += 1 }
+    off(cp) = s.length
     var i = 0
-    while (i + n <= s.length) {
-      val b = bucketOf(s.substring(i, i + n))
+    while (i + n <= cp) {
+      val b = bucketOf(s.substring(off(i), off(i + n)))
       if (counts(b) == 0L) nonzero += 1
       counts(b) += 1L
       i += 1

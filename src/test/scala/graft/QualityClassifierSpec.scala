@@ -119,6 +119,10 @@ class QualityClassifierSpec extends AnyFunSuite {
   test("char_gram_buckets ≡ the relational md5-bucket form") {
     graft.plans.GraftFunctions.register(spark)
     val texts = Seq("hello world", "aaa", "ab", "", "ünïcødé grams héré",
+      // non-BMP: 😀 is TWO UTF-16 units but ONE codepoint — the gram
+      // walk must agree with substring()/length() codepoint semantics
+      // (a UTF-16 walk emits extra grams and mis-normalizes features)
+      "😀😀😀 non-bmp 😀 grams", "😀a", "a😀b",
       "the quick brown fox") ++
       (1 to 30).map(i => scala.util.Random.javaRandomToRandom(
         new java.util.Random(i)).alphanumeric.take(40).mkString)
@@ -136,6 +140,22 @@ class QualityClassifierSpec extends AnyFunSuite {
       .groupBy($"doc_id", $"b").agg(count(lit(1)).as("cnt"))
       .as[(Long, Long, Long)].collect().toSet
     assert(got == want, s"histogram mismatch: ${got.diff(want)} vs ${want.diff(got)}")
+  }
+
+  test("training survives non-BMP docs, including sub-3-codepoint ones") {
+    // "😀a" is 3 UTF-16 units but 2 codepoints: a UTF-16 gram count with
+    // a codepoint normalizer made __tot = 0 here → floor(cnt·FP/0.0) =
+    // Infinity → Long.MaxValue feature → ANSI sum overflow in training.
+    // With codepoint-consistent grams the doc simply contributes only
+    // its bias row and training stays finite.
+    val emoji = Seq(
+      (1L, "😀a", true), (2L, "😀😀😀 good doc with words 😀", true),
+      (3L, "bad 😀 doc full of junk", false), (4L, "plain ascii text here", false))
+      .toDF("doc_id", "text", "label")
+    val m = QualityClassifier.train(emoji, "doc_id", "text", col("label"), 64, 2)
+    assert(m.weights.forall(w => w > Long.MinValue / 2 && w < Long.MaxValue / 2))
+    val scored = QualityClassifier.rowScore(emoji, "doc_id", "text", m)
+    assert(scored.count() == 4L)
   }
 
   test("prCurve: hand-computed sweep, exact counts, F1 from raw counts") {

@@ -253,6 +253,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(s(2L) > s(3L) && s(3L) > s(4L))
   }
 
+  test("knLogProb: empty training slice raises loudly instead of NaN") {
+    import graft.operators.TextAnalysis
+    val corpus = Seq((1L, "a b c", "fr"), (2L, "d e", "fr"))
+      .toDF("doc_id", "text", "lang")
+    // ref matches nothing => t_bigrams = 0; without the in-plan guard
+    // every kn_logprob silently came out NaN
+    val e = intercept[Throwable] {
+      TextAnalysis.knLogProb(corpus, "doc_id", "text",
+        ref = col("lang") === "en").collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("training slice is empty"), msgs)
+  }
+
   test("knLogProb: reference-trained model ranks shuffled text below natural") {
     import graft.operators.TextAnalysis
     val corpus = Seq(

@@ -176,12 +176,27 @@ object QueriesCuration {
         s"lag(do_merge) OVER (PARTITION BY w ORDER BY pos) AS pm FROM x$r) " +
         "WHERE COALESCE(pm, 0) = 0)"
     }
-    "WITH toks AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w FROM documents), " +
+    "WITH " + ToksCte + ", " +
       "vocab AS (SELECT w, count(*) AS f FROM toks WHERE w <> '' GROUP BY w), " +
       "s0 AS MATERIALIZED (SELECT w, f, pos, substring(w, pos, 1) AS sym FROM (" +
       "SELECT w, f, unnest(range(1, length(w) + 1)) AS pos FROM vocab)), " +
       (1 to BpeRounds).map(round).mkString(", ")
   }
+
+  /** The corpus-word CTE both tokenizer oracles start from — factored so
+    * the fairness audit can compose BOTH training chains in ONE top-level
+    * WITH (nesting the chains as derived-table subqueries defeats DuckDB's
+    * MATERIALIZED hints and the unrolled rounds re-evaluate
+    * exponentially). */
+  private lazy val ToksCte: String =
+    "toks AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w FROM documents)"
+
+  /** Per-document word occurrences with position — the shared encode-side
+    * prefix of both tokenizer oracles. */
+  private lazy val DocOccCtes: String =
+    "docw AS (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS ord FROM (" +
+      "SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS arr FROM documents)), " +
+      "occ AS (SELECT doc_id, ord, arr[ord] AS w FROM docw WHERE arr[ord] <> '')"
 
   private lazy val BpeMergesSql: String =
     BpeTrainCtes + " " +
@@ -201,10 +216,7 @@ object QueriesCuration {
     * common prefix of [[BpeEncodeSql]] and the tokenize→pack pipeline
     * oracle. Ends with `agg` (doc_id, n_tokens, tokens_str). */
   private lazy val BpeEncodeCtes: String =
-    BpeTrainCtes + ", " +
-      "docw AS (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS ord FROM (" +
-      "SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS arr FROM documents)), " +
-      "occ AS (SELECT doc_id, ord, arr[ord] AS w FROM docw WHERE arr[ord] <> ''), " +
+    BpeTrainCtes + ", " + DocOccCtes + ", " +
       s"enc AS (SELECT o.doc_id, o.ord, s.pos, s.sym FROM occ o JOIN s$BpeRounds s ON o.w = s.w), " +
       "agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_tokens, " +
       "string_agg(sym, '|' ORDER BY ord, pos) AS tokens_str FROM enc GROUP BY doc_id)"
@@ -836,9 +848,11 @@ object QueriesCuration {
     * then reads each document's encoding off the final per-word
     * segmentation, BPE-oracle style (valid because the eval corpus IS
     * the training corpus). */
-  private lazy val UnigramTokSql: String =
-    "WITH toks AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w FROM documents), " +
-      "w0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f FROM toks WHERE w <> '' GROUP BY w), " +
+  /** The unigram training chain (seeding → 2 hard-EM rounds → final
+    * per-word Viterbi), factored for the same one-top-level-WITH
+    * composition reason as [[ToksCte]]. Ends with `seg3`. */
+  private lazy val UniTrainCtes: String =
+    "w0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f FROM toks WHERE w <> '' GROUP BY w), " +
       s"sl AS (SELECT w, f, unnest(range(1, ${UniMaxPiece + 1})) AS l FROM w0), " +
       "sp AS (SELECT w, f, l, unnest(range(1, length(w) - l + 2)) AS s FROM sl WHERE l <= length(w)), " +
       "seed AS MATERIALIZED (SELECT substring(w, CAST(s AS INT), CAST(l AS INT)) AS p, " +
@@ -846,10 +860,10 @@ object QueriesCuration {
       "c0 AS MATERIALIZED (SELECT p, 64 - (length(bin(fr)) - 1) AS cost FROM seed), " +
       uniViterbi(1, "c0") + ", " + uniRecount(1, "c0") + ", " +
       uniViterbi(2, "c1") + ", " + uniRecount(2, "c1") + ", " +
-      uniViterbi(3, "c2") + ", " +
-      "docw AS (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS ord FROM (" +
-      "SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS arr FROM documents)), " +
-      "occ AS (SELECT doc_id, ord, arr[ord] AS w FROM docw WHERE arr[ord] <> ''), " +
+      uniViterbi(3, "c2")
+
+  private lazy val UnigramTokSql: String =
+    "WITH " + ToksCte + ", " + UniTrainCtes + ", " + DocOccCtes + ", " +
       "enc AS (SELECT o.doc_id, o.ord, s.np, s.path FROM occ o JOIN seg3 s ON o.w = s.w), " +
       "agg AS (SELECT doc_id, CAST(SUM(np) AS INT) AS n_pieces, " +
       "string_agg(path, '|' ORDER BY ord) AS pieces_str FROM enc GROUP BY doc_id) " +
@@ -883,6 +897,129 @@ object QueriesCuration {
         .orderBy(col("doc_id"))
     },
     Some(UnigramTokSql))
+
+  /** SMALL-FILE COMPACTION PLAN ([[graft.operators.Compaction.plan]]):
+    * the lakehouse maintenance op — bin-pack each partition's small
+    * files into target-size rewrite groups from the table's file
+    * inventory (metadata grain), next-fit-decreasing so the greedy
+    * packing is ONE window pass and exactly replayable in SQL (the
+    * operator scaladoc explains why NFD, not FFD, is the windowed — and
+    * therefore cross-engine-verifiable — form). The inventory here is
+    * modeled deterministically from the documents table (file id =
+    * doc_id, partition = lang, size = n_chars) so the DuckDB oracle
+    * replays the identical plan from the same parquet; a production
+    * caller feeds the real file listing. */
+  private val qCompactionPlan = Q(
+    (s, d) => graft.operators.Compaction.plan(
+        t(s, d, "documents").select(col("lang"), col("doc_id"),
+          col("n_chars").cast("long").as("size_bytes")),
+        partCols = Seq("lang"), fileId = "doc_id", sizeCol = "size_bytes",
+        targetBytes = 8192L)
+      .orderBy(col("lang"), col("bin"), col("doc_id")),
+    Some("WITH f AS (SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS size_bytes " +
+      "FROM documents), " +
+      "s AS (SELECT lang, doc_id, size_bytes, CAST(FLOOR(CAST(" +
+      "SUM(size_bytes) OVER (PARTITION BY lang ORDER BY size_bytes DESC, doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - size_bytes " +
+      "AS DOUBLE) / 8192.0) AS BIGINT) AS bin FROM f WHERE size_bytes < 8192), " +
+      "b AS (SELECT lang, doc_id, size_bytes, CAST(-1 AS BIGINT) AS bin " +
+      "FROM f WHERE size_bytes >= 8192), " +
+      "u AS (SELECT * FROM s UNION ALL SELECT * FROM b) " +
+      "SELECT lang, doc_id, size_bytes, bin, " +
+      "CASE WHEN bin = -1 THEN CAST(1 AS BIGINT) " +
+      "ELSE count(*) OVER (PARTITION BY lang, bin) END AS bin_files, " +
+      "CASE WHEN bin = -1 THEN size_bytes " +
+      "ELSE CAST(SUM(size_bytes) OVER (PARTITION BY lang, bin) AS BIGINT) END AS bin_bytes " +
+      "FROM u ORDER BY lang, bin, doc_id"))
+
+  /** TOKENIZER FAIRNESS AUDIT — the standard multilingual-tokenizer
+    * equity report (tokens-per-byte / bytes-per-token by language, plus
+    * each language's token premium relative to English): a tokenizer
+    * trained on a skewed corpus charges under-represented languages more
+    * tokens per byte of content, which directly prices their context
+    * window and training compute. Both trained tokenizers are audited —
+    * the [[qBpeEncode]] BPE model and the [[qUnigramTok]] unigram-LM
+    * model, each trained exactly as its own gated row trains it — so the
+    * oracle replays BOTH training trajectories (the unrolled-merge and
+    * unrolled-Viterbi CTE chains, composed as DuckDB nested-WITH
+    * subqueries) and the fairness table is hash-verified end to end.
+    * Premiums are computed in one fixed operation order
+    * (`tok_l·bytes_en / (bytes_l·tok_en)`, exact integer-valued doubles
+    * < 2⁵³ before one division) so both engines emit identical bits.
+    * Aggregation is one |langs|-row groupBy; the per-doc frame joins the
+    * two encode passes on the doc key — nothing here outgrows the
+    * tokenizer rows already on the board. */
+  private val qTokFairness = Q(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val bpeModel = Bpe.train(docs, "text", numMerges = BpeRounds)
+      val uniModel = graft.operators.UnigramLm.train(
+        docs, "text", maxPieceLen = UniMaxPiece, rounds = 2)
+      require(uniModel.maxWordLen <= UniMaxLen,
+        s"q_tok_fairness: corpus word of length ${uniModel.maxWordLen} " +
+          s"exceeds the oracle's $UniMaxLen-position DP unroll")
+      val bytes = docs.select(col("doc_id"), col("lang"),
+        octet_length(col("text")).cast("long").as("nb"))
+      val bpeTok = Bpe.encodeAudited(docs, "doc_id", "text", bpeModel)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("bt"))
+      val uniTok = graft.operators.UnigramLm.encode(docs, "doc_id", "text", uniModel)
+        .select(col("doc_id"), col("n_pieces").cast("long").as("up"))
+      val agg = bytes
+        .join(bpeTok, Seq("doc_id"), "left").join(uniTok, Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nb")).as("n_bytes"),
+          sum(coalesce(col("bt"), lit(0L))).as("bpe_tokens"),
+          sum(coalesce(col("up"), lit(0L))).as("uni_pieces"))
+      val en = agg.filter(col("lang") === "en")
+        .select(col("n_bytes").as("__eb"), col("bpe_tokens").as("__et"),
+          col("uni_pieces").as("__eu"))
+      def ratio(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+        when(den === 0, lit(null))
+          .otherwise(round(num.cast("double") / den.cast("double"), 6))
+      def premium(tok: org.apache.spark.sql.Column, etok: org.apache.spark.sql.Column) =
+        when(col("n_bytes") === 0 || etok === 0, lit(null))
+          .otherwise(round(tok.cast("double") * col("__eb").cast("double") /
+            (col("n_bytes").cast("double") * etok.cast("double")), 6))
+      agg.crossJoin(broadcast(en))
+        .select(col("lang"), col("n_docs"), col("n_bytes"),
+          col("bpe_tokens"), col("uni_pieces"),
+          ratio(col("n_bytes"), col("bpe_tokens")).as("bpe_bytes_per_token"),
+          ratio(col("n_bytes"), col("uni_pieces")).as("uni_bytes_per_piece"),
+          premium(col("bpe_tokens"), col("__et")).as("bpe_premium_vs_en"),
+          premium(col("uni_pieces"), col("__eu")).as("uni_premium_vs_en"))
+        .orderBy(col("lang"))
+    },
+    // ONE top-level WITH composing both training chains (nesting them as
+    // derived-table subqueries defeats DuckDB's MATERIALIZED hints and
+    // the unrolled rounds re-evaluate exponentially); the encode tails
+    // are renamed benc/bagg / uenc/uagg to avoid CTE-name collisions
+    Some("WITH " + ToksCte + ", " +
+      BpeTrainCtes.stripPrefix("WITH " + ToksCte + ", ") + ", " +
+      UniTrainCtes + ", " + DocOccCtes + ", " +
+      s"benc AS (SELECT o.doc_id, o.ord FROM occ o JOIN s$BpeRounds s ON o.w = s.w), " +
+      "bagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS bt FROM benc GROUP BY doc_id), " +
+      "uagg AS (SELECT o.doc_id, CAST(SUM(s.np) AS BIGINT) AS up " +
+      "FROM occ o JOIN seg3 s ON o.w = s.w GROUP BY o.doc_id), " +
+      "per AS (SELECT d.doc_id, d.lang, strlen(d.text) AS nb, " +
+      "COALESCE(bagg.bt, 0) AS bt, COALESCE(uagg.up, 0) AS up " +
+      "FROM documents d LEFT JOIN bagg USING (doc_id) LEFT JOIN uagg USING (doc_id)), " +
+      "ag AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(SUM(nb) AS BIGINT) AS n_bytes, CAST(SUM(bt) AS BIGINT) AS bpe_tokens, " +
+      "CAST(SUM(up) AS BIGINT) AS uni_pieces FROM per GROUP BY lang), " +
+      "en AS (SELECT n_bytes AS eb, bpe_tokens AS et, uni_pieces AS eu " +
+      "FROM ag WHERE lang = 'en') " +
+      "SELECT lang, n_docs, n_bytes, bpe_tokens, uni_pieces, " +
+      "CASE WHEN bpe_tokens = 0 THEN NULL ELSE " +
+      "round(CAST(n_bytes AS DOUBLE) / CAST(bpe_tokens AS DOUBLE), 6) END AS bpe_bytes_per_token, " +
+      "CASE WHEN uni_pieces = 0 THEN NULL ELSE " +
+      "round(CAST(n_bytes AS DOUBLE) / CAST(uni_pieces AS DOUBLE), 6) END AS uni_bytes_per_piece, " +
+      "CASE WHEN n_bytes = 0 OR et = 0 THEN NULL ELSE " +
+      "round(CAST(bpe_tokens AS DOUBLE) * CAST(eb AS DOUBLE) / " +
+      "(CAST(n_bytes AS DOUBLE) * CAST(et AS DOUBLE)), 6) END AS bpe_premium_vs_en, " +
+      "CASE WHEN n_bytes = 0 OR eu = 0 THEN NULL ELSE " +
+      "round(CAST(uni_pieces AS DOUBLE) * CAST(eb AS DOUBLE) / " +
+      "(CAST(n_bytes AS DOUBLE) * CAST(eu AS DOUBLE)), 6) END AS uni_premium_vs_en " +
+      "FROM ag, en ORDER BY lang"))
 
   /** CLASSIFIER PR-CURVE ([[graft.operators.Profiler.prCurve]]): the
     * threshold-calibration sweep over the trained quality classifier's
@@ -1296,6 +1433,8 @@ object QueriesCuration {
     "q_quality_signals" -> qQualitySignals,
     "q_blocklist_filter" -> qBlocklistFilter,
     "q_unigram_tok" -> qUnigramTok,
+    "q_tok_fairness" -> qTokFairness,
+    "q_compaction_plan" -> qCompactionPlan,
     "q_clf_pr_curve" -> qClfPrCurve,
     "q_expectations" -> qExpectations,
     "q_k_anonymize" -> qKAnonymize,

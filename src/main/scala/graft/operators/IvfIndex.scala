@@ -28,7 +28,7 @@ object IvfIndex {
   /** Nearest-centroid cell id over unit vectors: argmax of dot with each
     * centroid literal (|v|=|c|≈1 ⇒ argmin L2 == argmax dot); pure
     * expression, first index wins ties deterministically. */
-  private def cellOf(c: Column, centroids: Array[Array[Double]]): Column = {
+  private[graft] def cellOf(c: Column, centroids: Array[Array[Double]]): Column = {
     val dots = array(centroids.map(ct =>
       Similarity.dot(Similarity.normalizedSafe(c), array(ct.map(lit): _*))): _*)
     (array_position(dots, array_max(dots)) - 1).cast("int")
@@ -82,6 +82,93 @@ object IvfIndex {
     Similarity.scoreTopK(
       corpus.join(broadcast(probeCells), "cell").drop("cell"),
       anchorRow, id, vec, anchorId, k)
+  }
+
+  /** INCREMENTAL INDEX MAINTENANCE (round 14) — the gap between the
+    * offline [[build]] and a lake that ingests continuously: new vectors
+    * are assigned to their nearest EXISTING cell (the codebook stays
+    * frozen between rebuilds — the standard IVF maintenance contract:
+    * assignments stay centroid-consistent, only cell balance drifts) and
+    * appended to the cell-partitioned corpus, so every probe immediately
+    * sees them through the same partition-pruned layout. Ids already in
+    * the corpus are dropped first (the S6 insert-if-absent gate), which
+    * makes a replayed micro-batch a no-op — at-least-once delivery
+    * degrades to exactly-once, same discipline as the near-dup sink.
+    *
+    * Appended ids are also recorded in an `appended/` sidecar (the corpus
+    * schema stays byte-identical to [[build]]'s, so every existing probe
+    * and the q_ann_ivf_topk gate are untouched); [[maintenanceAudit]]
+    * reads it for the staleness/recall row. The sidecar append follows
+    * the corpus append, so a crash between the two undercounts staleness
+    * — the audit is advisory, never load-bearing for correctness. Both
+    * appends execute the same deterministic anti-joined plan.
+    *
+    * Returns the number of vectors appended. */
+  def appendBatch(batch: DataFrame, id: String, vec: String,
+                  indexDir: String): Long = {
+    val spark = batch.sparkSession
+    val centRows = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("cell")).collect()
+    require(centRows.nonEmpty,
+      s"IvfIndex.appendBatch: no centroid table under $indexDir — build() first")
+    val centroids = centRows.map(_.getSeq[Double](1).toArray)
+    val corpusDir = s"$indexDir/corpus"
+    // deterministic intra-batch survivor (the insertIfAbsentSink rule),
+    // then the replay gate against the corpus ids
+    val tiebreak = batch.columns.filterNot(_ == id).toSeq match {
+      case Nil => Seq(col(id))
+      case rest => rest.map(col)
+    }
+    val fresh = graft.operators.Ops
+      .dedupFirstWins(batch, Seq(id), tiebreak)
+      .join(spark.read.parquet(corpusDir).select(col(id)), Seq(id), "left_anti")
+      .withColumn("cell", cellOf(col(vec), centroids))
+    fresh.write.mode("append").partitionBy("cell").parquet(corpusDir)
+    val appendedIds = fresh.select(col(id))
+    appendedIds.write.mode("append").parquet(s"$indexDir/appended")
+    spark.read.parquet(s"$indexDir/appended").count() // total, for callers
+  }
+
+  /** Staleness / recall audit of a maintained index — the maintenance
+    * job's decision row for "rebuild the codebook yet?": one row with
+    * `n_total`, `n_appended`, `staleness_frac` (share of the corpus the
+    * frozen codebook never trained on), and `recall_at_k` — the mean
+    * probe-vs-exhaustive recall@k at the given `nprobe` over the
+    * `anchors` LOWEST appended ids (deterministic sample; appended
+    * vectors are exactly the ones cell drift can hurt). Driver cost is
+    * bounded by `anchors` (2 bounded top-k jobs each), never the corpus;
+    * with no appended rows recall is null and staleness 0. */
+  def maintenanceAudit(spark: SparkSession, indexDir: String, id: String,
+                       vec: String, k: Int, nprobe: Int,
+                       anchors: Int = 8): DataFrame = {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$indexDir/corpus")
+    val nTotal = corpus.count()
+    val appendedDir = s"$indexDir/appended"
+    val hasAppended = new org.apache.hadoop.fs.Path(appendedDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(appendedDir))
+    val appended = if (hasAppended) spark.read.parquet(appendedDir) else null
+    val nApp = if (hasAppended) appended.count() else 0L
+    val recall: Option[Double] = if (nApp == 0L) None else {
+      val ids = appended.orderBy(col(id)).limit(anchors)
+        .collect().map(_.getLong(0))
+      val hits = ids.map { a =>
+        val probe = topK(spark, indexDir, id, vec, a, k, nprobe)
+          .select(col(id)).as[Long].collect().toSet
+        val exact = Similarity.scoreTopK(corpus.drop("cell"),
+            corpus.filter(col(id) === a).select(col(vec).as("q_vec")),
+            id, vec, a, k)
+          .select(col(id)).as[Long].collect().toSet
+        if (exact.isEmpty) 1.0
+        else probe.intersect(exact).size.toDouble / exact.size
+      }
+      Some(hits.sum / hits.length)
+    }
+    Seq((nTotal, nApp,
+        math.rint(1e6 * nApp.toDouble / nTotal) / 1e6,
+        recall.map(r => math.rint(1e6 * r) / 1e6)))
+      .toDF("n_total", "n_appended", "staleness_frac", "recall_at_k")
   }
 
   // -------------------------------------------------------------------

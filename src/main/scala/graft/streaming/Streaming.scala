@@ -656,6 +656,20 @@ object Streaming {
     } catch { case e: Throwable => nearDupTallies.remove(stateDir); throw e }
   }
 
+  /** STREAMING ANN INDEX MAINTENANCE — [[graft.operators.IvfIndex]]'s
+    * incremental half as a foreachBatch sink: each micro-batch's new
+    * vectors are assigned to their nearest existing cell (codebook frozen
+    * between rebuilds) and appended to the cell-partitioned corpus, so
+    * probes see fresh vectors immediately through the same
+    * partition-pruned layout. Replay-safe by the insert-if-absent gate
+    * (see [[graft.operators.IvfIndex.appendBatch]]);
+    * [[graft.operators.IvfIndex.maintenanceAudit]] is the staleness /
+    * recall row a maintenance schedule keys rebuilds on. */
+  def ivfAppendSink(idCol: String, vecCol: String, indexDir: String)
+                   (batch: DataFrame, batchId: Long): Unit = {
+    graft.operators.IvfIndex.appendBatch(batch, idCol, vecCol, indexDir): Unit
+  }
+
   /** S6 insert-if-absent sink (consumer1.py:123-133) as a foreachBatch
     * upsert into a parquet-backed state dir: left-anti join against existing
     * keys, append only new ids — idempotent, so at-least-once replay

@@ -280,7 +280,12 @@ object ScaleProbe {
     // cusum_alarms: disjoint replica user universes with untouched
     // timestamps/values -- per-user statistics reproduce identically,
     // rows and alarms x10 exact. One sort per user partition.
-    "q_cusum_alarms")
+    "q_cusum_alarms",
+    // compaction_plan: one output row per inventory file (x10 exact).
+    // Bin ASSIGNMENTS legitimately re-pack at 10x (each lang partition's
+    // inventory is 10x denser, so the running-sum cuts fall elsewhere);
+    // cost is one window sort per partition over metadata-grain rows.
+    "q_compaction_plan")
 
   /** Linear-COST families whose OUTPUT is not union-composable, so "rows
     * x10 exact" is unachievable by any replica synthesis and row parity is
@@ -307,7 +312,13 @@ object ScaleProbe {
     // with the score distribution -- bounded by the corpus either way;
     // the cost contract is the classifier's (probed x2.2) + a map-only
     // hash filter.
-    "q_soft_quality_sample")
+    "q_soft_quality_sample",
+    // tok_fairness: output is bounded by |langs| at ANY scale, and the
+    // ~r token remap legitimately retrains both tokenizer models (the
+    // bpe_encode / unigram_tok contracts), so values shift with the
+    // learned merges/pieces -- the contract is the cost ratio of the two
+    // trainings + encodes plus one |langs|-row aggregate.
+    "q_tok_fairness")
 
   /** Optional comma-separated SPARK_GRAFT_PROBE_ONLY filter so a new
     * family can be probed without re-timing the whole board. */

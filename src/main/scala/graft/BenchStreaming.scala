@@ -68,10 +68,10 @@ object BenchStreaming {
     val nBatches = chunks.size
     val results = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
-    // GRAFT_SBENCH_ONLY=neardup (comma-separated substrings) runs a subset
+    // SPARK_GRAFT_SBENCH_ONLY=neardup (comma-separated substrings) runs a subset
     // of the sink sections — an A/B profiling aid; the committed artifact
     // is always a full run (record() refuses to write the JSON otherwise)
-    val only = sys.env.get("GRAFT_SBENCH_ONLY")
+    val only = sys.env.get("SPARK_GRAFT_SBENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     def section(name: String)(body: => Unit): Unit =
       if (only.forall(_.exists(name.contains))) body

@@ -55,9 +55,9 @@ object ProfileNearDup {
 
     val docs = Tables.load(spark, sfDir, "documents").select($"doc_id", $"text")
     val tmp = java.nio.file.Files.createTempDirectory("graft_ndprof").toString
-    // GRAFT_ND_BATCHES: micro-batch count (default 4 ≈ the bench point;
+    // SPARK_GRAFT_ND_BATCHES: micro-batch count (default 4 ≈ the bench point;
     // 20 → 250-doc batches, the long-run file-accretion regime)
-    val docBatches = sys.env.getOrElse("GRAFT_ND_BATCHES", "4").toInt
+    val docBatches = sys.env.getOrElse("SPARK_GRAFT_ND_BATCHES", "4").toInt
     def ingest(src: org.apache.spark.sql.DataFrame, state: String): Double = {
       val t = System.nanoTime()
       (0L until docBatches.toLong).foreach { b =>

@@ -101,6 +101,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(aqe == small && aqe.nonEmpty)
   }
 
+  test("near-dup sink state survives selective compaction mid-stream") {
+    // the sink commits ONE sigs file per micro-batch by design; the
+    // compaction executor is the maintenance op that closes that
+    // accretion. Compact the sigs ledger BETWEEN batches and the sink
+    // must neither lose its replay gate nor change its pairs output.
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup_compact")
+      .toString + "/state"
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different words appear in this other document here"),
+      (4L, "the quick brown fox jumps over the lazy dog today"),
+      (5L, "short text"),
+      (6L, "yet another entirely unrelated document with its own words"),
+      (7L, "the quick brown fox jumps over the lazy dog tomorrow"))
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val sink = Streaming.incrementalNearDupSink("doc_id", "text", dir,
+      ngram = 5, threshold = 0.5) _
+    sink(df(corpus.take(2)), 0L)
+    sink(df(corpus.slice(2, 5)), 1L)
+    // maintenance between batches: everything into one file
+    graft.operators.Compaction.executeOnDir(spark, s"$dir/sigs", 1L << 30)
+    // the tally survives the layout change (row count identical), and a
+    // process restart right after compaction must too
+    Streaming.dropNearDupMirror(dir)
+    sink(df(corpus.drop(5)), 2L)
+    // replay across the compacted ledger is still a no-op
+    sink(df(corpus.slice(2, 5)), 1L)
+    val got = spark.read.parquet(s"$dir/pairs")
+      .orderBy($"doc_a", $"doc_b").as[(Long, Long, Double)].collect().toSeq
+    val expected = graft.operators.Dedup.nearDupPairs(
+        df(corpus), "doc_id", "text", 5, 0.5)
+      .orderBy($"doc_a", $"doc_b").as[(Long, Long, Double)].collect().toSeq
+    assert(got == expected && expected.nonEmpty)
+    assert(spark.read.parquet(s"$dir/sigs").count() == corpus.size.toLong)
+  }
+
   test("incremental near-dup sink: CUMULATIVE volume gate raises on a saturated corpus") {
     val dir = java.nio.file.Files.createTempDirectory("graft_neardup_cap").toString + "/state"
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"

@@ -288,6 +288,46 @@ object BenchStreaming {
         "runs" -> bulkRuns.map(r => f"$r%.3f").mkString("[", ",", "]")))
     }
 
+    // ---- 5. streaming IVF index maintenance: offline build on half the
+    // embeddings corpus, then micro-batch appends of the rest through the
+    // frozen codebook (round 14). min-of-2 over fresh index dirs; runs
+    // must agree on the final corpus/appended counts, and the audit row's
+    // exact-probe recall (nprobe = nlist) must be 1.0 by construction.
+    section("ivf_append") {
+      val emb = Tables.load(spark, sfDir, "embeddings")
+        .select($"vec_id", $"embedding")
+      val nEmb = emb.count()
+      val half = nEmb / 2
+      val ivfBatches = 4
+      def ingest(state: String): Double = {
+        graft.operators.IvfIndex.build(emb.filter($"vec_id" < half),
+          "vec_id", "embedding", state, nlist = 16, trainLimit = 10000)
+        val t = nowSec()
+        (0L until ivfBatches.toLong).foreach { b =>
+          Streaming.ivfAppendSink("vec_id", "embedding", state)(
+            emb.filter($"vec_id" >= half && $"vec_id" % ivfBatches === b), b)
+        }
+        nowSec() - t
+      }
+      ingest(s"$tmp/ivf_warm"): Unit // untimed codegen/JIT warmup
+      val runs = (1 to 2).map(i => ingest(s"$tmp/ivf_state_$i"))
+      val counts = (1 to 2).map(i =>
+        spark.read.parquet(s"$tmp/ivf_state_$i/corpus").count())
+      require(counts.distinct.size == 1 && counts.head == nEmb,
+        s"ivf_append runs disagree or lost rows: $counts vs $nEmb")
+      val audit = graft.operators.IvfIndex.maintenanceAudit(spark,
+          s"$tmp/ivf_state_1", "vec_id", "embedding",
+          k = 10, nprobe = 16, anchors = 4).head()
+      require(audit.getDouble(3) == 1.0,
+        s"ivf_append exact-probe recall must be 1.0, got $audit")
+      record("ivf_append", nEmb - half, ivfBatches, runs.min, Seq(
+        "corpus_rows" -> counts.head.toString,
+        "appended" -> audit.getLong(1).toString,
+        "staleness_frac" -> audit.getDouble(2).toString,
+        "recall_at_10_full_probe" -> audit.getDouble(3).toString,
+        "runs" -> runs.map(r => f"$r%.3f").mkString("[", ",", "]")))
+    }
+
     val json = s"""{"metric":"streaming","unit":"sec","sf":"$sfDir",""" +
       s""""store":"rocksdb","cpus":$cpus,"sinks":{""" +
       results.map { case (k, v) => s""""$k":$v""" }.mkString(",") + "}}"

@@ -559,7 +559,8 @@ object Queries {
     "q_grouped_quantiles" -> qGroupedQuantiles,
     "q_pivot_event_counts" -> qPivotEventCounts,
   ) ++ QueriesTpch.registry ++ QueriesExtras.registry ++
-    QueriesRelational.registry ++ QueriesCuration.registry
+    QueriesRelational.registry ++ QueriesCuration.registry ++
+    QueriesAnalytics.registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { case (n, q) =>

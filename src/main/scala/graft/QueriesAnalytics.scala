@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Clustering, Profiler, Skyline, TextAnalysis}
+
+/** Round-14 analytics pack: the Pareto-skyline operator family, exact
+  * EWMA smoothing, min-k% probability contamination scoring, and the
+  * simplified-silhouette cluster-quality audit. Determinism follows the
+  * [[Queries]] header rules (total-order `orderBy`, exact fixed-point /
+  * DECIMAL cross-row arithmetic, identical per-row double operand order).
+  */
+object QueriesAnalytics {
+
+  private def t(s: org.apache.spark.sql.SparkSession, d: String, n: String) =
+    Tables.load(s, d, n)
+
+  /** 2D PARETO SKYLINE ([[Skyline.skyline2d]]) — the "best trade-off"
+    * frontier, here recency × value over the event stream: the events no
+    * later event outvalues (every monitoring dashboard's "recent highs"
+    * staleness/magnitude trade-off). The plan's only global-ordered
+    * window runs on the DISTINCT-X frame after a parallel bucket prune —
+    * survivor grain, not corpus grain — and the frontier keys join back
+    * broadcast-small. The oracle replays the identical distinct-x
+    * running-max formulation. */
+  private val qSkyline = Q(
+    (s, d) => Skyline.skyline2d(
+        t(s, d, "events").select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("value")),
+        "us", "value")
+      .orderBy(col("event_id")),
+    Some("WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us, value " +
+      "FROM events), " +
+      "g AS (SELECT us AS fx, max(value) AS gy FROM ev " +
+      "WHERE us IS NOT NULL AND value IS NOT NULL GROUP BY 1), " +
+      "r AS (SELECT fx, gy, max(gy) OVER (ORDER BY fx DESC " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm FROM g), " +
+      "f AS (SELECT fx, gy FROM r WHERE rm IS NULL OR rm < gy) " +
+      "SELECT e.event_id, e.user_id, e.us, e.value " +
+      "FROM ev e JOIN f ON e.us = f.fx AND e.value = f.gy " +
+      "ORDER BY event_id"))
+
+  /** N-DIMENSIONAL SKYLINE ([[Skyline.skylineNd]], d=3) over per-document
+    * text stats (chars × distinct tokens × longest token): deterministic
+    * hash-bucket local skylines (Σ|bucket|² as ONE equi-join, never a
+    * cartesian) then a volume-gated exact refine over the candidates. The
+    * oracle is the textbook correlated NOT EXISTS — the definition itself,
+    * affordable at oracle scale precisely because the Spark side never
+    * runs it. */
+  private val qSkylineNd = Q(
+    (s, d) => Skyline.skylineNd(
+        t(s, d, "documents").select(col("doc_id"), col("n_chars"),
+          size(array_distinct(split(trim(col("text")), "\\s+"))).cast("long").as("n_utoks"),
+          array_max(transform(split(trim(col("text")), "\\s+"), x => length(x)))
+            .cast("long").as("max_tok")),
+        dims = Seq("n_chars", "n_utoks", "max_tok"))
+      .select(col("doc_id"), col("n_chars"), col("n_utoks"), col("max_tok"))
+      .orderBy(col("doc_id")),
+    Some("WITH m AS (SELECT doc_id, n_chars, " +
+      "CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_utoks, " +
+      "CAST(list_max(list_transform(string_split_regex(trim(text), '\\s+'), " +
+      "x -> length(x))) AS BIGINT) AS max_tok FROM documents) " +
+      "SELECT doc_id, n_chars, n_utoks, max_tok FROM m a " +
+      "WHERE NOT EXISTS (SELECT 1 FROM m b WHERE " +
+      "b.n_chars >= a.n_chars AND b.n_utoks >= a.n_utoks AND b.max_tok >= a.max_tok " +
+      "AND (b.n_chars > a.n_chars OR b.n_utoks > a.n_utoks OR b.max_tok > a.max_tok)) " +
+      "ORDER BY doc_id"))
+
+  /** EXACT EWMA ([[Profiler.ewmaSmooth]], α = 1/4): per-user smoothed
+    * value level over the (ts, event_id)-ordered series in int64
+    * fixed-point — the sequential recursion as ONE array fold per key,
+    * replayed bit-exactly by DuckDB's `list_reduce` (both fold left from
+    * the first element; the α-division is an arithmetic SHIFT on both
+    * engines, so negative deviations floor identically). */
+  private val qEwma = Q(
+    (s, d) => Profiler.ewmaSmooth(
+        t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"), col("value")),
+        group = "user_id", seq = Seq("us", "event_id"), x = "value",
+        alphaShift = 2, scale = 4)
+      .orderBy(col("user_id")),
+    Some("WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, " +
+      "CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS xq " +
+      "FROM events WHERE value IS NOT NULL), " +
+      "l AS (SELECT user_id, list(xq ORDER BY us, event_id) AS xs " +
+      "FROM e GROUP BY user_id) " +
+      "SELECT user_id, CAST(len(xs) AS BIGINT) AS n_obs, " +
+      "list_reduce(xs, (acc, x) -> acc + ((x - acc) >> 2)) AS ewma_fp, " +
+      "round(CAST(list_reduce(xs, (acc, x) -> acc + ((x - acc) >> 2)) AS DOUBLE) " +
+      "/ 10000.0, 4) AS ewma " +
+      "FROM l ORDER BY user_id"))
+
+  /** SIMPLIFIED SILHOUETTE ([[Clustering.silhouette]]) of the gated
+    * k-means clustering (k=8, 2 Lloyd rounds — the q_kmeans_assign
+    * parameters): per-cluster mean/min/max of (b−a)/max(a,b) from the
+    * best-two centroid distances, one [[graft.plans.Top2Dist2]] codegen
+    * scan. The oracle reuses the unrolled-Lloyd CTE chain and takes
+    * rank-1/rank-2 distances per vector; cross-row means go through
+    * round(9)→DECIMAL(18,9) sums — exact and associative on both
+    * engines. */
+  private val qSilhouette = Q(
+    (s, d) => Clustering.silhouette(
+        t(s, d, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
+      .orderBy(col("cluster")),
+    Some(QueriesExtras.KmeansSqlWith + ", " +
+      "t2 AS (SELECT vec_id, c, dd, row_number() OVER (PARTITION BY vec_id " +
+      "ORDER BY dd, c) AS rn FROM df), " +
+      "ab AS (SELECT a.vec_id, CAST(a.c AS INT) AS cluster, a.dd AS a2, b.dd AS b2 " +
+      "FROM t2 a JOIN t2 b USING (vec_id) WHERE a.rn = 1 AND b.rn = 2), " +
+      "sv AS (SELECT cluster, CASE WHEN greatest(sqrt(CAST(a2 AS DOUBLE)), " +
+      "sqrt(CAST(b2 AS DOUBLE))) > 0.0e0 THEN " +
+      "round((sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE))) / " +
+      "greatest(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE))), 9) END AS s " +
+      "FROM ab) " +
+      "SELECT cluster, count(*) AS n_points, " +
+      "round(CAST(SUM(CAST(s AS DECIMAL(18,9))) AS DOUBLE) / " +
+      "CAST(count(s) AS DOUBLE), 6) AS avg_silhouette, " +
+      "min(s) AS min_silhouette, max(s) AS max_silhouette " +
+      "FROM sv GROUP BY cluster ORDER BY cluster"))
+
+  /** MIN-K% PROBABILITY ([[TextAnalysis.minKProb]], k = 20%): the
+    * membership-inference contamination score — mean log-prob of each
+    * document's 20% least-probable tokens under the corpus unigram LM.
+    * Ranking is by exact integer counts (monotone in probability), the
+    * k cut is exact ceil arithmetic; only the final per-doc mean is a
+    * rounded double (the q_unigram_logprob convention). */
+  private val qMinKProb = Q(
+    (s, d) => TextAnalysis.minKProb(t(s, d, "documents"), "doc_id", "text", kDen = 5)
+      .orderBy(col("doc_id")),
+    Some("WITH toks AS (SELECT doc_id, " +
+      "unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), " +
+      "freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1), " +
+      "tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM freq), " +
+      "sc AS (SELECT doc_id, cnt, " +
+      "count(*) OVER (PARTITION BY doc_id) AS n, " +
+      "row_number() OVER (PARTITION BY doc_id ORDER BY cnt, tok) AS rn " +
+      "FROM toks JOIN freq USING (tok)) " +
+      "SELECT doc_id, max(n) AS n_tokens, count(*) AS k_used, " +
+      "round(avg(ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE))), 6) " +
+      "AS min_k_avg_logprob " +
+      "FROM sc CROSS JOIN tot WHERE rn <= CAST(floor((n + 4) / 5.0) AS BIGINT) " +
+      "GROUP BY doc_id ORDER BY doc_id"))
+
+  /** Random-projection parameters: m = 16 directions (√16 = 4 keeps the
+    * JL divisor exact), d = 64 (the embeddings table's dimension — the
+    * oracle's literal sign matrix is d-wide, so a corpus with another
+    * dimension nulls out and fails on row count, loudly). */
+  private val RpM = 16
+  private val RpD = 64
+  private lazy val RpSigns = graft.operators.RandProj.signs(RpM, RpD)
+  private lazy val RpValuesSql = (0 until RpM).map { j =>
+    s"($j, [${RpSigns(j).map(v => s"${v.toDouble}").mkString(",")}])"
+  }.mkString(", ")
+
+  /** JOHNSON–LINDENSTRAUSS RANDOM PROJECTION ([[graft.operators.RandProj
+    * .project]]): embeddings onto 16 fixed ±1 directions — the
+    * training-free, shuffle-free dimensionality reducer (one codegen'd
+    * array_dot scan). Every intermediate is an exactly-representable
+    * integer (quantized components, ±1 sums ≪ 2⁵³), so DuckDB's
+    * sequential `list_dot_product` over the SAME literal sign matrix
+    * (the z-order generated-literals convention) reproduces every bit;
+    * the gated payload is the INTEGER fixed-point projection — the JL
+    * normalization (÷ scale·√m) is left to consumers because quantized
+    * projections land exactly on decimal rounding ties, where the two
+    * engines' round() implementations legitimately disagree. */
+  private val qRandProj = Q(
+    (s, d) => graft.operators.RandProj.project(
+        t(s, d, "embeddings"), "vec_id", "embedding", m = RpM, d = RpD)
+      .orderBy(col("vec_id"), col("j")),
+    Some("WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[], " +
+      "x -> CAST(CAST(trunc(x * 1000000e0) AS BIGINT) AS DOUBLE)) AS qv " +
+      "FROM embeddings WHERE embedding IS NOT NULL), " +
+      s"s(j, sv) AS (SELECT * FROM (VALUES $RpValuesSql) t(j, sv)), " +
+      "p AS (SELECT vec_id, j, list_dot_product(qv, sv) AS yd " +
+      "FROM q CROSS JOIN s) " +
+      "SELECT vec_id, j, CAST(yd AS BIGINT) AS y_fp FROM p ORDER BY vec_id, j"))
+
+  val registry: Seq[(String, Q)] = Seq(
+    "q_skyline" -> qSkyline,
+    "q_skyline_nd" -> qSkylineNd,
+    "q_ewma" -> qEwma,
+    "q_silhouette" -> qSilhouette,
+    "q_min_k_prob" -> qMinKProb,
+    "q_rand_proj" -> qRandProj)
+}

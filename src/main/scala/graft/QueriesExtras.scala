@@ -1592,7 +1592,7 @@ object QueriesExtras {
     * (d/a/m/c per round: distances, argmin assignment with ties → smallest
     * cluster, floor-mean update, empty clusters keeping their previous
     * centroid), final distances `df`, and the final assignment `asg`. */
-  private val KmeansSqlWith: String = {
+  private[graft] val KmeansSqlWith: String = {
     def round(n: Int, cdims: String): String =
       s"d$n AS (SELECT d.vec_id, cd.c, SUM((d.x - cd.y) * (d.x - cd.y)) AS dd " +
       s"FROM dims d JOIN $cdims cd USING (i) GROUP BY d.vec_id, cd.c), " +

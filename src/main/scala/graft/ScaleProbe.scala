@@ -285,7 +285,26 @@ object ScaleProbe {
     // Bin ASSIGNMENTS legitimately re-pack at 10x (each lang partition's
     // inventory is 10x denser, so the running-sum cuts fall elsewhere);
     // cost is one window sort per partition over metadata-grain rows.
-    "q_compaction_plan")
+    "q_compaction_plan",
+    // round-14 analytics pack. skyline (2D): replica event rows carry
+    // the SAME (ts, value) pairs as the base corpus (only user/event
+    // keys offset), so the union frontier equals the base frontier's
+    // value set and every replica's copies of those points survive
+    // (duplicate points never dominate) — rows x10 exact, cost is the
+    // bucketed prune + distinct-x window, linear. ewma: disjoint replica
+    // user universes with untouched series — per-user folds reproduce
+    // identically, rows x10 exact, VALUE identity. min_k_prob: the
+    // bijective ~r remap keeps every within-replica count and n_total
+    // scales x10, shifting every logprob by exactly -ln(10) — rankings
+    // and the k cut are count-based hence invariant, so rows x10 exact
+    // with uniformly shifted scores.
+    "q_skyline", "q_ewma", "q_min_k_prob",
+    // rand_proj: one output row per (vector, direction) — rows x10 exact
+    // (m fixed); replica vectors are signed circular shifts, so their
+    // projections onto the FIXED sign matrix legitimately differ from the
+    // base corpus's values. Cost is the embarrassingly-parallel codegen
+    // scan — the flattest curve on the board by construction.
+    "q_rand_proj")
 
   /** Linear-COST families whose OUTPUT is not union-composable, so "rows
     * x10 exact" is unachievable by any replica synthesis and row parity is
@@ -318,7 +337,17 @@ object ScaleProbe {
     // bpe_encode / unigram_tok contracts), so values shift with the
     // learned merges/pieces -- the contract is the cost ratio of the two
     // trainings + encodes plus one |langs|-row aggregate.
-    "q_tok_fairness")
+    "q_tok_fairness",
+    // round-14 analytics pack, non-composable outputs. skyline_nd: the
+    // ~r token suffixes LENGTHEN replica tokens, so replica docs
+    // legitimately dominate base docs on max_tok and the union frontier
+    // is not the base frontier x10 -- the contract is bounded output
+    // (the frontier) + the Σ|bucket|² prune cost staying linear at the
+    // fixed bucketTargetRows. silhouette: output is bounded at k rows
+    // at ANY scale; the 10x corpus legitimately trains different
+    // centroids (the kmeans_assign contract), so the contract is the
+    // cost ratio of the Lloyd rounds + one Top2Dist2 scan.
+    "q_skyline_nd", "q_silhouette")
 
   /** Optional comma-separated SPARK_GRAFT_PROBE_ONLY filter so a new
     * family can be probed without re-timing the whole board. */

@@ -101,4 +101,50 @@ object Clustering {
     val (cluster, d2) = assignCols(centroids)
     (centroids, q.select(col(id), cluster.as("cluster"), d2.as("dist2")))
   }
+
+  /** SIMPLIFIED SILHOUETTE (Hruschka et al.'s centroid-distance variant of
+    * Rousseeuw 1987) — the cluster-quality audit a curation pipeline runs
+    * after [[kmeansFit]] before trusting cluster ids for semantic dedup or
+    * balanced sampling: per point, a(i) = distance to its OWN centroid and
+    * b(i) = distance to the nearest OTHER centroid, s(i) = (b−a)/max(a,b)
+    * ∈ [−1, 1] (NULL when the point sits exactly on two centroids —
+    * max(a,b) = 0). Unlike the full silhouette's O(n²) pairwise form, the
+    * centroid form is O(n·k): both distances come from ONE pass of the
+    * [[graft.plans.Top2Dist2]] codegen expression over the same quantized
+    * vectors the clustering used — a map-only scan, no join, no shuffle
+    * beyond the final k-row aggregation.
+    *
+    * Determinism: distances are exact integer dist², √ is exactly rounded,
+    * and the per-point score is rounded to 9 places BEFORE the cross-row
+    * mean so the aggregation runs on exact DECIMAL(18,9) sums — associative
+    * and bit-identical in any engine at any partitioning (the repo's
+    * standard exact-mean construction).
+    *
+    * Returns one row per cluster: (cluster, n_points, avg_silhouette,
+    * min_silhouette, max_silhouette). Low/negative averages mark clusters
+    * whose members sit closer to a neighboring centroid — the k-was-wrong
+    * signal. */
+  def silhouette(emb: DataFrame, id: String, vec: String,
+                 k: Int, iters: Int, scale: Double = 1e6): DataFrame = {
+    require(k >= 2, s"silhouette needs k >= 2, got $k")
+    val (centroids, _) = kmeansFit(emb, id, vec, k, iters, scale)
+    graft.plans.GraftFunctions.register(org.apache.spark.sql.SparkSession.active)
+    val q = emb.filter(col(vec).isNotNull)
+      .select(col(id), quantize(col(vec), scale).as("__qv"))
+    val t2 = call_function("top2_dist2", col("__qv"),
+      typedlit(centroids.flatten.toIndexedSeq), lit(k))
+    val a = sqrt(col("__a2").cast("double"))
+    val b = sqrt(col("__b2").cast("double"))
+    val s = when(greatest(a, b) > 0.0, round((b - a) / greatest(a, b), 9))
+    q.select(t2.getField("cluster").as("cluster"),
+        t2.getField("dist2").cast("long").as("__a2"),
+        t2.getField("dist2b").cast("long").as("__b2"))
+      .select(col("cluster"), s.as("__s"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_points"),
+        round(sum(col("__s").cast("decimal(18,9)")).cast("double") /
+          count(col("__s")).cast("double"), 6).as("avg_silhouette"),
+        min(col("__s")).as("min_silhouette"),
+        max(col("__s")).as("max_silhouette"))
+  }
 }

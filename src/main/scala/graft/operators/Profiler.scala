@@ -446,6 +446,50 @@ object Profiler {
         (col("__s") > lit(h)).as("alarm"))
   }
 
+  /** EXPONENTIALLY-WEIGHTED MOVING AVERAGE, exact fixed-point — the
+    * smoother behind per-key health baselines (alert thresholds, rate
+    * limiters, drift baselines) where [[rollingZscore]]'s flat window
+    * forgets too abruptly. Per group, over the `seq`-ordered series:
+    * `s₁ = x₁`, `sᵢ = sᵢ₋₁ + ((xᵢ − sᵢ₋₁) >> alphaShift)` — i.e.
+    * α = 2^−alphaShift with the division as an ARITHMETIC SHIFT, so every
+    * state is an exact int64 in 10^scale fixed-point units and the whole
+    * recursion is bit-identical in any engine (both Spark's `shiftright`
+    * and DuckDB's `>>` floor; integer `/` would truncate-vs-floor drift on
+    * negative deviations).
+    *
+    * The recursion is inherently sequential per key, so it runs as ONE
+    * fold over the group's sorted observation array —
+    * `aggregate(slice(xs, 2, …), xs[1], …)` here, `list_reduce` in the
+    * oracle (both fold left with the first element as init). Per-group
+    * state is the group's own series (events-per-key grain, the
+    * [[graft.operators.EngagementAggregator]] contract) — bounded by key
+    * cardinality design upstream, never by corpus size.
+    *
+    * Returns (group, n_obs, ewma_fp, ewma): the final smoothed level per
+    * group in fixed-point and as a rounded double. */
+  def ewmaSmooth(series: DataFrame, group: String, seq: Seq[String], x: String,
+                 alphaShift: Int = 2, scale: Int = 4): DataFrame = {
+    require(alphaShift >= 1 && alphaShift <= 32,
+      s"alphaShift must be in [1, 32], got $alphaShift")
+    require(scale >= 0 && scale <= 6, s"scale must be in [0, 6], got $scale")
+    val unit = math.pow(10, scale).toLong
+    val xq = (col(x).cast(s"decimal(18,$scale)") * unit).cast("long")
+    val e = struct(seq.map(col) :+ xq.as("__xq"): _*)
+    series.filter(col(x).isNotNull)
+      .select(col(group), e.as("__e"))
+      .groupBy(col(group))
+      .agg(sort_array(collect_list(col("__e"))).as("__es"))
+      .withColumn("__xs", transform(col("__es"), v => v.getField("__xq")))
+      .select(col(group),
+        size(col("__xs")).cast("long").as("n_obs"),
+        aggregate(
+          slice(col("__xs"), lit(2), greatest(size(col("__xs")) - 1, lit(0))),
+          element_at(col("__xs"), 1),
+          (acc, v) => acc + shiftright(v - acc, alphaShift)).as("ewma_fp"))
+      .withColumn("ewma",
+        round(col("ewma_fp").cast("double") / unit.toDouble, scale))
+  }
+
   /** PRECISION-RECALL CURVE of a scored, labeled frame — the threshold
     * calibration step between training a quality classifier and wiring
     * its cutoff into a corpus gate (every deployed fastText-style filter

@@ -301,6 +301,46 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** MIN-K% PROBABILITY (Shi et al. 2023, "Detecting Pretraining Data from
+    * Large Language Models") — the membership-inference contamination
+    * signal beside the shingle/bloom decontaminators: a text the scoring
+    * LM has effectively memorized contains NO low-probability outlier
+    * tokens, so the mean log-prob of its k% LEAST-probable tokens is
+    * suspiciously high; an unseen text of the same overall perplexity
+    * still has a heavy low-prob tail. The scoring model here is the
+    * corpus's own unigram LM (the [[unigramLogProb]] model — swap in any
+    * per-token score column for a stronger LM).
+    *
+    * Engine-exact by construction: tokens are ranked per document by the
+    * exact INTEGER corpus count (unigram log-prob is monotone in cnt, so
+    * cnt-rank ≡ prob-rank) with token-text tie-break — no float ordering
+    * anywhere; equal-key ties select an identical value multiset either
+    * way. The k cut is ceil(n/kDen) in exact arithmetic. Plan: the
+    * unigram join plus ONE document-bounded window — same cost family as
+    * [[unigramLogProb]].
+    *
+    * Returns (id, n_tokens, k_used, min_k_avg_logprob). */
+  def minKProb(df: DataFrame, id: String, text: String, kDen: Int = 5): DataFrame = {
+    require(kDen >= 1, s"kDen must be >= 1, got $kDen")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(id), explode(words(col(text))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("n_total"))
+    val byDoc = Window.partitionBy(col(id))
+    val rank = Window.partitionBy(col(id)).orderBy(col("cnt"), col("tok"))
+    toks.join(freq, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("__n", count(lit(1)).over(byDoc))
+      .withColumn("__rn", row_number().over(rank))
+      // ceil(n/kDen): exact in doubles for any table row count < 2^52
+      .filter(col("__rn") <= floor((col("__n") + (kDen - 1)) / kDen.toDouble).cast("long"))
+      .groupBy(col(id))
+      .agg(max(col("__n")).as("n_tokens"),
+        count(lit(1)).as("k_used"),
+        round(avg(log(col("cnt").cast("double") / col("n_total").cast("double"))), 6)
+          .as("min_k_avg_logprob"))
+  }
+
   /** COMPRESSION-RATIO quality signal ([[graft.plans.DeflateRatio]]):
     * Deflate bytes over raw bytes per document — the model-free
     * redundancy detector (repeated paragraphs compress well even when

@@ -101,6 +101,9 @@ object GraftFunctions {
     (FunctionIdentifier("argmin_dist2"),
       new ExpressionInfo(classOf[ArgminDist2].getName, "argmin_dist2"),
       (exprs: Seq[Expression]) => ArgminDist2(exprs(0), exprs(1), exprs(2))),
+    (FunctionIdentifier("top2_dist2"),
+      new ExpressionInfo(classOf[Top2Dist2].getName, "top2_dist2"),
+      (exprs: Seq[Expression]) => Top2Dist2(exprs(0), exprs(1), exprs(2))),
     (FunctionIdentifier("deflate_ratio"),
       new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
       (exprs: Seq[Expression]) => DeflateRatio(exprs(0))),

@@ -930,6 +930,61 @@ object Streaming {
     }
   }
 
+  /** STREAMING PARETO FRONTIER — incremental skyline maintenance, the
+    * streaming twin of [[graft.operators.Skyline.skyline2d]] (both dims
+    * maximized): the dominance-merge identity
+    * `skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B))` (a point
+    * dominated in the union is dominated by a member of its own side's
+    * skyline — take a MAXIMAL dominator; transitivity) makes the frontier
+    * a mergeable summary, so each micro-batch costs one batch-grain
+    * skyline plus a re-skyline of (stored frontier ∪ batch survivors) —
+    * batch + frontier work, never history. State is the frontier rows
+    * themselves, ALL payload columns kept and duplicates of frontier
+    * points preserved (the batch operator's semantics); expected
+    * O(log n) rows for independent dimensions, deliberately UNCAPPED —
+    * an anti-correlated stream legitimately grows it and the 2D plan
+    * stays frontier-linear either way.
+    *
+    * Crash/replay discipline is [[incrementalRollupSink]]'s verbatim:
+    * last applied batchId inside an `_applied` marker published by the
+    * same rename-aside atomic swap — a replayed batch is skipped, and no
+    * crash point separates the frontier from its marker. */
+  def skylineSink(x: String, y: String, stateDir: String)
+                 (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    recoverSwap(spark, stateDir, "skylineSink")
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readMarker(dir: String): Long = {
+      val m = new org.apache.hadoop.fs.Path(s"$dir/_applied")
+      if (!fs.exists(m)) -1L
+      else {
+        val in = fs.open(m)
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          "UTF-8").trim.toLong
+        finally in.close()
+      }
+    }
+    if (batchId <= readMarker(stateDir)) return // replayed batch: no-op
+    val bSky = graft.operators.Skyline.skyline2d(batch, x, y)
+    val merged =
+      if (stateExists(spark, stateDir))
+        graft.operators.Skyline.skyline2d(
+          bSky.unionByName(spark.read.parquet(stateDir)), x, y)
+      else bSky
+    merged.write.mode("overwrite").parquet(stateDir + "_next")
+    val out = fs.create(new org.apache.hadoop.fs.Path(stateDir + "_next/_applied"), true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    val cur = new org.apache.hadoop.fs.Path(stateDir)
+    val next = new org.apache.hadoop.fs.Path(stateDir + "_next")
+    val old = new org.apache.hadoop.fs.Path(stateDir + "_old")
+    if (fs.exists(cur) && !fs.rename(cur, old))
+      throw new java.io.IOException(s"skylineSink: failed to move $cur aside")
+    if (!fs.rename(next, cur))
+      throw new java.io.IOException(s"skylineSink: failed to publish $next")
+    fs.delete(old, true): Unit
+  }
+
   /** ST6 stretch — CUSTOM-STATE sessionization via flatMapGroupsWithState
     * (the arbitrary-state API `session_window` can't replace when the
     * emitted record needs custom shape or the close condition isn't a pure

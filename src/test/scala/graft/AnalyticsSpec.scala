@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Clustering, Profiler, Skyline, TextAnalysis}
+
+/** Round-14 analytics pack: skyline family vs brute-force dominance,
+  * EWMA fold vs the naive sequential recursion, min-k% prob cut math,
+  * simplified silhouette vs hand arithmetic, Top2Dist2 interpreted eval. */
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Brute-force maximal vectors (all dims maximized, duplicates kept). */
+  private def bruteSkyline(rows: Seq[Seq[Long]]): Set[Seq[Long]] =
+    rows.filter { a =>
+      !rows.exists(b => b.zip(a).forall { case (x, y) => x >= y } &&
+        b.zip(a).exists { case (x, y) => x > y })
+    }.toSet
+
+  private def randRows(n: Int, d: Int, seed: Long, domain: Int): Seq[Seq[Long]] = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map(_ => Seq.fill(d)(rnd.nextInt(domain).toLong))
+  }
+
+  test("skyline2d ≡ brute force, keeps duplicate frontier points, partition-independent") {
+    // small domain forces same-x ties and exact duplicate points
+    val rows = randRows(400, 2, seed = 7, domain = 12) ++
+      Seq(Seq(11L, 11L), Seq(11L, 11L)) // planted duplicate maximal point
+    val df = rows.map(r => (r(0), r(1))).toDF("x", "y")
+    val got = Skyline.skyline2d(df, "x", "y")
+      .collect().map(r => Seq(r.getLong(0), r.getLong(1)))
+    val exp = bruteSkyline(rows)
+    assert(got.toSet == exp)
+    // duplicates preserved row-for-row (both planted copies survive)
+    assert(got.count(_ == Seq(11L, 11L)) == rows.count(_ == Seq(11L, 11L)))
+    val reparted = Skyline.skyline2d(df.repartition(7), "x", "y")
+      .collect().map(r => Seq(r.getLong(0), r.getLong(1))).sortBy(_.mkString(","))
+    assert(reparted.toSeq == got.sortBy(_.mkString(",")).toSeq)
+    // null dims never reach the frontier
+    val withNull = df.union(Seq((null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(99L)))
+      .toDF("x", "y"))
+    assert(Skyline.skyline2d(withNull, "x", "y").collect()
+      .forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+  }
+
+  test("skylineNd ≡ brute force across bucket counts; cap throws loudly") {
+    val rows = randRows(300, 3, seed = 11, domain = 9) :+ Seq(8L, 8L, 8L)
+    val df = rows.map(r => (r(0), r(1), r(2))).toDF("a", "b", "c")
+    val exp = bruteSkyline(rows)
+    for (target <- Seq(16L, 4096L)) { // many small buckets vs one bucket
+      val got = Skyline.skylineNd(df, Seq("a", "b", "c"), bucketTargetRows = target)
+        .collect().map(r => Seq(r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == exp, s"bucketTargetRows=$target")
+    }
+    // an anti-correlated frontier larger than the cap must throw at
+    // construction (the eager volume-gate contract), not melt the refine
+    val anti = (1 to 50).map(i => (i.toLong, (100 - i).toLong, 0L)).toDF("a", "b", "c")
+    val e = intercept[IllegalArgumentException] {
+      Skyline.skylineNd(anti, Seq("a", "b", "c"), maxCandidates = 10L)
+    }
+    assert(e.getMessage.contains("candidates exceed cap"))
+  }
+
+  test("ewmaSmooth ≡ the naive sequential recursion, incl. negative deviations") {
+    val series = Seq(
+      (1L, 1L, 3.5), (1L, 2L, 0.01), (1L, 3L, 490.02), (1L, 4L, 1.0),
+      (2L, 1L, 42.42), // single observation: ewma = x
+      (3L, 1L, 0.07), (3L, 2L, 0.03), (3L, 3L, 0.11))
+    val df = series.toDF("g", "ord", "x")
+    def ref(xs: Seq[Double]): Long = {
+      val q = xs.map(x => BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.unscaledValue.longValue)
+      q.tail.foldLeft(q.head)((acc, v) => acc + ((v - acc) >> 2))
+    }
+    val got = Profiler.ewmaSmooth(df, "g", Seq("ord"), "x", alphaShift = 2, scale = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exp = series.groupBy(_._1).map { case (g, rows) =>
+      val xs = rows.sortBy(_._2).map(_._3)
+      (g, xs.size.toLong, ref(xs))
+    }.toSet
+    assert(got == exp)
+    // null observations are dropped, not zero-filled
+    val withNull = df.union(Seq((1L, 0L, null.asInstanceOf[java.lang.Double]))
+      .toDF("g", "ord", "x"))
+    assert(Profiler.ewmaSmooth(withNull, "g", Seq("ord"), "x")
+      .filter(col("g") === 1L).head().getLong(1) == 4L)
+  }
+
+  test("minKProb: exact ceil cut, memorized text scores higher than rare-tail text") {
+    // 'common' appears everywhere; doc 2 carries a unique rare tail token
+    val docs = Seq(
+      (1L, "common common common common common"),
+      (2L, "common common common common rareonly"),
+      (3L, "common common")).toDF("doc_id", "text")
+    val got = TextAnalysis.minKProb(docs, "doc_id", "text", kDen = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1)._1 == 5L && got(1)._2 == 1L) // ceil(5/5) = 1
+    assert(got(3)._1 == 2L && got(3)._2 == 1L) // ceil(2/5) = 1
+    // doc 2's worst token is the rare one → lower min-k score than doc 1
+    assert(got(2)._3 < got(1)._3)
+    // doc 1's min-k token is 'common' on both docs 1 and 3 → equal scores
+    assert(got(1)._3 == got(3)._3)
+  }
+
+  test("silhouette: two tight clusters score near 1, per-point arithmetic exact") {
+    // k=2: cluster A around (0,0), cluster B around (10,10); seeds = two
+    // smallest ids, one in each cluster
+    val emb = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(10.0f, 10.0f)),
+      (3L, Seq(0.1f, 0.0f)), (4L, Seq(0.0f, 0.1f)),
+      (5L, Seq(10.1f, 10.0f)), (6L, Seq(10.0f, 10.1f))).toDF("vec_id", "embedding")
+    val got = Clustering.silhouette(emb, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(0, 1))
+    assert(got.values.map(_._1).sum == 6L)
+    // tight, well-separated clusters: average silhouette close to 1
+    assert(got.values.forall(_._2 > 0.95))
+    assert(intercept[IllegalArgumentException] {
+      Clustering.silhouette(emb, "vec_id", "embedding", k = 1, iters = 1)
+    }.getMessage.contains("k >= 2"))
+  }
+
+  test("RandProj: exact vs driver fold; JL distance preservation on random vectors") {
+    val rnd = new scala.util.Random(5)
+    val vecs = (1 to 60).map(i => (i.toLong, Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val m = 16
+    val s = graft.operators.RandProj.signs(m, 64)
+    val got = graft.operators.RandProj.project(df, "vec_id", "embedding", m = m, d = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // exact reference: quantize trunc(x*1e6), signed integer sum
+    def ref(v: Seq[Float], j: Int): Long = {
+      val q = v.map(x => (x.toDouble * 1e6).toLong)
+      q.zipWithIndex.map { case (x, i) => x * s(j)(i) }.sum
+    }
+    assert(got.size == vecs.size * m)
+    vecs.take(5).foreach { case (id, v) =>
+      (0 until m).foreach(j => assert(got((id, j)) == ref(v, j), s"id=$id j=$j"))
+    }
+    // JL property: E[||Py1 − Py2||² / m] = ||y1 − y2||² — the per-pair
+    // ratio concentrates near 1 for m = 16; assert the mean over pairs
+    val pairs = for (a <- vecs.indices; b <- a + 1 until vecs.size if (a + b) % 7 == 0)
+      yield (vecs(a), vecs(b))
+    val ratios = pairs.map { case ((ia, va), (ib, vb)) =>
+      val d2 = va.zip(vb).map { case (x, y) =>
+        val dd = (x.toDouble * 1e6).toLong - (y.toDouble * 1e6).toLong; dd.toDouble * dd
+      }.sum
+      val p2 = (0 until m).map(j => {
+        val dj = (got((ia, j)) - got((ib, j))).toDouble; dj * dj
+      }).sum / m
+      p2 / d2
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.8 && mean < 1.2, s"JL mean ratio $mean")
+  }
+
+  test("Top2Dist2.eval: best + runner-up, ties, ragged null; matches ArgminDist2") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val centroids = new GenericArrayData(Array[Long](0L, 0L, 10L, 10L, 3L, 4L))
+    def ev(v: Array[Long]) = graft.plans.Top2Dist2(
+      Literal(new GenericArrayData(v), ArrayType(LongType)),
+      Literal(centroids, ArrayType(LongType)), Literal(3)).eval(InternalRow.empty)
+    val r = ev(Array(1L, 1L)).asInstanceOf[InternalRow]
+    assert(r.getInt(0) == 0 && r.getLong(1) == 2L && r.getLong(2) == 13L)
+    assert(ev(Array(1L)) == null) // ragged
+    // exact tie: best = smallest index, runner-up carries the SAME distance
+    val tie = graft.plans.Top2Dist2(
+      Literal(new GenericArrayData(Array(5L, 5L)), ArrayType(LongType)),
+      Literal(new GenericArrayData(Array[Long](0L, 0L, 10L, 10L)), ArrayType(LongType)),
+      Literal(2)).eval(InternalRow.empty).asInstanceOf[InternalRow]
+    assert(tie.getInt(0) == 0 && tie.getLong(1) == 50L && tie.getLong(2) == 50L)
+  }
+}

@@ -175,11 +175,68 @@ object QueriesAnalytics {
       "FROM q CROSS JOIN s) " +
       "SELECT vec_id, j, CAST(yd AS BIGINT) AS y_fp FROM p ORDER BY vec_id, j"))
 
+  /** JOIN-SIZE ESTIMATE ([[Profiler.joinSizeEstimate]]): the exact output
+    * cardinality of orders ⋈ lineitem from key-grain count products —
+    * the planner statistic that costs count-row shuffles, never fact-row
+    * shuffles, plus the worst key's skew share. Integral arithmetic end
+    * to end (Spark `div` ≡ DuckDB `//` on nonnegative counts). */
+  private val qJoinSize = Q(
+    (s, d) => Profiler.joinSizeEstimate(
+        t(s, d, "orders").select(col("o_orderkey").as("jk")),
+        t(s, d, "lineitem").select(col("l_orderkey").as("jk")), "jk"),
+    Some("WITH ca AS (SELECT o_orderkey AS jk, count(*) AS ca FROM orders " +
+      "WHERE o_orderkey IS NOT NULL GROUP BY 1), " +
+      "cb AS (SELECT l_orderkey AS jk, count(*) AS cb FROM lineitem " +
+      "WHERE l_orderkey IS NOT NULL GROUP BY 1), " +
+      "j AS (SELECT jk, ca * cb AS contrib FROM ca JOIN cb USING (jk)), " +
+      "tot AS (SELECT CAST(COALESCE(SUM(contrib), 0) AS BIGINT) AS est_rows, " +
+      "count(*) AS n_keys_common FROM j), " +
+      "top AS (SELECT jk AS max_key, contrib AS max_contrib FROM j " +
+      "ORDER BY contrib DESC, jk LIMIT 1) " +
+      "SELECT est_rows, (SELECT count(*) FROM ca) AS n_keys_left, " +
+      "(SELECT count(*) FROM cb) AS n_keys_right, n_keys_common, " +
+      "max_key, max_contrib, " +
+      "CASE WHEN est_rows > 0 THEN (max_contrib * 1000000) // est_rows " +
+      "ELSE 0 END AS skew_ppm " +
+      "FROM tot CROSS JOIN top"))
+
+  /** χ² INDEPENDENCE ([[Profiler.chiSquareIndependence]]) of language ×
+    * source over the corpus — "is language confounded with source?", the
+    * stratification sanity check. Counts exact, one rounded double chain
+    * per CELL (category grain), DECIMAL(28,9) cell sums. */
+  private val qChi2 = Q(
+    (s, d) => Profiler.chiSquareIndependence(
+        t(s, d, "documents"), "lang", "source"),
+    Some("WITH r AS (SELECT lang, source FROM documents " +
+      "WHERE lang IS NOT NULL AND source IS NOT NULL), " +
+      "joint AS (SELECT lang, source, count(*) AS o FROM r GROUP BY 1, 2), " +
+      "m1 AS (SELECT lang, count(*) AS rl FROM r GROUP BY 1), " +
+      "m2 AS (SELECT source, count(*) AS cs FROM r GROUP BY 1), " +
+      "nn AS (SELECT count(*) AS n FROM r), " +
+      // zero-cell identity: chi2 = N + Σ_observed ((o−e)²/e − e)
+      "cells AS (SELECT CAST(round(" +
+      "(CAST(o AS DOUBLE) - CAST(rl AS DOUBLE) * CAST(cs AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+      "(CAST(o AS DOUBLE) - CAST(rl AS DOUBLE) * CAST(cs AS DOUBLE) / CAST(n AS DOUBLE)) / " +
+      "(CAST(rl AS DOUBLE) * CAST(cs AS DOUBLE) / CAST(n AS DOUBLE)) - " +
+      "CAST(rl AS DOUBLE) * CAST(cs AS DOUBLE) / CAST(n AS DOUBLE), 9) " +
+      "AS DECIMAL(28,9)) AS t, n " +
+      "FROM joint JOIN m1 USING (lang) JOIN m2 USING (source) CROSS JOIN nn), " +
+      "k1 AS (SELECT count(*) AS n_c1 FROM m1), " +
+      "k2 AS (SELECT count(*) AS n_c2 FROM m2) " +
+      "SELECT n, n_c1, n_c2, (n_c1 - 1) * (n_c2 - 1) AS dof, " +
+      "round(greatest(0.0e0, CAST(n AS DOUBLE) + CAST(SUM(t) AS DOUBLE)), 6) AS chi2, " +
+      "CASE WHEN n > 0 AND least(n_c1, n_c2) > 1 THEN " +
+      "round(sqrt(greatest(0.0e0, CAST(n AS DOUBLE) + CAST(SUM(t) AS DOUBLE)) / " +
+      "(CAST(n AS DOUBLE) * CAST(least(n_c1, n_c2) - 1 AS DOUBLE))), 6) END AS cramers_v " +
+      "FROM cells CROSS JOIN k1 CROSS JOIN k2 GROUP BY n, n_c1, n_c2"))
+
   val registry: Seq[(String, Q)] = Seq(
     "q_skyline" -> qSkyline,
     "q_skyline_nd" -> qSkylineNd,
     "q_ewma" -> qEwma,
     "q_silhouette" -> qSilhouette,
     "q_min_k_prob" -> qMinKProb,
-    "q_rand_proj" -> qRandProj)
+    "q_rand_proj" -> qRandProj,
+    "q_join_size" -> qJoinSize,
+    "q_chi2_independence" -> qChi2)
 }

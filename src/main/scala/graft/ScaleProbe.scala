@@ -347,7 +347,15 @@ object ScaleProbe {
     // at ANY scale; the 10x corpus legitimately trains different
     // centroids (the kmeans_assign contract), so the contract is the
     // cost ratio of the Lloyd rounds + one Top2Dist2 scan.
-    "q_skyline_nd", "q_silhouette")
+    "q_skyline_nd", "q_silhouette",
+    // join_size: ONE summary row at any scale; replica order/lineitem key
+    // universes are disjoint so est_rows = 10x the base estimate exactly
+    // (a sum over disjoint key unions) -- cost is the two key-grain
+    // aggregations + one key-grain join. chi2_independence: one row; the
+    // doc replicas keep lang/source untouched, so every (o, r, c, n)
+    // scales x10 and chi2 scales x10 EXACTLY ((10o-10e)^2/10e = 10x) --
+    // value contract up to the 6th decimal.
+    "q_join_size", "q_chi2_independence")
 
   /** Optional comma-separated SPARK_GRAFT_PROBE_ONLY filter so a new
     * family can be probed without re-timing the whole board. */

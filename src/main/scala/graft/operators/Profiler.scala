@@ -446,6 +446,93 @@ object Profiler {
         (col("__s") > lit(h)).as("alarm"))
   }
 
+  /** JOIN-SIZE ESTIMATE — the planner statistic a 100 TB engine computes
+    * BEFORE committing to a join strategy: the exact output cardinality
+    * of `a ⋈ b` on `key` is Σ_k cnt_a(k)·cnt_b(k), computable from two
+    * key-grain aggregations and a key-grain join — it shuffles COUNT
+    * rows, never fact rows, so it costs a vanishing fraction of the join
+    * it sizes. Alongside the total it reports the key-frequency shape a
+    * skew decision needs: distinct keys per side, common keys, and the
+    * single worst key with its contribution (ties → smallest key — the
+    * [[skewReport]] determinism rule). `skew_ppm` = worst key's share of
+    * the output in parts-per-million (integer-exact: both operands are
+    * exact int64 counts; the division result is floored).
+    *
+    * One summary row out: (est_rows, n_keys_left, n_keys_right,
+    * n_keys_common, max_key, max_contrib, skew_ppm). */
+  def joinSizeEstimate(a: DataFrame, b: DataFrame, key: String): DataFrame = {
+    val ca = a.filter(col(key).isNotNull)
+      .groupBy(col(key)).agg(count(lit(1)).as("__ca"))
+    val cb = b.filter(col(key).isNotNull)
+      .groupBy(col(key)).agg(count(lit(1)).as("__cb"))
+    val contrib = ca.join(cb, key)
+      .select(col(key), (col("__ca") * col("__cb")).as("__contrib"))
+    val tot = contrib.agg(
+      coalesce(sum(col("__contrib")), lit(0L)).as("est_rows"),
+      count(lit(1)).as("n_keys_common"))
+    val top = contrib.orderBy(col("__contrib").desc, col(key)).limit(1)
+      .select(col(key).as("max_key"), col("__contrib").as("max_contrib"))
+    tot
+      .crossJoin(ca.agg(count(lit(1)).as("n_keys_left")))
+      .crossJoin(cb.agg(count(lit(1)).as("n_keys_right")))
+      .crossJoin(top)
+      .select(col("est_rows"), col("n_keys_left"), col("n_keys_right"),
+        col("n_keys_common"), col("max_key"), col("max_contrib"),
+        // integral div on both engines (Spark `div` ≡ DuckDB `//` for
+        // nonnegative counts) — no double rounding in the gate
+        when(col("est_rows") > 0,
+          expr("(max_contrib * 1000000L) div est_rows"))
+          .otherwise(lit(0L)).as("skew_ppm"))
+  }
+
+  /** χ² TEST OF INDEPENDENCE between two categorical columns — the
+    * data-quality question behind every stratified decision ("is language
+    * confounded with source?"): χ² = Σ_cells (o − e)²/e with
+    * e = rowTotal·colTotal/N. Exact-by-construction cross-row arithmetic:
+    * every count is an exact int64, each cell's term is ONE fixed
+    * double-operand chain rounded to 9 places, and the cell terms sum as
+    * DECIMAL(28,9) — associative, partitioning-independent. Cells are
+    * ≤ |c1|·|c2| rows (category grain, never row grain), so the plan is
+    * one joint aggregation plus two broadcast marginal joins.
+    *
+    * ZERO cells (combinations never observed) contribute (0−e)²/e = e
+    * each but never appear in the joint aggregate, so the sum uses the
+    * identity Σ_all (o−e)²/e = N + Σ_observed ((o−e)²/e − e)
+    * (Σ_all e = N) — no sparse-cell materialization, no |c1|×|c2|
+    * cross join. A tiny negative from per-cell rounding is floored at 0
+    * before the √ in Cramér's V.
+    *
+    * One row out: (n, n_c1, n_c2, dof, chi2, cramers_v) — Cramér's V
+    * normalizes χ² to [0,1] for a scale-free association strength. */
+  def chiSquareIndependence(df: DataFrame, c1: String, c2: String): DataFrame = {
+    val rows = df.filter(col(c1).isNotNull && col(c2).isNotNull)
+    val joint = rows.groupBy(col(c1), col(c2)).agg(count(lit(1)).as("__o"))
+    val m1 = rows.groupBy(col(c1)).agg(count(lit(1)).as("__r"))
+    val m2 = rows.groupBy(col(c2)).agg(count(lit(1)).as("__c"))
+    val n = rows.agg(count(lit(1)).as("__n"))
+    val e = col("__r").cast("double") * col("__c").cast("double") /
+      col("__n").cast("double")
+    val term = (col("__o").cast("double") - e) * (col("__o").cast("double") - e) / e - e
+    val cells = joint.join(broadcast(m1), c1).join(broadcast(m2), c2)
+      .crossJoin(broadcast(n))
+      .select(round(term, 9).cast("decimal(28,9)").as("__t"), col("__n"))
+    val k1 = m1.agg(count(lit(1)).as("n_c1"))
+    val k2 = m2.agg(count(lit(1)).as("n_c2"))
+    val chi2 = greatest(lit(0.0),
+      col("n").cast("double") + col("__chi2d").cast("double"))
+    cells.groupBy(col("__n").as("n"))
+      .agg(sum(col("__t")).as("__chi2d"))
+      .crossJoin(broadcast(k1)).crossJoin(broadcast(k2))
+      .select(col("n"), col("n_c1"), col("n_c2"),
+        ((col("n_c1") - 1) * (col("n_c2") - 1)).as("dof"),
+        round(chi2, 6).as("chi2"),
+        when(col("n") > 0 && least(col("n_c1"), col("n_c2")) > 1,
+          round(sqrt(chi2 /
+            (col("n").cast("double") *
+              (least(col("n_c1"), col("n_c2")) - 1).cast("double"))), 6))
+          .as("cramers_v"))
+  }
+
   /** EXPONENTIALLY-WEIGHTED MOVING AVERAGE, exact fixed-point — the
     * smoother behind per-key health baselines (alert thresholds, rate
     * limiters, drift baselines) where [[rollingZscore]]'s flat window

@@ -156,6 +156,30 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(mean > 0.8 && mean < 1.2, s"JL mean ratio $mean")
   }
 
+  test("joinSizeEstimate: exact cardinality, worst key, integral skew share") {
+    val a = Seq(1L, 1L, 1L, 2L, 3L).toDF("jk")
+    val b = Seq(1L, 1L, 2L, 4L).toDF("jk")
+    val r = Profiler.joinSizeEstimate(a, b, "jk").head()
+    assert(r.getLong(0) == 7L)  // 3·2 + 1·1
+    assert(r.getLong(1) == 3L && r.getLong(2) == 3L && r.getLong(3) == 2L)
+    assert(r.getLong(4) == 1L && r.getLong(5) == 6L)
+    assert(r.getLong(6) == 857142L) // floor(6e6 / 7)
+    assert(a.join(b, "jk").count() == 7L) // the estimate IS the cardinality
+  }
+
+  test("chiSquareIndependence: 0 on a product distribution, n·(k−1) on a diagonal") {
+    val ind = (for (i <- 0 until 4; j <- 0 until 3; _ <- 0 until 5)
+      yield (s"a$i", s"b$j")).toDF("c1", "c2")
+    val r0 = Profiler.chiSquareIndependence(ind, "c1", "c2").head()
+    assert(r0.getLong(0) == 60L && r0.getLong(3) == 6L)
+    assert(r0.getDouble(4) == 0.0)
+    val dep = (for (i <- 0 until 3; _ <- 0 until 7)
+      yield (s"x$i", s"y$i")).toDF("c1", "c2")
+    val r1 = Profiler.chiSquareIndependence(dep, "c1", "c2").head()
+    assert(math.abs(r1.getDouble(4) - 42.0) < 1e-6) // n·(k−1) = 21·2
+    assert(math.abs(r1.getDouble(5) - 1.0) < 1e-6)  // Cramér's V = 1
+  }
+
   test("Top2Dist2.eval: best + runner-up, ties, ragged null; matches ArgminDist2") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.Literal

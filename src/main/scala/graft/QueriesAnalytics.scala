@@ -230,6 +230,62 @@ object QueriesAnalytics {
       "(CAST(n AS DOUBLE) * CAST(least(n_c1, n_c2) - 1 AS DOUBLE))), 6) END AS cramers_v " +
       "FROM cells CROSS JOIN k1 CROSS JOIN k2 GROUP BY n, n_c1, n_c2"))
 
+  /** The oracle's 16 unrolled Hilbert levels — generated by the same loop
+    * structure as the Spark walk (the z-order generated-literals
+    * convention). MATERIALIZED per level: each level references the
+    * previous one several times, and an inlining engine would otherwise
+    * re-expand the chain exponentially (the tok_fairness lesson). */
+  private lazy val HilbertLevelsSql: String = (0 until 16).map { i =>
+    val b = 15 - i
+    val s = 1L << b
+    val s2 = s * s
+    val rx = s"((hx >> $b) & 1)"
+    val ry = s"((hy >> $b) & 1)"
+    s"h${i + 1} AS MATERIALIZED (SELECT p_partkey, " +
+      s"CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN ${s - 1} - hy ELSE hy END) " +
+      s"ELSE hx END AS hx, " +
+      s"CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN ${s - 1} - hx ELSE hx END) " +
+      s"ELSE hy END AS hy, " +
+      s"hd + $s2 * xor(3 * $rx, $ry) AS hd FROM h$i)"
+  }.mkString(", ")
+
+  /** HILBERT CLUSTERING KEY ([[graft.operators.Scale.hilbertValue]]):
+    * the z-order row's locality-tighter sibling over the same part
+    * (key × price) plane — consecutive keys are always grid-adjacent
+    * cells, so range-partitioned files cover jump-free blocks. The
+    * oracle replays the scaled 16-bit codes and all 16 walk levels as
+    * MATERIALIZED CTEs; two's-complement BIGINT arithmetic matches Java
+    * longs bit for bit (flips can pass through negative intermediates —
+    * part of the recurrence, identical on both engines). */
+  private val qHilbertValue = Q(
+    (s, d) => {
+      val p = t(s, d, "part").select(col("p_partkey"), col("p_retailprice"))
+      val b = p.agg(
+        min(col("p_partkey")).cast("double"), max(col("p_partkey")).cast("double"),
+        min(col("p_retailprice")).cast("double"), max(col("p_retailprice")).cast("double"))
+        .head()
+      p.select(col("p_partkey"),
+          graft.operators.Scale.hilbertValue(
+            (col("p_partkey"), b.getDouble(0), b.getDouble(1)),
+            (col("p_retailprice"), b.getDouble(2), b.getDouble(3))).as("hval"))
+        .orderBy(col("p_partkey"))
+    },
+    Some {
+      def code(e: String, lo: String, hi: String): String =
+        s"LEAST(GREATEST(CAST(floor((CAST($e AS DOUBLE) - $lo) / " +
+          s"GREATEST($hi - $lo, 2.2250738585072014e-308) * 65535.0e0) AS BIGINT), 0), 65535)"
+      "WITH bounds AS (SELECT CAST(min(p_partkey) AS DOUBLE) AS klo, " +
+        "CAST(max(p_partkey) AS DOUBLE) AS khi, " +
+        "CAST(min(p_retailprice) AS DOUBLE) AS plo, " +
+        "CAST(max(p_retailprice) AS DOUBLE) AS phi FROM part), " +
+        "h0 AS (SELECT p_partkey, " +
+        code("p_partkey", "klo", "khi") + " AS hx, " +
+        code("p_retailprice", "plo", "phi") + " AS hy, " +
+        "CAST(0 AS BIGINT) AS hd FROM part, bounds), " +
+        HilbertLevelsSql + " " +
+        "SELECT p_partkey, hd AS hval FROM h16 ORDER BY p_partkey"
+    })
+
   val registry: Seq[(String, Q)] = Seq(
     "q_skyline" -> qSkyline,
     "q_skyline_nd" -> qSkylineNd,
@@ -238,5 +294,6 @@ object QueriesAnalytics {
     "q_min_k_prob" -> qMinKProb,
     "q_rand_proj" -> qRandProj,
     "q_join_size" -> qJoinSize,
-    "q_chi2_independence" -> qChi2)
+    "q_chi2_independence" -> qChi2,
+    "q_hilbert_value" -> qHilbertValue)
 }

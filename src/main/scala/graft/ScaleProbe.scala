@@ -355,7 +355,11 @@ object ScaleProbe {
     // doc replicas keep lang/source untouched, so every (o, r, c, n)
     // scales x10 and chi2 scales x10 EXACTLY ((10o-10e)^2/10e = 10x) --
     // value contract up to the 6th decimal.
-    "q_join_size", "q_chi2_independence")
+    "q_join_size", "q_chi2_independence",
+    // hilbert_value: the zorder contract verbatim — per-row codegen over
+    // part, rows x10 exact (bounds widen with the offset keys but every
+    // row still gets a walk index).
+    "q_hilbert_value")
 
   /** Optional comma-separated SPARK_GRAFT_PROBE_ONLY filter so a new
     * family can be probed without re-timing the whole board. */

@@ -104,6 +104,9 @@ object GraftFunctions {
     (FunctionIdentifier("top2_dist2"),
       new ExpressionInfo(classOf[Top2Dist2].getName, "top2_dist2"),
       (exprs: Seq[Expression]) => Top2Dist2(exprs(0), exprs(1), exprs(2))),
+    (FunctionIdentifier("hilbert_xy"),
+      new ExpressionInfo(classOf[HilbertXy].getName, "hilbert_xy"),
+      (exprs: Seq[Expression]) => HilbertXy(exprs(0), exprs(1))),
     (FunctionIdentifier("deflate_ratio"),
       new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
       (exprs: Seq[Expression]) => DeflateRatio(exprs(0))),

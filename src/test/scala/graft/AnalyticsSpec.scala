@@ -180,6 +180,42 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(r1.getDouble(5) - 1.0) < 1e-6)  // Cramér's V = 1
   }
 
+  test("HilbertXy: bijective onto [0,4^order) with unit steps; Morton jumps, Hilbert never") {
+    for (order <- Seq(1, 2, 4, 6)) {
+      val n = 1 << order
+      val cells = for (x <- 0 until n; y <- 0 until n)
+        yield ((x.toLong, y.toLong), graft.plans.HilbertXy.encode(x.toLong, y.toLong, order))
+      val ds = cells.map(_._2)
+      assert(ds.distinct.size == n * n && ds.min == 0L && ds.max == n.toLong * n - 1,
+        s"order=$order not bijective-onto")
+      val byD = cells.map(_.swap).toMap
+      (0L until (n.toLong * n - 1)).foreach { d =>
+        val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1L, s"order=$order jump at d=$d")
+      }
+    }
+    // the Morton walk (zValue's bit interleave) takes multi-cell jumps at
+    // quadrant seams — the locality gap the Hilbert key exists to close
+    def morton(x: Long, y: Long, order: Int): Long =
+      (0 until order).map(b =>
+        (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))).reduce(_ | _)
+    val n = 16L
+    val mCells = (for (x <- 0L until n; y <- 0L until n)
+      yield (morton(x, y, 4), (x, y))).toMap
+    val mJumps = (0L until (n * n - 1)).map { d =>
+      val (x1, y1) = mCells(d); val (x2, y2) = mCells(d + 1)
+      math.abs(x1 - x2) + math.abs(y1 - y2)
+    }
+    assert(mJumps.max > 1L)
+    // codegen expression ≡ the helper; out-of-range codes null out
+    graft.plans.GraftFunctions.register(spark)
+    val df = Seq((3L, 5L), (65535L, 0L), (70000L, 1L)).toDF("cx", "cy")
+    val got = df.select(call_function("hilbert_xy", col("cx"), col("cy"))).collect()
+    assert(got(0).getLong(0) == graft.plans.HilbertXy.encode(3L, 5L))
+    assert(got(1).getLong(0) == graft.plans.HilbertXy.encode(65535L, 0L))
+    assert(got(2).isNullAt(0))
+  }
+
   test("Top2Dist2.eval: best + runner-up, ties, ragged null; matches ArgminDist2") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.Literal

@@ -200,6 +200,50 @@ object BenchStreaming {
         "n_total" -> nTot.toString))
     }
 
+    // ---- 3c. streaming Pareto frontier: per batch one batch-grain
+    // skyline + a frontier-grain re-skyline (merge identity); state is
+    // the frontier itself — expected O(log n) rows
+    section("skyline") {
+      val stateDir = s"$tmp/sky_state"
+      val ckpt = s"$tmp/sky_ckpt"
+      val mem = MemoryStream[SBenchEv]
+      val q = mem.toDS().toDF()
+        .select($"user_id", unix_micros($"ts").as("us"), $"value")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(Streaming.skylineSink("us", "value", stateDir) _)
+        .start()
+      val t0 = nowSec()
+      chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+      val secs = nowSec() - t0
+      val stateRows = spark.read.parquet(stateDir).count()
+      q.stop()
+      record("skyline_frontier", events.length.toLong, nBatches, secs, Seq(
+        "state_rows" -> stateRows.toString))
+    }
+
+    // ---- 3d. streaming EWMA: each key's smoothed level continued from
+    // stored state — key-grain state, batch-grain fold work
+    section("ewma") {
+      val stateDir = s"$tmp/ewma_state"
+      val ckpt = s"$tmp/ewma_ckpt"
+      val mem = MemoryStream[SBenchEv]
+      val q = mem.toDS().toDF()
+        .select($"user_id", unix_micros($"ts").as("us"), $"value")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(
+          Streaming.ewmaSink("user_id", Seq("us"), "value", 2, 4, stateDir) _)
+        .start()
+      val t0 = nowSec()
+      chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+      val secs = nowSec() - t0
+      val stateRows = spark.read.parquet(stateDir).count()
+      q.stop()
+      record("ewma_levels", events.length.toLong, nBatches, secs, Seq(
+        "state_rows" -> stateRows.toString))
+    }
+
     // ---- 4. persisted near-dup index sink (documents corpus). Two
     // operating points: the raw sf corpus in 1.25k-doc micro-batches is
     // LATENCY-bound (the sink runs 2 Spark jobs per batch; at that size

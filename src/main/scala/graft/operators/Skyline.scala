@@ -65,13 +65,18 @@ object Skyline {
     // survivors of a prefix-max prune are O(log bucket) in expectation,
     // so the global stage below runs on a few hundred rows, not the
     // corpus. Equal (x, y) duplicates see pm == y and survive.
+    // pruneBuckets <= 1 skips the prune stage entirely — right for
+    // frontier-grain inputs (the streaming sink's merge step), where the
+    // prune's shuffle+sort costs more than the distinct-x frame it saves
     val wb = Window.partitionBy(col("__b"))
       .orderBy(col(x).desc, col(y).desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val pruned = xy
-      .withColumn("__b", pmod(hash(col(x)), lit(pruneBuckets)))
-      .withColumn("__pm", max(col(y)).over(wb))
-      .filter(col("__pm").isNull || col("__pm") <= col(y))
+    val pruned =
+      if (pruneBuckets <= 1) xy
+      else xy
+        .withColumn("__b", pmod(hash(col(x)), lit(pruneBuckets)))
+        .withColumn("__pm", max(col(y)).over(wb))
+        .filter(col("__pm").isNull || col("__pm") <= col(y))
     val perX = pruned.groupBy(col(x)).agg(max(col(y)).as("__gy"))
     // running max of max-y over STRICTLY greater x: x desc ordering makes
     // the strictly-preceding frame exactly the x' > x rows (distinct grain)

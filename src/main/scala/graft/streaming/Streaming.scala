@@ -969,8 +969,10 @@ object Streaming {
     val bSky = graft.operators.Skyline.skyline2d(batch, x, y)
     val merged =
       if (stateExists(spark, stateDir))
+        // frontier-grain re-skyline: no prune stage (pruneBuckets = 1)
         graft.operators.Skyline.skyline2d(
-          bSky.unionByName(spark.read.parquet(stateDir)), x, y)
+          bSky.unionByName(spark.read.parquet(stateDir)), x, y,
+          pruneBuckets = 1)
       else bSky
     merged.write.mode("overwrite").parquet(stateDir + "_next")
     val out = fs.create(new org.apache.hadoop.fs.Path(stateDir + "_next/_applied"), true)
@@ -982,6 +984,76 @@ object Streaming {
       throw new java.io.IOException(s"skylineSink: failed to move $cur aside")
     if (!fs.rename(next, cur))
       throw new java.io.IOException(s"skylineSink: failed to publish $next")
+    fs.delete(old, true): Unit
+  }
+
+  /** STREAMING EWMA — each key's smoothed level ([[graft.operators
+    * .Profiler.ewmaSmooth]]) maintained incrementally: the recursion
+    * `s += (x − s) >> shift` is a left fold, so folding each batch's
+    * sorted observations FROM the stored level continues the exact
+    * sequence — `fold(fold(prior), batch) = fold(prior ⊕ batch)` — and
+    * per-batch cost is batch-grain aggregation plus a key-grain merge
+    * join, never history. State: one (group, n_obs, ewma_fp) row per
+    * key. Batches are assumed to arrive in observation order (the
+    * streaming-EWMA contract: the fold order IS arrival order; within a
+    * batch the `seq` columns sort).
+    *
+    * Crash/replay discipline is [[incrementalRollupSink]]'s verbatim
+    * (`_applied` marker inside the rename-aside swap). */
+  def ewmaSink(group: String, seq: Seq[String], x: String,
+               alphaShift: Int, scale: Int, stateDir: String)
+              (batch: DataFrame, batchId: Long): Unit = {
+    require(alphaShift >= 1 && alphaShift <= 32 && scale >= 0 && scale <= 6,
+      s"ewmaSink: bad alphaShift=$alphaShift / scale=$scale")
+    val spark = batch.sparkSession
+    recoverSwap(spark, stateDir, "ewmaSink")
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readMarker(dir: String): Long = {
+      val m = new org.apache.hadoop.fs.Path(s"$dir/_applied")
+      if (!fs.exists(m)) -1L
+      else {
+        val in = fs.open(m)
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          "UTF-8").trim.toLong
+        finally in.close()
+      }
+    }
+    if (batchId <= readMarker(stateDir)) return // replayed batch: no-op
+    val unit = math.pow(10, scale).toLong
+    val xq = (col(x).cast(s"decimal(18,$scale)") * unit).cast("long")
+    val e = struct(seq.map(col) :+ xq.as("__xq"): _*)
+    val b = batch.filter(col(x).isNotNull)
+      .select(col(group), e.as("__e"))
+      .groupBy(col(group))
+      .agg(sort_array(collect_list(col("__e"))).as("__es"))
+      .select(col(group), transform(col("__es"), v => v.getField("__xq")).as("__xs"))
+    val step = (acc: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) => acc + shiftright(v - acc, alphaShift)
+    val merged = (
+      if (stateExists(spark, stateDir))
+        b.join(spark.read.parquet(stateDir), Seq(group), "full")
+      else b.withColumn("n_obs", lit(null).cast("long"))
+        .withColumn("ewma_fp", lit(null).cast("long"))
+    ).select(col(group),
+      (coalesce(col("n_obs"), lit(0L)) +
+        coalesce(size(col("__xs")), lit(0)).cast("long")).as("n_obs"),
+      when(col("__xs").isNull, col("ewma_fp")) // key silent this batch
+        .when(col("ewma_fp").isNull, // new key: first obs seeds the fold
+          aggregate(slice(col("__xs"), lit(2), greatest(size(col("__xs")) - 1, lit(0))),
+            element_at(col("__xs"), 1), step))
+        .otherwise( // continuing key: stored level seeds the fold
+          aggregate(col("__xs"), col("ewma_fp"), step))
+        .as("ewma_fp"))
+    merged.write.mode("overwrite").parquet(stateDir + "_next")
+    val out = fs.create(new org.apache.hadoop.fs.Path(stateDir + "_next/_applied"), true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    val cur = new org.apache.hadoop.fs.Path(stateDir)
+    val next = new org.apache.hadoop.fs.Path(stateDir + "_next")
+    val old = new org.apache.hadoop.fs.Path(stateDir + "_old")
+    if (fs.exists(cur) && !fs.rename(cur, old))
+      throw new java.io.IOException(s"ewmaSink: failed to move $cur aside")
+    if (!fs.rename(next, cur))
+      throw new java.io.IOException(s"ewmaSink: failed to publish $next")
     fs.delete(old, true): Unit
   }
 

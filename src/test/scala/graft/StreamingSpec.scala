@@ -386,6 +386,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(state().toSeq == Seq((9L, 9L, 9L)))
   }
 
+  test("ewma sink: chunked fold == batch ewmaSmooth; replay no-op; silent keys persist") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ewma").toString + "/state"
+    val all = Seq((1L, 1L, 3.5), (1L, 2L, 0.01), (1L, 3L, 490.02), (1L, 4L, 1.0),
+      (2L, 1L, 42.42), (3L, 1L, 0.07), (3L, 2L, 0.03)).toDF("g", "ord", "x")
+    val sink = Streaming.ewmaSink("g", Seq("ord"), "x", 2, 4, dir) _
+    sink(all.filter($"ord" <= 2), 0L) // keys 2 and 3 go silent after this
+    sink(all.filter($"ord" === 3), 1L)
+    sink(all.filter($"ord" === 4), 2L)
+    sink(all.filter($"ord" === 4), 2L) // foreachBatch replay: marker skip
+    val got = spark.read.parquet(dir)
+      .select($"g", $"n_obs", $"ewma_fp").orderBy($"g").as[(Long, Long, Long)].collect()
+    val exp = graft.operators.Profiler.ewmaSmooth(all, "g", Seq("ord"), "x",
+        alphaShift = 2, scale = 4)
+      .select($"g", $"n_obs", $"ewma_fp").orderBy($"g").as[(Long, Long, Long)].collect()
+    assert(got sameElements exp)
+  }
+
   test("incremental rollup sink: state == direct aggregate; replays are no-ops") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rollup").toString + "/state"
     val b0 = Seq((1L, 2.0, 5L), (1L, 3.0, 7L), (2L, 1.0, 2L)).toDF("k", "v", "m")

@@ -286,6 +286,82 @@ object QueriesAnalytics {
         "SELECT p_partkey, hd AS hval FROM h16 ORDER BY p_partkey"
     })
 
+  // planted script alphabets (26 chars each) — the corpus text is ASCII,
+  // so script detection is exercised on a deterministic transliteration
+  // by doc_id bucket, mirrored verbatim in the oracle
+  private val AbcLatin = "abcdefghijklmnopqrstuvwxyz"
+  private val AbcHan = "一二三四五六七八九十百千万亿中文数据处理系统大模型训"
+  private val AbcCyr = "абвгдежзийклмнопрстуфхцчшщ"
+  private val AbcGreek = "αβγδεζηθικλμνξοπρστυφχψωϊϋ"
+  private val AbcHangul = "가나다라마바사아자차카타파하거너더러머버서어저처커터"
+
+  /** UNICODE-SCRIPT PROFILE ([[TextAnalysis.scriptProfile]]) over planted
+    * transliterations (doc_id mod 5 picks the script): exact per-script
+    * character counts + dominant script — the routing signal langID
+    * can't provide when the script itself is wrong. Java `\p{IsX}` and
+    * RE2 `\p{X}` agree on the planted alphabets; the gate carries no
+    * doubles. */
+  private val qScriptDetect = Q(
+    (s, d) => {
+      val planted = when(pmod(col("doc_id"), lit(5)) === 0,
+          translate(substring(col("text"), 1, 60), AbcLatin, AbcHan))
+        .when(pmod(col("doc_id"), lit(5)) === 1,
+          translate(substring(col("text"), 1, 60), AbcLatin, AbcCyr))
+        .when(pmod(col("doc_id"), lit(5)) === 2,
+          translate(substring(col("text"), 1, 60), AbcLatin, AbcGreek))
+        .when(pmod(col("doc_id"), lit(5)) === 3,
+          translate(substring(col("text"), 1, 60), AbcLatin, AbcHangul))
+        .otherwise(substring(col("text"), 1, 60))
+      TextAnalysis.scriptProfile(
+          t(s, d, "documents").select(col("doc_id"), planted.as("pt")),
+          "doc_id", "pt")
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      def tr(target: String) = s"translate(substring(text, 1, 60), '$AbcLatin', '$target')"
+      def cnt(cls: String) =
+        s"CAST(len(regexp_extract_all(pt, '[\\p{$cls}]')) AS BIGINT)"
+      "WITH p AS (SELECT doc_id, CASE doc_id % 5 " +
+        s"WHEN 0 THEN ${tr(AbcHan)} WHEN 1 THEN ${tr(AbcCyr)} " +
+        s"WHEN 2 THEN ${tr(AbcGreek)} WHEN 3 THEN ${tr(AbcHangul)} " +
+        "ELSE substring(text, 1, 60) END AS pt FROM documents), " +
+        s"c AS (SELECT doc_id, ${cnt("Han")} AS n_han, " +
+        s"${cnt("Cyrillic")} AS n_cyrillic, ${cnt("Greek")} AS n_greek, " +
+        s"${cnt("Hangul")} AS n_hangul, ${cnt("Latin")} AS n_latin FROM p) " +
+        "SELECT doc_id, n_han, n_cyrillic, n_greek, n_hangul, n_latin, " +
+        "CASE WHEN n_han >= n_cyrillic AND n_han >= n_greek AND n_han >= n_hangul " +
+        "AND n_han >= n_latin AND n_han > 0 THEN 'han' " +
+        "WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_hangul " +
+        "AND n_cyrillic >= n_latin AND n_cyrillic > 0 THEN 'cyrillic' " +
+        "WHEN n_greek >= n_hangul AND n_greek >= n_latin AND n_greek > 0 THEN 'greek' " +
+        "WHEN n_hangul >= n_latin AND n_hangul > 0 THEN 'hangul' " +
+        "ELSE 'latin' END AS dominant_script " +
+        "FROM c ORDER BY doc_id"
+    })
+
+  /** BENFORD FIRST-DIGIT AUDIT ([[Profiler.benfordAudit]]) of the event
+    * value column: exact integer leading digits (decimal-string of the
+    * fixed-point int — no log10 near power-of-ten boundaries), integral
+    * ppm shares, and the Benford expectations as literals generated once
+    * driver-side into BOTH engines. */
+  private val qBenford = Q(
+    (s, d) => Profiler.benfordAudit(t(s, d, "events"), "value", scale = 4)
+      .orderBy(col("digit")),
+    Some {
+      val caseSql = "CASE digit " + (1 to 9).map(dd =>
+        s"WHEN $dd THEN ${(math.log10(1.0 + 1.0 / dd) * 1e6).toLong}")
+        .mkString(" ") + " END"
+      "WITH v AS (SELECT CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS vq " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "d AS (SELECT CAST(substring(CAST(vq AS VARCHAR), 1, 1) AS BIGINT) AS digit, " +
+        "count(*) AS n FROM v WHERE vq > 0 GROUP BY 1), " +
+        "t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM d) " +
+        s"SELECT digit, n, (n * 1000000) // nt AS observed_ppm, " +
+        s"CAST($caseSql AS BIGINT) AS benford_ppm, " +
+        s"(n * 1000000) // nt - CAST($caseSql AS BIGINT) AS diff_ppm " +
+        "FROM d CROSS JOIN t ORDER BY digit"
+    })
+
   val registry: Seq[(String, Q)] = Seq(
     "q_skyline" -> qSkyline,
     "q_skyline_nd" -> qSkylineNd,
@@ -295,5 +371,7 @@ object QueriesAnalytics {
     "q_rand_proj" -> qRandProj,
     "q_join_size" -> qJoinSize,
     "q_chi2_independence" -> qChi2,
-    "q_hilbert_value" -> qHilbertValue)
+    "q_hilbert_value" -> qHilbertValue,
+    "q_script_detect" -> qScriptDetect,
+    "q_benford" -> qBenford)
 }

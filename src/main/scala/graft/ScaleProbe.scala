@@ -359,7 +359,15 @@ object ScaleProbe {
     // hilbert_value: the zorder contract verbatim — per-row codegen over
     // part, rows x10 exact (bounds widen with the offset keys but every
     // row still gets a walk index).
-    "q_hilbert_value")
+    "q_hilbert_value",
+    // script_detect: one row per doc (x10 exact), per-row regex scan —
+    // embarrassingly parallel; the doc_id%5 planting keys on ids that
+    // shift by the replica offset (10^7, divisible by 5), so each
+    // replica doc lands in the same script bucket as its base twin and
+    // VALUES reproduce identically. benford: <= 9 output rows at any
+    // scale; replica events reuse base values, so every digit count
+    // scales x10 and the ppm shares are IDENTICAL — value contract.
+    "q_script_detect", "q_benford")
 
   /** Optional comma-separated SPARK_GRAFT_PROBE_ONLY filter so a new
     * family can be probed without re-timing the whole board. */

@@ -446,6 +446,43 @@ object Profiler {
         (col("__s") > lit(h)).as("alarm"))
   }
 
+  /** BENFORD FIRST-DIGIT AUDIT — the classic fabricated-data detector
+    * (Newcomb 1881 / Benford 1938; the standard forensic-accounting
+    * screen): naturally-grown magnitude data has leading digit d with
+    * probability log₁₀(1 + 1/d); uniform or hand-typed values don't.
+    * Engine-exact construction: values quantize through DECIMAL(18,scale)
+    * to int64 (exact — scaling by 10^k preserves the leading digit), the
+    * leading digit comes from the INTEGER's decimal string (identical in
+    * any engine — no log10 near a power-of-ten boundary), shares are
+    * integral ppm (`div`), and the Benford expectations ship as integer
+    * ppm LITERALS computed once driver-side (the z-order
+    * generated-literals convention — no cross-engine libm). Nonpositive
+    * values have no Benford digit and are excluded.
+    *
+    * Output: 9 rows max — (digit, n, observed_ppm, benford_ppm,
+    * diff_ppm). The single-partition window runs on ≤ 9 rows. */
+  def benfordAudit(df: DataFrame, x: String, scale: Int = 4): DataFrame = {
+    require(scale >= 0 && scale <= 6, s"scale must be in [0, 6], got $scale")
+    import org.apache.spark.sql.expressions.Window
+    val unit = math.pow(10, scale).toLong
+    val benfordPpm: Array[Long] =
+      (1 to 9).map(d => (math.log10(1.0 + 1.0 / d) * 1e6).toLong).toArray
+    val vq = (col(x).cast(s"decimal(18,$scale)") * unit).cast("long")
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.filter(col(x).isNotNull)
+      .select(vq.as("__vq"))
+      .filter(col("__vq") > 0)
+      .groupBy(substring(col("__vq").cast("string"), 1, 1).cast("long").as("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__nt", sum(col("n")).over(all))
+      .withColumn("observed_ppm", expr("(n * 1000000L) div __nt"))
+      .withColumn("benford_ppm",
+        element_at(typedlit(benfordPpm.toIndexedSeq), col("digit").cast("int")))
+      .select(col("digit"), col("n"), col("observed_ppm"), col("benford_ppm"),
+        (col("observed_ppm") - col("benford_ppm")).as("diff_ppm"))
+  }
+
   /** JOIN-SIZE ESTIMATE — the planner statistic a 100 TB engine computes
     * BEFORE committing to a join strategy: the exact output cardinality
     * of `a ⋈ b` on `key` is Σ_k cnt_a(k)·cnt_b(k), computable from two

@@ -301,6 +301,39 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** UNICODE-SCRIPT PROFILE — the script-level companion to the n-gram
+    * language identifier: per-document character counts over the five
+    * major script properties (Han, Cyrillic, Greek, Hangul, Latin) and
+    * the dominant script. langID classifies by token statistics WITHIN a
+    * script; the script profile catches what that can't see — CJK text
+    * mislabeled "en", mixed-script spam, transliteration artifacts — and
+    * is the routing key for script-specific tokenizers. Counts are exact
+    * integers from `regexp_count` over Unicode Script properties (Java
+    * `\p{IsX}` here, RE2 `\p{X}` in the oracle — the same Script sets);
+    * the gate carries NO doubles. Dominance ties break by the fixed
+    * priority han > cyrillic > greek > hangul > latin (a doc with zero
+    * counts everywhere is "latin" by fall-through — ASCII digits and
+    * punctuation belong to no script). Scan-stage, shuffle-free. */
+  def scriptProfile(df: DataFrame, id: String, text: String): DataFrame = {
+    def cnt(p: String) = regexp_count(col(text), lit(p)).cast("long")
+    df.select(col(id),
+        cnt("\\p{IsHan}").as("n_han"),
+        cnt("\\p{IsCyrillic}").as("n_cyrillic"),
+        cnt("\\p{IsGreek}").as("n_greek"),
+        cnt("\\p{IsHangul}").as("n_hangul"),
+        cnt("\\p{IsLatin}").as("n_latin"))
+      .withColumn("dominant_script",
+        when(col("n_han") >= col("n_cyrillic") && col("n_han") >= col("n_greek") &&
+          col("n_han") >= col("n_hangul") && col("n_han") >= col("n_latin") &&
+          col("n_han") > 0, "han")
+        .when(col("n_cyrillic") >= col("n_greek") && col("n_cyrillic") >= col("n_hangul") &&
+          col("n_cyrillic") >= col("n_latin") && col("n_cyrillic") > 0, "cyrillic")
+        .when(col("n_greek") >= col("n_hangul") && col("n_greek") >= col("n_latin") &&
+          col("n_greek") > 0, "greek")
+        .when(col("n_hangul") >= col("n_latin") && col("n_hangul") > 0, "hangul")
+        .otherwise("latin"))
+  }
+
   /** MIN-K% PROBABILITY (Shi et al. 2023, "Detecting Pretraining Data from
     * Large Language Models") — the membership-inference contamination
     * signal beside the shingle/bloom decontaminators: a text the scoring

@@ -216,6 +216,38 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got(2).isNullAt(0))
   }
 
+  test("scriptProfile: exact per-script counts, priority tie-break, scriptless → latin") {
+    val docs = Seq(
+      (1L, "中文 data"),        // 2 han + 4 latin → latin wins? no: han priority on ties needs >=; 2 < 4 → latin
+      (2L, "中文中文 ok"),       // 4 han > 2 latin → han
+      (3L, "яя αα"),            // 2 cyrillic, 2 greek → tie → cyrillic (priority)
+      (4L, "한글만"),            // hangul only
+      (5L, "123 .,!"),          // no script chars at all → latin fall-through
+      (6L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.scriptProfile(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6))))
+      .toMap
+    assert(got(1) == ((2L, 0L, 0L, 0L, 4L, "latin")))
+    assert(got(2) == ((4L, 0L, 0L, 0L, 2L, "han")))
+    assert(got(3) == ((0L, 2L, 2L, 0L, 0L, "cyrillic")))
+    assert(got(4) == ((0L, 0L, 0L, 3L, 0L, "hangul")))
+    assert(got(5)._6 == "latin" && got(6)._6 == "latin")
+  }
+
+  test("benfordAudit: exact digits, integral ppm, literal expectations") {
+    // leading digits: 1 (0.01→100? no: 0.01*1e4 = 100 → digit 1), 4 (490.02), 9, 1, 2
+    val df = Seq(0.01, 490.02, 9.0, 1.5, 0.25, -3.0).toDF("x") // -3 excluded
+    val got = Profiler.benfordAudit(df, "x")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // digits: 0.01→100→'1'; 490.02→4900200→'4'; 9.0→90000→'9'; 1.5→15000→'1'; 0.25→2500→'2'
+    assert(got.keySet == Set(1L, 2L, 4L, 9L))
+    assert(got(1)._1 == 2L && got(1)._2 == 400000L) // 2/5 → 400000 ppm
+    assert(got(2)._1 == 1L && got(2)._2 == 200000L)
+    assert(got(1)._3 == 301029L) // floor(log10(2)·1e6)
+    assert(got(9)._3 == 45757L)  // floor(log10(10/9)·1e6)
+  }
+
   test("Top2Dist2.eval: best + runner-up, ties, ragged null; matches ArgminDist2") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.Literal

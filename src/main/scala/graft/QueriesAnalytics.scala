@@ -362,6 +362,47 @@ object QueriesAnalytics {
         "FROM d CROSS JOIN t ORDER BY digit"
     })
 
+  /** SNAPSHOT DIFF ([[graft.operators.Changelog.snapshotDiff]]): the CDC
+    * delta between two last-write-wins snapshots of the user table —
+    * `before` built from a replica missing a quarter of the change
+    * stream (event_id ≡ 0 mod 4 withheld), `after` from the full stream
+    * — one full-outer key join, null-safe per-column compare, unchanged
+    * keys vanish. The oracle rebuilds both snapshots with the
+    * q_cdc_apply window and mirrors the op/compare logic. */
+  private val qSnapshotDiff = Q(
+    (s, d) => {
+      def snap(df: org.apache.spark.sql.DataFrame) = graft.operators.Changelog.cdcApply(
+        df.select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("value")),
+        key = Seq("user_id"), seq = Seq("ts", "event_id"),
+        opCol = col("event_type"), deleteOp = "error")
+      val ev = t(s, d, "events")
+      graft.operators.Changelog.snapshotDiff(
+          snap(ev.filter(pmod(col("event_id"), lit(4)) =!= 0)), snap(ev),
+          key = Seq("user_id"), cols = Seq("event_id", "event_type", "value"))
+        .orderBy(col("user_id"))
+    },
+    Some {
+      def snap(name: String, where: String) =
+        s"$name AS (SELECT user_id, event_id, event_type, value FROM (" +
+          "SELECT user_id, event_id, event_type, value, " +
+          "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+          s"FROM events $where) WHERE rn = 1 AND event_type <> 'error')"
+      "WITH " + snap("b", "WHERE event_id % 4 <> 0") + ", " + snap("a", "") + " " +
+        "SELECT COALESCE(b.user_id, a.user_id) AS user_id, " +
+        "CASE WHEN b.user_id IS NULL THEN 'insert' " +
+        "WHEN a.user_id IS NULL THEN 'delete' ELSE 'update' END AS op, " +
+        "b.event_id AS event_id_before, a.event_id AS event_id_after, " +
+        "b.event_type AS event_type_before, a.event_type AS event_type_after, " +
+        "b.value AS value_before, a.value AS value_after " +
+        "FROM b FULL OUTER JOIN a ON b.user_id = a.user_id " +
+        "WHERE b.user_id IS NULL OR a.user_id IS NULL OR " +
+        "NOT (b.event_id IS NOT DISTINCT FROM a.event_id " +
+        "AND b.event_type IS NOT DISTINCT FROM a.event_type " +
+        "AND b.value IS NOT DISTINCT FROM a.value) " +
+        "ORDER BY user_id"
+    })
+
   val registry: Seq[(String, Q)] = Seq(
     "q_skyline" -> qSkyline,
     "q_skyline_nd" -> qSkylineNd,
@@ -373,5 +414,6 @@ object QueriesAnalytics {
     "q_chi2_independence" -> qChi2,
     "q_hilbert_value" -> qHilbertValue,
     "q_script_detect" -> qScriptDetect,
-    "q_benford" -> qBenford)
+    "q_benford" -> qBenford,
+    "q_snapshot_diff" -> qSnapshotDiff)
 }

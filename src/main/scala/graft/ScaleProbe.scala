@@ -367,7 +367,12 @@ object ScaleProbe {
     // VALUES reproduce identically. benford: <= 9 output rows at any
     // scale; replica events reuse base values, so every digit count
     // scales x10 and the ppm shares are IDENTICAL — value contract.
-    "q_script_detect", "q_benford")
+    "q_script_detect", "q_benford",
+    // snapshot_diff: disjoint replica user universes with untouched
+    // change streams — each replica's delta reproduces the base delta
+    // identically, rows x10 exact, value identity. Cost: two key-grain
+    // last-write windows + one key-grain full-outer join.
+    "q_snapshot_diff")
 
   /** Optional comma-separated SPARK_GRAFT_PROBE_ONLY filter so a new
     * family can be probed without re-timing the whole board. */

@@ -45,4 +45,40 @@ object Changelog {
       .filter(col("__rn") === 1 && opCol =!= deleteOp)
       .drop("__rn")
   }
+
+  /** SNAPSHOT DIFF — the reconciliation op behind incremental syncs,
+    * backfill audits, and replication checks: given two keyed snapshots
+    * of the same table, emit the CDC delta that turns `before` into
+    * `after` — one row per changed key with op ∈ {insert, update,
+    * delete} and every compare column's before/after value side by side.
+    * Unchanged keys produce NOTHING (the delta is the point: at 100 TB
+    * you ship the diff, not the snapshot).
+    *
+    * Plan: ONE full-outer key join + a null-safe any-column-differs
+    * filter — key-grain shuffle on both snapshots, no window, no
+    * driver state. `update` uses null-safe equality (`<=>`) per column,
+    * so a null→value or value→null flip is a real update, and keys
+    * present in both with identical compare columns vanish from the
+    * output. Output columns: key…, op, then `<c>_before`/`<c>_after`
+    * per compare column, so downstream MERGE writers see old and new in
+    * one row. */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+                   key: Seq[String], cols: Seq[String]): DataFrame = {
+    require(key.nonEmpty && cols.nonEmpty, "snapshotDiff needs key and compare cols")
+    val b = before.select((key ++ cols).map(col): _*)
+      .withColumn("__inb", lit(true))
+      .select(key.map(col) ++ cols.map(c => col(c).as(s"${c}_before")) :+ col("__inb"): _*)
+    val a = after.select((key ++ cols).map(col): _*)
+      .withColumn("__ina", lit(true))
+      .select(key.map(col) ++ cols.map(c => col(c).as(s"${c}_after")) :+ col("__ina"): _*)
+    val anyDiff = cols.map(c => !(col(s"${c}_before") <=> col(s"${c}_after")))
+      .reduce(_ || _)
+    val op = when(col("__inb").isNull, "insert")
+      .when(col("__ina").isNull, "delete")
+      .otherwise("update")
+    b.join(a, key, "full")
+      .filter(col("__inb").isNull || col("__ina").isNull || anyDiff)
+      .select(key.map(col) ++ Seq(op.as("op")) ++
+        cols.flatMap(c => Seq(col(s"${c}_before"), col(s"${c}_after"))): _*)
+  }
 }

@@ -64,4 +64,23 @@ class ChangelogSpec extends AnyFunSuite {
       .select($"k", $"seq")
     assert(base.exceptAll(shuffled).isEmpty && shuffled.exceptAll(base).isEmpty)
   }
+
+  test("snapshotDiff: insert/update/delete, null-safe compares, unchanged keys vanish") {
+    val before = Seq(("a", Some(1.0), "x"), ("b", Some(2.0), "y"),
+      ("c", None: Option[Double], "z"), ("d", Some(4.0), "w")).toDF("k", "v", "s")
+    val after = Seq(("a", Some(1.0), "x"), // unchanged → absent
+      ("b", Some(9.0), "y"),               // update (value change)
+      ("c", Some(3.0), "z"),               // update (null → value, null-safe)
+      ("e", Some(5.0), "q"))               // insert; d deleted
+      .toDF("k", "v", "s")
+    val got = graft.operators.Changelog.snapshotDiff(
+        before, after, key = Seq("k"), cols = Seq("v", "s"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("b" -> "update", "c" -> "update", "d" -> "delete", "e" -> "insert"))
+    // before/after columns carry both sides for the MERGE writer
+    val row = graft.operators.Changelog.snapshotDiff(
+        before, after, Seq("k"), Seq("v", "s"))
+      .filter($"k" === "b").head()
+    assert(row.getDouble(2) == 2.0 && row.getDouble(3) == 9.0)
+  }
 }

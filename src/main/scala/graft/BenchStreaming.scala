@@ -244,6 +244,29 @@ object BenchStreaming {
         "state_rows" -> stateRows.toString))
     }
 
+    // ---- 3e. streaming HLL distinct: per-group sketch union — KB-grain
+    // state per group however long the stream runs
+    section("hll") {
+      val stateDir = s"$tmp/hll_state"
+      val ckpt = s"$tmp/hll_ckpt"
+      val mem = MemoryStream[SBenchEv]
+      val q = mem.toDS().toDF()
+        .select($"event_type", $"user_id")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(Streaming.hllDistinctSink("event_type", "user_id", stateDir) _)
+        .start()
+      val t0 = nowSec()
+      chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+      val secs = nowSec() - t0
+      val st = spark.read.parquet(stateDir)
+        .agg(count(lit(1)), sum(length($"sketch"))).head()
+      q.stop()
+      record("hll_distinct", events.length.toLong, nBatches, secs, Seq(
+        "state_rows" -> st.getLong(0).toString,
+        "state_sketch_bytes" -> st.getLong(1).toString))
+    }
+
     // ---- 4. persisted near-dup index sink (documents corpus). Two
     // operating points: the raw sf corpus in 1.25k-doc micro-batches is
     // LATENCY-bound (the sink runs 2 Spark jobs per batch; at that size

@@ -1057,6 +1057,69 @@ object Streaming {
     fs.delete(old, true): Unit
   }
 
+  /** STREAMING DISTINCT-COUNT (HLL) — per-group approximate distinct
+    * cardinality over an unbounded stream, the third mergeable-summary
+    * sink beside [[trendingSink]] (Misra–Gries) and [[ewmaSink]]: per
+    * micro-batch one `hll_sketch_agg` aggregation at group grain, then a
+    * key-grain `hll_union` merge with the stored sketches (Apache
+    * DataSketches HLL — the union of sketches equals the sketch of the
+    * union, under ANY merge tree, so batch boundaries never change the
+    * estimate). State: one (group, sketch, n_distinct_est) row per
+    * group — KBs per group regardless of stream length; this never
+    * stores a per-item table, which is the entire point at 100 TB
+    * ("distinct users per source, ever" costs group-grain state).
+    *
+    * Crash/replay discipline is [[incrementalRollupSink]]'s verbatim
+    * (`_applied` marker inside the rename-aside swap): HLL union is NOT
+    * idempotent-safe in general (re-inserting the same ITEMS is a no-op,
+    * but replaying a batch after a partial publish could double-count
+    * nothing — union with itself IS idempotent; the marker still skips
+    * replays so the discipline stays uniform with the non-idempotent
+    * sinks). */
+  def hllDistinctSink(group: String, item: String, stateDir: String,
+                      lgConfigK: Int = 12)
+                     (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    recoverSwap(spark, stateDir, "hllDistinctSink")
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readMarker(dir: String): Long = {
+      val m = new org.apache.hadoop.fs.Path(s"$dir/_applied")
+      if (!fs.exists(m)) -1L
+      else {
+        val in = fs.open(m)
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          "UTF-8").trim.toLong
+        finally in.close()
+      }
+    }
+    if (batchId <= readMarker(stateDir)) return // replayed batch: no-op
+    val b = batch.filter(col(item).isNotNull)
+      .groupBy(col(group))
+      .agg(hll_sketch_agg(col(item), lit(lgConfigK)).as("__bs"))
+    val merged = (
+      if (stateExists(spark, stateDir))
+        b.join(spark.read.parquet(stateDir).select(col(group), col("sketch")),
+          Seq(group), "full")
+      else b.withColumn("sketch", lit(null).cast("binary"))
+    ).select(col(group),
+        when(col("__bs").isNull, col("sketch"))
+          .when(col("sketch").isNull, col("__bs"))
+          .otherwise(hll_union(col("sketch"), col("__bs"))).as("sketch"))
+      .withColumn("n_distinct_est", hll_sketch_estimate(col("sketch")))
+    merged.write.mode("overwrite").parquet(stateDir + "_next")
+    val out = fs.create(new org.apache.hadoop.fs.Path(stateDir + "_next/_applied"), true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    val cur = new org.apache.hadoop.fs.Path(stateDir)
+    val next = new org.apache.hadoop.fs.Path(stateDir + "_next")
+    val old = new org.apache.hadoop.fs.Path(stateDir + "_old")
+    if (fs.exists(cur) && !fs.rename(cur, old))
+      throw new java.io.IOException(s"hllDistinctSink: failed to move $cur aside")
+    if (!fs.rename(next, cur))
+      throw new java.io.IOException(s"hllDistinctSink: failed to publish $next")
+    fs.delete(old, true): Unit
+  }
+
   /** ST6 stretch — CUSTOM-STATE sessionization via flatMapGroupsWithState
     * (the arbitrary-state API `session_window` can't replace when the
     * emitted record needs custom shape or the close condition isn't a pure

@@ -403,6 +403,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got sameElements exp)
   }
 
+  test("hll distinct sink: chunked union == one-shot sketch; estimate near exact; replay no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll").toString + "/state"
+    val rnd = new scala.util.Random(9)
+    val all = (1 to 3000).map(i => (s"g${i % 3}", s"u${rnd.nextInt(400)}"))
+      .toDF("g", "u")
+    val sink = Streaming.hllDistinctSink("g", "u", dir) _
+    sink(all.limit(1000), 0L)
+    sink(all.offset(1000).limit(1000), 1L)
+    sink(all.offset(2000), 2L)
+    sink(all.offset(2000), 2L) // replay: marker skip
+    val got = spark.read.parquet(dir)
+      .select($"g", $"n_distinct_est").orderBy($"g").as[(String, Double)].collect()
+    // mergeability: union-of-batch-sketches == sketch-of-union, exactly
+    val oneShot = all.groupBy($"g")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"u", lit(12))).as("est"))
+      .orderBy($"g").as[(String, Double)].collect()
+    assert(got sameElements oneShot)
+    // and the estimate lands near the exact distinct (HLL lgK=12 ⇒ ~1.6% rse)
+    val exact = all.groupBy($"g").agg(countDistinct($"u").as("d"))
+      .orderBy($"g").as[(String, Long)].collect().toMap
+    got.foreach { case (g, est) =>
+      assert(math.abs(est - exact(g)) / exact(g).toDouble < 0.05, s"$g: $est vs ${exact(g)}")
+    }
+  }
+
   test("incremental rollup sink: state == direct aggregate; replays are no-ops") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rollup").toString + "/state"
     val b0 = Seq((1L, 2.0, 5L), (1L, 3.0, 7L), (2L, 1.0, 2L)).toDF("k", "v", "m")

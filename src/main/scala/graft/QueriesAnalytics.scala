@@ -403,6 +403,89 @@ object QueriesAnalytics {
         "ORDER BY user_id"
     })
 
+  /** MARKOV TRANSITION MATRIX ([[Profiler.transitionMatrix]]): the
+    * first-order behavior model of the event stream — per-user
+    * consecutive event-type pairs, counted into a |states|²-max cell
+    * table with integral ppm shares. */
+  private val qMarkov = Q(
+    (s, d) => Profiler.transitionMatrix(
+        t(s, d, "events"), "user_id", Seq("ts", "event_id"), "event_type")
+      .orderBy(col("from_state"), col("to_state")),
+    Some("WITH p AS (SELECT user_id, event_type AS from_state, " +
+      "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state " +
+      "FROM events WHERE event_type IS NOT NULL), " +
+      "c AS (SELECT from_state, to_state, count(*) AS n FROM p " +
+      "WHERE to_state IS NOT NULL GROUP BY 1, 2), " +
+      "ft AS (SELECT from_state, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1) " +
+      "SELECT c.from_state, c.to_state, c.n, (c.n * 1000000) // ft.tot AS p_ppm " +
+      "FROM c JOIN ft USING (from_state) ORDER BY from_state, to_state"))
+
+  /** WELCH'S T-TEST ([[Profiler.welchTTest]]): view vs purchase value —
+    * the A/B readout from exact DECIMAL moments, one fixed double chain
+    * for t and the Welch–Satterthwaite df, mirrored operand for operand. */
+  private val qAbTtest = Q(
+    (s, d) => Profiler.welchTTest(
+        t(s, d, "events"), "event_type", "value", a = "view", b = "purchase"),
+    Some {
+      def mean(s: String) = s"sx_$s / CAST(n_$s AS DOUBLE)"
+      def va(s: String) =
+        s"(sxx_$s - sx_$s * sx_$s / CAST(n_$s AS DOUBLE)) / (CAST(n_$s AS DOUBLE) - 1.0e0)"
+      def se2(s: String) = s"${va(s)} / CAST(n_$s AS DOUBLE)"
+      "WITH m AS (SELECT event_type, count(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sxx " +
+        "FROM events WHERE value IS NOT NULL AND event_type IN ('view', 'purchase') " +
+        "GROUP BY 1), " +
+        "a AS (SELECT n AS n_a, sx AS sx_a, sxx AS sxx_a FROM m WHERE event_type = 'view'), " +
+        "b AS (SELECT n AS n_b, sx AS sx_b, sxx AS sxx_b FROM m WHERE event_type = 'purchase') " +
+        s"SELECT n_a, n_b, round(${mean("a")}, 6) AS mean_a, round(${mean("b")}, 6) AS mean_b, " +
+        s"CASE WHEN n_a > 1 AND n_b > 1 THEN round((${mean("a")} - ${mean("b")}) / " +
+        s"sqrt(${se2("a")} + ${se2("b")}), 6) END AS t_stat, " +
+        s"CASE WHEN n_a > 1 AND n_b > 1 THEN round((${se2("a")} + ${se2("b")}) * " +
+        s"(${se2("a")} + ${se2("b")}) / (${se2("a")} * ${se2("a")} / (CAST(n_a AS DOUBLE) - 1.0e0) + " +
+        s"${se2("b")} * ${se2("b")} / (CAST(n_b AS DOUBLE) - 1.0e0)), 6) END AS welch_df " +
+        "FROM a CROSS JOIN b"
+    })
+
+  /** MOJIBAKE DETECT + REPAIR ([[TextAnalysis.mojibakeHits]] /
+    * [[TextAnalysis.fixMojibake]]) over planted encoding damage (doc_id
+    * mod 4 picks the injected digraph; one bucket stays clean): exact
+    * signature counts via length arithmetic — no regex — and the
+    * chained-replace repair, both generated from ONE Scala table into
+    * both engines. */
+  private val qMojibake = Q(
+    (s, d) => {
+      val planted = when(pmod(col("doc_id"), lit(4)) === 0,
+          replace(col("text"), lit("e"), lit("Ã©")))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          replace(col("text"), lit("o"), lit("Ã³")))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          replace(col("text"), lit("a"), lit("â€™")))
+        .otherwise(col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id"), planted.as("pt"))
+        .select(col("doc_id"),
+          TextAnalysis.mojibakeHits(col("pt")).as("n_hits"),
+          substring(TextAnalysis.fixMojibake(col("pt")), 1, 50).as("fixed50"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val hits = TextAnalysis.MojibakeTable.map { case (p, _) =>
+        s"(length(pt) - length(replace(pt, '$p', ''))) // ${p.length}"
+      }.mkString("(", " + ", ")")
+      val repaired = TextAnalysis.MojibakeTable.foldLeft("pt") {
+        case (e, (p, r)) => s"replace($e, '$p', '$r')"
+      }
+      "WITH p AS (SELECT doc_id, CASE doc_id % 4 " +
+        "WHEN 0 THEN replace(text, 'e', 'Ã©') " +
+        "WHEN 1 THEN replace(text, 'o', 'Ã³') " +
+        "WHEN 2 THEN replace(text, 'a', 'â€™') " +
+        "ELSE text END AS pt FROM documents) " +
+        s"SELECT doc_id, CAST($hits AS BIGINT) AS n_hits, " +
+        s"substring($repaired, 1, 50) AS fixed50 " +
+        "FROM p ORDER BY doc_id"
+    })
+
   val registry: Seq[(String, Q)] = Seq(
     "q_skyline" -> qSkyline,
     "q_skyline_nd" -> qSkylineNd,
@@ -415,5 +498,8 @@ object QueriesAnalytics {
     "q_hilbert_value" -> qHilbertValue,
     "q_script_detect" -> qScriptDetect,
     "q_benford" -> qBenford,
-    "q_snapshot_diff" -> qSnapshotDiff)
+    "q_snapshot_diff" -> qSnapshotDiff,
+    "q_markov_transitions" -> qMarkov,
+    "q_ab_ttest" -> qAbTtest,
+    "q_mojibake" -> qMojibake)
 }

@@ -360,6 +360,11 @@ object ScaleProbe {
     // part, rows x10 exact (bounds widen with the offset keys but every
     // row still gets a walk index).
     "q_hilbert_value",
+    // ab_ttest: ONE output row at any scale; replica events reuse base
+    // values so the group moments scale x10 uniformly — means are
+    // IDENTICAL and t grows exactly √10 (se² scales 1/10): a derivable
+    // value contract, probed for cost only.
+    "q_ab_ttest",
     // script_detect: one row per doc (x10 exact), per-row regex scan —
     // embarrassingly parallel; the doc_id%5 planting keys on ids that
     // shift by the replica offset (10^7, divisible by 5), so each
@@ -372,7 +377,13 @@ object ScaleProbe {
     // change streams — each replica's delta reproduces the base delta
     // identically, rows x10 exact, value identity. Cost: two key-grain
     // last-write windows + one key-grain full-outer join.
-    "q_snapshot_diff")
+    "q_snapshot_diff",
+    // markov_transitions: disjoint replica users with identical event
+    // sequences — every (from, to) cell count scales x10 and the ppm
+    // shares are IDENTICAL (value contract; output bounded |states|²).
+    // mojibake: one row per doc (x10 exact); the ~r token suffixes add
+    // undamaged ASCII, so hit counts reproduce per replica.
+    "q_markov_transitions", "q_mojibake")
 
   /** Optional comma-separated SPARK_GRAFT_PROBE_ONLY filter so a new
     * family can be probed without re-timing the whole board. */

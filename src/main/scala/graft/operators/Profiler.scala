@@ -483,6 +483,68 @@ object Profiler {
         (col("observed_ppm") - col("benford_ppm")).as("diff_ppm"))
   }
 
+  /** MARKOV TRANSITION MATRIX — the first-order behavior model every
+    * sessionized event stream gets summarized into (next-action
+    * prediction, anomaly scoring, funnel design): per group, consecutive
+    * state pairs in `seq` order, counted into (from_state, to_state)
+    * cells with integral ppm transition shares. One window per group
+    * (the [[cusumAlarms]] sort) plus one cell-grain aggregation; output
+    * is |states|² rows max, never event grain. Ppm uses integral `div`
+    * (exact int64 counts both engines); a state's LAST event per group
+    * has no successor and contributes nothing. */
+  def transitionMatrix(df: DataFrame, group: String, seq: Seq[String],
+                       state: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(group)).orderBy(seq.map(col): _*)
+    val from = Window.partitionBy(col("from_state"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.filter(col(state).isNotNull)
+      .select(col(group), col(state).as("from_state"),
+        lead(col(state), 1).over(w).as("to_state"))
+      .filter(col("to_state").isNotNull)
+      .groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__ft", sum(col("n")).over(from))
+      .withColumn("p_ppm", expr("(n * 1000000L) div __ft"))
+      .select(col("from_state"), col("to_state"), col("n"), col("p_ppm"))
+  }
+
+  /** WELCH'S T-TEST — the unequal-variance two-sample comparison behind
+    * every A/B readout: t = (μ_a − μ_b)/√(s²_a/n_a + s²_b/n_b) with the
+    * Welch–Satterthwaite degrees of freedom. Moments come from exact
+    * DECIMAL sums (the [[pearson]] construction: order-independent,
+    * partitioning-independent); the final statistic is one fixed
+    * double-operand chain rounded to 6 places. One grouped aggregation +
+    * a 2-row pivot — group grain, never row grain. Output one row:
+    * (n_a, n_b, mean_a, mean_b, t_stat, welch_df). */
+  def welchTTest(df: DataFrame, label: String, value: String,
+                 a: String, b: String, scale: Int = 4): DataFrame = {
+    val dv = col(value).cast(s"decimal(18,$scale)")
+    val m = df.filter(col(value).isNotNull && col(label).isin(a, b))
+      .groupBy(col(label))
+      .agg(count(lit(1)).as("__n"),
+        sum(dv).cast("double").as("__sx"),
+        sum(dv * dv).cast("double").as("__sxx"))
+    def side(l: String, suf: String) = m.filter(col(label) === l)
+      .select(col("__n").as(s"n_$suf"), col("__sx").as(s"sx_$suf"),
+        col("__sxx").as(s"sxx_$suf"))
+    def nD(s: String) = col(s"n_$s").cast("double")
+    def mean(s: String) = col(s"sx_$s") / nD(s)
+    // sample variance from exact sums: (sxx − sx²/n)/(n−1)
+    def va(s: String) =
+      (col(s"sxx_$s") - col(s"sx_$s") * col(s"sx_$s") / nD(s)) / (nD(s) - lit(1.0))
+    val se2a = va("a") / nD("a")
+    val se2b = va("b") / nD("b")
+    val t = (mean("a") - mean("b")) / sqrt(se2a + se2b)
+    val dof = (se2a + se2b) * (se2a + se2b) /
+      (se2a * se2a / (nD("a") - lit(1.0)) + se2b * se2b / (nD("b") - lit(1.0)))
+    side(a, "a").crossJoin(side(b, "b"))
+      .select(col("n_a"), col("n_b"),
+        round(mean("a"), 6).as("mean_a"), round(mean("b"), 6).as("mean_b"),
+        when(col("n_a") > 1 && col("n_b") > 1, round(t, 6)).as("t_stat"),
+        when(col("n_a") > 1 && col("n_b") > 1, round(dof, 6)).as("welch_df"))
+  }
+
   /** JOIN-SIZE ESTIMATE — the planner statistic a 100 TB engine computes
     * BEFORE committing to a join strategy: the exact output cardinality
     * of `a ⋈ b` on `key` is Σ_k cnt_a(k)·cnt_b(k), computable from two

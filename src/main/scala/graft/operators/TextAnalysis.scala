@@ -301,6 +301,39 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** The classic UTF-8-read-as-Latin-1/Windows-1252 damage digraphs and
+    * their true characters, longest pattern first (the ftfy top table —
+    * each left side is the Latin-1 rendering of the right side's UTF-8
+    * bytes). BMP-only by construction: both engines count these in the
+    * same units. */
+  val MojibakeTable: Seq[(String, String)] = Seq(
+    "â€™" -> "’", "â€œ" -> "“", "â€“" -> "–",
+    "Ã©" -> "é", "Ã¨" -> "è", "Ã¼" -> "ü", "Ã¶" -> "ö", "Ã¤" -> "ä",
+    "Ã±" -> "ñ", "Ã§" -> "ç", "Ã³" -> "ó", "Ã¡" -> "á")
+
+  /** MOJIBAKE COUNT — occurrences of the [[MojibakeTable]] damage
+    * signatures, counted WITHOUT regex: per pattern,
+    * (len(t) − len(replace(t, p, ''))) / len(p) — exact integer
+    * arithmetic, identical `replace`/`length` semantics on both engines
+    * for BMP text. The encoding-damage quality signal every web-crawl
+    * curation pass screens for. */
+  def mojibakeHits(text: Column): Column =
+    MojibakeTable.map { case (p, _) =>
+      ((length(text) - length(replace(text, lit(p), lit("")))) / lit(p.length))
+        .cast("long")
+    }.reduce(_ + _)
+
+  /** MOJIBAKE REPAIR — the inverse transform for the table's signatures:
+    * one chained `replace` per digraph (longest first, so no prefix of a
+    * longer signature is consumed early). A deterministic ftfy-lite: the
+    * general re-decode needs byte-level access, but the fixed top table
+    * covers the overwhelming share of real crawl damage and is exactly
+    * replayable in SQL. */
+  def fixMojibake(text: Column): Column =
+    MojibakeTable.foldLeft(text) { case (c, (p, r)) =>
+      replace(c, lit(p), lit(r))
+    }
+
   /** UNICODE-SCRIPT PROFILE — the script-level companion to the n-gram
     * language identifier: per-document character counts over the five
     * major script properties (Han, Cyrillic, Greek, Hangul, Latin) and

@@ -248,6 +248,54 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got(9)._3 == 45757L)  // floor(log10(10/9)·1e6)
   }
 
+  test("transitionMatrix: lead pairs per group, integral per-from shares") {
+    val ev = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (2L, 1L, "a"), (2L, 2L, "a")).toDF("g", "ord", "s")
+    val got = Profiler.transitionMatrix(ev, "g", Seq("ord"), "s")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // from a: a->b twice, a->a once (of 3); from b: b->a once (of 1)
+    assert(got == Map(
+      ("a", "b") -> ((2L, 666666L)),
+      ("a", "a") -> ((1L, 333333L)),
+      ("b", "a") -> ((1L, 1000000L))))
+  }
+
+  test("welchTTest matches the textbook computation") {
+    val xs = Seq(27.5, 21.0, 19.0, 23.6, 17.0, 17.9, 16.9, 20.1, 21.9, 22.6, 23.1, 19.6, 19.0, 21.7, 21.4)
+    val ys = Seq(27.1, 22.0, 20.8, 23.4, 23.4, 23.5, 25.8, 22.0, 24.8, 20.2, 21.9, 22.1, 22.9, 30.0, 23.9)
+    val df = (xs.map(("ctl", _)) ++ ys.map(("trt", _))).toDF("grp", "v")
+    val r = Profiler.welchTTest(df, "grp", "v", a = "ctl", b = "trt", scale = 4).head()
+    def stats(v: Seq[Double]) = {
+      val n = v.size; val m = v.sum / n
+      (n, m, v.map(x => (x - m) * (x - m)).sum / (n - 1))
+    }
+    val (na, ma, va) = stats(xs); val (nb, mb, vb) = stats(ys)
+    val t = (ma - mb) / math.sqrt(va / na + vb / nb)
+    val dof = math.pow(va / na + vb / nb, 2) /
+      (math.pow(va / na, 2) / (na - 1) + math.pow(vb / nb, 2) / (nb - 1))
+    assert(r.getLong(0) == 15L && r.getLong(1) == 15L)
+    assert(math.abs(r.getDouble(4) - t) < 1e-5, s"${r.getDouble(4)} vs $t")
+    assert(math.abs(r.getDouble(5) - dof) < 1e-4)
+  }
+
+  test("mojibake: exact hit counts; repair inverts the damage; clean text untouched") {
+    import graft.operators.TextAnalysis.{MojibakeTable, fixMojibake, mojibakeHits}
+    val orig = "héllo – “quoted’ süß ño çédille ó á è"
+    // damage = render each true char through the Latin-1 lens
+    val damaged = MojibakeTable.foldLeft(orig) { case (s, (p, r)) => s.replace(r, p) }
+    val expHits = MojibakeTable.map { case (p, _) =>
+      (damaged.length - damaged.replace(p, "").length) / p.length
+    }.sum
+    assert(expHits >= 10) // the plant really damaged the text
+    val df = Seq((1L, damaged), (2L, "plain ascii, no damage")).toDF("id", "t")
+    val got = df.select(col("id"), mojibakeHits(col("t")).as("h"),
+        fixMojibake(col("t")).as("f"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got(1)._1 == expHits.toLong && got(1)._2 == orig)
+    assert(got(2)._1 == 0L && got(2)._2 == "plain ascii, no damage")
+  }
+
   test("Top2Dist2.eval: best + runner-up, ties, ragged null; matches ArgminDist2") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.Literal

@@ -486,6 +486,37 @@ object QueriesAnalytics {
         "FROM p ORDER BY doc_id"
     })
 
+  /** POISSON BOOTSTRAP ([[graft.operators.Sampling.poissonBootstrapMeans]],
+    * B = 32): the hash-deterministic resampling distribution of the mean
+    * event value — every resample's membership reproduced exactly by the
+    * oracle from the portable md5 draw and the Poisson(1) inverse-CDF
+    * ppm table generated into both engines. A bootstrap you can
+    * hash-verify. */
+  private val qBootstrap = Q(
+    (s, d) => graft.operators.Sampling.poissonBootstrapMeans(
+        t(s, d, "events"), "event_id", "value", draws = 32)
+      .orderBy(col("b")),
+    Some {
+      val th = graft.operators.Sampling.BootThresholdsPpm
+      val caseSql = "CASE " + th.zipWithIndex.map { case (t, k) =>
+        s"WHEN uu < $t THEN $k" }.mkString(" ") + s" ELSE ${th.length} END"
+      "WITH e AS (SELECT event_id, " +
+        "CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS xq " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "h AS (SELECT event_id, xq, ('0x' || substr(md5(CAST(event_id AS VARCHAR) " +
+        "|| 'boot'), 1, 8))::BIGINT AS hh FROM e), " +
+        "x AS (SELECT hh, xq, b FROM h CROSS JOIN " +
+        "(SELECT unnest(range(0, 32)) AS b) bs), " +
+        "u AS (SELECT b, xq, " +
+        "((hh + (b + 1) * 1000003) * 998244353) % 1000000007 % 1000000 AS uu " +
+        "FROM x), " +
+        s"m AS (SELECT b, xq, CAST($caseSql AS BIGINT) AS mm FROM u) " +
+        "SELECT b, CAST(SUM(mm) AS BIGINT) AS n_drawn, " +
+        "CASE WHEN SUM(mm) > 0 THEN round(CAST(SUM(mm * xq) AS DOUBLE) / " +
+        "CAST(SUM(mm) AS DOUBLE) / 10000.0e0, 6) END AS mean_b " +
+        "FROM m GROUP BY b ORDER BY b"
+    })
+
   val registry: Seq[(String, Q)] = Seq(
     "q_skyline" -> qSkyline,
     "q_skyline_nd" -> qSkylineNd,
@@ -501,5 +532,6 @@ object QueriesAnalytics {
     "q_snapshot_diff" -> qSnapshotDiff,
     "q_markov_transitions" -> qMarkov,
     "q_ab_ttest" -> qAbTtest,
-    "q_mojibake" -> qMojibake)
+    "q_mojibake" -> qMojibake,
+    "q_bootstrap_ci" -> qBootstrap)
 }

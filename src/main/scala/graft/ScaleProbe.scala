@@ -383,7 +383,12 @@ object ScaleProbe {
     // shares are IDENTICAL (value contract; output bounded |states|²).
     // mojibake: one row per doc (x10 exact); the ~r token suffixes add
     // undamaged ASCII, so hit counts reproduce per replica.
-    "q_markov_transitions", "q_mojibake")
+    "q_markov_transitions", "q_mojibake",
+    // bootstrap_ci: B = 32 output rows at any scale; replica events are
+    // new draws (ids shift the hash), so the means legitimately differ
+    // but concentrate on the same replica-invariant population mean —
+    // cost is the one explode×B scan, linear.
+    "q_bootstrap_ci")
 
   /** Optional comma-separated SPARK_GRAFT_PROBE_ONLY filter so a new
     * family can be probed without re-timing the whole board. */

@@ -25,6 +25,81 @@ object Sampling {
     conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 8), 16, 10)
       .cast("long") % buckets
 
+  /** Cumulative Poisson(1) CDF in ppm, k = 0..6 — the multiplicity
+    * lookup for [[poissonBootstrapMeans]], generated once and embedded
+    * as literals on BOTH engines (the z-order convention). */
+  val BootThresholdsPpm: Array[Long] = {
+    val e1 = math.exp(-1.0)
+    var cum = 0.0
+    var fact = 1.0
+    (0 to 6).map { k =>
+      if (k > 0) fact *= k
+      cum += e1 / fact
+      (cum * 1e6).toLong
+    }.toArray
+  }
+
+  /** HASH-DETERMINISTIC POISSON BOOTSTRAP — the resampling distribution
+    * of the mean without any randomness state: resample `b` draws row i
+    * with multiplicity m = F⁻¹_Poisson(1)(u_ib), where u_ib is the row's
+    * portable salted ppm bucket for draw b (the Poisson bootstrap —
+    * Chamandy et al. 2012, the bag-of-little-bootstraps building block;
+    * Poisson(1) multiplicities ≡ with-replacement resampling as n grows).
+    * Deterministic and engine-portable by the same md5 construction as
+    * every sampler here, so the ORACLE reproduces every resample
+    * exactly — a bootstrap you can hash-verify.
+    *
+    * Plan: ONE md5 per ROW (not per (row, draw) — measured 3.5 s vs
+    * 0.5 s at sf0.1×32: the hash, not the explode, is the cost), mixed
+    * to a per-draw bucket by a modular affine-multiplicative step over
+    * the prime 10⁹+7 — plain int64 arithmetic with every intermediate
+    * < 2⁶³ (ANSI-safe), identical in any engine, uniform to ~10⁻³
+    * relative (p mod 10⁶ = 7; irrelevant at bootstrap precision). Then
+    * one explode ×B at scan grain and one grouped aggregation to B rows
+    * of exact integer sums (m ≤ 7, so Σ m·x_fp stays far inside int64);
+    * the emitted table IS the bootstrap distribution of the mean — CI =
+    * order statistics of the B means, taken downstream.
+    * Output: (b, n_drawn, mean_b), b ∈ [0, draws). */
+  def poissonBootstrapMeans(df: DataFrame, id: String, x: String,
+                            draws: Int = 32, scale: Int = 4,
+                            salt: String = "boot"): DataFrame = {
+    require(draws >= 1 && scale >= 0 && scale <= 6,
+      s"bad draws=$draws / scale=$scale")
+    val unit = math.pow(10, scale).toLong
+    val xq = (col(x).cast(s"decimal(18,$scale)") * unit).cast("long")
+    // one portable 32-bit hash per row; per-draw mix keeps every
+    // intermediate < (2³² + B·10⁶)·998244353 < 2⁶³
+    val h = conv(substring(md5(concat(col(id).cast("string"), lit(salt))), 1, 8),
+      16, 10).cast("long")
+    val u = pmod((col("__h") + (col("b") + 1) * lit(1000003L)) * lit(998244353L),
+      lit(1000000007L)) % 1000000
+    val mult = BootThresholdsPpm.zipWithIndex.reverse
+      .foldLeft(lit(BootThresholdsPpm.length): Column) {
+        case (acc, (th, k)) => when(col("__u") < th, k).otherwise(acc)
+      }
+    // the repartition is a MATERIALIZATION BARRIER, not a distribution
+    // choice: a Generate keeps only its generator's inputs below itself,
+    // so without the exchange the md5 projection floats ABOVE the explode
+    // and re-hashes once per (row × draw) — measured 3.2 s vs ~0.7 s at
+    // sf0.1×32. (A 32-branch per-row multiplicity ARRAY was tried
+    // instead and fell out of whole-stage codegen — slower than the
+    // narrow 16-byte-row shuffle this costs.)
+    df.filter(col(x).isNotNull)
+      .select(xq.as("__xq"), h.as("__h"))
+      .repartition()
+      .select(col("__xq"), col("__h"),
+        explode(typedlit((0 until draws).toArray)).as("b"))
+      .withColumn("__u", u)
+      .withColumn("__m", mult.cast("long"))
+      .groupBy(col("b"))
+      .agg(sum(col("__m")).as("n_drawn"),
+        sum(col("__m") * col("__xq")).as("__swx"))
+      .select(col("b").cast("long").as("b"), col("n_drawn"),
+        when(col("n_drawn") > 0,
+          round(col("__swx").cast("double") / col("n_drawn").cast("double") /
+            lit(unit.toDouble), 6)).as("mean_b"))
+  }
+
   /** Stable percentage sample: keeps ids whose bucket falls below `pct`
     * (of 100). Map-only — the filter pushes to the scan stage. */
   def sampleByHash(df: DataFrame, id: String, pct: Int,

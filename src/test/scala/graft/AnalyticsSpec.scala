@@ -296,6 +296,30 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got(2)._1 == 0L && got(2)._2 == "plain ascii, no damage")
   }
 
+  test("poissonBootstrapMeans: deterministic, unbiased-ish, CI brackets the mean") {
+    import graft.operators.Sampling
+    val rnd = new scala.util.Random(3)
+    val vals = (1 to 2000).map(i => (i.toLong, 50.0 + rnd.nextGaussian() * 10))
+    val df = vals.toDF("id", "v")
+    val means = Sampling.poissonBootstrapMeans(df, "id", "v", draws = 32)
+      .orderBy(col("b")).collect().map(r => r.getDouble(2))
+    assert(means.length == 32)
+    // deterministic: a second run reproduces every mean bit for bit
+    val again = Sampling.poissonBootstrapMeans(df, "id", "v", draws = 32)
+      .orderBy(col("b")).collect().map(r => r.getDouble(2))
+    assert(means sameElements again)
+    // the resampling distribution concentrates near the sample mean
+    val trueMean = vals.map(_._2).sum / vals.size
+    val sorted = means.sorted
+    assert(sorted.head < trueMean && trueMean < sorted.last,
+      s"CI [${sorted.head}, ${sorted.last}] vs $trueMean")
+    assert(math.abs(means.sum / 32 - trueMean) < 1.0)
+    // Poisson(1) multiplicities: each draw pulls ~n rows
+    val nDrawn = Sampling.poissonBootstrapMeans(df, "id", "v", draws = 32)
+      .agg(avg(col("n_drawn"))).head().getDouble(0)
+    assert(math.abs(nDrawn - 2000.0) < 100.0)
+  }
+
   test("Top2Dist2.eval: best + runner-up, ties, ragged null; matches ArgminDist2") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.Literal

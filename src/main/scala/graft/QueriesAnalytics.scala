@@ -100,7 +100,8 @@ object QueriesAnalytics {
     * engines. */
   private val qSilhouette = Q(
     (s, d) => Clustering.silhouette(
-        t(s, d, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
+        t(s, d, "embeddings"), "vec_id", "embedding", k = 8, iters = 2,
+        memoKey = Some(QueriesExtras.kmeansKey(s, d)))
       .orderBy(col("cluster")),
     Some(QueriesExtras.KmeansSqlWith + ", " +
       "t2 AS (SELECT vec_id, c, dd, row_number() OVER (PARTITION BY vec_id " +

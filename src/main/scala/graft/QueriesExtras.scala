@@ -1615,9 +1615,19 @@ object QueriesExtras {
       "FROM df) WHERE rn = 1)"
   }
 
+  /** Memo key for the k-means model family (the [[QueriesCuration]]
+    * clfKey contract: corpus fingerprint + every parameter shaping the
+    * training) — q_kmeans_assign, q_semdedup, q_cluster_sample and
+    * q_silhouette all train the SAME k=8/2-round model, so the collect
+    * rounds run once per corpus and siblings pay assignment only. */
+  private[graft] def kmeansKey(s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.operators.StateCache.fingerprint(
+      s, s"$d/embeddings.parquet", "kmeans|k=8|i=2|s=1e6")
+
   private val qKmeansAssign = Q(
     (s, d) => graft.operators.Clustering.kmeansAssign(
-        Tables.load(s, d, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
+        Tables.load(s, d, "embeddings"), "vec_id", "embedding", k = 8, iters = 2,
+        memoKey = Some(kmeansKey(s, d)))
       .orderBy(col("vec_id")),
     Some(KmeansSqlWith +
       " SELECT vec_id, cluster, dist2 FROM asg ORDER BY vec_id"))
@@ -1633,7 +1643,8 @@ object QueriesExtras {
     * point of SemDeDup at 100 TB. */
   private val qSemDedup = Q(
     (s, d) => Similarity.semDedup(Tables.load(s, d, "embeddings"),
-        "vec_id", "embedding", k = 8, iters = 2, threshold = 0.45)
+        "vec_id", "embedding", k = 8, iters = 2, threshold = 0.45,
+        kmeansMemoKey = Some(kmeansKey(s, d)))
       .orderBy(col("vec_id")),
     Some(KmeansSqlWith +
       ", e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) " +
@@ -2347,7 +2358,8 @@ object QueriesExtras {
   private val qClusterSample = Q(
     (s, d) => graft.operators.Sampling.clusterBalancedSample(
         Tables.load(s, d, "embeddings"), "vec_id", "embedding",
-        k = 8, iters = 2, perCluster = 5)
+        k = 8, iters = 2, perCluster = 5,
+        kmeansMemoKey = Some(kmeansKey(s, d)))
       .orderBy(col("vec_id")),
     Some(KmeansSqlWith +
       " SELECT vec_id, cluster FROM (SELECT vec_id, cluster, " +

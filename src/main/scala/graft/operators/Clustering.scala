@@ -58,16 +58,37 @@ object Clustering {
   /** Lloyd's k-means, `iters` iterations from deterministic seeds (the k
     * rows with the smallest `id`). Returns `(id, cluster, dist2)`:
     * cluster = 0-based index of the nearest final centroid, dist2 = exact
-    * squared quantized distance to it. */
+    * squared quantized distance to it.
+    *
+    * `memoKey` (the [[graft.operators.StateCache]] trained-model-family
+    * contract): when set, the TRAINING — the checkpointed quantized
+    * projection plus the `iters` collect-update rounds — runs once per
+    * (corpus fingerprint, parameters) and every sibling consumer
+    * (assignment, SemDeDup, balanced sampling, silhouette) reuses the
+    * centroids; the assignment pass itself is a cheap codegen scan and
+    * is re-planned per caller. The fixed-point training is deterministic,
+    * so memoization cannot change any result — only who pays the
+    * collect rounds. */
   def kmeansAssign(emb: DataFrame, id: String, vec: String,
-                   k: Int, iters: Int, scale: Double = 1e6): DataFrame =
-    kmeansFit(emb, id, vec, k, iters, scale)._2
+                   k: Int, iters: Int, scale: Double = 1e6,
+                   memoKey: Option[String] = None): DataFrame =
+    kmeansFit(emb, id, vec, k, iters, scale, memoKey)._2
 
   /** [[kmeansAssign]] plus the final quantized centroids — for consumers
     * that need the codebook itself (PQ's anchor lookup table), not just the
     * assignment. centroids(c)(i) is exact fixed-point (·scale). */
   def kmeansFit(emb: DataFrame, id: String, vec: String,
-                k: Int, iters: Int, scale: Double = 1e6): (Array[Array[Long]], DataFrame) = {
+                k: Int, iters: Int, scale: Double = 1e6,
+                memoKey: Option[String] = None): (Array[Array[Long]], DataFrame) =
+    memoKey match {
+      case Some(key) =>
+        Scale.memo(s"$key:kmeansfit", emb.sparkSession)(
+          kmeansFitBuild(emb, id, vec, k, iters, scale))
+      case None => kmeansFitBuild(emb, id, vec, k, iters, scale)
+    }
+
+  private def kmeansFitBuild(emb: DataFrame, id: String, vec: String,
+                             k: Int, iters: Int, scale: Double): (Array[Array[Long]], DataFrame) = {
     require(k > 0 && iters > 0, s"need k > 0 and iters > 0, got k=$k iters=$iters")
     val q = emb.filter(col(vec).isNotNull)
       .select(col(id), quantize(col(vec), scale).as("__qv"))
@@ -125,9 +146,10 @@ object Clustering {
     * whose members sit closer to a neighboring centroid — the k-was-wrong
     * signal. */
   def silhouette(emb: DataFrame, id: String, vec: String,
-                 k: Int, iters: Int, scale: Double = 1e6): DataFrame = {
+                 k: Int, iters: Int, scale: Double = 1e6,
+                 memoKey: Option[String] = None): DataFrame = {
     require(k >= 2, s"silhouette needs k >= 2, got $k")
-    val (centroids, _) = kmeansFit(emb, id, vec, k, iters, scale)
+    val (centroids, _) = kmeansFit(emb, id, vec, k, iters, scale, memoKey)
     graft.plans.GraftFunctions.register(org.apache.spark.sql.SparkSession.active)
     val q = emb.filter(col(vec).isNotNull)
       .select(col(id), quantize(col(vec), scale).as("__qv"))

@@ -249,8 +249,10 @@ object Sampling {
     * of (id, salt, corpus), stable across reruns and engines. */
   def clusterBalancedSample(emb: DataFrame, id: String, vec: String,
                             k: Int, iters: Int, perCluster: Int,
-                            salt: String = "graft-es"): DataFrame = {
-    val assign = Clustering.kmeansAssign(emb, id, vec, k, iters)
+                            salt: String = "graft-es",
+                            kmeansMemoKey: Option[String] = None): DataFrame = {
+    val assign = Clustering.kmeansAssign(emb, id, vec, k, iters,
+        memoKey = kmeansMemoKey)
       .select(col(id), col("cluster"))
     weightedSamplePerGroup(assign.withColumn("__w", lit(1.0)),
       id, "__w", "cluster", perCluster, salt).drop("__w")

@@ -543,8 +543,9 @@ object Similarity {
     * what bounds the compare); run [[lshCosinePairs]]-based purge when
     * global pairs are required. */
   def semDedup(emb: DataFrame, id: String, vec: String, k: Int, iters: Int,
-               threshold: Double): DataFrame = {
-    val assign = Clustering.kmeansAssign(emb, id, vec, k, iters)
+               threshold: Double, kmeansMemoKey: Option[String] = None): DataFrame = {
+    val assign = Clustering.kmeansAssign(emb, id, vec, k, iters,
+        memoKey = kmeansMemoKey)
       .select(col(id), col("cluster"))
     val withVec = emb.filter(col(vec).isNotNull)
       .select(col(id), asD(col(vec)).as("__v"), norm(col(vec)).as("__n"))

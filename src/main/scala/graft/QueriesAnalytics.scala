@@ -518,6 +518,29 @@ object QueriesAnalytics {
         "FROM m GROUP BY b ORDER BY b"
     })
 
+  /** RFM SEGMENTATION ([[Profiler.rfmSegments]]): recency × frequency ×
+    * monetary quintiles per user with fully-deterministic ntile orders
+    * (metric, then key) and the 3-digit segment code — the classic
+    * customer-value grid, key-grain windows only. */
+  private val qRfm = Q(
+    (s, d) => Profiler.rfmSegments(
+        t(s, d, "events"), "user_id", "ts", "value")
+      .orderBy(col("user_id")),
+    Some("WITH k AS (SELECT user_id, max(epoch_us(ts)) AS lastus, " +
+      "count(*) AS f_cnt, " +
+      "CAST(COALESCE(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)), 0) " +
+      "AS BIGINT) AS m_fp " +
+      "FROM events WHERE ts IS NOT NULL GROUP BY 1), " +
+      "r AS (SELECT user_id, f_cnt, m_fp, " +
+      "(max(lastus) OVER () - lastus) // 86400000000 AS r_days FROM k), " +
+      "q AS (SELECT user_id, r_days, f_cnt, m_fp, " +
+      "CAST(ntile(5) OVER (ORDER BY r_days DESC, user_id) AS BIGINT) AS r_q, " +
+      "CAST(ntile(5) OVER (ORDER BY f_cnt, user_id) AS BIGINT) AS f_q, " +
+      "CAST(ntile(5) OVER (ORDER BY m_fp, user_id) AS BIGINT) AS m_q FROM r) " +
+      "SELECT user_id, r_days, f_cnt, m_fp, r_q, f_q, m_q, " +
+      "r_q * 100 + f_q * 10 + m_q AS segment " +
+      "FROM q ORDER BY user_id"))
+
   val registry: Seq[(String, Q)] = Seq(
     "q_skyline" -> qSkyline,
     "q_skyline_nd" -> qSkylineNd,
@@ -534,5 +557,6 @@ object QueriesAnalytics {
     "q_markov_transitions" -> qMarkov,
     "q_ab_ttest" -> qAbTtest,
     "q_mojibake" -> qMojibake,
-    "q_bootstrap_ci" -> qBootstrap)
+    "q_bootstrap_ci" -> qBootstrap,
+    "q_rfm_segments" -> qRfm)
 }

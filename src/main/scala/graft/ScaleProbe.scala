@@ -388,7 +388,14 @@ object ScaleProbe {
     // new draws (ids shift the hash), so the means legitimately differ
     // but concentrate on the same replica-invariant population mean —
     // cost is the one explode×B scan, linear.
-    "q_bootstrap_ci")
+    "q_bootstrap_ci",
+    // rfm_segments: one row per user (x10 exact — disjoint replica user
+    // universes); each replica reproduces the base corpus's per-user
+    // R/F/M values, and the quantile CUTS shift as the population grows
+    // x10 with identical distribution — ntile assignments reproduce per
+    // replica (equal metric multisets tile identically). Cost: one
+    // key-grain agg + three key-grain windows.
+    "q_rfm_segments")
 
   /** Optional comma-separated SPARK_GRAFT_PROBE_ONLY filter so a new
     * family can be probed without re-timing the whole board. */

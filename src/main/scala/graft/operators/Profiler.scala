@@ -483,6 +483,45 @@ object Profiler {
         (col("observed_ppm") - col("benford_ppm")).as("diff_ppm"))
   }
 
+  /** RFM SEGMENTATION — the classic customer-value grid (recency ×
+    * frequency × monetary quintiles): per key, days since last event
+    * (relative to the corpus max — no wall clock), event count, and the
+    * exact DECIMAL value total, each ranked into quintiles with a
+    * deterministic total order (metric, then key — `ntile` ties are
+    * arbitrary without it) and combined into the familiar 3-digit
+    * segment code (5 = best on every axis: most recent, most frequent,
+    * highest spend). One key-grain aggregation + three windows over the
+    * KEY grain (bounded by key cardinality, never event grain).
+    * Output: (key, r_days, f_cnt, m_fp, r_q, f_q, m_q, segment). */
+  def rfmSegments(df: DataFrame, key: String, ts: String, value: String,
+                  quantiles: Int = 5, scale: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val unit = math.pow(10, scale).toLong
+    val byKey = df.filter(col(ts).isNotNull)
+      .groupBy(col(key))
+      .agg(max(unix_micros(col(ts))).as("__last"),
+        count(lit(1)).as("f_cnt"),
+        coalesce(sum((col(value).cast(s"decimal(18,$scale)") * unit).cast("long")),
+          lit(0L)).as("m_fp"))
+    val allW = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // recency: fewer days since the corpus max ⇒ better ⇒ DESC puts the
+    // stale keys in tile 1 and the freshest in tile `quantiles`
+    val rW = Window.orderBy(col("r_days").desc, col(key))
+    val fW = Window.orderBy(col("f_cnt"), col(key))
+    val mW = Window.orderBy(col("m_fp"), col(key))
+    byKey
+      .withColumn("r_days",
+        ((max(col("__last")).over(allW) - col("__last")) / lit(86400000000L))
+          .cast("long"))
+      .withColumn("r_q", ntile(quantiles).over(rW))
+      .withColumn("f_q", ntile(quantiles).over(fW))
+      .withColumn("m_q", ntile(quantiles).over(mW))
+      .select(col(key), col("r_days"), col("f_cnt"), col("m_fp"),
+        col("r_q").cast("long").as("r_q"), col("f_q").cast("long").as("f_q"),
+        col("m_q").cast("long").as("m_q"),
+        (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).cast("long").as("segment"))
+  }
+
   /** MARKOV TRANSITION MATRIX — the first-order behavior model every
     * sessionized event stream gets summarized into (next-action
     * prediction, anomaly scoring, funnel design): per group, consecutive

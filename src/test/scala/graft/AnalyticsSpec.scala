@@ -320,6 +320,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(nDrawn - 2000.0) < 100.0)
   }
 
+  test("rfmSegments: deterministic tertiles, 5-is-best orientation, segment code") {
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"2026-01-${day}%02d 00:00:00")
+    // user 1: recent, frequent, big spender; user 6: stale, rare, small
+    val ev = Seq(
+      (1L, ts(30), 100.0), (1L, ts(29), 100.0), (1L, ts(28), 100.0),
+      (2L, ts(25), 50.0), (2L, ts(24), 50.0), (2L, ts(23), 10.0),
+      (3L, ts(20), 30.0), (3L, ts(19), 5.0),
+      (4L, ts(15), 20.0), (4L, ts(14), 1.0),
+      (5L, ts(10), 8.0),
+      (6L, ts(1), 1.0)).toDF("u", "ts", "v")
+    val got = Profiler.rfmSegments(ev, "u", "ts", "v", quantiles = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(7)))).toMap
+    // recency in whole days from the corpus max (user 1's day 30)
+    assert(got(1)._1 == 0L && got(6)._1 == 29L)
+    assert(got(1)._2 == 3L && got(1)._3 == 3000000L) // f_cnt, m_fp exact
+    // user 1 best on every axis, user 6 worst on every axis
+    assert(got(1)._4 == 333L && got(6)._4 == 111L)
+    // deterministic under repartition
+    val again = Profiler.rfmSegments(ev.repartition(5), "u", "ts", "v", quantiles = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(7)).toMap
+    assert(again == got.map { case (k, v) => k -> v._4 })
+  }
+
   test("Top2Dist2.eval: best + runner-up, ties, ragged null; matches ArgminDist2") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.Literal

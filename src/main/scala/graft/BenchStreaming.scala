@@ -267,6 +267,30 @@ object BenchStreaming {
         "state_sketch_bytes" -> st.getLong(1).toString))
     }
 
+    // ---- 3f. streaming PSI drift: reference frozen at batch 0, one
+    // ledger row per later batch — value-range-bounded state
+    section("psi") {
+      val stateDir = s"$tmp/psi_state"
+      val ckpt = s"$tmp/psi_ckpt"
+      val mem = MemoryStream[SBenchEv]
+      val q = mem.toDS().toDF()
+        .select($"value")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(Streaming.psiDriftSink("value", 10L, stateDir) _)
+        .start()
+      val t0 = nowSec()
+      chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+      val secs = nowSec() - t0
+      val ledger = spark.read.parquet(s"$stateDir/ledger")
+      val worst = ledger.agg(max($"psi")).head().getDouble(0)
+      val n = ledger.count()
+      q.stop()
+      record("psi_drift", events.length.toLong, nBatches, secs, Seq(
+        "ledger_rows" -> n.toString,
+        "worst_psi" -> f"$worst%.4f"))
+    }
+
     // ---- 4. persisted near-dup index sink (documents corpus). Two
     // operating points: the raw sf corpus in 1.25k-doc micro-batches is
     // LATENCY-bound (the sink runs 2 Spark jobs per batch; at that size

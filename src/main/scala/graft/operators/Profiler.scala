@@ -351,7 +351,16 @@ object Profiler {
       df.filter(col(value).isNotNull)
         .select(expr(s"CAST($value AS BIGINT) div $width").as("bin"))
         .groupBy(col("bin")).agg(count(lit(1)).as(n))
-    val joined = binned(a, "n_a").join(binned(b, "n_b"), Seq("bin"), "full_outer")
+    driftFromBins(binned(a, "n_a"), binned(b, "n_b"))
+  }
+
+  /** [[distributionDrift]]'s bin-level core — inputs are already-counted
+    * `(bin, n_a)` / `(bin, n_b)` frames, so a caller holding a PERSISTED
+    * reference histogram (the streaming drift sink) reuses the identical
+    * smoothing/ln/rounding arithmetic without re-binning raw rows. */
+  private[graft] def driftFromBins(binsA: DataFrame, binsB: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = binsA.join(binsB, Seq("bin"), "full_outer")
       .select(col("bin"), coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
     val stats = joined.agg(sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"),

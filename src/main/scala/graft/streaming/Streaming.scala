@@ -1120,6 +1120,73 @@ object Streaming {
     fs.delete(old, true): Unit
   }
 
+  /** STREAMING DISTRIBUTION-DRIFT MONITOR (PSI) — the model-ops staple
+    * beside the rule-based [[qualityMonitorSink]]: the FIRST applied
+    * batch freezes as the reference histogram (integer-width bins, the
+    * [[graft.operators.Profiler.distributionDrift]] binning), and every
+    * later batch appends one (batch_id, n_rows, psi) ledger row scoring
+    * its own distribution against that reference through the exact same
+    * Laplace-smoothed ln arithmetic ([[graft.operators.Profiler
+    * .driftFromBins]] — the batch operator's bin-level core, so the
+    * streamed PSI is definitionally the batch PSI of (reference, batch)).
+    * The industry alarm thresholds (0.1 watch / 0.25 act) apply to the
+    * ledger values downstream. State: the reference bins (value-range
+    * bounded) + the ledger (one row per batch) — never raw rows.
+    *
+    * Crash/replay discipline is [[incrementalRollupSink]]'s: `_applied`
+    * marker inside the rename-aside swap of the whole state dir (both
+    * frames move together — no crash point separates reference, ledger,
+    * and marker). */
+  def psiDriftSink(value: String, width: Long, stateDir: String)
+                  (batch: DataFrame, batchId: Long): Unit = {
+    require(width >= 1, s"psiDriftSink: need width >= 1, got $width")
+    val spark = batch.sparkSession
+    recoverSwap(spark, stateDir, "psiDriftSink")
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readMarker(dir: String): Long = {
+      val m = new org.apache.hadoop.fs.Path(s"$dir/_applied")
+      if (!fs.exists(m)) -1L
+      else {
+        val in = fs.open(m)
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          "UTF-8").trim.toLong
+        finally in.close()
+      }
+    }
+    if (batchId <= readMarker(stateDir)) return // replayed batch: no-op
+    import spark.implicits._
+    val bins = batch.filter(col(value).isNotNull)
+      .select(expr(s"CAST($value AS BIGINT) div $width").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_b"))
+    val nRows = batch.count()
+    val next = new org.apache.hadoop.fs.Path(stateDir + "_next")
+    if (!stateExists(spark, stateDir)) {
+      // first applied batch: freeze the reference, open an empty ledger
+      bins.select(col("bin"), col("n_b").as("n_a"))
+        .write.mode("overwrite").parquet(s"$next/ref")
+      Seq.empty[(Long, Long, Double)].toDF("batch_id", "n_rows", "psi")
+        .write.mode("overwrite").parquet(s"$next/ledger")
+    } else {
+      val ref = spark.read.parquet(s"$stateDir/ref")
+      val psi = graft.operators.Profiler.driftFromBins(ref, bins)
+        .select(col("psi")).head().getDouble(0)
+      ref.write.mode("overwrite").parquet(s"$next/ref")
+      spark.read.parquet(s"$stateDir/ledger")
+        .unionByName(Seq((batchId, nRows, psi)).toDF("batch_id", "n_rows", "psi"))
+        .write.mode("overwrite").parquet(s"$next/ledger")
+    }
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$next/_applied"), true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    val cur = new org.apache.hadoop.fs.Path(stateDir)
+    val old = new org.apache.hadoop.fs.Path(stateDir + "_old")
+    if (fs.exists(cur) && !fs.rename(cur, old))
+      throw new java.io.IOException(s"psiDriftSink: failed to move $cur aside")
+    if (!fs.rename(next, cur))
+      throw new java.io.IOException(s"psiDriftSink: failed to publish $next")
+    fs.delete(old, true): Unit
+  }
+
   /** ST6 stretch — CUSTOM-STATE sessionization via flatMapGroupsWithState
     * (the arbitrary-state API `session_window` can't replace when the
     * emitted record needs custom shape or the close condition isn't a pure

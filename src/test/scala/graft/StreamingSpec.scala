@@ -428,6 +428,29 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("psi drift sink: reference frozen at batch 0; ledger == batch PSI; replay no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_psi").toString + "/state"
+    def mk(vs: Seq[Int]) = vs.map(_.toDouble).toDF("v")
+    val ref = mk(1 to 100)            // reference distribution
+    val same = mk(2 to 101)           // essentially the same bins
+    val shifted = mk(501 to 600)      // disjoint support → large PSI
+    val sink = Streaming.psiDriftSink("v", 10L, dir) _
+    sink(ref, 0L); sink(same, 1L); sink(shifted, 2L)
+    sink(shifted, 2L) // replay: marker skip, no duplicate ledger row
+    val ledger = spark.read.parquet(s"$dir/ledger")
+      .orderBy($"batch_id").as[(Long, Long, Double)].collect()
+    assert(ledger.map(_._1).toSeq == Seq(1L, 2L))
+    assert(ledger(0)._3 < 0.1 && ledger(1)._3 > 0.25) // watch/act thresholds
+    // the streamed PSI is definitionally the batch operator's
+    val direct = graft.operators.Profiler.distributionDrift(ref, shifted, "v", 10L)
+      .select($"psi").head().getDouble(0)
+    assert(ledger(1)._3 == direct)
+    // reference pinned: batch 0's bins survive every later swap
+    val refBins = spark.read.parquet(s"$dir/ref").orderBy($"bin")
+      .as[(Long, Long)].collect()
+    assert(refBins.map(_._2).sum == 100L)
+  }
+
   test("incremental rollup sink: state == direct aggregate; replays are no-ops") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rollup").toString + "/state"
     val b0 = Seq((1L, 2.0, 5L), (1L, 3.0, 7L), (2L, 1.0, 2L)).toDF("k", "v", "m")

@@ -541,6 +541,32 @@ object QueriesAnalytics {
       "r_q * 100 + f_q * 10 + m_q AS segment " +
       "FROM q ORDER BY user_id"))
 
+  /** TWO-SAMPLE KS ([[Profiler.ksTest]]): view vs purchase value
+    * distributions — D found over exact integer numerators at the
+    * distinct-value grain; only the final division and √-normalization
+    * are rounded doubles, mirrored operand for operand. */
+  private val qKsTest = Q(
+    (s, d) => Profiler.ksTest(
+        t(s, d, "events"), "event_type", "value", a = "view", b = "purchase"),
+    Some("WITH pv AS (SELECT value, " +
+      "SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ca, " +
+      "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb " +
+      "FROM events WHERE value IS NOT NULL " +
+      "AND event_type IN ('view', 'purchase') GROUP BY value), " +
+      "cum AS (SELECT value, " +
+      "SUM(ca) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma, " +
+      "SUM(cb) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb, " +
+      "SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb FROM pv), " +
+      "agg AS (SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b, " +
+      "CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS d_num FROM cum) " +
+      "SELECT n_a, n_b, d_num, " +
+      "round(CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS d, " +
+      "CASE WHEN n_a > 0 AND n_b > 0 THEN " +
+      "round(sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / " +
+      "CAST(n_a + n_b AS DOUBLE)) * " +
+      "(CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6) " +
+      "END AS ks_stat FROM agg"))
+
   val registry: Seq[(String, Q)] = Seq(
     "q_skyline" -> qSkyline,
     "q_skyline_nd" -> qSkylineNd,
@@ -558,5 +584,6 @@ object QueriesAnalytics {
     "q_ab_ttest" -> qAbTtest,
     "q_mojibake" -> qMojibake,
     "q_bootstrap_ci" -> qBootstrap,
-    "q_rfm_segments" -> qRfm)
+    "q_rfm_segments" -> qRfm,
+    "q_ks_test" -> qKsTest)
 }

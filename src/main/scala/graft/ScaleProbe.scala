@@ -365,6 +365,11 @@ object ScaleProbe {
     // IDENTICAL and t grows exactly √10 (se² scales 1/10): a derivable
     // value contract, probed for cost only.
     "q_ab_ttest",
+    // ks_test: one row; replica events reuse base values so every CDF
+    // step reproduces — D is scale-INVARIANT (cum·n products scale x100
+    // uniformly) and ks_stat grows exactly √10. Value contract; cost is
+    // the value-grain window.
+    "q_ks_test",
     // script_detect: one row per doc (x10 exact), per-row regex scan —
     // embarrassingly parallel; the doc_id%5 planting keys on ids that
     // shift by the replica offset (10^7, divisible by 5), so each

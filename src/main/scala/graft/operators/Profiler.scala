@@ -492,6 +492,47 @@ object Profiler {
         (col("observed_ppm") - col("benford_ppm")).as("diff_ppm"))
   }
 
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV — the nonparametric companion to
+    * [[welchTTest]] (which only sees means): D = max_x |F_a(x) − F_b(x)|
+    * catches any distributional difference — shape, spread, tails. EXACT
+    * by construction: at the distinct-value grain,
+    * D = max |cum_a·n_b − cum_b·n_a| / (n_a·n_b) has an INTEGER
+    * numerator, so the maximum is found over exact int64s and only the
+    * final division (and the √(n_a·n_b/(n_a+n_b))·D normalization) is a
+    * rounded double chain. Plan: one value-grain aggregation + one
+    * running-sum window over DISTINCT values (value-range bounded, the
+    * [[graft.operators.Ops]] histogramQuantiles contract — never row
+    * grain). Ties across groups are handled by the value grain itself:
+    * both CDFs step together at a shared x.
+    * Output one row: (n_a, n_b, d_num, d, ks_stat). */
+  def ksTest(df: DataFrame, label: String, value: String,
+             a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val run = Window.orderBy(col(value))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val perV = df.filter(col(value).isNotNull && col(label).isin(a, b))
+      .groupBy(col(value))
+      .agg(sum(when(col(label) === a, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(label) === b, 1L).otherwise(0L)).as("__cb"))
+    val diffed = perV
+      .withColumn("__cuma", sum(col("__ca")).over(run))
+      .withColumn("__cumb", sum(col("__cb")).over(run))
+      .withColumn("__na", sum(col("__ca")).over(all))
+      .withColumn("__nb", sum(col("__cb")).over(all))
+      .withColumn("__dn", abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na")))
+    val dCol = col("d_num").cast("double") /
+      (col("n_a").cast("double") * col("n_b").cast("double"))
+    diffed
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        max(col("__dn")).as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        round(dCol, 6).as("d"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(sqrt(col("n_a").cast("double") * col("n_b").cast("double") /
+            (col("n_a") + col("n_b")).cast("double")) * dCol, 6)).as("ks_stat"))
+  }
+
   /** RFM SEGMENTATION — the classic customer-value grid (recency ×
     * frequency × monetary quintiles): per key, days since last event
     * (relative to the corpus max — no wall clock), event count, and the

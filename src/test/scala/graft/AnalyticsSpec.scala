@@ -345,6 +345,18 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(again == got.map { case (k, v) => k -> v._4 })
   }
 
+  test("ksTest: exact integer-numerator D on a hand-computed case; 0 on identical samples") {
+    val df = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++ Seq(2.0, 3.0, 4.0, 4.0).map(("b", _)))
+      .toDF("g", "v")
+    val r = Profiler.ksTest(df, "g", "v", a = "a", b = "b").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 4L)
+    assert(r.getLong(2) == 6L)           // max |cum_a·n_b − cum_b·n_a| at x = 3
+    assert(r.getDouble(3) == 0.5)        // D = 6 / (3·4); F_a(3)=1 vs F_b(3)=0.5
+    val same = (Seq(1.0, 2.0, 5.0).map(("a", _)) ++ Seq(1.0, 2.0, 5.0).map(("b", _)))
+      .toDF("g", "v")
+    assert(Profiler.ksTest(same, "g", "v", "a", "b").head().getLong(2) == 0L)
+  }
+
   test("Top2Dist2.eval: best + runner-up, ties, ragged null; matches ArgminDist2") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.Literal

@@ -63,7 +63,8 @@ class PlanDisciplineSpec extends AnyFunSuite {
     "q_script_detect" -> 0, "q_snapshot_diff" -> 0,
     "q_join_size" -> 3, "q_chi2_independence" -> 3,
     "q_markov_transitions" -> 0, "q_ab_ttest" -> 1,
-    "q_mojibake" -> 0, "q_bootstrap_ci" -> 0, "q_rfm_segments" -> 0)
+    "q_mojibake" -> 0, "q_bootstrap_ci" -> 0, "q_rfm_segments" -> 0,
+    "q_ks_test" -> 0)
 
   test("lazy core: no cartesians, no HOF-in-filter, BNLJ only where frozen") {
     val missing = LazyCore.keySet.diff(SparkEntry.queries.keySet)

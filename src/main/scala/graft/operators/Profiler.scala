@@ -527,7 +527,9 @@ object Profiler {
       .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
         max(col("__dn")).as("d_num"))
       .select(col("n_a"), col("n_b"), col("d_num"),
-        round(dCol, 6).as("d"),
+        // same degenerate-sample guard as ks_stat: with an empty side,
+        // d_num/(n_a*n_b) is 0/0 = NaN, not null — NaN must not leak
+        when(col("n_a") > 0 && col("n_b") > 0, round(dCol, 6)).as("d"),
         when(col("n_a") > 0 && col("n_b") > 0,
           round(sqrt(col("n_a").cast("double") * col("n_b").cast("double") /
             (col("n_a") + col("n_b")).cast("double")) * dCol, 6)).as("ks_stat"))
@@ -663,7 +665,10 @@ object Profiler {
     tot
       .crossJoin(ca.agg(count(lit(1)).as("n_keys_left")))
       .crossJoin(cb.agg(count(lit(1)).as("n_keys_right")))
-      .crossJoin(top)
+      // LEFT against the ≤1-row top frame: with NO common key, contrib is
+      // empty and a crossJoin would annihilate the summary row — the
+      // disjoint-keys answer is (est_rows=0, max_key/max_contrib null)
+      .join(top, lit(true), "left")
       .select(col("est_rows"), col("n_keys_left"), col("n_keys_right"),
         col("n_keys_common"), col("max_key"), col("max_contrib"),
         // integral div on both engines (Spark `div` ≡ DuckDB `//` for

@@ -773,15 +773,31 @@ object Streaming {
     *    that batch, so it replays — drop the stale `_next`.
     *  - a surviving `_old` after the state dir is live is swap debris —
     *    drop it.
+    *
+    * Marker-carrying sinks (rollup/trending/skyline/ewma/hll/psi — any
+    * sink whose `_applied` batch-id marker rides INSIDE the state dir)
+    * pass `requireMarker = true`: the marker is the LAST thing written
+    * into `_next` before the swap, so its presence proves every table in
+    * the dir committed. Without the check, a crash mid-write on the FIRST
+    * batch (no live state dir to trigger the drop path) would publish a
+    * half-written `_next` — for psiDriftSink that is a ref/ without its
+    * ledger/ (permanent crash-loop on every later read), and for the
+    * single-table sinks a marker-less state that the replayed batch then
+    * merges into AGAIN (silent double-fold for non-idempotent EWMA/ledger
+    * state). An incomplete `_next` is deleted; the streaming checkpoint
+    * never committed that batch, so it replays from scratch.
     */
   private def recoverSwap(spark: SparkSession, stateDir: String,
-                          caller: String = "recoverSwap"): Unit = {
+                          caller: String = "recoverSwap",
+                          requireMarker: Boolean = false): Unit = {
     val cur = new org.apache.hadoop.fs.Path(stateDir)
     val next = new org.apache.hadoop.fs.Path(stateDir + "_next")
     val old = new org.apache.hadoop.fs.Path(stateDir + "_old")
     val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(next)) {
-      if (!fs.exists(cur)) {
+      val complete = !requireMarker ||
+        fs.exists(new org.apache.hadoop.fs.Path(stateDir + "_next/_applied"))
+      if (!fs.exists(cur) && complete) {
         if (!fs.rename(next, cur))
           throw new java.io.IOException(
             s"$caller: recovery failed to publish $next -> $cur")
@@ -808,7 +824,7 @@ object Streaming {
   def incrementalRollupSink(keyCol: String, sums: Seq[String], maxes: Seq[String],
                             stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    recoverSwap(spark, stateDir, "incrementalRollupSink")
+    recoverSwap(spark, stateDir, "incrementalRollupSink", requireMarker = true)
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def readMarker(dir: String): Long = {
@@ -869,7 +885,7 @@ object Streaming {
                   (batch: DataFrame, batchId: Long): Unit = {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = batch.sparkSession
-    recoverSwap(spark, stateDir, "trendingSink")
+    recoverSwap(spark, stateDir, "trendingSink", requireMarker = true)
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def readMarker(dir: String): (Long, Long) = {
@@ -952,7 +968,7 @@ object Streaming {
   def skylineSink(x: String, y: String, stateDir: String)
                  (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    recoverSwap(spark, stateDir, "skylineSink")
+    recoverSwap(spark, stateDir, "skylineSink", requireMarker = true)
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def readMarker(dir: String): Long = {
@@ -1006,7 +1022,7 @@ object Streaming {
     require(alphaShift >= 1 && alphaShift <= 32 && scale >= 0 && scale <= 6,
       s"ewmaSink: bad alphaShift=$alphaShift / scale=$scale")
     val spark = batch.sparkSession
-    recoverSwap(spark, stateDir, "ewmaSink")
+    recoverSwap(spark, stateDir, "ewmaSink", requireMarker = true)
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def readMarker(dir: String): Long = {
@@ -1080,7 +1096,7 @@ object Streaming {
                       lgConfigK: Int = 12)
                      (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    recoverSwap(spark, stateDir, "hllDistinctSink")
+    recoverSwap(spark, stateDir, "hllDistinctSink", requireMarker = true)
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def readMarker(dir: String): Long = {
@@ -1141,7 +1157,7 @@ object Streaming {
                   (batch: DataFrame, batchId: Long): Unit = {
     require(width >= 1, s"psiDriftSink: need width >= 1, got $width")
     val spark = batch.sparkSession
-    recoverSwap(spark, stateDir, "psiDriftSink")
+    recoverSwap(spark, stateDir, "psiDriftSink", requireMarker = true)
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def readMarker(dir: String): Long = {
@@ -1160,17 +1176,28 @@ object Streaming {
       .select(expr(s"CAST($value AS BIGINT) div $width").as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("n_b"))
     val nRows = batch.count()
+    val nVals = bins.agg(coalesce(sum(col("n_b")), lit(0L))).head().getLong(0)
     val next = new org.apache.hadoop.fs.Path(stateDir + "_next")
     if (!stateExists(spark, stateDir)) {
-      // first applied batch: freeze the reference, open an empty ledger
+      // first applied batch FREEZES the reference — so an empty micro-batch
+      // (foreachBatch does deliver them, e.g. at stream start before data
+      // arrives) must NOT freeze: an all-null/empty reference would score
+      // every later batch against uniform smoothing forever. Skip without
+      // writing state or marker; the NEXT non-empty batch freezes.
+      if (nVals == 0) return
       bins.select(col("bin"), col("n_b").as("n_a"))
         .write.mode("overwrite").parquet(s"$next/ref")
       Seq.empty[(Long, Long, Double)].toDF("batch_id", "n_rows", "psi")
         .write.mode("overwrite").parquet(s"$next/ledger")
     } else {
       val ref = spark.read.parquet(s"$stateDir/ref")
-      val psi = graft.operators.Profiler.driftFromBins(ref, bins)
-        .select(col("psi")).head().getDouble(0)
+      // headOption, not head(): an empty batch vs any reference must score
+      // psi = 0.0 (no observed mass, no evidence of drift) rather than
+      // kill the streaming query with NoSuchElementException
+      val psi =
+        if (nVals == 0) 0.0
+        else graft.operators.Profiler.driftFromBins(ref, bins)
+          .select(col("psi")).collect().headOption.map(_.getDouble(0)).getOrElse(0.0)
       ref.write.mode("overwrite").parquet(s"$next/ref")
       spark.read.parquet(s"$stateDir/ledger")
         .unionByName(Seq((batchId, nRows, psi)).toDF("batch_id", "n_rows", "psi"))

@@ -167,6 +167,16 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(a.join(b, "jk").count() == 7L) // the estimate IS the cardinality
   }
 
+  test("joinSizeEstimate: disjoint key sets still produce the one summary row") {
+    val a = Seq(1L, 2L).toDF("jk")
+    val b = Seq(3L, 4L).toDF("jk")
+    val r = Profiler.joinSizeEstimate(a, b, "jk").head()
+    assert(r.getLong(0) == 0L)                      // est_rows
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L && r.getLong(3) == 0L)
+    assert(r.isNullAt(4) && r.isNullAt(5))          // no worst key exists
+    assert(r.getLong(6) == 0L)                      // skew_ppm
+  }
+
   test("chiSquareIndependence: 0 on a product distribution, n·(k−1) on a diagonal") {
     val ind = (for (i <- 0 until 4; j <- 0 until 3; _ <- 0 until 5)
       yield (s"a$i", s"b$j")).toDF("c1", "c2")
@@ -355,6 +365,13 @@ class AnalyticsSpec extends AnyFunSuite {
     val same = (Seq(1.0, 2.0, 5.0).map(("a", _)) ++ Seq(1.0, 2.0, 5.0).map(("b", _)))
       .toDF("g", "v")
     assert(Profiler.ksTest(same, "g", "v", "a", "b").head().getLong(2) == 0L)
+  }
+
+  test("ksTest: an empty side yields null d and ks_stat, never NaN") {
+    val df = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    val r = Profiler.ksTest(df, "g", "v", a = "a", b = "b").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 0L)
+    assert(r.isNullAt(3) && r.isNullAt(4)) // d was 0/0 = NaN before the guard
   }
 
   test("Top2Dist2.eval: best + runner-up, ties, ragged null; matches ArgminDist2") {

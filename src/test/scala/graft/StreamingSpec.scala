@@ -451,6 +451,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(refBins.map(_._2).sum == 100L)
   }
 
+  test("psi drift sink: empty batches never freeze the reference; later empty scores 0.0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_psi_e").toString + "/state"
+    def mk(vs: Seq[Int]) = vs.map(_.toDouble).toDF("v")
+    val sink = Streaming.psiDriftSink("v", 10L, dir) _
+    sink(mk(Seq.empty), 0L)                      // empty micro-batch at stream start
+    sink(Seq[Option[Double]](None, None).toDF("v"), 1L) // all-null batch
+    assert(!new java.io.File(dir).exists())      // nothing frozen, nothing written
+    sink(mk(1 to 100), 2L)                       // first NON-EMPTY batch freezes
+    sink(mk(Seq.empty), 3L)                      // empty vs frozen ref: 0.0, not a crash
+    sink(mk(501 to 600), 4L)                     // real drift still detected after
+    val ledger = spark.read.parquet(s"$dir/ledger").orderBy($"batch_id")
+      .as[(Long, Long, Double)].collect()
+    assert(ledger.map(r => (r._1, r._3 == 0.0)).toSeq == Seq((3L, true), (4L, false)))
+    assert(ledger(1)._3 > 0.25)
+    // the reference is batch 2's 100 values, not an empty histogram
+    assert(spark.read.parquet(s"$dir/ref").agg(sum($"n_a")).as[Long].head() == 100L)
+  }
+
+  test("marker sinks: a half-written _next with no live state is discarded, not published") {
+    // first-batch crash mid-write: psiDriftSink wrote ref/ but died before
+    // ledger/ and _applied — recovery must DELETE the torn _next (publishing
+    // it would crash-loop every later ledger read)
+    val base = java.nio.file.Files.createTempDirectory("graft_torn").toString
+    val dir = base + "/state"
+    def mk(vs: Seq[Int]) = vs.map(_.toDouble).toDF("v")
+    mk(1 to 10).selectExpr("CAST(v AS BIGINT) AS bin", "1L AS n_a")
+      .write.parquet(s"${dir}_next/ref") // torn: no ledger, no _applied
+    val sink = Streaming.psiDriftSink("v", 10L, dir) _
+    sink(mk(1 to 100), 0L); sink(mk(501 to 600), 1L)
+    val ledger = spark.read.parquet(s"$dir/ledger").as[(Long, Long, Double)].collect()
+    assert(ledger.map(_._1).toSeq == Seq(1L))
+    assert(!new java.io.File(s"${dir}_next").exists())
+    assert(spark.read.parquet(s"$dir/ref").agg(sum($"n_a")).as[Long].head() == 100L)
+
+    // same window for a single-table marker sink: a marker-less _next must
+    // never become live state (the replayed batch would double-fold EWMA)
+    val edir = base + "/ewma"
+    Seq(("g", 1L, 100L)).toDF("g", "n_obs", "ewma_fp").write.parquet(s"${edir}_next")
+    val esink = Streaming.ewmaSink("g", Seq("i"), "x", 1, 0, edir) _
+    esink(Seq(("g", 1L, 8.0), ("g", 2L, 16.0)).toDF("g", "i", "x"), 0L)
+    val st = spark.read.parquet(edir).as[(String, Long, Long)].head()
+    assert(st == (("g", 2L, 12L))) // seed 8, then 8+((16−8)>>1) — no torn-state merge
+  }
+
   test("incremental rollup sink: state == direct aggregate; replays are no-ops") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rollup").toString + "/state"
     val b0 = Seq((1L, 2.0, 5L), (1L, 3.0, 7L), (2L, 1.0, 2L)).toDF("k", "v", "m")

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Clustering, Profiler, Skyline, TextAnalysis}
+import graft.operators.{Clustering, Profiler, Skyline, TextAnalysis, TopK}
 
 /** Round-14 analytics pack: the Pareto-skyline operator family, exact
   * EWMA smoothing, min-k% probability contamination scoring, and the
@@ -567,6 +567,28 @@ object QueriesAnalytics {
       "(CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6) " +
       "END AS ks_stat FROM agg"))
 
+  /** GLOBAL EXACT TOP-K BY TOTAL ([[TopK.globalTopK]]) — the classic
+    * distributed threshold-algorithm shape the board lacked: top-10
+    * customers by exact lifetime spend (cents fixed-point). The Spark
+    * side shuffles ≤ k·P per-partition heads + candidate partials, never
+    * the full customer-grain aggregate; the proven-exact answer matches
+    * the oracle's plain GROUP BY / ORDER BY / LIMIT definition. The
+    * fallback path (near-uniform totals) returns the identical frame, so
+    * the row is deterministic under any partitioning. */
+  private val qGlobalTopk = Q(
+    (s, d) => TopK.globalTopK(
+        t(s, d, "orders"),
+        col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+        k = 10)
+      .select(col("k").as("o_custkey"), col("total").as("total_cents"))
+      .orderBy(col("total_cents").desc, col("o_custkey")),
+    Some("SELECT o_custkey, " +
+      "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) " +
+      "AS total_cents FROM orders " +
+      "WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL " +
+      "GROUP BY o_custkey ORDER BY total_cents DESC, o_custkey LIMIT 10"))
+
   val registry: Seq[(String, Q)] = Seq(
     "q_skyline" -> qSkyline,
     "q_skyline_nd" -> qSkylineNd,
@@ -585,5 +607,6 @@ object QueriesAnalytics {
     "q_mojibake" -> qMojibake,
     "q_bootstrap_ci" -> qBootstrap,
     "q_rfm_segments" -> qRfm,
-    "q_ks_test" -> qKsTest)
+    "q_ks_test" -> qKsTest,
+    "q_global_topk" -> qGlobalTopk)
 }

@@ -400,7 +400,14 @@ object ScaleProbe {
     // x10 with identical distribution — ntile assignments reproduce per
     // replica (equal metric multisets tile identically). Cost: one
     // key-grain agg + three key-grain windows.
-    "q_rfm_segments")
+    "q_rfm_segments",
+    // global_topk: k = 10 output rows at ANY scale. Replica custkeys are
+    // offset (disjoint customer universes reproducing base totals), so
+    // the x10 corpus holds each base total 10 times and the global top-10
+    // collapses to the ten replicas of the single best customer — a
+    // derivable value contract. Cost: three linear scans with only
+    // ≤ k·P head rows + candidate partials exchanged (the TPUT shape).
+    "q_global_topk")
 
   /** Optional comma-separated SPARK_GRAFT_PROBE_ONLY filter so a new
     * family can be probed without re-timing the whole board. */

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Clustering, Profiler, Skyline, TextAnalysis}
+import graft.operators.{Clustering, Profiler, Skyline, TextAnalysis, TopK}
 
 /** Round-14 analytics pack: skyline family vs brute-force dominance,
   * EWMA fold vs the naive sequential recursion, min-k% prob cut math,
@@ -392,5 +392,48 @@ class AnalyticsSpec extends AnyFunSuite {
       Literal(new GenericArrayData(Array[Long](0L, 0L, 10L, 10L)), ArrayType(LongType)),
       Literal(2)).eval(InternalRow.empty).asInstanceOf[InternalRow]
     assert(tie.getInt(0) == 0 && tie.getLong(1) == 50L && tie.getLong(2) == 50L)
+  }
+
+  test("globalTopK: skew prunes candidates to ~k of 50 keys; exact; partition-independent") {
+    // Zipf-ish: key i's total ~ 1000/i — heavy head, long tail
+    val rows = (1 to 2000).map { i =>
+      val key = 1L + (i % 50)
+      (key, (1000L / key) * 10L + 7L)
+    }
+    val direct = rows.groupBy(_._1).map { case (k, rs) => (k, rs.map(_._2).sum) }
+      .toSeq.sortBy { case (k, s) => (-s, k) }.take(5)
+    for (parts <- Seq(3, 8)) {
+      val (got, audit) = TopK.globalTopKWithAudit(
+        rows.toDF("k", "m").repartition(parts), col("k"), col("m"), k = 5)
+      assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == direct)
+      // the TPUT prune: far fewer candidates than the 50-key aggregate,
+      // and never more than the ≤ k·P phase-1 emission grain
+      assert(audit.numCandidates <= 5L * audit.numPartitions, audit.toString)
+      assert(audit.numCandidates <= 10L, audit.toString)
+      // L is a sound lower bound of the k-th total (heads may miss some
+      // partials of the k-th key under uneven splits, never overcount)
+      assert(audit.lowerBound > 0L && audit.lowerBound <= direct.last._2)
+    }
+  }
+
+  test("globalTopK: uniform totals degrade to full candidacy but stay exact; contract") {
+    // every key has the SAME total → nothing CAN prune (no TA algorithm
+    // separates equals); candidates degrade to the full key set, exactly
+    val uni = (1 to 400).map(i => ((i % 100).toLong, 5L))
+    val (gotU, auditU) = TopK.globalTopKWithAudit(
+      uni.toDF("k", "m").repartition(8), col("k"), col("m"), k = 3)
+    assert(auditU.numCandidates == 100L)
+    assert(gotU.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 20L), (1L, 20L), (2L, 20L))) // ties break on key ascending
+    // fewer distinct keys than k: L = 0, every key a candidate, exact
+    val tiny = Seq((1L, 2L), (2L, 9L), (1L, 1L)).toDF("k", "m")
+    val (gotT, auditT) = TopK.globalTopKWithAudit(tiny, col("k"), col("m"), k = 10)
+    assert(auditT.lowerBound == 0L && auditT.numCandidates == 2L)
+    assert(gotT.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 9L), (1L, 3L)))
+    // negative measures would break the pruning bound — loud executor failure
+    assertThrows[org.apache.spark.SparkException] {
+      TopK.globalTopK(Seq((1L, -1L)).toDF("k", "m"), col("k"), col("m"), 1).collect()
+    }
   }
 }

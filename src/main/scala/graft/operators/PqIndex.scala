@@ -161,30 +161,130 @@ object PqIndex {
     *  - `codes`: (id, code, cell), PARTITIONED BY cell — the compressed
     *    corpus; a probe-limited query reads only its nprobe cell dirs */
   def ensure(emb: DataFrame, id: String, vec: String, sfDir: String,
-             m: Int, k: Int, coarseNlist: Int, trainLimit: Int = 10000): String = {
-    val spark = emb.sparkSession
-    StateCache.ensure(spark, s"$sfDir/embeddings.parquet",
+             m: Int, k: Int, coarseNlist: Int, trainLimit: Int = 10000): String =
+    StateCache.ensure(emb.sparkSession, s"$sfDir/embeddings.parquet",
       s"$sfDir|pq|$m|$k|$coarseNlist|$trainLimit", s"graft-pq-m$m",
-      Seq("codebooks", "coarse", "codes")) { tmp =>
-      import spark.implicits._
-      val cb = train(emb, id, vec, m, k, trainLimit)
-      val coarse = train(emb, id, vec, 1, coarseNlist, trainLimit).centroids(0)
-      cb.centroids.zipWithIndex.flatMap { case (book, s) =>
-        book.zipWithIndex.map { case (ct, c) => (s, c, ct.toSeq) }
-      }.toSeq.toDF("sub", "code", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/codebooks")
-      coarse.zipWithIndex.map { case (ct, i) => (i, ct.toSeq) }
-        .toSeq.toDF("cell", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/coarse")
-      val v = col(vec).cast("array<double>")
-      val cellDists = array(coarse.map(ct => sqDist(v, ct)): _*)
-      val withCell = emb
-        .filter(col(vec).isNotNull && size(col(vec)) === cb.dim)
-        .withColumn("__cell", (array_position(cellDists, array_min(cellDists)) - 1).cast("int"))
-      encode(withCell, id, vec, cb)
-        .join(withCell.select(col(id), col("__cell").as("cell")), id)
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/codes")
+      Seq("codebooks", "coarse", "codes"))(
+      tmp => build(emb, id, vec, tmp, m, k, coarseNlist, trainLimit))
+
+  /** The offline build [[ensure]] publishes — also the standalone entry
+    * for a non-cached index dir (the [[IvfIndex.build]] symmetry the
+    * streaming append path needs a base index from). */
+  def build(emb: DataFrame, id: String, vec: String, indexDir: String,
+            m: Int, k: Int, coarseNlist: Int, trainLimit: Int = 10000): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cb = train(emb, id, vec, m, k, trainLimit)
+    val coarse = train(emb, id, vec, 1, coarseNlist, trainLimit).centroids(0)
+    cb.centroids.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (ct, c) => (s, c, ct.toSeq) }
+    }.toSeq.toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    coarse.zipWithIndex.map { case (ct, i) => (i, ct.toSeq) }
+      .toSeq.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/coarse")
+    encodeWithCell(emb, id, vec, cb, coarse)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/codes")
+  }
+
+  /** The build's exact cell-assign + encode pipeline (frozen-parameter
+    * form shared verbatim with [[appendBatch]] — the mergeTotals rule:
+    * maintenance must encode THROUGH the same expressions as the build,
+    * or appended rows drift from rebuilt ones). */
+  private def encodeWithCell(emb: DataFrame, id: String, vec: String,
+                             cb: Codebooks,
+                             coarse: Array[Array[Double]]): DataFrame = {
+    val v = col(vec).cast("array<double>")
+    val cellDists = array(coarse.map(ct => sqDist(v, ct)): _*)
+    val withCell = emb
+      .filter(col(vec).isNotNull && size(col(vec)) === cb.dim)
+      .withColumn("__cell", (array_position(cellDists, array_min(cellDists)) - 1).cast("int"))
+    encode(withCell, id, vec, cb)
+      .join(withCell.select(col(id), col("__cell").as("cell")), id)
+  }
+
+  /** STREAMING MAINTENANCE — [[IvfIndex.appendBatch]]'s shape for the
+    * compressed index: new vectors are assigned to their frozen coarse
+    * cell and encoded with the FROZEN per-subspace codebooks (codebooks
+    * only change at rebuild), then appended to the cell-partitioned codes
+    * layout, so probes see fresh vectors immediately through the same
+    * partition pruning. Replay-safe: deterministic intra-batch survivor
+    * (the insertIfAbsentSink rule) then a left-anti gate against the
+    * stored code ids — re-delivered batches append nothing. The appended
+    * ids also land in an `appended` sidecar for [[maintenanceAudit]];
+    * the sidecar append follows the codes append, so a crash between the
+    * two undercounts staleness — advisory, never load-bearing.
+    *
+    * Returns the total appended-vector count. */
+  def appendBatch(batch: DataFrame, id: String, vec: String,
+                  indexDir: String): Long = {
+    val spark = batch.sparkSession
+    val cb = loadCodebooks(spark, indexDir)
+    val coarseRows = spark.read.parquet(s"$indexDir/coarse")
+      .orderBy(col("cell")).collect()
+    require(coarseRows.nonEmpty,
+      s"PqIndex.appendBatch: no coarse table under $indexDir — build() first")
+    val coarse = coarseRows.map(_.getSeq[Double](1).toArray)
+    val codesDir = s"$indexDir/codes"
+    val tiebreak = batch.columns.filterNot(_ == id).toSeq match {
+      case Nil => Seq(col(id))
+      case rest => rest.map(col)
     }
+    val fresh = graft.operators.Ops
+      .dedupFirstWins(batch, Seq(id), tiebreak)
+      .join(spark.read.parquet(codesDir).select(col(id)), Seq(id), "left_anti")
+    val freshCodes = encodeWithCell(fresh, id, vec, cb, coarse)
+    freshCodes.write.mode("append").partitionBy("cell").parquet(codesDir)
+    freshCodes.select(col(id)).write.mode("append").parquet(s"$indexDir/appended")
+    spark.read.parquet(s"$indexDir/appended").count() // total, for callers
+  }
+
+  /** Staleness / ADC-recall audit of a maintained compressed index — the
+    * [[IvfIndex.maintenanceAudit]] twin, extended to the two-stage query:
+    * one row with `n_total`, `n_appended`, `staleness_frac`, and
+    * `recall_at_k` — mean [[topKReranked]]-vs-exact-cosine recall@k at
+    * the given (nprobe, shortlist) over the `anchors` LOWEST appended ids
+    * (deterministic sample; appended vectors are exactly the ones
+    * codebook drift can hurt — they were never trained on). Needs the
+    * full-vector table `emb` (codes don't retain vectors); the exact
+    * reference restricts to ids the index actually holds, so the audit
+    * measures the index, not ingest lag. Driver cost bounded by
+    * `anchors`; with no appended rows recall is null and staleness 0. */
+  def maintenanceAudit(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String, emb: DataFrame, id: String,
+                       vec: String, k: Int, nprobe: Int, shortlist: Int,
+                       anchors: Int = 8): DataFrame = {
+    import spark.implicits._
+    val codes = spark.read.parquet(s"$indexDir/codes")
+    val nTotal = codes.count()
+    val appendedDir = s"$indexDir/appended"
+    val hasAppended = new org.apache.hadoop.fs.Path(appendedDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(appendedDir))
+    val nApp = if (hasAppended) spark.read.parquet(appendedDir).count() else 0L
+    val recall: Option[Double] = if (nApp == 0L) None else {
+      val ids = spark.read.parquet(appendedDir).orderBy(col(id))
+        .limit(anchors).collect().map(_.getLong(0))
+      val corpus = emb.join(codes.select(col(id)), Seq(id), "left_semi")
+      val hits = ids.map { a =>
+        val anchor = emb.filter(col(id) === a)
+          .select(col(vec).cast("array<double>")).head().getSeq[Double](0).toArray
+        val probe = topKReranked(spark, indexDir, emb, id, vec, anchor, a,
+            k, shortlist, nprobe)
+          .select(col(id)).as[Long].collect().toSet
+        val exact = Similarity.scoreTopK(corpus,
+            corpus.filter(col(id) === a).select(col(vec).as("q_vec")),
+            id, vec, a, k)
+          .select(col(id)).as[Long].collect().toSet
+        if (exact.isEmpty) 1.0
+        else probe.intersect(exact).size.toDouble / exact.size
+      }
+      Some(hits.sum / hits.length)
+    }
+    Seq((nTotal, nApp,
+        math.rint(1e6 * nApp.toDouble / nTotal) / 1e6,
+        recall.map(r => math.rint(1e6 * r) / 1e6)))
+      .toDF("n_total", "n_appended", "staleness_frac", "recall_at_k")
   }
 
   /** Read the published codebooks back (bounded metadata: m×k rows). */

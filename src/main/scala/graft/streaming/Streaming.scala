@@ -670,6 +670,19 @@ object Streaming {
     graft.operators.IvfIndex.appendBatch(batch, idCol, vecCol, indexDir): Unit
   }
 
+  /** STREAMING COMPRESSED-INDEX MAINTENANCE — [[ivfAppendSink]]'s twin
+    * for the PQ/IVF-PQ layout: each micro-batch's new vectors are
+    * assigned to their frozen coarse cell and encoded with the frozen
+    * per-subspace codebooks, appended to the cell-partitioned codes
+    * (see [[graft.operators.PqIndex.appendBatch]]); replay-safe by the
+    * same insert-if-absent gate. [[graft.operators.PqIndex
+    * .maintenanceAudit]] supplies the staleness / ADC-recall row a
+    * rebuild schedule keys on. */
+  def pqAppendSink(idCol: String, vecCol: String, indexDir: String)
+                  (batch: DataFrame, batchId: Long): Unit = {
+    graft.operators.PqIndex.appendBatch(batch, idCol, vecCol, indexDir): Unit
+  }
+
   /** S6 insert-if-absent sink (consumer1.py:123-133) as a foreachBatch
     * upsert into a parquet-backed state dir: left-anti join against existing
     * keys, append only new ids — idempotent, so at-least-once replay

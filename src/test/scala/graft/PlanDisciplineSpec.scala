@@ -84,4 +84,58 @@ class PlanDisciplineSpec extends AnyFunSuite {
     }
     assert(violations.isEmpty, violations.mkString("; "))
   }
+
+  /** FULL-REGISTRY SHUFFLE RATCHET — the BNLJ-freeze pattern applied to
+    * exchange counts: every registered query's shuffle count (Exchange
+    * hash/range/single) is pinned in `src/test/resources/
+    * shuffles_pinned.tsv`; a refactor that adds an exchange to ANY query
+    * fails the build, not the bench. Counts come from the physical plan
+    * at sf0.001 under THIS suite's session (4 shuffle partitions, no
+    * AQE — the PlanAudit configuration), so they are deterministic.
+    * Construction of the eager families (LSH/ANN/k-means/tokenizers)
+    * runs their bounded sf0.001 build jobs once (StateCache-memoized
+    * across JVMs) — measured ~1 min cold for the whole registry.
+    *
+    * A STRICT ratchet: an unpinned (new) query fails too, and an
+    * IMPROVED count fails until re-pinned — regenerate deliberately with
+    * `SPARK_GRAFT_PIN_REGEN=1 sbt "testOnly graft.PlanDisciplineSpec"`
+    * and review the diff; that review IS the ratchet. */
+  test("full registry: shuffle counts pinned per query") {
+    graft.plans.GraftFunctions.register(spark)
+    val pinPath = java.nio.file.Paths.get("src/test/resources/shuffles_pinned.tsv")
+    val shufflePat = "Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition".r
+    val current: Seq[(String, String)] = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val entry = try {
+        val plan = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        shufflePat.findAllIn(plan).size.toString
+      } catch { case e: Throwable =>
+        s"FAILED:${Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(120)}"
+      }
+      name -> entry
+    }
+    if (sys.env.contains("SPARK_GRAFT_PIN_REGEN")) {
+      java.nio.file.Files.createDirectories(pinPath.getParent)
+      java.nio.file.Files.write(pinPath,
+        current.map { case (n, s) => s"$n\t$s" }.mkString("", "\n", "\n")
+          .getBytes("UTF-8"))
+      info(s"regenerated ${current.size} pins at $pinPath")
+    } else {
+      assert(java.nio.file.Files.exists(pinPath),
+        s"missing $pinPath — regenerate with SPARK_GRAFT_PIN_REGEN=1")
+      val pinned = scala.io.Source.fromFile(pinPath.toFile, "UTF-8").getLines()
+        .filter(_.nonEmpty).map { l =>
+          val Array(n, s) = l.split("\t", 2); n -> s
+        }.toMap
+      val violations = current.flatMap { case (name, got) =>
+        pinned.get(name) match {
+          case None => Some(s"$name: UNPINNED (got $got) — regen + review")
+          case Some(p) if p != got => Some(s"$name: shuffles $got != pinned $p")
+          case _ => None
+        }
+      } ++ pinned.keySet.diff(current.map(_._1).toSet)
+        .map(n => s"$n: pinned but no longer registered — regen")
+      assert(violations.isEmpty, violations.mkString("; "))
+    }
+  }
 }

@@ -176,13 +176,64 @@ object Bench {
           noiseNames.map(n => math.max(results.toMap.getOrElse(n, 0.0), 0.0)).sum
         s""","noise_class":$rows,"stable_value":${fmt(stable)}"""
       }
+    // ---- drift-corrected regression ratchet. Same-code boards on this
+    // host spread up to 16% between days (builder 128.6 s vs driver
+    // 149.8 s on identical r14 code), which swallows real per-query
+    // regressions and manufactures fake ones (r13→r14 q_j1_linkage read
+    // 1.38x with zero plan change). The fix is the untouched-sink control
+    // promoted into the board: a fixed CANONICAL PROBE set of long-stable
+    // queries measures the host, drift = Σ probe_now / Σ probe_baseline
+    // (sum-weighted — the longer probes are relatively quieter), and
+    // every per-query comparison against the committed baseline
+    // (bench_history/BENCH_BASELINE.json, regenerated deliberately at
+    // each round close like the shuffle pins) happens in NORMALIZED time
+    // t/drift. A normalized regression > 1.3x with > 0.2 s absolute
+    // movement fails the run (exit 1, the errored-queries pattern) —
+    // the PlanDisciplineSpec ratchet applied to time. Noise-class rows
+    // are excluded (they carry their own fresh-JVM control above).
+    val probeSet = Seq("q1_pricing_summary", "q3_top_revenue",
+      "q5_region_revenue", "q6_revenue_forecast", "q_a1_rollup",
+      "q_ann_brute_topk", "q_ann_ivf_topk", "q_dedup_exact",
+      "q_dedup_minhash_lsh", "q_sessionize", "q_text_stats",
+      "q_tfidf_top_terms")
+    val baseline: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench_history/BENCH_BASELINE.json")), "UTF-8")
+      """"([a-z0-9_]+)":\s*([0-9][0-9.]*)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+    val resMap = results.toMap
+    val probesLive = probeSet.filter(n =>
+      resMap.getOrElse(n, -1.0) > 0 && baseline.getOrElse(n, -1.0) > 0)
+    val drift: Option[Double] =
+      if (isNoiseChild || probesLive.size < 8) None
+      else Some(probesLive.map(resMap).sum / probesLive.map(baseline).sum)
+    val regressions: Seq[(String, Double, Double)] = drift match {
+      case None => Seq.empty
+      case Some(d) => results.collect {
+        case (n, t) if t > 0 && !noiseNames.contains(n) &&
+          baseline.get(n).exists(b => b > 0 && t / d > 1.3 * b && t / d - b > 0.2) =>
+          (n, t / d, baseline(n))
+      }
+    }
+    val driftJson = drift.map(d => s""","drift":${fmt(d)}""").getOrElse("")
+    val regJson = drift.map { _ =>
+      s""","regressions":${regressions.map { case (n, norm, b) =>
+        s"""{"query":"$n","normalized":${fmt(norm)},"baseline":${fmt(b)}}"""
+      }.mkString("[", ",", "]")}"""
+    }.getOrElse("")
+    if (regressions.nonEmpty)
+      System.err.println(s"[bench] RATCHET FAIL: ${regressions.size} " +
+        s"normalized regression(s) > 1.3x vs baseline (drift ${drift.get}): " +
+        regressions.map { case (n, norm, b) =>
+          f"$n $norm%.3f vs $b%.3f" }.mkString("; "))
     val headline = Seq("q1_pricing_summary", "q3_top_revenue", "q5_region_revenue",
       "q6_revenue_forecast", "q_a1_rollup", "q_j1_linkage", "q_sessionize",
       "q_dedup_exact", "q_dedup_minhash_lsh", "q_emb_neardup_lsh",
       "q_ann_brute_topk", "q_ann_ivf_topk", "q_text_stats", "q_tfidf_top_terms")
     val headlined = results.filter { case (n, _) => headline.contains(n) }
-    println(s"""{"metric":"total","value":${fmt(total)},$meta,"n_queries":${results.size},"n_errored":${errored.size},$erroredJson$noiseJson,"detail":"BENCH_DETAIL.json","queries":${toJson(headlined)}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},$meta,"n_queries":${results.size},"n_errored":${errored.size},$erroredJson$noiseJson$driftJson$regJson,"detail":"BENCH_DETAIL.json","queries":${toJson(headlined)}}""")
     spark.stop()
-    if (errored.nonEmpty) sys.exit(1)
+    if (errored.nonEmpty || regressions.nonEmpty) sys.exit(1)
   }
 }

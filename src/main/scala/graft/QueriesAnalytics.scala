@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Clustering, Profiler, Skyline, TextAnalysis, TopK}
+import graft.operators.{Clustering, Profiler, Skyline, SparseSim, TextAnalysis, TopK}
 
 /** Round-14 analytics pack: the Pareto-skyline operator family, exact
   * EWMA smoothing, min-k% probability contamination scoring, and the
@@ -589,6 +589,40 @@ object QueriesAnalytics {
       "WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL " +
       "GROUP BY o_custkey ORDER BY total_cents DESC, o_custkey LIMIT 10"))
 
+  /** ALL-PAIRS TF-IDF COSINE ([[SparseSim.cosinePairsOver]], τ = 4/5)
+    * over the dedup family's word 5-gram shingles — the WEIGHTED
+    * set-similarity row beside q_dedup_ngram_pairs' unweighted Jaccard:
+    * rare shared shingles count for more. Shingle features, not raw
+    * unigrams, by the operator's feature-choice contract (this corpus is
+    * 31 distinct words, every one in ~78% of documents — no rarity tail,
+    * nothing any prefix filter could cut; shingles are combinatorially
+    * rare and prune hard). Bayardo prefix filter on a rarest-first
+    * global order; candidates = prefix ⋈ postings, never the feature
+    * self-join. The oracle replays the exhaustive definition from the
+    * SAME shingle CTE with the identical fixed-point weights
+    * (floor-quantized idf, HUGEINT dot ≡ DECIMAL(38,0) dot). */
+  private val qSparseCos = Q(
+    (s, d) => SparseSim.cosinePairsOver(
+        graft.operators.Dedup.shingles(t(s, d, "documents"), "doc_id", "text", 5),
+        "doc_id", "shingle", tauNum = 4, tauDen = 5)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(QueriesExtras.ShingleBaseCte +
+      "tf AS (SELECT doc_id AS doc, g AS term, count(*) AS tf FROM sh GROUP BY 1, 2), " +
+      "dfq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1), " +
+      "n AS (SELECT count(DISTINCT doc) AS n_docs FROM tf), " +
+      "wq AS (SELECT doc, term, tf * (((n_docs + 1) * 1000) // (doc_freq + 1)) AS w " +
+      "FROM tf JOIN dfq USING (term) CROSS JOIN n), " +
+      "norms AS (SELECT doc, sum(CAST(w AS HUGEINT) * w) AS norm2 FROM wq GROUP BY 1), " +
+      "dots AS (SELECT a.doc AS doc_a, b.doc AS doc_b, " +
+      "sum(CAST(a.w AS HUGEINT) * b.w) AS dot " +
+      "FROM wq a JOIN wq b USING (term) WHERE a.doc < b.doc GROUP BY 1, 2), " +
+      "scored AS (SELECT doc_a, doc_b, CAST(dot AS DOUBLE) / " +
+      "sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)) AS c " +
+      "FROM dots JOIN norms na ON na.doc = dots.doc_a " +
+      "JOIN norms nb ON nb.doc = dots.doc_b) " +
+      "SELECT doc_a, doc_b, round(c, 6) AS cos FROM scored " +
+      "WHERE c >= 0.8e0 ORDER BY doc_a, doc_b"))
+
   val registry: Seq[(String, Q)] = Seq(
     "q_skyline" -> qSkyline,
     "q_skyline_nd" -> qSkylineNd,
@@ -608,5 +642,6 @@ object QueriesAnalytics {
     "q_bootstrap_ci" -> qBootstrap,
     "q_rfm_segments" -> qRfm,
     "q_ks_test" -> qKsTest,
-    "q_global_topk" -> qGlobalTopk)
+    "q_global_topk" -> qGlobalTopk,
+    "q_sparse_cosine_join" -> qSparseCos)
 }

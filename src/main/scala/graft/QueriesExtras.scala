@@ -17,7 +17,7 @@ object QueriesExtras {
   // RE2's \s (DuckDB) disagree. Holds for all driver testdata (verified at
   // every sf); a corpus that can violate it needs the explicit class
   // "[ \t\n\f\r]+" on BOTH sides.
-  private val ShingleBaseCte =
+  private[graft] val ShingleBaseCte =
     "WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
     // position table sized from the CORPUS (max words + 1), so there is no
     // hard-coded bound to go stale: longer documents automatically widen

@@ -407,7 +407,15 @@ object ScaleProbe {
     // collapses to the ten replicas of the single best customer — a
     // derivable value contract. Cost: three linear scans with only
     // ≤ k·P head rows + candidate partials exchanged (the TPUT shape).
-    "q_global_topk")
+    "q_global_topk",
+    // sparse_cosine_join: the q_dedup_prefix_jaccard scale contract for
+    // the weighted form — replica shingle universes are disjoint (the
+    // ~r token suffix remap), so cross-replica candidates are zero and
+    // rows scale ~x10 with linear posting cost. Values near τ may flip:
+    // the floor-quantized idf at the 10x N is not exactly proportional
+    // to the base idf, so this row's contract is COST + bounded output,
+    // not value identity (unlike the unweighted Jaccard twin).
+    "q_sparse_cosine_join")
 
   /** Optional comma-separated SPARK_GRAFT_PROBE_ONLY filter so a new
     * family can be probed without re-timing the whole board. */

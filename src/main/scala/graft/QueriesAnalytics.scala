@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Clustering, Profiler, Skyline, SparseSim, TextAnalysis, TopK}
+import graft.operators.{Clustering, Itemsets, Profiler, Skyline, SparseSim, TextAnalysis, TopK}
 
 /** Round-14 analytics pack: the Pareto-skyline operator family, exact
   * EWMA smoothing, min-k% probability contamination scoring, and the
@@ -623,6 +623,75 @@ object QueriesAnalytics {
       "SELECT doc_a, doc_b, round(c, 6) AS cos FROM scored " +
       "WHERE c >= 0.8e0 ORDER BY doc_a, doc_b"))
 
+  /** FREQUENT ITEM PAIRS ([[Itemsets.frequentPairs]], support ≥ 1/2)
+    * over per-document token sets — A-priori level 2: the within-basket
+    * pair join runs only over individually-frequent items (L1), and the
+    * fractional threshold is an exact integer compare. The oracle
+    * replays the identical L1-restricted join. */
+  private val qFreqPairs = Q(
+    (s, d) => Itemsets.frequentPairs(
+        t(s, d, "documents").select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("tok")),
+        basket = "doc_id", item = "tok", minNum = 1, minDen = 2),
+    Some("WITH b AS (SELECT DISTINCT doc_id AS b, " +
+      "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS i FROM documents), " +
+      "nb AS (SELECT count(DISTINCT b) AS n_baskets FROM b), " +
+      "l1 AS (SELECT i, count(*) AS s FROM b GROUP BY 1 " +
+      "HAVING count(*) * 2 >= (SELECT n_baskets FROM nb) * 1), " +
+      "bf AS (SELECT b.b, b.i, l1.s FROM b JOIN l1 USING (i)), " +
+      "p AS (SELECT a.i AS item_a, c.i AS item_b, count(*) AS support, " +
+      "min(a.s) AS support_a, min(c.s) AS support_b " +
+      "FROM bf a JOIN bf c ON a.b = c.b AND a.i < c.i GROUP BY 1, 2), " +
+      "f AS (SELECT item_a, item_b, support, support_a, support_b, n_baskets " +
+      "FROM p CROSS JOIN nb WHERE support * 2 >= n_baskets * 1) " +
+      "SELECT item_a, item_b, support, support_a, support_b, " +
+      "round(CAST(support AS DOUBLE) * CAST(n_baskets AS DOUBLE) / " +
+      "(CAST(support_a AS DOUBLE) * CAST(support_b AS DOUBLE)), 6) AS lift " +
+      "FROM f ORDER BY support DESC, item_a, item_b"))
+
+  /** WOE / INFORMATION VALUE ([[Profiler.woeIv]]): how predictive is
+    * `source` of lang = 'en'? Shares [[Profiler]]'s drift core — IV is
+    * the PSI sum over category bins — so the oracle is the q_drift_psi
+    * SQL with categories as bins and pos/neg as the two sides. */
+  private val qWoeIv = Q(
+    (s, d) => Profiler.woeIv(t(s, d, "documents"), "source", col("lang") === "en"),
+    Some("WITH r AS (SELECT source, lang FROM documents WHERE source IS NOT NULL), " +
+      "ca AS (SELECT source AS bin, count(*) AS n_a FROM r WHERE lang = 'en' GROUP BY 1), " +
+      "cb AS (SELECT source AS bin, count(*) AS n_b FROM r " +
+      "WHERE NOT (lang = 'en') GROUP BY 1), " +
+      "j AS (SELECT COALESCE(ca.bin, cb.bin) AS bin, COALESCE(n_a, 0) AS n_a, " +
+      "COALESCE(n_b, 0) AS n_b FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin), " +
+      "st AS (SELECT SUM(n_a) AS tot_a, SUM(n_b) AS tot_b, count(*) AS nbins FROM j), " +
+      "t AS (SELECT bin, n_a, n_b, " +
+      "round(ln(CAST((n_a + 1) * (tot_b + nbins) AS DOUBLE) / " +
+      "CAST((n_b + 1) * (tot_a + nbins) AS DOUBLE)), 6) AS woe, " +
+      "round((CAST(n_a + 1 AS DOUBLE) / CAST(tot_a + nbins AS DOUBLE) " +
+      "- CAST(n_b + 1 AS DOUBLE) / CAST(tot_b + nbins AS DOUBLE)) " +
+      "* ln(CAST((n_a + 1) * (tot_b + nbins) AS DOUBLE) / " +
+      "CAST((n_b + 1) * (tot_a + nbins) AS DOUBLE)), 6) AS iv_term " +
+      "FROM j CROSS JOIN st) " +
+      "SELECT bin AS source, n_a AS n_pos, n_b AS n_neg, woe, iv_term, " +
+      "CAST(SUM(CAST(iv_term AS DECIMAL(18,6))) OVER () AS DOUBLE) AS iv " +
+      "FROM t ORDER BY source"))
+
+  /** TIME-OF-WEEK SEASONALITY ([[Profiler.seasonalProfile]]) of event
+    * values: ≤ 168 slot rows via pure integer epoch calendar math (no
+    * locale-dependent dayofweek on either engine). */
+  private val qSeasonal = Q(
+    (s, d) => Profiler.seasonalProfile(t(s, d, "events"), "ts", "value"),
+    Some("WITH e AS (SELECT ((epoch_us(ts) // 86400000000 + 4) % 7) AS dow, " +
+      "((epoch_us(ts) // 3600000000) % 24) AS hour, " +
+      "CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS vq " +
+      "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL), " +
+      "s AS (SELECT dow, hour, count(*) AS n, " +
+      "SUM(CAST(vq AS DECIMAL(28,0))) AS sq FROM e GROUP BY 1, 2), " +
+      "t AS (SELECT SUM(n) AS n_all, SUM(sq) AS sq_all FROM s) " +
+      "SELECT dow, hour, n, " +
+      "round(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 1e4, 6) AS mean_value, " +
+      "round((CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 1e4) / " +
+      "(CAST(sq_all AS DOUBLE) / CAST(n_all AS DOUBLE) / 1e4), 6) AS lift " +
+      "FROM s CROSS JOIN t ORDER BY dow, hour"))
+
   val registry: Seq[(String, Q)] = Seq(
     "q_skyline" -> qSkyline,
     "q_skyline_nd" -> qSkylineNd,
@@ -643,5 +712,8 @@ object QueriesAnalytics {
     "q_rfm_segments" -> qRfm,
     "q_ks_test" -> qKsTest,
     "q_global_topk" -> qGlobalTopk,
-    "q_sparse_cosine_join" -> qSparseCos)
+    "q_sparse_cosine_join" -> qSparseCos,
+    "q_frequent_pairs" -> qFreqPairs,
+    "q_woe_iv" -> qWoeIv,
+    "q_seasonal_profile" -> qSeasonal)
 }

@@ -415,7 +415,18 @@ object ScaleProbe {
     // the floor-quantized idf at the 10x N is not exactly proportional
     // to the base idf, so this row's contract is COST + bounded output,
     // not value identity (unlike the unweighted Jaccard twin).
-    "q_sparse_cosine_join")
+    "q_sparse_cosine_join",
+    // frequent_pairs: RELATIVE support (1/2 of baskets) over replica-
+    // disjoint token universes — at 10x every token's support stays at
+    // its base count while n_baskets grows 10x, so L1 EMPTIES and the
+    // pair join runs over nothing: the A-priori prune at its extreme
+    // (cost = one token-grain aggregation; output legitimately empty).
+    // woe_iv: lang/source untouched by replicas → counts x10; the +1
+    // smoothing makes woe/iv approximately (not exactly) reproduced;
+    // category grain, ≤ |sources| rows. seasonal_profile: replica events
+    // reuse base ts and values → slot counts x10, means and lifts
+    // IDENTICAL (value contract); ≤ 168 rows at any scale.
+    "q_frequent_pairs", "q_woe_iv", "q_seasonal_profile")
 
   /** Optional comma-separated SPARK_GRAFT_PROBE_ONLY filter so a new
     * family can be probed without re-timing the whole board. */

@@ -358,7 +358,14 @@ object Profiler {
     * `(bin, n_a)` / `(bin, n_b)` frames, so a caller holding a PERSISTED
     * reference histogram (the streaming drift sink) reuses the identical
     * smoothing/ln/rounding arithmetic without re-binning raw rows. */
-  private[graft] def driftFromBins(binsA: DataFrame, binsB: DataFrame): DataFrame = {
+  private[graft] def driftFromBins(binsA: DataFrame, binsB: DataFrame): DataFrame =
+    smoothedLogRatio(binsA, binsB).drop("log_ratio")
+
+  /** The smoothing/ln/rounding core [[driftFromBins]] and [[woeIv]]
+    * share (the mergeTotals rule: IV IS the PSI sum over category bins,
+    * and WOE the per-bin log-ratio — one arithmetic, two vocabularies).
+    * Emits the rounded log-ratio alongside the PSI/KL terms. */
+  private def smoothedLogRatio(binsA: DataFrame, binsB: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val joined = binsA.join(binsB, Seq("bin"), "full_outer")
       .select(col("bin"), coalesce(col("n_a"), lit(0L)).as("n_a"),
@@ -372,11 +379,66 @@ object Profiler {
     val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     joined.crossJoin(broadcast(stats))
       .select(col("bin"), col("n_a"), col("n_b"),
+        round(lr, 6).as("log_ratio"),
         round((pa - pb) * lr, 6).as("psi_term"),
         round(pa * lr, 6).as("kl_term"))
       .withColumn("psi", sum(col("psi_term").cast("decimal(18,6)")).over(w).cast("double"))
       .withColumn("kl", sum(col("kl_term").cast("decimal(18,6)")).over(w).cast("double"))
       .orderBy(col("bin"))
+  }
+
+  /** WEIGHT OF EVIDENCE / INFORMATION VALUE — the credit-scoring staple
+    * for "how predictive is this categorical feature of a binary
+    * label?": per category, WOE = ln(p_cat|pos / p_cat|neg) under the
+    * same +1/nbins Laplace smoothing as [[distributionDrift]], and
+    * IV = Σ (p − q)·WOE — which is EXACTLY the PSI sum over category
+    * bins, so the implementation IS [[driftFromBins]]'s core with the
+    * positive rows as side A and negative rows as side B (shared
+    * arithmetic, not a re-derivation). The usual reading: IV < 0.02
+    * useless, 0.1–0.3 medium, > 0.5 suspicious. Rows with a NULL label
+    * or category are excluded. Category grain — bounded output.
+    *
+    * Output: (category, n_pos, n_neg, woe, iv_term, iv) — `iv` is the
+    * feature-level total repeated per row (one frame, no second query
+    * for the headline number). */
+  def woeIv(df: DataFrame, category: String, label: Column): DataFrame = {
+    val rows = df.filter(col(category).isNotNull)
+    val pos = rows.filter(label)
+      .groupBy(col(category).as("bin")).agg(count(lit(1)).as("n_a"))
+    val neg = rows.filter(!label)
+      .groupBy(col(category).as("bin")).agg(count(lit(1)).as("n_b"))
+    smoothedLogRatio(pos, neg)
+      .select(col("bin").as(category), col("n_a").as("n_pos"),
+        col("n_b").as("n_neg"), col("log_ratio").as("woe"),
+        col("psi_term").as("iv_term"), col("psi").as("iv"))
+      .orderBy(col(category))
+  }
+
+  /** TIME-OF-WEEK SEASONAL PROFILE — the dashboard baseline behind every
+    * "is this hour's traffic normal?" question: per (day-of-week, hour)
+    * slot, event count, exact-DECIMAL mean value, and the lift of the
+    * slot mean over the corpus mean. Calendar arithmetic is PURE INTEGER
+    * epoch math ((epoch_day + 4) mod 7, 0 = Sunday — 1970-01-01 was a
+    * Thursday; hour = (epoch_us div 3600e6) mod 24, UTC both engines),
+    * never an engine's locale-dependent dayofweek(). Slot grain: ≤ 168
+    * output rows at any corpus size; one aggregation, one broadcast
+    * scalar join. Means and lift are single per-row double chains over
+    * exact DECIMAL sums, rounded to 6. */
+  def seasonalProfile(df: DataFrame, ts: String, value: String): DataFrame = {
+    val slots = df.filter(col(ts).isNotNull && col(value).isNotNull)
+      .select(expr(s"((unix_micros($ts) div 86400000000) + 4) % 7").as("dow"),
+        expr(s"(unix_micros($ts) div 3600000000) % 24").as("hour"),
+        (col(value).cast("decimal(18,4)") * 10000).cast("long").as("vq"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n"), sum(col("vq").cast("decimal(28,0)")).as("sq"))
+    val tot = slots.agg(sum(col("n")).as("n_all"), sum(col("sq")).as("sq_all"))
+    val slotMean = col("sq").cast("double") / col("n").cast("double") / 1e4
+    val globMean = col("sq_all").cast("double") / col("n_all").cast("double") / 1e4
+    slots.crossJoin(broadcast(tot))
+      .select(col("dow"), col("hour"), col("n"),
+        round(slotMean, 6).as("mean_value"),
+        round(slotMean / globMean, 6).as("lift"))
+      .orderBy(col("dow"), col("hour"))
   }
 
   /** TRAILING-WINDOW Z-SCORE anomaly flags over a per-group time series —

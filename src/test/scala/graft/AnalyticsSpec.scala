@@ -394,6 +394,61 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(tie.getInt(0) == 0 && tie.getLong(1) == 50L && tie.getLong(2) == 50L)
   }
 
+  test("frequentPairs: A-priori prune, set semantics, fractional threshold, lift") {
+    import graft.operators.Itemsets
+    val rows = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"), (1L, "a"), // duplicate a: sets, not bags
+      (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c"),
+      (4L, "a")).toDF("b", "i")
+    val got = Itemsets.frequentPairs(rows, "b", "i", minNum = 1, minDen = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // supports: a=4, b=2, c=2 of 4 baskets; pairs ≥ 2: (a,b)=2, (a,c)=2
+    assert(got.keySet == Set(("a", "b"), ("a", "c"))) // (b,c)=1 pruned
+    assert(got(("a", "b")) == ((2L, 4L, 2L, 1.0)))    // lift 2·4/(4·2) = 1
+    assert(got(("a", "c")) == ((2L, 4L, 2L, 1.0)))
+    // at 3/4 the L1 prune alone kills every pair (only 'a' is frequent)
+    assert(Itemsets.frequentPairs(rows, "b", "i", 3, 4).count() == 0L)
+  }
+
+  test("woeIv: hand-computed WOE/IV; IV is the PSI of pos-vs-neg over categories") {
+    val docs = (Seq.fill(3)(("X", true)) ++ Seq(("X", false)) ++
+      Seq(("Y", true)) ++ Seq.fill(3)(("Y", false)))
+      .toDF("cat", "l")
+    val got = Profiler.woeIv(docs, "cat", col("l"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(5)))).toMap
+    // totals: pos 4, neg 4, nbins 2 → smoothed (n+1)/(tot+2)
+    val ln2 = math.rint(math.log(2.0) * 1e6) / 1e6
+    assert(got("X")._1 == 3L && got("X")._2 == 1L)
+    assert(got("X")._3 == ln2 && got("Y")._3 == -ln2) // woe = ±ln 2
+    val ivTerm = math.rint((4.0 / 6 - 2.0 / 6) * math.log(2.0) * 1e6) / 1e6
+    assert(got("X")._4 == 2 * ivTerm) // iv total repeated per row
+    assert(got("X")._4 == got("Y")._4)
+  }
+
+  test("seasonalProfile: integer epoch calendar, exact means, lift vs global") {
+    val us = (d: Long, h: Long, m: Long) => d * 86400000000L + h * 3600000000L + m
+    def ts(v: Long) = new java.sql.Timestamp(v / 1000)
+    // epoch day 0 = Thursday → dow 4; two slots, values 1.0 and 3.0
+    val ev = Seq(
+      (ts(us(0, 0, 0)), 1.0), (ts(us(7, 0, 1000000L)), 1.0), // Thu 00 twice
+      (ts(us(0, 5, 0)), 3.0), (ts(us(14, 5, 0)), 3.0))       // Thu 05 twice
+      .toDF("ts", "value")
+    val got = Profiler.seasonalProfile(ev, "ts", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set((4L, 0L), (4L, 5L)))
+    assert(got((4L, 0L)) == ((2L, 1.0, 0.5)))  // global mean 2.0 → lift 0.5
+    assert(got((4L, 5L)) == ((2L, 3.0, 1.5)))
+    // null values and null ts are excluded, not zero-filled
+    val withNull = ev.union(Seq((ts(0L), null.asInstanceOf[java.lang.Double]))
+      .toDF("ts", "value"))
+    assert(Profiler.seasonalProfile(withNull, "ts", "value")
+      .agg(sum($"n")).head().getLong(0) == 4L)
+  }
+
   test("globalTopK: skew prunes candidates to ~k of 50 keys; exact; partition-independent") {
     // Zipf-ish: key i's total ~ 1000/i — heavy head, long tail
     val rows = (1 to 2000).map { i =>

@@ -692,6 +692,77 @@ object QueriesAnalytics {
       "(CAST(sq_all AS DOUBLE) / CAST(n_all AS DOUBLE) / 1e4), 6) AS lift " +
       "FROM s CROSS JOIN t ORDER BY dow, hour"))
 
+  /** TWO-SIDED CUSUM SUMMARY ([[Profiler.cusumTwoSided]], k = 1.0,
+    * h = 50.0) per user over the (ts, event_id)-ordered value series —
+    * the group-grain companion row to q_cusum_alarms' per-point
+    * trajectory: same prefix-sum identity, n-scaled integer arithmetic
+    * (multiplying through by n removes the one division whose negative
+    * floor/truncate semantics differ across engines), both directions,
+    * one row per user. The oracle replays the identical windows. */
+  private val qCusum = Q(
+    (s, d) => Profiler.cusumTwoSided(
+        t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"), col("value")),
+        group = "user_id", seq = Seq("us", "event_id"), x = "value",
+        slack = 1.0, threshold = 50.0, scale = 4)
+      .orderBy(col("user_id")),
+    Some("WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, " +
+      "CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS xq " +
+      "FROM events WHERE value IS NOT NULL), " +
+      "w AS (SELECT user_id, us, event_id, xq, " +
+      "count(*) OVER (PARTITION BY user_id) AS n, " +
+      "SUM(xq) OVER (PARTITION BY user_id) AS tot, " +
+      "row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn " +
+      "FROM e), " +
+      "p AS (SELECT user_id, n, rn, " +
+      "SUM(n * xq - tot - n * 10000) OVER (PARTITION BY user_id " +
+      "ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp, " +
+      "SUM(tot - n * xq - n * 10000) OVER (PARTITION BY user_id " +
+      "ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pn, " +
+      "us, event_id FROM w), " +
+      "sx AS (SELECT user_id, n, rn, " +
+      "pp - least(0, min(pp) OVER (PARTITION BY user_id ORDER BY us, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS sp, " +
+      "pn - least(0, min(pn) OVER (PARTITION BY user_id ORDER BY us, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS sn FROM p) " +
+      "SELECT user_id, count(*) AS n_obs, " +
+      "round(CAST(max(sp) AS DOUBLE) / CAST(max(n) * 10000 AS DOUBLE), 6) AS smax_pos, " +
+      "round(CAST(max(sn) AS DOUBLE) / CAST(max(n) * 10000 AS DOUBLE), 6) AS smax_neg, " +
+      "min(CASE WHEN sp > n * 500000 OR sn > n * 500000 THEN rn END) AS first_alarm " +
+      "FROM sx GROUP BY user_id ORDER BY user_id"))
+
+  /** BINNED WOE / IV ([[Profiler.woeIv]] composed over fixed-width
+    * value bins): is the event value predictive of event_type =
+    * 'purchase'? The continuous-feature form every scorecard uses —
+    * same shared drift core, bins via exact floor arithmetic (DuckDB
+    * CAST(double AS BIGINT) ROUNDS, so both engines floor first). */
+  private val qWoeIvBinned = Q(
+    (s, d) => Profiler.woeIv(
+        t(s, d, "events").filter(col("value").isNotNull)
+          .withColumn("vbin", expr("floor(value) div 20")),
+        "vbin", col("event_type") === "purchase"),
+    Some("WITH r AS (SELECT CAST(floor(value) AS BIGINT) // 20 AS vbin, event_type " +
+      "FROM events WHERE value IS NOT NULL), " +
+      "ca AS (SELECT vbin AS bin, count(*) AS n_a FROM r " +
+      "WHERE event_type = 'purchase' GROUP BY 1), " +
+      "cb AS (SELECT vbin AS bin, count(*) AS n_b FROM r " +
+      "WHERE NOT (event_type = 'purchase') GROUP BY 1), " +
+      "j AS (SELECT COALESCE(ca.bin, cb.bin) AS bin, COALESCE(n_a, 0) AS n_a, " +
+      "COALESCE(n_b, 0) AS n_b FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin), " +
+      "st AS (SELECT SUM(n_a) AS tot_a, SUM(n_b) AS tot_b, count(*) AS nbins FROM j), " +
+      "t AS (SELECT bin, n_a, n_b, " +
+      "round(ln(CAST((n_a + 1) * (tot_b + nbins) AS DOUBLE) / " +
+      "CAST((n_b + 1) * (tot_a + nbins) AS DOUBLE)), 6) AS woe, " +
+      "round((CAST(n_a + 1 AS DOUBLE) / CAST(tot_a + nbins AS DOUBLE) " +
+      "- CAST(n_b + 1 AS DOUBLE) / CAST(tot_b + nbins AS DOUBLE)) " +
+      "* ln(CAST((n_a + 1) * (tot_b + nbins) AS DOUBLE) / " +
+      "CAST((n_b + 1) * (tot_a + nbins) AS DOUBLE)), 6) AS iv_term " +
+      "FROM j CROSS JOIN st) " +
+      "SELECT bin AS vbin, n_a AS n_pos, n_b AS n_neg, woe, iv_term, " +
+      "CAST(SUM(CAST(iv_term AS DECIMAL(18,6))) OVER () AS DOUBLE) AS iv " +
+      "FROM t ORDER BY vbin"))
+
   val registry: Seq[(String, Q)] = Seq(
     "q_skyline" -> qSkyline,
     "q_skyline_nd" -> qSkylineNd,
@@ -715,5 +786,7 @@ object QueriesAnalytics {
     "q_sparse_cosine_join" -> qSparseCos,
     "q_frequent_pairs" -> qFreqPairs,
     "q_woe_iv" -> qWoeIv,
-    "q_seasonal_profile" -> qSeasonal)
+    "q_seasonal_profile" -> qSeasonal,
+    "q_cusum_twosided" -> qCusum,
+    "q_woe_iv_binned" -> qWoeIvBinned)
 }

@@ -426,7 +426,13 @@ object ScaleProbe {
     // category grain, ≤ |sources| rows. seasonal_profile: replica events
     // reuse base ts and values → slot counts x10, means and lifts
     // IDENTICAL (value contract); ≤ 168 rows at any scale.
-    "q_frequent_pairs", "q_woe_iv", "q_seasonal_profile")
+    "q_frequent_pairs", "q_woe_iv", "q_seasonal_profile",
+    // cusum: replica users are disjoint with identical series → every
+    // replica user reproduces the base user's smax/first_alarm exactly
+    // (value identity, rows x10); per-user windows, key-grain output.
+    // woe_iv_binned: value bins untouched by replicas → counts x10,
+    // woe/iv approximately reproduced (the +1 smoothing), bin grain.
+    "q_cusum_twosided", "q_woe_iv_binned")
 
   /** Optional comma-separated SPARK_GRAFT_PROBE_ONLY filter so a new
     * family can be probed without re-timing the whole board. */

@@ -414,6 +414,67 @@ object Profiler {
       .orderBy(col(category))
   }
 
+  /** TWO-SIDED CUSUM MONITORING SUMMARY (Page 1954) — the group-grain
+    * companion to [[cusumAlarms]] (which emits the per-point one-sided
+    * trajectory for charting): per group, ONE summary row from the two
+    * classic recursions
+    * `S⁺_i = max(0, S⁺_{i-1} + (x_i − μ − k))` /
+    * `S⁻_i = max(0, S⁻_{i-1} + (μ − x_i − k))` flag a sustained mean
+    * shift when either statistic crosses `h`.
+    *
+    * DIVISION-FREE EXACT FORM: the fold is replaced by the prefix-sum
+    * identity `S_i = P_i − min(0, min_{j≤i} P_j)` (P = running sum of
+    * the deviations, the textbook equivalence), so the whole statistic
+    * is two RUNNING WINDOWS — no sequential fold, no list collection.
+    * And instead of dividing for μ = Σx/n (whose floor/truncate
+    * semantics differ across engines for negative sums), everything is
+    * multiplied through by n: `d_i = n·x_i − Σx − n·k` in fixed-point —
+    * every quantity an exact int64, valid for negative values too. The
+    * alarm compare `S > n·h` is exact; only the reported
+    * `smax_{pos,neg}` value columns are one rounded double chain
+    * (S / (n·10^scale)).
+    *
+    * Plan: one pass, windows all sharing the per-group sort — group
+    * grain out. Output: (group, n_obs, smax_pos, smax_neg, first_alarm)
+    * with `first_alarm` the 1-based position of the first crossing in
+    * either direction (null = in control). */
+  def cusumTwoSided(df: DataFrame, group: String, seq: Seq[String], x: String,
+                    slack: Double, threshold: Double, scale: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(scale >= 0 && scale <= 6, s"cusum: scale $scale not in [0, 6]")
+    val unit = math.pow(10, scale).toLong
+    val kFp = BigDecimal(slack).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.unscaledValue.longValueExact
+    val hFp = BigDecimal(threshold).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.unscaledValue.longValueExact
+    val g = Window.partitionBy(col(group))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val run = Window.partitionBy(col(group)).orderBy(seq.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ord = Window.partitionBy(col(group)).orderBy(seq.map(col): _*)
+    val rows = df.filter(col(x).isNotNull)
+      .select(Seq(col(group), (col(x).cast(s"decimal(18,$scale)") * unit)
+        .cast("long").as("__xq")) ++ seq.map(col): _*)
+      .withColumn("__n", count(lit(1)).over(g))
+      .withColumn("__tot", sum(col("__xq")).over(g))
+      .withColumn("__dp", col("__n") * col("__xq") - col("__tot") - col("__n") * kFp)
+      .withColumn("__dn", col("__tot") - col("__n") * col("__xq") - col("__n") * kFp)
+      .withColumn("__pp", sum(col("__dp")).over(run))
+      .withColumn("__pn", sum(col("__dn")).over(run))
+      .withColumn("__sp", col("__pp") - least(lit(0L), min(col("__pp")).over(run)))
+      .withColumn("__sn", col("__pn") - least(lit(0L), min(col("__pn")).over(run)))
+      .withColumn("__rn", row_number().over(ord).cast("long"))
+    val nh = col("__n") * hFp
+    rows.groupBy(col(group))
+      .agg(count(lit(1)).as("n_obs"),
+        round(max(col("__sp")).cast("double") /
+          (first(col("__n")) * unit).cast("double"), 6).as("smax_pos"),
+        round(max(col("__sn")).cast("double") /
+          (first(col("__n")) * unit).cast("double"), 6).as("smax_neg"),
+        min(when(col("__sp") > nh || col("__sn") > nh, col("__rn")))
+          .as("first_alarm"))
+  }
+
   /** TIME-OF-WEEK SEASONAL PROFILE — the dashboard baseline behind every
     * "is this hour's traffic normal?" question: per (day-of-week, hour)
     * slot, event count, exact-DECIMAL mean value, and the lift of the

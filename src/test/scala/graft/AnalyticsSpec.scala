@@ -449,6 +449,27 @@ class AnalyticsSpec extends AnyFunSuite {
       .agg(sum($"n")).head().getLong(0) == 4L)
   }
 
+  test("cusum: hand-computed mean shift; in-control series never alarms") {
+    // group 1: 4 lows then 4 highs, mu = 5, k = 1 → classic S+ series
+    // 0,0,0,0,4,8,12,16 and S- series 4,8,12,16,10,4,0,0; h = 10 →
+    // S- crosses first at position 3 (12 > 10)
+    val series = (1 to 4).map(i => (1L, i.toLong, 0.0)) ++
+      (5 to 8).map(i => (1L, i.toLong, 10.0)) ++
+      (1 to 5).map(i => (2L, i.toLong, 7.0)) // in-control constant
+    val got = Profiler.cusumTwoSided(series.toDF("g", "i", "x"),
+        "g", Seq("i"), "x", slack = 1.0, threshold = 10.0, scale = 0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(got(1L) == ((8L, 16.0, 16.0, 3L)))
+    assert(got(2L) == ((5L, 0.0, 0.0, -1L))) // constant: S ≡ 0, no alarm
+    // order-insensitivity of the input frame: repartition changes nothing
+    val re = Profiler.cusumTwoSided(series.toDF("g", "i", "x").repartition(7),
+        "g", Seq("i"), "x", slack = 1.0, threshold = 10.0, scale = 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(re(1L) == 16.0)
+  }
+
   test("globalTopK: skew prunes candidates to ~k of 50 keys; exact; partition-independent") {
     // Zipf-ish: key i's total ~ 1000/i — heavy head, long tail
     val rows = (1 to 2000).map { i =>

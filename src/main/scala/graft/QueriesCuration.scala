@@ -1054,6 +1054,34 @@ object QueriesCuration {
       "round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + tot - tp), 6) AS f1 " +
       "FROM cum ORDER BY thr DESC"))
 
+  /** CLASSIFIER ROC AUC ([[graft.operators.Profiler.auc]]): the exact
+    * Mann–Whitney rank statistic over the same trained scores q_clf_pr
+    * sweeps — train → score → one-number eval as ONE gated plan. The
+    * oracle extends the [[qualityClfCtes]] replay with the identical
+    * distinct-score midrank cumulative. */
+  private val qClfAuc = Q(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val scored = graft.operators.QualityClassifier.trainScore(
+        docs, "doc_id", "text", label = col("lang") === "en",
+        buckets = 1024, epochs = 3, cacheKey = Some(clfKey(s, d)))
+      graft.operators.Profiler.auc(
+        scored.join(docs.select(col("doc_id"), col("lang")), "doc_id"),
+        "score_fp", label = col("lang") === "en")
+    },
+    Some(qualityClfCtes(3) + ", " +
+      "per AS (SELECT score_fp AS s2, count(*) AS n, " +
+      "CAST(SUM(CASE WHEN tl.y = 100000 THEN 1 ELSE 0 END) AS BIGINT) AS np " +
+      "FROM scored JOIN tl USING (doc_id) GROUP BY 1), " +
+      "wauc AS (SELECT n, np, 2 * COALESCE(SUM(n) OVER (ORDER BY s2 " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n + 1 AS r2 FROM per) " +
+      "SELECT CAST(SUM(np) AS BIGINT) AS n_pos, " +
+      "CAST(SUM(n - np) AS BIGINT) AS n_neg, " +
+      "CASE WHEN SUM(np) > 0 AND SUM(n - np) > 0 THEN " +
+      "round(CAST(SUM(CAST(np AS HUGEINT) * r2) - SUM(np) * (SUM(np) + 1) AS DOUBLE) / " +
+      "(2e0 * CAST(SUM(np) AS DOUBLE) * CAST(SUM(n - np) AS DOUBLE)), 6) END AS auc " +
+      "FROM wauc"))
+
   /** KNESER–NEY PERPLEXITY GATE ([[graft.operators.TextAnalysis.knLogProb]]):
     * the CCNet-style learned-LM filter — train interpolated-KN bigrams on
     * the `lang = 'en'` reference slice, score EVERY document (en docs
@@ -1436,6 +1464,7 @@ object QueriesCuration {
     "q_tok_fairness" -> qTokFairness,
     "q_compaction_plan" -> qCompactionPlan,
     "q_clf_pr_curve" -> qClfPrCurve,
+    "q_clf_auc" -> qClfAuc,
     "q_expectations" -> qExpectations,
     "q_k_anonymize" -> qKAnonymize,
     "q_l_diversity" -> qLDiversity,

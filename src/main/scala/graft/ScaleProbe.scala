@@ -432,7 +432,13 @@ object ScaleProbe {
     // (value identity, rows x10); per-user windows, key-grain output.
     // woe_iv_binned: value bins untouched by replicas → counts x10,
     // woe/iv approximately reproduced (the +1 smoothing), bin grain.
-    "q_cusum_twosided", "q_woe_iv_binned")
+    "q_cusum_twosided", "q_woe_iv_binned",
+    // clf_auc: the trained-classifier family's one-number eval — replica
+    // docs keep lang and the ~r-suffixed tokens hash to fresh buckets,
+    // so the model legitimately differs at 10x; the contract is bounded
+    // output (ONE row) + training cost linear in corpus (the q_clf_pr
+    // family's registered scale path, shared memoized model).
+    "q_clf_auc")
 
   /** Optional comma-separated SPARK_GRAFT_PROBE_ONLY filter so a new
     * family can be probed without re-timing the whole board. */

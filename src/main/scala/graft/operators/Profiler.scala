@@ -908,6 +908,36 @@ object Profiler {
     * score-descending. The single-partition window is bounded by the
     * score domain (the fixed-point classifier emits ≤ FP+1 distinct
     * values), never by the corpus. */
+  /** ROC AUC, exact, by the Mann–Whitney midrank identity — the
+    * single-number companion to [[prCurve]]'s threshold sweep:
+    * AUC = (Σ_pos midrank − n₊(n₊+1)/2) / (n₊·n₋), ties at equal scores
+    * taking the average rank. Computed at the DISTINCT-SCORE grain (the
+    * [[prCurve]]/ksTest window contract — bounded by score cardinality,
+    * never row grain): per score, a strictly-below cumulative count
+    * gives the doubled midrank `r2 = 2·below + n + 1` as an exact
+    * integer, positives contribute n₊(s)·r2, and only the final
+    * division is a rounded double. Degenerate single-class inputs
+    * yield null AUC, never NaN ([[ksTest]]'s guard). One row out:
+    * (n_pos, n_neg, auc). */
+  def auc(scored: DataFrame, score: String, label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val below = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    scored.filter(col(score).isNotNull && label.isNotNull)
+      .groupBy(col(score).as("s"))
+      .agg(count(lit(1)).as("n"), sum(when(label, 1L).otherwise(0L)).as("np"))
+      .withColumn("r2",
+        lit(2L) * coalesce(sum(col("n")).over(below), lit(0L)) + col("n") + 1L)
+      .agg(sum(col("np")).as("n_pos"), sum(col("n") - col("np")).as("n_neg"),
+        sum(col("np").cast("decimal(19,0)") * col("r2")).as("__rp2"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round((col("__rp2") - col("n_pos") * (col("n_pos") + lit(1L)))
+            .cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")),
+            6)).as("auc"))
+  }
+
   def prCurve(scored: DataFrame, score: String, label: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("thr").desc)

@@ -449,6 +449,19 @@ class AnalyticsSpec extends AnyFunSuite {
       .agg(sum($"n")).head().getLong(0) == 4L)
   }
 
+  test("auc: Mann–Whitney midrank with ties; perfect separation; single-class null") {
+    // ascending ranks: 0.3→1, {0.8,0.8}→midrank 2.5, 0.9→4
+    // R_pos = 2.5 + 4 = 6.5 → AUC = (6.5 − 3) / (2·2) = 0.875
+    val scored = Seq((0.9, true), (0.8, false), (0.8, true), (0.3, false))
+      .toDF("s", "l")
+    val r = Profiler.auc(scored, "s", col("l")).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L && r.getDouble(2) == 0.875)
+    val perfect = Seq((0.9, true), (0.8, true), (0.2, false)).toDF("s", "l")
+    assert(Profiler.auc(perfect, "s", col("l")).head().getDouble(2) == 1.0)
+    val oneClass = Seq((0.9, true), (0.2, true)).toDF("s", "l")
+    assert(Profiler.auc(oneClass, "s", col("l")).head().isNullAt(2))
+  }
+
   test("cusum: hand-computed mean shift; in-control series never alarms") {
     // group 1: 4 lows then 4 highs, mu = 5, k = 1 → classic S+ series
     // 0,0,0,0,4,8,12,16 and S- series 4,8,12,16,10,4,0,0; h = 10 →

@@ -419,6 +419,49 @@ object BenchStreaming {
         "runs" -> runs.map(r => f"$r%.3f").mkString("[", ",", "]")))
     }
 
+    // ---- 5b. streaming PQ/IVF-PQ maintenance (round 15): the compressed
+    // twin of ivf_append — offline codebook+coarse build on half the
+    // corpus, micro-batch appends encode through the FROZEN codebooks into
+    // the cell-partitioned codes. Same discipline: min-of-2 fresh dirs,
+    // runs must agree on final code counts; the audit row's ADC-recall at
+    // full probe with a corpus-covering shortlist must be 1.0 (the rerank
+    // degenerates to exact cosine over everything).
+    section("pq_append") {
+      val emb = Tables.load(spark, sfDir, "embeddings")
+        .select($"vec_id", $"embedding")
+      val nEmb = emb.count()
+      val half = nEmb / 2
+      val pqBatches = 4
+      def ingest(state: String): Double = {
+        graft.operators.PqIndex.build(emb.filter($"vec_id" < half),
+          "vec_id", "embedding", state, m = 8, k = 16, coarseNlist = 16,
+          trainLimit = 10000)
+        val t = nowSec()
+        (0L until pqBatches.toLong).foreach { b =>
+          Streaming.pqAppendSink("vec_id", "embedding", state)(
+            emb.filter($"vec_id" >= half && $"vec_id" % pqBatches === b), b)
+        }
+        nowSec() - t
+      }
+      ingest(s"$tmp/pq_warm"): Unit // untimed codegen/JIT warmup
+      val runs = (1 to 2).map(i => ingest(s"$tmp/pq_state_$i"))
+      val counts = (1 to 2).map(i =>
+        spark.read.parquet(s"$tmp/pq_state_$i/codes").count())
+      require(counts.distinct.size == 1 && counts.head == nEmb,
+        s"pq_append runs disagree or lost rows: $counts vs $nEmb")
+      val audit = graft.operators.PqIndex.maintenanceAudit(spark,
+          s"$tmp/pq_state_1", emb, "vec_id", "embedding",
+          k = 10, nprobe = 16, shortlist = nEmb.toInt, anchors = 4).head()
+      require(audit.getDouble(3) == 1.0,
+        s"pq_append covering-shortlist recall must be 1.0, got $audit")
+      record("pq_append", nEmb - half, pqBatches, runs.min, Seq(
+        "code_rows" -> counts.head.toString,
+        "appended" -> audit.getLong(1).toString,
+        "staleness_frac" -> audit.getDouble(2).toString,
+        "recall_at_10_covering" -> audit.getDouble(3).toString,
+        "runs" -> runs.map(r => f"$r%.3f").mkString("[", ",", "]")))
+    }
+
     val json = s"""{"metric":"streaming","unit":"sec","sf":"$sfDir",""" +
       s""""store":"rocksdb","cpus":$cpus,"sinks":{""" +
       results.map { case (k, v) => s""""$k":$v""" }.mkString(",") + "}}"

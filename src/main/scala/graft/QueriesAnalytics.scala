@@ -763,6 +763,57 @@ object QueriesAnalytics {
       "CAST(SUM(CAST(iv_term AS DECIMAL(18,6))) OVER () AS DOUBLE) AS iv " +
       "FROM t ORDER BY vbin"))
 
+  /** FLESCH READING-EASE ([[TextAnalysis.readability]]): the published
+    * readability quality signal — vowel-group syllables with the
+    * per-word ≥1 floor counted globally, sentence runs floored at 1;
+    * exact integer counts, one double chain, round(6). */
+  private val qReadability = Q(
+    (s, d) => TextAnalysis.readability(t(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("WITH w AS (SELECT doc_id, trim(lower(text)) AS lt, text FROM documents), " +
+      "m AS (SELECT doc_id, " +
+      "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+      "ELSE len(string_split_regex(lt, '\\s+')) END AS BIGINT) AS n_words, " +
+      "CAST(greatest(len(regexp_extract_all(text, '[.!?]+', 0)), 1) AS BIGINT) AS n_sentences, " +
+      "CAST(len(regexp_extract_all(lt, '[aeiouy]+', 0)) + " +
+      "len(list_filter(string_split_regex(lt, '\\s+'), " +
+      "x -> NOT regexp_matches(x, '[aeiouy]'))) AS BIGINT) AS n_syllables " +
+      "FROM w) " +
+      "SELECT doc_id, n_words, n_sentences, n_syllables, " +
+      "CASE WHEN n_words > 0 THEN round(206.835e0 " +
+      "- 1.015e0 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) " +
+      "- 84.6e0 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6) " +
+      "END AS flesch FROM m ORDER BY doc_id"))
+
+  /** INTER-ARRIVAL BURSTINESS ([[Profiler.burstiness]]) per user over
+    * the event stream — (σ−μ)/(σ+μ) of the gap distribution, the
+    * bot-vs-human shape signal rate alone misses. Exact integer gap
+    * moments (HUGEINT ≡ DECIMAL(38,0) for Σg²); one mirrored double
+    * chain. */
+  private val qBurstiness = Q(
+    (s, d) => Profiler.burstiness(
+        t(s, d, "events").filter(col("ts").isNotNull)
+          .select(col("user_id"), col("ts"),
+            unix_micros(col("ts")).as("us"), col("event_id")),
+        group = "user_id", seq = Seq("us", "event_id"), ts = "ts")
+      .orderBy(col("user_id")),
+    Some("WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events " +
+      "WHERE ts IS NOT NULL), " +
+      "g AS (SELECT user_id, us - lag(us) OVER (PARTITION BY user_id " +
+      "ORDER BY us, event_id) AS gap FROM e), " +
+      "a AS (SELECT user_id, count(*) AS n_gaps, CAST(SUM(gap) AS BIGINT) AS sg, " +
+      "SUM(CAST(gap AS HUGEINT) * gap) AS sg2 FROM g WHERE gap IS NOT NULL " +
+      "GROUP BY 1), " +
+      "b AS (SELECT user_id, n_gaps, " +
+      "CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mu, " +
+      "CAST(sg2 AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS m2 FROM a), " +
+      "c AS (SELECT user_id, n_gaps, mu, " +
+      "sqrt(greatest(m2 - mu * mu, 0e0)) AS sigma FROM b) " +
+      "SELECT user_id, n_gaps, CAST(floor(mu) AS BIGINT) AS mean_gap_us, " +
+      "CASE WHEN n_gaps >= 2 AND sigma + mu > 0e0 THEN " +
+      "round((sigma - mu) / (sigma + mu), 6) END AS burstiness " +
+      "FROM c ORDER BY user_id"))
+
   val registry: Seq[(String, Q)] = Seq(
     "q_skyline" -> qSkyline,
     "q_skyline_nd" -> qSkylineNd,
@@ -788,5 +839,7 @@ object QueriesAnalytics {
     "q_woe_iv" -> qWoeIv,
     "q_seasonal_profile" -> qSeasonal,
     "q_cusum_twosided" -> qCusum,
-    "q_woe_iv_binned" -> qWoeIvBinned)
+    "q_woe_iv_binned" -> qWoeIvBinned,
+    "q_readability" -> qReadability,
+    "q_burstiness" -> qBurstiness)
 }

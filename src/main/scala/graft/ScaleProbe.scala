@@ -438,7 +438,14 @@ object ScaleProbe {
     // so the model legitimately differs at 10x; the contract is bounded
     // output (ONE row) + training cost linear in corpus (the q_clf_pr
     // family's registered scale path, shared memoized model).
-    "q_clf_auc")
+    "q_clf_auc",
+    // readability: per-doc scan-stage regex counts, rows x10; replica
+    // tokens gain the vowel-less ~r<r> suffix, so syllables shift by the
+    // per-word floor only when the base word was vowel-less — values
+    // REPRODUCE for vowel-bearing corpora (this one). burstiness:
+    // replica users keep base timestamps → per-user gap distributions
+    // identical, values reproduce exactly, rows x10.
+    "q_readability", "q_burstiness")
 
   /** Optional comma-separated SPARK_GRAFT_PROBE_ONLY filter so a new
     * family can be probed without re-timing the whole board. */

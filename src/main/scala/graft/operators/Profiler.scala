@@ -475,6 +475,47 @@ object Profiler {
           .as("first_alarm"))
   }
 
+  /** INTER-ARRIVAL BURSTINESS (Goh & Barabási 2008, the human-dynamics
+    * staple): per group, B = (σ − μ)/(σ + μ) over the inter-event gap
+    * distribution — B → −1 periodic, 0 Poisson, → +1 bursty. The
+    * behavioral signal bot detection and capacity planning read that
+    * rate alone misses (a user firing 100 events in one minute then
+    * silent for a week has the same rate as a metronome).
+    *
+    * Exactness: gaps are integer micros from a lag over the per-group
+    * (seq)-ordered series; Σg is a long and Σg² a DECIMAL(38,0) sum of
+    * pre-cast products — associative at any partitioning. μ, σ and B
+    * are one per-row double chain over those exact integers (mirrored
+    * operand-for-operand in the oracle), rounded to 6. Groups with
+    * fewer than 2 gaps (≤ 2 events) yield null B; σ + μ = 0 (all gaps
+    * zero) yields null, never NaN. Group grain out; per-group windows
+    * share one sort. Output: (group, n_gaps, mean_gap_us, burstiness). */
+  def burstiness(df: DataFrame, group: String, seq: Seq[String],
+                 ts: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col(group)).orderBy(seq.map(col): _*)
+    val gaps = df.filter(col(ts).isNotNull)
+      .select(Seq(col(group), unix_micros(col(ts)).as("__us")) ++ seq.map(col): _*)
+      .withColumn("__gap", col("__us") - lag(col("__us"), 1).over(ord))
+      .filter(col("__gap").isNotNull)
+    val agg = gaps.groupBy(col(group))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("__gap")).as("__sg"),
+        sum(col("__gap").cast("decimal(19,0)") * col("__gap")).as("__sg2"))
+    val n = col("n_gaps").cast("double")
+    val mu = col("__sg").cast("double") / n
+    val variance = col("__sg2").cast("double") / n - mu * mu
+    val sigma = sqrt(greatest(variance, lit(0.0)))
+    // floor(mu), not round(mu, 6): rounding a ~1e9-magnitude double to 6
+    // decimals multiplies it to ~1e15 where engine round() paths diverge
+    // by ulps (measured 7.6e-6 cross-engine); mu itself is bit-identical
+    // (one exactly-rounded division), so floor is too
+    agg.select(col(group), col("n_gaps"),
+      floor(mu).cast("long").as("mean_gap_us"),
+      when(col("n_gaps") >= 2 && (sigma + mu) > 0,
+        round((sigma - mu) / (sigma + mu), 6)).as("burstiness"))
+  }
+
   /** TIME-OF-WEEK SEASONAL PROFILE — the dashboard baseline behind every
     * "is this hour's traffic normal?" question: per (day-of-week, hour)
     * slot, event count, exact-DECIMAL mean value, and the lift of the

@@ -933,4 +933,42 @@ object TextAnalysis {
       .orderBy(col("bm25").desc, col(id))
       .limit(k)
   }
+
+  /** FLESCH READING-EASE readability (Flesch 1948 — the published
+    * corpus-curation quality signal beside [[qualityFlags]]' rule pack:
+    * readability bands separate prose from token soup and legalese):
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)` with
+    * the standard vowel-group syllable heuristic.
+    *
+    * Engine-exact counting, scan-stage, no shuffle:
+    *  - words: whitespace tokens;
+    *  - sentences: runs of [.!?], floored at 1 (headline-style docs);
+    *  - syllables: vowel-group runs `[aeiouy]+` over the LOWERCASED doc
+    *    plus one per vowel-less word (the per-word ≥1 floor, counted
+    *    globally instead of per-word so the hot path is two regex scans
+    *    and one lambda filter, not a regex per word).
+    * All three are exact integers in any regex engine ([aeiouy]+ and
+    * [.!?]+ mean the same thing in Java regex and RE2); the score is
+    * one per-row double chain, round(6). Empty/whitespace-only docs
+    * yield null score (0 words). Output: (id, n_words, n_sentences,
+    * n_syllables, flesch). */
+  def readability(df: DataFrame, id: String, text: String): DataFrame = {
+    val words = split(trim(lower(col(text))), "\\s+")
+    val nWords = when(length(trim(col(text))) === 0, 0)
+      .otherwise(size(words)).cast("long")
+    val nSent = greatest(
+      size(regexp_extract_all(col(text), lit("[.!?]+"), lit(0))), lit(1))
+      .cast("long")
+    val vowelGroups = size(regexp_extract_all(lower(col(text)),
+      lit("[aeiouy]+"), lit(0))).cast("long")
+    val vowelless = size(filter(words, w => !w.rlike("[aeiouy]"))).cast("long")
+    val nSyl = vowelGroups + vowelless
+    val score = lit(206.835) -
+      lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double")) -
+      lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double"))
+    df.select(col(id), nWords.as("n_words"), nSent.as("n_sentences"),
+        nSyl.as("n_syllables"))
+      .withColumn("flesch",
+        when(col("n_words") > 0, round(score, 6)))
+  }
 }

@@ -462,6 +462,42 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(Profiler.auc(oneClass, "s", col("l")).head().isNullAt(2))
   }
 
+  test("readability: hand-computed Flesch; vowel-less floor; empty doc null") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "The cat sat. It ran!"), // 5 words, 2 sentences, 5 syllables
+      (2L, "tsk tsk"),              // vowel-less words floor at 1 syllable each
+      (3L, "   ")).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))).toMap
+    assert(got(1L)._1 == 5L && got(1L)._2 == 2L && got(1L)._3 == 5L)
+    // 206.835 − 1.015·(5/2) − 84.6·(5/5) = 119.6975
+    assert(got(1L)._4 == 119.6975)
+    assert(got(2L) == ((2L, 1L, 2L, 120.205))) // round(6) of the raw chain
+    assert(got(3L)._1 == 0L && got(3L)._4.isNaN) // empty: null score
+  }
+
+  test("burstiness: periodic → −1, symmetric pair → 0, single gap → null") {
+    def ts(us: Long) = {
+      val t = new java.sql.Timestamp(us / 1000); t.setNanos((us % 1000000L).toInt * 1000); t
+    }
+    val ev = // user 1: perfectly periodic; user 2: gaps {0, 10}; user 3: one gap
+      (1 to 5).map(i => (1L, ts(i * 1000000L), i.toLong)) ++
+      Seq((2L, ts(0L), 1L), (2L, ts(0L), 2L), (2L, ts(10L), 3L)) ++
+      Seq((3L, ts(0L), 1L), (3L, ts(5L), 2L))
+    val df = ev.toDF("user_id", "ts", "event_id")
+      .select($"user_id", $"ts", unix_micros($"ts").as("us"), $"event_id")
+    val got = Profiler.burstiness(df, "user_id", Seq("us", "event_id"), "ts")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    assert(got(1L) == ((4L, 1000000L, -1.0))) // σ = 0 → periodic extreme
+    assert(got(2L) == ((2L, 5L, 0.0)))        // μ = σ = 5 → Poisson-like 0
+    assert(got(3L)._1 == 1L && got(3L)._3.isNaN) // < 2 gaps: null
+  }
+
   test("cusum: hand-computed mean shift; in-control series never alarms") {
     // group 1: 4 lows then 4 highs, mu = 5, k = 1 → classic S+ series
     // 0,0,0,0,4,8,12,16 and S- series 4,8,12,16,10,4,0,0; h = 10 →

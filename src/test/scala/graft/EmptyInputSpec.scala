@@ -102,4 +102,34 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Sampling.leakageSafeSplit(Seq.empty[Long].toDF("doc_id"),
       "doc_id", noPairs).count() == 0)
   }
+
+  test("round-15 operators: empty slice -> empty frame or documented degenerate row") {
+    val noKv = Seq.empty[(Long, Long)].toDF("k", "m")
+    // globalTopK: no heads, L = 0, no candidates — empty top-k, no crash
+    val (topk, audit) = TopK.globalTopKWithAudit(noKv, col("k"), col("m"), 3)
+    assert(topk.count() == 0 && audit.lowerBound == 0L && audit.numCandidates == 0L)
+    // sparse cosine: empty corpus -> empty pairs through all stages
+    assert(SparseSim.cosinePairs(noDocs, "doc_id", "text", 1, 2).count() == 0)
+    assert(SparseSim.cosinePairsOver(
+      Seq.empty[(Long, String)].toDF("doc_id", "shingle"),
+      "doc_id", "shingle", 4, 5).count() == 0)
+    // frequent pairs: n_baskets = 0 makes every threshold vacuous — empty
+    assert(Itemsets.frequentPairs(
+      Seq.empty[(Long, String)].toDF("b", "i"), "b", "i", 1, 2).count() == 0)
+    // woeIv / seasonal / cusum / burstiness / readability: group grains
+    val noCat = Seq.empty[(String, Boolean)].toDF("cat", "l")
+    assert(Profiler.woeIv(noCat, "cat", col("l")).count() == 0)
+    val noEv = Seq.empty[(Long, java.sql.Timestamp, Double)].toDF("user_id", "ts", "value")
+    assert(Profiler.seasonalProfile(noEv, "ts", "value").count() == 0)
+    assert(Profiler.cusumTwoSided(
+      noEv.select($"user_id", unix_micros($"ts").as("us"), $"value"),
+      "user_id", Seq("us"), "value", 1.0, 10.0).count() == 0)
+    assert(Profiler.burstiness(
+      noEv.select($"user_id", $"ts", unix_micros($"ts").as("us")),
+      "user_id", Seq("us"), "ts").count() == 0)
+    assert(TextAnalysis.readability(noDocs, "doc_id", "text").count() == 0)
+    // auc over an empty frame: the one-row aggregate survives with nulls
+    val r = Profiler.auc(Seq.empty[(Double, Boolean)].toDF("s", "l"), "s", col("l")).head()
+    assert((r.isNullAt(0) || r.getLong(0) == 0L) && r.isNullAt(2))
+  }
 }

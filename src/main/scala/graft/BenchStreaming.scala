@@ -244,6 +244,31 @@ object BenchStreaming {
         "state_rows" -> stateRows.toString))
     }
 
+    // ---- 3e'. streaming two-sided CUSUM monitor: per-user sequential
+    // change detection against a fixed target — ONE state row per key,
+    // integer fixed-point prefix-sum fold per micro-batch (round 15)
+    section("cusum") {
+      val stateDir = s"$tmp/cusum_state"
+      val ckpt = s"$tmp/cusum_ckpt"
+      val mem = MemoryStream[SBenchEv]
+      val q = mem.toDS().toDF()
+        .select($"user_id", unix_micros($"ts").as("us"), $"value")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(Streaming.cusumSink("user_id", Seq("us"), "value",
+          target = 50.0, slack = 5.0, threshold = 500.0, scale = 4, stateDir) _)
+        .start()
+      val t0 = nowSec()
+      chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+      val secs = nowSec() - t0
+      val st = spark.read.parquet(stateDir)
+      val stateRows = st.count()
+      val alarms = st.filter($"alarm").count()
+      q.stop()
+      record("cusum_monitor", events.length.toLong, nBatches, secs, Seq(
+        "state_rows" -> stateRows.toString, "alarms" -> alarms.toString))
+    }
+
     // ---- 3e. streaming HLL distinct: per-group sketch union — KB-grain
     // state per group however long the stream runs
     section("hll") {

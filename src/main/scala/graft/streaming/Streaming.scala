@@ -1149,6 +1149,111 @@ object Streaming {
     fs.delete(old, true): Unit
   }
 
+  /** STREAMING TWO-SIDED CUSUM MONITOR — the sequential change detector
+    * as a sink, beside the distributional [[psiDriftSink]]: per key, the
+    * classic online CUSUM against a FIXED target μ₀ (the control-chart
+    * form — the retrospective per-group-mean form is
+    * [[graft.operators.Profiler.cusumTwoSided]]; a stream cannot know
+    * its final mean). Exactly incremental because prefix sums compose:
+    * the state carries (P, min P, S_max) per direction and folding a
+    * new batch's sorted observations FROM the stored state equals the
+    * whole-series statistic — `S_i = P_i − min(0, min_{j≤i} P_j)` needs
+    * only the running prefix and its minimum, never history. All
+    * arithmetic is int64 fixed-point (the [[ewmaSink]] quantization);
+    * state is ONE row per key. Batches must arrive in observation order
+    * (the ewmaSink contract); within a batch the `seq` columns sort.
+    *
+    * Crash/replay discipline is [[incrementalRollupSink]]'s verbatim
+    * (`_applied` marker inside the rename-aside swap, marker-checked
+    * recovery). State/output: (group, n_obs, p_pos, min_pos, smax_pos,
+    * p_neg, min_neg, smax_neg, alarm) with alarm = either S_max > h. */
+  def cusumSink(group: String, seq: Seq[String], x: String,
+                target: Double, slack: Double, threshold: Double,
+                scale: Int, stateDir: String)
+               (batch: DataFrame, batchId: Long): Unit = {
+    require(scale >= 0 && scale <= 6, s"cusumSink: scale $scale not in [0, 6]")
+    val spark = batch.sparkSession
+    recoverSwap(spark, stateDir, "cusumSink", requireMarker = true)
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readMarker(dir: String): Long = {
+      val m = new org.apache.hadoop.fs.Path(s"$dir/_applied")
+      if (!fs.exists(m)) -1L
+      else {
+        val in = fs.open(m)
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          "UTF-8").trim.toLong
+        finally in.close()
+      }
+    }
+    if (batchId <= readMarker(stateDir)) return // replayed batch: no-op
+    val unit = math.pow(10, scale).toLong
+    def fp(v: Double): Long = BigDecimal(v)
+      .setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.unscaledValue.longValueExact
+    val (muQ, kQ, hQ) = (fp(target), fp(slack), fp(threshold))
+    val xq = (col(x).cast(s"decimal(18,$scale)") * unit).cast("long")
+    val e = struct(seq.map(col) :+ xq.as("__xq"): _*)
+    val b = batch.filter(col(x).isNotNull)
+      .select(col(group), e.as("__e"))
+      .groupBy(col(group))
+      .agg(sort_array(collect_list(col("__e"))).as("__es"))
+      .select(col(group), transform(col("__es"), v => v.getField("__xq")).as("__xs"))
+    // one fold per direction: acc = (p, minp, smax); the deviation sign
+    // is the only difference, so both run the same step shape
+    def stepFold(xs: org.apache.spark.sql.Column, init: org.apache.spark.sql.Column,
+                 dev: (org.apache.spark.sql.Column) => org.apache.spark.sql.Column) =
+      aggregate(xs, init, (acc, v) => {
+        val p = acc.getField("p") + dev(v)
+        val m = least(acc.getField("m"), p)
+        struct(p.as("p"), m.as("m"),
+          greatest(acc.getField("s"), p - least(lit(0L), m)).as("s"))
+      })
+    val zero = struct(lit(0L).as("p"), lit(0L).as("m"), lit(0L).as("s"))
+    val stateCols = Seq("n_obs", "p_pos", "min_pos", "smax_pos",
+      "p_neg", "min_neg", "smax_neg")
+    val merged = (
+      if (stateExists(spark, stateDir))
+        b.join(spark.read.parquet(stateDir).drop("alarm"), Seq(group), "full")
+      else stateCols.foldLeft(b)((d, c) =>
+        d.withColumn(c, lit(null).cast("long")))
+    ).select(col(group),
+      (coalesce(col("n_obs"), lit(0L)) +
+        coalesce(size(col("__xs")), lit(0)).cast("long")).as("n_obs"),
+      when(col("__xs").isNull, // key silent this batch: state rides through
+        struct(col("p_pos").as("p"), col("min_pos").as("m"), col("smax_pos").as("s")))
+        .otherwise(stepFold(col("__xs"),
+          when(col("p_pos").isNull, zero)
+            .otherwise(struct(col("p_pos").as("p"), col("min_pos").as("m"),
+              col("smax_pos").as("s"))),
+          v => v - lit(muQ) - lit(kQ))).as("__up"),
+      when(col("__xs").isNull,
+        struct(col("p_neg").as("p"), col("min_neg").as("m"), col("smax_neg").as("s")))
+        .otherwise(stepFold(col("__xs"),
+          when(col("p_neg").isNull, zero)
+            .otherwise(struct(col("p_neg").as("p"), col("min_neg").as("m"),
+              col("smax_neg").as("s"))),
+          v => lit(muQ) - v - lit(kQ))).as("__dn"))
+      .select(col(group), col("n_obs"),
+        col("__up.p").as("p_pos"), col("__up.m").as("min_pos"),
+        col("__up.s").as("smax_pos"),
+        col("__dn.p").as("p_neg"), col("__dn.m").as("min_neg"),
+        col("__dn.s").as("smax_neg"))
+      .withColumn("alarm",
+        col("smax_pos") > lit(hQ) || col("smax_neg") > lit(hQ))
+    merged.write.mode("overwrite").parquet(stateDir + "_next")
+    val out = fs.create(new org.apache.hadoop.fs.Path(stateDir + "_next/_applied"), true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    val cur = new org.apache.hadoop.fs.Path(stateDir)
+    val next = new org.apache.hadoop.fs.Path(stateDir + "_next")
+    val old = new org.apache.hadoop.fs.Path(stateDir + "_old")
+    if (fs.exists(cur) && !fs.rename(cur, old))
+      throw new java.io.IOException(s"cusumSink: failed to move $cur aside")
+    if (!fs.rename(next, cur))
+      throw new java.io.IOException(s"cusumSink: failed to publish $next")
+    fs.delete(old, true): Unit
+  }
+
   /** STREAMING DISTRIBUTION-DRIFT MONITOR (PSI) — the model-ops staple
     * beside the rule-based [[qualityMonitorSink]]: the FIRST applied
     * batch freezes as the reference histogram (integer-width bins, the

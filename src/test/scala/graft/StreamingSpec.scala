@@ -469,6 +469,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/ref").agg(sum($"n_a")).as[Long].head() == 100L)
   }
 
+  test("cusum sink: chunked stream ≡ whole-series fold; replay no-op; silent keys ride") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cusum").toString + "/state"
+    // the AnalyticsSpec shift series: 4 lows then 4 highs, target 5,
+    // k = 1, h = 10 → smax_pos = smax_neg = 16, alarm
+    val series = (1 to 4).map(i => (1L, i.toLong, 0.0)) ++
+      (5 to 8).map(i => (1L, i.toLong, 10.0))
+    val sink = Streaming.cusumSink("g", Seq("i"), "x",
+      target = 5.0, slack = 1.0, threshold = 10.0, scale = 0, dir) _
+    // chunked 3/3/2, plus a second key active only in batch 0
+    sink((series.take(3) :+ ((2L, 1L, 5.0))).toDF("g", "i", "x"), 0L)
+    sink(series.slice(3, 6).toDF("g", "i", "x"), 1L)
+    sink(series.slice(3, 6).toDF("g", "i", "x"), 1L) // replay: marker no-op
+    sink(series.drop(6).toDF("g", "i", "x"), 2L)
+    val st = spark.read.parquet(dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(4), r.getLong(7), r.getBoolean(8)))).toMap
+    // whole-series reference fold (the prefix-sum identity, driver-side)
+    def ref(xs: Seq[Long], dev: Long => Long): Long =
+      xs.foldLeft((0L, 0L, 0L)) { case ((p, m, s), x) =>
+        val p2 = p + dev(x); val m2 = math.min(m, p2)
+        (p2, m2, math.max(s, p2 - math.min(0L, m2)))
+      }._3
+    val xs = series.map(_._3.toLong)
+    assert(st(1L) == ((8L, ref(xs, x => x - 6), ref(xs, x => 4 - x), true)))
+    assert(st(1L)._2 == 16L && st(1L)._3 == 16L)
+    // key 2: one on-target observation, silent afterwards — state rides
+    assert(st(2L) == ((1L, 0L, 0L, false)))
+  }
+
   test("marker sinks: a half-written _next with no live state is discarded, not published") {
     // first-batch crash mid-write: psiDriftSink wrote ref/ but died before
     // ledger/ and _applied — recovery must DELETE the torn _next (publishing

@@ -47,7 +47,9 @@ object Itemsets {
       .filter(col("item_a") < col("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("support"),
-        first(col("sa")).as("support_a"), first(col("sb")).as("support_b"))
+        // min == the value (supports are constant per item within the
+        // group) — no order-dependence even in appearance
+        min(col("sa")).as("support_a"), min(col("sb")).as("support_b"))
       .crossJoin(broadcast(nB))
       .filter(col("support") * minDen >= col("n_baskets") * minNum)
     pairs.select(col("item_a"), col("item_b"), col("support"),

@@ -113,7 +113,9 @@ object SparseSim {
     val dots = cand.join(pa, "doc_a").join(pb, Seq("doc_b", "term"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(sum(col("wa").cast("decimal(19,0)") * col("wb")).as("dot"),
-        first(col("n2a")).as("n2a"), first(col("n2b")).as("n2b"))
+        // min == the value: norms are constant per doc within the group
+        // (min, not first — no order-dependence even in appearance)
+        min(col("n2a")).as("n2a"), min(col("n2b")).as("n2b"))
     val cos = col("dot").cast("double") /
       sqrt(col("n2a").cast("double") * col("n2b").cast("double"))
     dots

@@ -45,7 +45,12 @@ import org.apache.spark.sql.functions._
   * `measure` a non-negative long (fixed-point for money — cents);
   * negativity would break the pruning bound and fails loudly in the
   * executor. Totals must satisfy total·P < Long.Max (overflow guard on
-  * the integer compare).
+  * the integer compare). The per-partition hash map holds that
+  * PARTITION's distinct keys — the same working-set contract as any
+  * non-spilling hash aggregate: size `maxPartitionBytes` so a
+  * partition's key universe fits an executor (at 100 TB that is the
+  * scan-partition sizing already required elsewhere), or pre-bucket by
+  * key range when a single scan partition can exceed it.
   */
 object TopK {
 

@@ -541,6 +541,25 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("globalTopK == driver-side direct top-k on random corpora (seeded property loop)") {
+    for (seed <- Seq(3, 19, 101)) {
+      val rnd = new scala.util.Random(seed)
+      val nKeys = 1 + rnd.nextInt(60)
+      val rows = (1 to 300 + rnd.nextInt(700)).map { _ =>
+        // mixed regimes: some seeds heavy-tailed, some near-uniform
+        val key = (math.pow(rnd.nextDouble(), 1 + seed % 3) * nKeys).toLong
+        (key, rnd.nextInt(1000).toLong)
+      }
+      val k = 1 + rnd.nextInt(8)
+      val direct = rows.groupBy(_._1).map { case (kk, rs) => (kk, rs.map(_._2).sum) }
+        .toSeq.sortBy { case (kk, s) => (-s, kk) }.take(k)
+      val got = TopK.globalTopK(
+          rows.toDF("k", "m").repartition(1 + rnd.nextInt(9)), col("k"), col("m"), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == direct, s"seed=$seed k=$k nKeys=$nKeys")
+    }
+  }
+
   test("globalTopK: uniform totals degrade to full candidacy but stay exact; contract") {
     // every key has the SAME total → nothing CAN prune (no TA algorithm
     // separates equals); candidates degrade to the full key set, exactly

@@ -57,6 +57,29 @@ class SparseSimSpec extends AnyFunSuite {
     assert(fastSh == slowSh)
   }
 
+  test("losslessness holds across random corpus shapes (seeded property loop)") {
+    for (seed <- Seq(2, 23, 71)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = 5 + rnd.nextInt(60) // tiny hot vocabularies AND rare tails
+      val docs = (1L to 40L + rnd.nextInt(40)).map { i =>
+        val len = 3 + rnd.nextInt(10)
+        (i, Seq.fill(len)(s"t${(math.pow(rnd.nextDouble(), 2) * vocab).toInt}")
+          .mkString(" "))
+      }.toDF("doc_id", "text")
+      val tau = Seq((1L, 2L), (3L, 4L), (9L, 10L))(rnd.nextInt(3))
+      val fast = SparseSim.cosinePairs(docs, "doc_id", "text", tau._1, tau._2)
+        .orderBy($"doc_a", $"doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val slow = SparseSim.cosinePairsOverExhaustive(
+          docs.select($"doc_id".as("doc"),
+            explode(split(trim(lower($"text")), "\\s+")).as("term")),
+          "doc", "term", tau._1, tau._2)
+        .orderBy($"doc_a", $"doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(fast == slow, s"seed=$seed vocab=$vocab tau=$tau: ${fast.size} vs ${slow.size}")
+    }
+  }
+
   test("prefix filter actually prunes: hot tokens stay out of prefixes") {
     // every doc shares the hot token; rare tokens are unique per doc —
     // no pair can reach τ = 0.9, and the prefix join must not explode

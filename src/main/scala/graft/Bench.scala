@@ -187,8 +187,8 @@ object Bench {
     // regressions and manufactures fake ones (r13→r14 q_j1_linkage read
     // 1.38x with zero plan change). The fix is the untouched-sink control
     // promoted into the board: a fixed CANONICAL PROBE set of long-stable
-    // queries measures the host, drift = Σ probe_now / Σ probe_baseline
-    // (sum-weighted — the longer probes are relatively quieter), and
+    // queries measures the host, drift = MEDIAN per-probe ratio
+    // (robust to stalled probes — see below), and
     // every per-query comparison against the committed baseline
     // (bench_history/BENCH_BASELINE.json, regenerated deliberately at
     // each round close like the shuffle pins) happens in NORMALIZED time
@@ -217,9 +217,20 @@ object Bench {
     val resMap = results.toMap
     val probesLive = probeSet.filter(n =>
       resMap.getOrElse(n, -1.0) > 0 && baseline.getOrElse(n, -1.0) > 0)
+    // MEDIAN of per-probe ratios, not Σnow/Σbaseline: the sum form is
+    // poisoned by ONE stalled probe (measured: a 6.69 s q_tfidf_top_terms
+    // sample against its 0.82 s baseline drove "drift" to 2.19, halving
+    // every normalized value and masking real regressions). The median
+    // survives up to half the probes stalling — the same robustness
+    // argument as min-of-3 per query.
     val drift: Option[Double] =
       if (isNoiseChild || probesLive.size < 8) None
-      else Some(probesLive.map(resMap).sum / probesLive.map(baseline).sum)
+      else {
+        val ratios = probesLive.map(n => resMap(n) / baseline(n)).sorted
+        val m = ratios.length
+        Some(if (m % 2 == 1) ratios(m / 2)
+        else (ratios(m / 2 - 1) + ratios(m / 2)) / 2.0)
+      }
     def breaches(n: String, t: Double, d: Double): Boolean =
       baseline.get(n).exists(b => b > 0 && t / d > 1.3 * b && t / d - b > 0.3)
     val flagged: Seq[(String, Double, Double)] = drift match {
@@ -229,16 +240,37 @@ object Bench {
           (n, t / d, baseline(n))
       }
     }
-    val fresh = childRun(flagged.map(_._1), "ratchet")
+    // The confirmation child re-measures the PROBES alongside the flagged
+    // rows and judges against the PHASE-LOCAL drift: this host oscillates
+    // ~2x on a minutes timescale (measured q1_pricing_summary 0.59 s
+    // in-board -> 1.08-1.18 s solo minutes later), so a child normalized
+    // by the PARENT's drift merely confirms the phase, not the
+    // regression. A real plan change breaches at any phase; a phase
+    // artifact slows the fresh probes equally and clears.
+    val fresh = childRun((flagged.map(_._1) ++ probeSet).distinct, "ratchet")
+    val freshProbes = probeSet.filter(n =>
+      fresh.getOrElse(n, -1.0) > 0 && baseline.getOrElse(n, -1.0) > 0)
+    val freshDrift: Option[Double] =
+      if (freshProbes.size < 8) drift // fall back to the parent's
+      else {
+        val ratios = freshProbes.map(n => fresh(n) / baseline(n)).sorted
+        val m = ratios.length
+        Some(if (m % 2 == 1) ratios(m / 2)
+        else (ratios(m / 2 - 1) + ratios(m / 2)) / 2.0)
+      }
     val regressions: Seq[(String, Double, Double, Option[Double])] =
       flagged.flatMap { case (n, norm, b) =>
         val f = fresh.get(n).filter(_ > 0)
-        // confirmed iff the fresh-JVM sample ALSO breaches (or is absent)
-        if (f.forall(t => breaches(n, t, drift.get)))
-          Some((n, norm, b, f.map(_ / drift.get)))
+        // confirmed iff the fresh sample ALSO breaches under the
+        // phase-local drift (or the child produced nothing — stay loud)
+        if (f.forall(t => breaches(n, t, freshDrift.getOrElse(drift.get))))
+          Some((n, norm, b, f.map(_ / freshDrift.getOrElse(drift.get))))
         else None
       }
-    val driftJson = drift.map(d => s""","drift":${fmt(d)}""").getOrElse("")
+    val driftJson = drift.map(d => s""","drift":${fmt(d)}""").getOrElse("") +
+      (if (flagged.nonEmpty)
+        freshDrift.map(d => s""","fresh_drift":${fmt(d)}""").getOrElse("")
+      else "")
     val regJson = drift.map { _ =>
       val cleared = flagged.map(_._1).toSet -- regressions.map(_._1).toSet
       s""","regressions":${regressions.map { case (n, norm, b, f) =>

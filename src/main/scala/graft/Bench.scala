@@ -11,6 +11,22 @@ import org.apache.spark.sql.SparkSession
   * the queries as verified, minus only sink I/O.
   */
 object Bench {
+  /** Canonical probe set: long-stable queries that measure the HOST, so
+    * every baseline comparison happens in drift-normalized time (see the
+    * ratchet block below and BenchRatchet's scaladoc). Object-level so
+    * the ratchet fixture spec replays archived boards against the exact
+    * production probe list. */
+  val probeSet: Seq[String] = Seq("q1_pricing_summary", "q3_top_revenue",
+    "q5_region_revenue", "q6_revenue_forecast", "q_a1_rollup",
+    "q_ann_brute_topk", "q_ann_ivf_topk", "q_dedup_exact",
+    "q_dedup_minhash_lsh", "q_sessionize", "q_text_stats",
+    "q_tfidf_top_terms")
+
+  /** Standing noise-class rows (fresh-JVM swing without plan change —
+    * see the noise-class block below); excluded from the ratchet. */
+  val noiseClass: Seq[String] =
+    Seq("q_pagerank", "q_negative_sample", "q_audio_decode")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -65,7 +81,23 @@ object Bench {
     // untouched queries read 2-3x high; all re-measured at baseline on
     // quiet runs), so a third sample buys one more chance for a clean
     // measurement — the min measures the plan, not the interruption.
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Execution order: sorted by name for the board (stable round-over-
+    // round comparisons), or a SEEDED SHUFFLE when SPARK_GRAFT_EXEC_SEED
+    // is set — the ratchet's confirmation children run shuffled so a host
+    // phase that persists into the child hits a DIFFERENT alphabetic
+    // window than it hit on the board (decorrelating row identity from
+    // phase timing), and the parent can reconstruct the same order from
+    // the seed to pick each row's neighboring probes.
+    val ordered: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = {
+      val base = selected.toSeq.sortBy(_._1)
+      sys.env.get("SPARK_GRAFT_EXEC_SEED").map(_.toLong) match {
+        case Some(seed) =>
+          val m = base.toMap
+          BenchRatchet.shuffledOrder(base.map(_._1), seed).map(n => n -> m(n))
+        case None => base
+      }
+    }
+    val results = ordered.map { case (name, fn) =>
       // a failed run is NOT a sample — its elapsed-to-throw would win the
       // min and under-report the query. min over successes; a query with
       // zero successes reports -1 (unambiguous in the JSON, excluded from
@@ -129,14 +161,14 @@ object Bench {
     // board values 0.30-0.52 s) — the work itself is 5k tiny in-memory
     // WAV round-trips behind one 64-way shuffle, far too small to drift
     // structurally; the swing is JIT/provider-init timing luck.
-    val noiseNames = Seq("q_pagerank", "q_negative_sample", "q_audio_decode")
-      .filter(n => results.exists(_._1 == n))
+    val noiseNames = noiseClass.filter(n => results.exists(_._1 == n))
     val isNoiseChild = sys.env.contains("SPARK_GRAFT_NOISE_CHILD")
     // Fresh child-JVM re-measure of a name subset (min-of-3 via the normal
     // bench path): the control for anything suspected of BOARD-POSITION
     // noise rather than plan change. Used for the standing noise class and
     // as the ratchet's confirmation pass below.
-    def childRun(names: Seq[String], tag: String): Map[String, Double] =
+    def childRun(names: Seq[String], tag: String,
+                 seed: Option[Long] = None): Map[String, Double] =
       if (names.isEmpty || isNoiseChild) Map.empty
       else try {
         import scala.jdk.CollectionConverters._
@@ -153,6 +185,7 @@ object Bench {
         pb.environment().put("SPARK_GRAFT_DETAIL_PATH", tmp.toString)
         pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
         pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+        seed.foreach(s => pb.environment().put("SPARK_GRAFT_EXEC_SEED", s.toString))
         pb.redirectErrorStream(true)
         pb.redirectOutput(java.lang.ProcessBuilder.Redirect.DISCARD)
         val p = pb.start()
@@ -193,97 +226,65 @@ object Bench {
     // (bench_history/BENCH_BASELINE.json, regenerated deliberately at
     // each round close like the shuffle pins) happens in NORMALIZED time
     // t/drift. A normalized regression > 1.3x with > 0.3 s absolute
-    // movement is FLAGGED, then CONFIRMED by a fresh child-JVM
-    // re-measure of just those rows (the noise-class mechanism applied
-    // adaptively): only rows still past both gates in the fresh JVM fail
-    // the run (exit 1, the errored-queries pattern). The confirmation
-    // pass exists because the first live firing flagged three rows that
-    // re-measured AT baseline solo — board-position JIT/code-cache
-    // pressure in a 240-query JVM, not plan changes (q_tok_fairness
-    // board 1.51 s vs solo 0.97 s, baseline 0.84·drift). A child that
-    // fails to produce a number keeps the flag (loud, never masking).
-    // Noise-class rows are excluded (their own fresh-JVM control above).
-    val probeSet = Seq("q1_pricing_summary", "q3_top_revenue",
-      "q5_region_revenue", "q6_revenue_forecast", "q_a1_rollup",
-      "q_ann_brute_topk", "q_ann_ivf_topk", "q_dedup_exact",
-      "q_dedup_minhash_lsh", "q_sessionize", "q_text_stats",
-      "q_tfidf_top_terms")
+    // movement is FLAGGED, then CONFIRMED (or cleared, or DEFERRED) by
+    // the BenchRatchet decision procedure — see that file's scaladoc for
+    // the round-15 forensics that shaped it. Noise-class rows are
+    // excluded (their own fresh-JVM control above); a clean board runs
+    // ZERO confirmation children.
     val baseline: Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("bench_history/BENCH_BASELINE.json")), "UTF-8")
       """"([a-z0-9_]+)":\s*([0-9][0-9.]*)""".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
+    // Decision logic lives in BenchRatchet (pure, fixture-tested against
+    // the archived round-15 false-positive board): median-probe drift,
+    // contiguous-band host-phase detection, shuffled-order children judged
+    // by neighboring-probe drift, dual time-separated children under a
+    // host-phase signature, and a DEFER (exit 0, rows stamped "suspects")
+    // when a confirmation child is itself degraded — a degraded host
+    // cannot confirm anything (round 15's child read drift 1.398 and
+    // "confirmed" 10 rows the judge re-measured at baseline).
     val resMap = results.toMap
-    val probesLive = probeSet.filter(n =>
-      resMap.getOrElse(n, -1.0) > 0 && baseline.getOrElse(n, -1.0) > 0)
-    // MEDIAN of per-probe ratios, not Σnow/Σbaseline: the sum form is
-    // poisoned by ONE stalled probe (measured: a 6.69 s q_tfidf_top_terms
-    // sample against its 0.82 s baseline drove "drift" to 2.19, halving
-    // every normalized value and masking real regressions). The median
-    // survives up to half the probes stalling — the same robustness
-    // argument as min-of-3 per query.
-    val drift: Option[Double] =
-      if (isNoiseChild || probesLive.size < 8) None
-      else {
-        val ratios = probesLive.map(n => resMap(n) / baseline(n)).sorted
-        val m = ratios.length
-        Some(if (m % 2 == 1) ratios(m / 2)
-        else (ratios(m / 2 - 1) + ratios(m / 2)) / 2.0)
-      }
-    def breaches(n: String, t: Double, d: Double): Boolean =
-      baseline.get(n).exists(b => b > 0 && t / d > 1.3 * b && t / d - b > 0.3)
-    val flagged: Seq[(String, Double, Double)] = drift match {
-      case None => Seq.empty
-      case Some(d) => results.collect {
-        case (n, t) if t > 0 && !noiseNames.contains(n) && breaches(n, t, d) =>
-          (n, t / d, baseline(n))
-      }
-    }
-    // The confirmation child re-measures the PROBES alongside the flagged
-    // rows and judges against the PHASE-LOCAL drift: this host oscillates
-    // ~2x on a minutes timescale (measured q1_pricing_summary 0.59 s
-    // in-board -> 1.08-1.18 s solo minutes later), so a child normalized
-    // by the PARENT's drift merely confirms the phase, not the
-    // regression. A real plan change breaches at any phase; a phase
-    // artifact slows the fresh probes equally and clears.
-    val fresh = childRun((flagged.map(_._1) ++ probeSet).distinct, "ratchet")
-    val freshProbes = probeSet.filter(n =>
-      fresh.getOrElse(n, -1.0) > 0 && baseline.getOrElse(n, -1.0) > 0)
-    val freshDrift: Option[Double] =
-      if (freshProbes.size < 8) drift // fall back to the parent's
-      else {
-        val ratios = freshProbes.map(n => fresh(n) / baseline(n)).sorted
-        val m = ratios.length
-        Some(if (m % 2 == 1) ratios(m / 2)
-        else (ratios(m / 2 - 1) + ratios(m / 2)) / 2.0)
-      }
-    val regressions: Seq[(String, Double, Double, Option[Double])] =
-      flagged.flatMap { case (n, norm, b) =>
-        val f = fresh.get(n).filter(_ > 0)
-        // confirmed iff the fresh sample ALSO breaches under the
-        // phase-local drift (or the child produced nothing — stay loud)
-        if (f.forall(t => breaches(n, t, freshDrift.getOrElse(drift.get))))
-          Some((n, norm, b, f.map(_ / freshDrift.getOrElse(drift.get))))
-        else None
-      }
-    val driftJson = drift.map(d => s""","drift":${fmt(d)}""").getOrElse("") +
-      (if (flagged.nonEmpty)
-        freshDrift.map(d => s""","fresh_drift":${fmt(d)}""").getOrElse("")
+    val execOrder = results.map(_._1)
+    val settleMs = sys.env.get("SPARK_GRAFT_RATCHET_SLEEP_MS")
+      .map(_.toLong).getOrElse(90000L)
+    val verdict: BenchRatchet.Verdict =
+      if (isNoiseChild)
+        BenchRatchet.Verdict(None, Nil, hostPhase = false, Nil,
+          deferred = false, Nil, Nil, Nil)
+      else BenchRatchet.decide(
+        board = resMap, execOrder = execOrder, baseline = baseline,
+        probeSet = probeSet, noiseNames = noiseNames.toSet,
+        runChild = (names, seed) => childRun(names, s"ratchet$seed", Some(seed)),
+        sleep = () => if (settleMs > 0) Thread.sleep(settleMs))
+    def confirmJson(rows: Seq[BenchRatchet.Confirm]): String =
+      rows.map { c =>
+        s"""{"query":"${c.name}","normalized":${fmt(c.normalized)},""" +
+          s""""baseline":${fmt(c.baseline)},"fresh_normalized":""" +
+          c.freshNormalized.map(_.map(fmt).getOrElse("null"))
+            .mkString("[", ",", "]") + "}"
+      }.mkString("[", ",", "]")
+    val driftJson = verdict.drift.map(d => s""","drift":${fmt(d)}""").getOrElse("") +
+      (if (verdict.flagged.nonEmpty)
+        s""","fresh_drifts":${verdict.childDrifts.map(_.map(fmt).getOrElse("null")).mkString("[", ",", "]")},"host_phase":${verdict.hostPhase},"deferred":${verdict.deferred}"""
       else "")
-    val regJson = drift.map { _ =>
-      val cleared = flagged.map(_._1).toSet -- regressions.map(_._1).toSet
-      s""","regressions":${regressions.map { case (n, norm, b, f) =>
-        s"""{"query":"$n","normalized":${fmt(norm)},"baseline":${fmt(b)}""" +
-          f.map(v => s""","fresh_normalized":${fmt(v)}""").getOrElse("") + "}"
-      }.mkString("[", ",", "]")}""" +
-        s""","ratchet_cleared":${cleared.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    val regJson = verdict.drift.map { _ =>
+      s""","regressions":${confirmJson(verdict.confirmed)}""" +
+        s""","suspects":${confirmJson(verdict.suspects)}""" +
+        s""","ratchet_cleared":${verdict.cleared.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     }.getOrElse("")
-    if (regressions.nonEmpty)
-      System.err.println(s"[bench] RATCHET FAIL: ${regressions.size} " +
-        s"CONFIRMED normalized regression(s) > 1.3x vs baseline (drift ${drift.get}): " +
-        regressions.map { case (n, norm, b, f) =>
-          f"$n $norm%.3f (fresh ${f.getOrElse(-1.0)}%.3f) vs $b%.3f" }.mkString("; "))
+    if (verdict.failed)
+      System.err.println(s"[bench] RATCHET FAIL: ${verdict.confirmed.size} " +
+        s"CONFIRMED normalized regression(s) > 1.3x vs baseline (drift ${verdict.drift.get}): " +
+        verdict.confirmed.map { c =>
+          f"${c.name} ${c.normalized}%.3f (fresh ${c.freshNormalized.flatten.mkString("/")}) vs ${c.baseline}%.3f"
+        }.mkString("; "))
+    if (verdict.deferred)
+      System.err.println(s"[bench] RATCHET DEFERRED: confirmation child degraded " +
+        s"(drifts ${verdict.childDrifts.flatten.mkString("/")}); " +
+        s"${verdict.suspects.size} suspect row(s) stamped, not failed: " +
+        verdict.suspects.map(_.name).mkString(", "))
     val headline = Seq("q1_pricing_summary", "q3_top_revenue", "q5_region_revenue",
       "q6_revenue_forecast", "q_a1_rollup", "q_j1_linkage", "q_sessionize",
       "q_dedup_exact", "q_dedup_minhash_lsh", "q_emb_neardup_lsh",
@@ -291,6 +292,6 @@ object Bench {
     val headlined = results.filter { case (n, _) => headline.contains(n) }
     println(s"""{"metric":"total","value":${fmt(total)},$meta,"n_queries":${results.size},"n_errored":${errored.size},$erroredJson$noiseJson$driftJson$regJson,"detail":"BENCH_DETAIL.json","queries":${toJson(headlined)}}""")
     spark.stop()
-    if (errored.nonEmpty || regressions.nonEmpty) sys.exit(1)
+    if (errored.nonEmpty || verdict.failed) sys.exit(1)
   }
 }

@@ -1,0 +1,250 @@
+package graft
+
+/** The bench regression ratchet's DECISION LOGIC, factored pure so the
+  * round-15 driver board — 10 false-positive "confirmed" regressions —
+  * replays as a fixture test instead of a once-a-round live firing.
+  *
+  * What round 15 proved about this host (VERDICT r15, "What's wrong" #1):
+  * degradation arrives in MINUTES-LONG PHASES that sweep the sorted
+  * execution order, producing an alphabetically CONTIGUOUS band of
+  * flagged rows (q_global_topk..q_html_extract, board positions
+  * 110-119); and the degradation is DIFFERENTIAL — multi-job queries
+  * amplify a host stall far more than the light canonical probes, so a
+  * single global probe-median drift under-corrects exactly the rows a
+  * phase hits hardest. A single confirmation child launched straight
+  * into the same phase (fresh probe drift 1.398) then "confirms" the
+  * phase, not a regression.
+  *
+  * The decision procedure this module implements:
+  *
+  *  1. Board drift = MEDIAN canonical-probe ratio vs baseline (>= 8 live
+  *     probes required). Rows breaching in normalized time (> 1.3x and
+  *     > 0.3 s absolute) are FLAGGED; noise-class rows excluded.
+  *  2. No flags => clean verdict, NO child JVM (the round-15 code paid a
+  *     full extra probe benchmark on every clean run — ADVICE r15).
+  *  3. Host-phase signature: >= 4 flagged rows adjacent in the board's
+  *     execution order (small gaps <= `bandGap` allowed for interleaved
+  *     rows too cheap to breach the 0.3 s absolute gate). A genuine
+  *     multi-query plan regression lands on an author's TOUCHED rows,
+  *     which are not alphabetically clustered; a host phase sweeps a
+  *     contiguous window of the sorted run.
+  *  4. Confirmation child #1 re-measures flagged rows + probes in a
+  *     SHUFFLED order (a phase that survives into the child then hits a
+  *     different alphabetic window, decorrelating row and phase), and
+  *     each row is judged against its NEIGHBORING-probe drift — the
+  *     median ratio of the `localK` probes nearest in the child's
+  *     execution order — so a mid-child burst normalizes rows measured
+  *     inside it by probes measured inside it.
+  *  5. A child whose own probes read > `degradedDrift` (1.3x) baseline is
+  *     itself degraded and can confirm NOTHING: the verdict DEFERS
+  *     (exit 0) with the still-breaching rows stamped as `suspects` —
+  *     loud in the artifact, red only when a healthy child agrees.
+  *     (Round 15's child read 1.398: this gate alone retires that board.)
+  *  6. Under a host-phase signature, confirmation needs TWO independent
+  *     children separated by a settle delay, both healthy, both
+  *     breaching — one child cannot distinguish "phase persisted" from
+  *     "regression real" when the board itself looks phase-shaped.
+  *  7. A child that produces NO number for a flagged row keeps the flag
+  *     loud (confirmed) — a crashing query must never read as cleared.
+  */
+object BenchRatchet {
+
+  /** A board row past both gates, pre-confirmation. */
+  final case class Flag(name: String, board: Double, normalized: Double,
+                        baseline: Double)
+
+  /** A flagged row's post-confirmation record: `freshNormalized` per
+    * child that measured it (empty element = child produced nothing). */
+  final case class Confirm(name: String, normalized: Double, baseline: Double,
+                           freshNormalized: Seq[Option[Double]])
+
+  final case class Verdict(
+      drift: Option[Double],
+      flagged: Seq[Flag],
+      hostPhase: Boolean,
+      childDrifts: Seq[Option[Double]],
+      deferred: Boolean,
+      confirmed: Seq[Confirm],
+      suspects: Seq[Confirm],
+      cleared: Seq[String]) {
+    def failed: Boolean = confirmed.nonEmpty
+  }
+
+  /** Normalized-time breach: > `ratioGate` x baseline AND > `absGate`
+    * seconds absolute movement (tiny rows breach ratios on scheduler
+    * jitter alone). */
+  def breaches(baseline: Double, normalized: Double,
+               ratioGate: Double = 1.3, absGate: Double = 0.3): Boolean =
+    baseline > 0 && normalized > ratioGate * baseline &&
+      normalized - baseline > absGate
+
+  def median(xs: Seq[Double]): Double = {
+    require(xs.nonEmpty, "median of nothing")
+    val s = xs.sorted
+    val m = s.length
+    if (m % 2 == 1) s(m / 2) else (s(m / 2 - 1) + s(m / 2)) / 2.0
+  }
+
+  /** Deterministic Fisher-Yates so parent and child derive the SAME
+    * execution order from the seed (the parent needs the order to pick
+    * each row's neighboring probes). */
+  def shuffledOrder(names: Seq[String], seed: Long): Seq[String] = {
+    val a = names.toArray
+    val rnd = new scala.util.Random(seed)
+    var i = a.length - 1
+    while (i > 0) {
+      val j = rnd.nextInt(i + 1)
+      val t = a(i); a(i) = a(j); a(j) = t
+      i -= 1
+    }
+    a.toSeq
+  }
+
+  /** Longest run of flagged rows adjacent in `execOrder`, tolerating
+    * gaps of up to `bandGap` unflagged rows (rows too cheap to trip the
+    * absolute gate sit inside a phase window without breaking it). */
+  def maxBandSize(flagged: Set[String], execOrder: Seq[String],
+                  bandGap: Int = 3): Int = {
+    val pos = execOrder.iterator.zipWithIndex.collect {
+      case (n, i) if flagged(n) => i
+    }.toSeq.sorted
+    if (pos.isEmpty) 0
+    else {
+      var best = 1; var run = 1
+      for (k <- 1 until pos.length) {
+        if (pos(k) - pos(k - 1) <= bandGap + 1) run += 1
+        else run = 1
+        best = math.max(best, run)
+      }
+      best
+    }
+  }
+
+  /** Global child drift: median probe ratio vs baseline over the child's
+    * live probes; None when fewer than `minProbes` measured (a child
+    * that can't even run the probes proves nothing either way). */
+  def childDrift(child: Map[String, Double], baseline: Map[String, Double],
+                 probeSet: Seq[String], minProbes: Int = 8): Option[Double] = {
+    val live = probeSet.filter(n =>
+      child.getOrElse(n, -1.0) > 0 && baseline.getOrElse(n, -1.0) > 0)
+    if (live.size < minProbes) None
+    else Some(median(live.map(n => child(n) / baseline(n))))
+  }
+
+  /** Neighboring-probe drift for one row: the median ratio of the
+    * `localK` live probes closest to the row in the child's execution
+    * order. Differential host stalls are time-local; the probes that ran
+    * next to the row saw the same host the row did. None when fewer than
+    * 3 usable neighbors exist (caller falls back to the global child
+    * drift). */
+  def localDrift(row: String, childOrder: Seq[String],
+                 child: Map[String, Double], baseline: Map[String, Double],
+                 probeSet: Seq[String], localK: Int = 5): Option[Double] = {
+    val pos = childOrder.iterator.zipWithIndex.toMap
+    val rowPos = pos.getOrElse(row, return None)
+    val usable = probeSet.filter(n => pos.contains(n) &&
+      child.getOrElse(n, -1.0) > 0 && baseline.getOrElse(n, -1.0) > 0)
+    if (usable.size < 3) None
+    else {
+      val nearest = usable.sortBy(n => (math.abs(pos(n) - rowPos), n)).take(localK)
+      Some(median(nearest.map(n => child(n) / baseline(n))))
+    }
+  }
+
+  /** Full decision. `runChild(names, seed)` launches one fresh-JVM
+    * re-measure executing `names` in `shuffledOrder(names.sorted, seed)`
+    * and returns its per-query seconds (empty map = child failed).
+    * `sleep()` separates the two children under a host-phase signature.
+    * `runChild` is invoked zero times (clean board), once, or twice. */
+  def decide(board: Map[String, Double], execOrder: Seq[String],
+             baseline: Map[String, Double], probeSet: Seq[String],
+             noiseNames: Set[String],
+             runChild: (Seq[String], Long) => Map[String, Double],
+             sleep: () => Unit,
+             minProbes: Int = 8, degradedDrift: Double = 1.3): Verdict = {
+
+    val probesLive = probeSet.filter(n =>
+      board.getOrElse(n, -1.0) > 0 && baseline.getOrElse(n, -1.0) > 0)
+    val drift: Option[Double] =
+      if (probesLive.size < minProbes) None
+      else Some(median(probesLive.map(n => board(n) / baseline(n))))
+
+    val flagged: Seq[Flag] = drift match {
+      case None => Seq.empty
+      case Some(d) => execOrder.flatMap { n =>
+        val t = board.getOrElse(n, -1.0)
+        val b = baseline.getOrElse(n, -1.0)
+        if (t > 0 && !noiseNames(n) && breaches(b, t / d))
+          Some(Flag(n, t, t / d, b))
+        else None
+      }
+    }
+    if (flagged.isEmpty)
+      return Verdict(drift, Nil, hostPhase = false, Nil, deferred = false,
+        Nil, Nil, Nil)
+
+    val hostPhase = maxBandSize(flagged.map(_.name).toSet, execOrder) >= 4
+
+    /** One confirmation pass: measure `rows` (+ probes) in a fresh child,
+      * judge each against its neighboring-probe drift. Returns
+      * (childDrift, still-breaching rows with their fresh normalized,
+      * rows the child could not measure). */
+    def pass(rows: Seq[Flag], seed: Long)
+        : (Option[Double], Seq[(Flag, Option[Double])]) = {
+      val names = (rows.map(_.name) ++ probeSet).distinct.sorted
+      val order = shuffledOrder(names, seed)
+      val child = runChild(names, seed)
+      val cd = childDrift(child, baseline, probeSet, minProbes)
+      val surviving = rows.flatMap { f =>
+        child.get(f.name).filter(_ > 0) match {
+          case None => Some((f, None: Option[Double])) // no number: stay loud
+          case Some(t) =>
+            val d = localDrift(f.name, order, child, baseline, probeSet)
+              .orElse(cd).getOrElse(1.0)
+            val norm = t / d
+            if (breaches(f.baseline, norm)) Some((f, Some(norm))) else None
+        }
+      }
+      (cd, surviving)
+    }
+
+    def toConfirm(rows: Seq[(Flag, Seq[Option[Double]])]): Seq[Confirm] =
+      rows.map { case (f, fs) => Confirm(f.name, f.normalized, f.baseline, fs) }
+
+    val (cd1, surv1) = pass(flagged, seed = 1L)
+    val cleared1 = flagged.map(_.name).toSet -- surv1.map(_._1.name).toSet
+
+    // Child #1 itself degraded: it can confirm nothing. Defer the verdict
+    // (exit 0) with every still-breaching row stamped suspect. A child
+    // that produced NO drift at all (cd1 None) is NOT a defer — rows it
+    // also failed to measure stay loud below.
+    if (cd1.exists(_ > degradedDrift)) {
+      val sus = toConfirm(surv1.map { case (f, v) => (f, Seq(v)) })
+      return Verdict(drift, flagged, hostPhase, Seq(cd1), deferred = true,
+        Nil, sus, cleared1.toSeq.sorted)
+    }
+
+    if (surv1.isEmpty)
+      return Verdict(drift, flagged, hostPhase, Seq(cd1), deferred = false,
+        Nil, Nil, flagged.map(_.name).sorted)
+
+    if (!hostPhase) {
+      val conf = toConfirm(surv1.map { case (f, v) => (f, Seq(v)) })
+      return Verdict(drift, flagged, hostPhase, Seq(cd1), deferred = false,
+        conf, Nil, cleared1.toSeq.sorted)
+    }
+
+    // Host-phase signature: a second, time-separated child must agree.
+    sleep()
+    val fresh1 = surv1.map { case (f, v) => f.name -> v }.toMap
+    val (cd2, surv2) = pass(surv1.map(_._1), seed = 2L)
+    val cleared2 = (flagged.map(_.name).toSet -- surv2.map(_._1.name).toSet).toSeq.sorted
+    val rows2 = surv2.map { case (f, v) => (f, Seq(fresh1(f.name), v)) }
+    if (cd2.exists(_ > degradedDrift))
+      Verdict(drift, flagged, hostPhase, Seq(cd1, cd2), deferred = true,
+        Nil, toConfirm(rows2), cleared2)
+    else
+      Verdict(drift, flagged, hostPhase, Seq(cd1, cd2), deferred = false,
+        toConfirm(rows2), Nil, cleared2)
+  }
+}

@@ -72,8 +72,12 @@ object QueriesAnalytics {
     * the first element; the α-division is an arithmetic SHIFT on both
     * engines, so negative deviations floor identically). */
   private val qEwma = Q(
+    // ts IS NOT NULL: the fold order is (us, event_id) and a NULL us
+    // would sort NULLS FIRST in Spark vs DuckDB's list() NULLS LAST,
+    // shifting the whole fold (the q_cusum_twosided fix, ADVICE r15)
     (s, d) => Profiler.ewmaSmooth(
-        t(s, d, "events").filter(col("value").isNotNull)
+        t(s, d, "events")
+          .filter(col("value").isNotNull && col("ts").isNotNull)
           .select(col("user_id"), unix_micros(col("ts")).as("us"),
             col("event_id"), col("value")),
         group = "user_id", seq = Seq("us", "event_id"), x = "value",
@@ -81,7 +85,7 @@ object QueriesAnalytics {
       .orderBy(col("user_id")),
     Some("WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, " +
       "CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS xq " +
-      "FROM events WHERE value IS NOT NULL), " +
+      "FROM events WHERE value IS NOT NULL AND ts IS NOT NULL), " +
       "l AS (SELECT user_id, list(xq ORDER BY us, event_id) AS xs " +
       "FROM e GROUP BY user_id) " +
       "SELECT user_id, CAST(len(xs) AS BIGINT) AS n_obs, " +
@@ -700,8 +704,12 @@ object QueriesAnalytics {
     * floor/truncate semantics differ across engines), both directions,
     * one row per user. The oracle replays the identical windows. */
   private val qCusum = Q(
+    // ts IS NOT NULL matches q_burstiness below: a NULL ts would sort
+    // NULLS FIRST in Spark windows vs DuckDB's NULLS LAST default,
+    // shifting the whole prefix-sum trajectory (ADVICE r15)
     (s, d) => Profiler.cusumTwoSided(
-        t(s, d, "events").filter(col("value").isNotNull)
+        t(s, d, "events")
+          .filter(col("value").isNotNull && col("ts").isNotNull)
           .select(col("user_id"), unix_micros(col("ts")).as("us"),
             col("event_id"), col("value")),
         group = "user_id", seq = Seq("us", "event_id"), x = "value",
@@ -709,7 +717,7 @@ object QueriesAnalytics {
       .orderBy(col("user_id")),
     Some("WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, " +
       "CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS xq " +
-      "FROM events WHERE value IS NOT NULL), " +
+      "FROM events WHERE value IS NOT NULL AND ts IS NOT NULL), " +
       "w AS (SELECT user_id, us, event_id, xq, " +
       "count(*) OVER (PARTITION BY user_id) AS n, " +
       "SUM(xq) OVER (PARTITION BY user_id) AS tot, " +
@@ -736,13 +744,18 @@ object QueriesAnalytics {
     * value bins): is the event value predictive of event_type =
     * 'purchase'? The continuous-feature form every scorecard uses —
     * same shared drift core, bins via exact floor arithmetic (DuckDB
-    * CAST(double AS BIGINT) ROUNDS, so both engines floor first). */
+    * CAST(double AS BIGINT) ROUNDS, so both engines floor first).
+    * SIGN-SAFE binning (ADVICE r15): `floor(value / 20)` on both
+    * engines — the earlier `floor(value) div 20` vs `// 20` pair agreed
+    * only for non-negative values (Spark `div` truncates toward zero,
+    * DuckDB `//` floors, e.g. -7: 0 vs -1). Same IEEE double divide by
+    * 20 on both sides, then floor, then an exact integral cast. */
   private val qWoeIvBinned = Q(
     (s, d) => Profiler.woeIv(
         t(s, d, "events").filter(col("value").isNotNull)
-          .withColumn("vbin", expr("floor(value) div 20")),
+          .withColumn("vbin", floor(col("value") / lit(20.0)).cast("long")),
         "vbin", col("event_type") === "purchase"),
-    Some("WITH r AS (SELECT CAST(floor(value) AS BIGINT) // 20 AS vbin, event_type " +
+    Some("WITH r AS (SELECT CAST(floor(value / 20e0) AS BIGINT) AS vbin, event_type " +
       "FROM events WHERE value IS NOT NULL), " +
       "ca AS (SELECT vbin AS bin, count(*) AS n_a FROM r " +
       "WHERE event_type = 'purchase' GROUP BY 1), " +

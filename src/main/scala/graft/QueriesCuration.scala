@@ -1058,7 +1058,14 @@ object QueriesCuration {
     * Mann–Whitney rank statistic over the same trained scores q_clf_pr
     * sweeps — train → score → one-number eval as ONE gated plan. The
     * oracle extends the [[qualityClfCtes]] replay with the identical
-    * distinct-score midrank cumulative. */
+    * distinct-score midrank cumulative.
+    *
+    * The eval label is NULL-SAFE (`<=>`): training's
+    * `when(label, …).otherwise(…)` already treats a NULL lang as
+    * negative, and the oracle's `CASE WHEN lang = 'en' … ELSE 0` counts
+    * such docs in n_neg — but `auc`'s contract DROPS null labels, so a
+    * plain `===` would silently diverge the moment a fixture carries a
+    * NULL-lang document (ADVICE r15). */
   private val qClfAuc = Q(
     (s, d) => {
       val docs = t(s, d, "documents")
@@ -1067,7 +1074,7 @@ object QueriesCuration {
         buckets = 1024, epochs = 3, cacheKey = Some(clfKey(s, d)))
       graft.operators.Profiler.auc(
         scored.join(docs.select(col("doc_id"), col("lang")), "doc_id"),
-        "score_fp", label = col("lang") === "en")
+        "score_fp", label = col("lang") <=> lit("en"))
     },
     Some(qualityClfCtes(3) + ", " +
       "per AS (SELECT score_fp AS s2, count(*) AS n, " +

@@ -359,7 +359,10 @@ object QueriesExtras {
   private val qCusumAlarms = Q(
     (s, d) => {
       val day = floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long")
-      val daily = Tables.load(s, d, "events")
+      // ts IS NOT NULL: a NULL day would become a group key whose window
+      // position differs across engines (Spark NULLS FIRST, DuckDB
+      // NULLS LAST) — the q_cusum_twosided latent-divergence class
+      val daily = Tables.load(s, d, "events").filter(col("ts").isNotNull)
         .groupBy(col("user_id"), day.as("day"))
         .agg(sum(col("value").cast("decimal(18,6)")).as("v"))
       graft.operators.Profiler.cusumAlarms(daily, "user_id", "day", "v",
@@ -369,7 +372,8 @@ object QueriesExtras {
     },
     Some("WITH daily AS (SELECT user_id, " +
       "CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day, " +
-      "SUM(CAST(value AS DECIMAL(18,6))) AS v FROM events GROUP BY 1, 2), " +
+      "SUM(CAST(value AS DECIMAL(18,6))) AS v FROM events " +
+      "WHERE ts IS NOT NULL GROUP BY 1, 2), " +
       "m AS (SELECT user_id, day, v, " +
       "CAST(SUM(v) OVER (PARTITION BY user_id) AS DOUBLE) / " +
       "CAST(COUNT(*) OVER (PARTITION BY user_id) AS DOUBLE) AS mu FROM daily), " +

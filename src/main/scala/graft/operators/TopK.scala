@@ -54,19 +54,34 @@ import org.apache.spark.sql.functions._
   */
 object TopK {
 
-  /** What the threshold pass proved: partition count, the phase-1 lower
-    * bound L, and the phase-2 candidate count the exact aggregation was
-    * restricted to. */
+  /** What the threshold pass proved: NONEMPTY partition count (the P the
+    * phase-2 prune used), the phase-1 lower bound L, and the phase-2
+    * candidate count the exact aggregation was restricted to. */
   final case class Audit(numPartitions: Int, lowerBound: Long,
                          numCandidates: Long)
 
   /** Exact global top-k keys by `sum(measure)`. Output: (k, total),
-    * total descending then key ascending. */
+    * total descending then key ascending.
+    *
+    * Runs exactly the algorithm's three input evaluations plus the
+    * candidate broadcast — the audit's `numCandidates` action is paid
+    * only by [[globalTopKWithAudit]] callers that read it (round 15
+    * charged every production call a 4th full scan for an Audit the
+    * caller discarded; under a host stall that extra job amplified the
+    * row 8x on the driver board). */
   def globalTopK(df: DataFrame, key: Column, measure: Column, k: Int): DataFrame =
-    globalTopKWithAudit(df, key, measure, k)._1
+    core(df, key, measure, k)._1
 
+  /** [[globalTopK]] plus the prune audit; `numCandidates` costs one
+    * count over the (already pruned, ≈ k·P-key) candidate frame. */
   def globalTopKWithAudit(df: DataFrame, key: Column, measure: Column,
                           k: Int): (DataFrame, Audit) = {
+    val (out, cands, nParts, lowerBound) = core(df, key, measure, k)
+    (out, Audit(nParts, lowerBound, cands.count()))
+  }
+
+  private def core(df: DataFrame, key: Column, measure: Column,
+                   k: Int): (DataFrame, DataFrame, Int, Long) = {
     require(k >= 1, s"globalTopK: need k >= 1, got $k")
     val spark = df.sparkSession
     import spark.implicits._
@@ -91,7 +106,17 @@ object TopK {
         .iterator.take(k).map { case (kk, s) => (pid, kk, s) }
     }.toDF("pid", "k", "partial")
     val headRows = heads.collect() // ≤ k·P rows — bounded metadata
-    val nParts = base.rdd.getNumPartitions
+    // P = DISTINCT head-emitting pids, i.e. the nonempty partitions —
+    // derived from the rows phase 1 already collected, where the old
+    // base.rdd.getNumPartitions forced a Dataset→RDD plan conversion.
+    // Every nonempty partition emits ≥ 1 head row (it has ≥ 1 key), so
+    // this P counts exactly the partitions that hold data; empty
+    // partitions hold no partial of any key. Soundness of the phase-2
+    // bound is PRESERVED AND TIGHTENED: a key absent from the candidate
+    // set has s·P < L in each of its partitions, all nonempty, so
+    // total < |its partitions|·(L/P) ≤ P·(L/P) = L — strictly below the
+    // k-th total even on the key tie-break. Smaller P ⇒ stronger prune.
+    val nParts = headRows.iterator.map(_.getInt(0)).toSet.size
     val knownSums = headRows.groupBy(_.getLong(1))
       .map { case (_, rs) => rs.iterator.map(_.getLong(2)).sum }
       .toArray.sorted(Ordering.Long.reverse)
@@ -103,12 +128,11 @@ object TopK {
         case (kk, s) if s * p >= lowerBound => kk
       }
     }.toDF("k").distinct()
-    val numCandidates = cands.count()
     // phase 3 — exact totals over candidate rows only
     val out = base
       .join(broadcast(cands), Seq("k"), "left_semi")
       .groupBy(col("k")).agg(sum(col("m")).as("total"))
       .orderBy(col("total").desc, col("k")).limit(k)
-    (out, Audit(nParts, lowerBound, numCandidates))
+    (out, cands, nParts, lowerBound)
   }
 }

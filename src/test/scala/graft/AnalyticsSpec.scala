@@ -541,6 +541,46 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("globalTopK production path pays no audit job: pinned count, WithAudit strictly more") {
+    // Job-count the two variants via job groups (round 15's production
+    // path ran the audit's cands.count() unconditionally — a 4th full
+    // scan per call whose only output the caller discarded).
+    val sc = spark.sparkContext
+    def jobsIn(group: String)(body: => Unit): Int = {
+      sc.setJobGroup(group, group)
+      try body finally sc.clearJobGroup()
+      // the status store is fed by an async listener bus: poll until the
+      // group's job count is stable
+      var last = -1; var stable = 0; var waited = 0
+      while (stable < 3 && waited < 10000) {
+        val n = sc.statusTracker.getJobIdsForGroup(group).length
+        if (n == last) stable += 1 else { stable = 0; last = n }
+        Thread.sleep(100); waited += 100
+      }
+      last
+    }
+    val rows = (1 to 2000).map(i => (1L + (i % 50), (1000L / (1 + i % 50)) + 3L))
+    val df = rows.toDF("k", "m").repartition(6).localCheckpoint()
+    // warm both paths once so codegen/broadcast-init jobs don't skew counts
+    TopK.globalTopK(df, col("k"), col("m"), 5).collect()
+    TopK.globalTopKWithAudit(df, col("k"), col("m"), 5)._1.collect()
+    val plain = jobsIn("topk_plain") {
+      TopK.globalTopK(df, col("k"), col("m"), 5).collect(): Unit
+    }
+    val audited = jobsIn("topk_audit") {
+      val (out, audit) = TopK.globalTopKWithAudit(df, col("k"), col("m"), 5)
+      out.collect(); assert(audit.numCandidates > 0)
+    }
+    // Structural pin (the shuffles_pinned discipline): the production
+    // path's job count is the algorithm's inherent shape — heads collect,
+    // then the AQE-staged candidate broadcast + final aggregate. The
+    // audit variant pays the cands.count() on top (multiple jobs under
+    // AQE staging) — strictly more, and only there.
+    assert(plain == 5, s"plain=$plain — production job count moved")
+    assert(audited > plain,
+      s"plain=$plain audited=$audited — audit job(s) must be extra-only")
+  }
+
   test("globalTopK == driver-side direct top-k on random corpora (seeded property loop)") {
     for (seed <- Seq(3, 19, 101)) {
       val rnd = new scala.util.Random(seed)

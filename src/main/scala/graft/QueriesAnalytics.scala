@@ -827,6 +827,109 @@ object QueriesAnalytics {
       "round((sigma - mu) / (sigma + mu), 6) END AS burstiness " +
       "FROM c ORDER BY user_id"))
 
+  /** SPEARMAN ρ ([[Profiler.spearman]]) between quantity and discount
+    * over lineitem — both quantized to exact integers (quantity is
+    * integral; discount via the DECIMAL(4,2)·100 exact-cents trick), so
+    * every midrank and moment sum is an exact integer and only the final
+    * ρ is a mirrored double chain. The two marginal windows run over ≤ 50
+    * and ≤ 11 distinct values — the documented bounded-cardinality
+    * window contract. */
+  private val qSpearman = Q(
+    (s, d) => Profiler.spearman(t(s, d, "lineitem"),
+      col("l_quantity"),
+      (col("l_discount").cast("decimal(4,2)") * 100).cast("long")),
+    Some("WITH r AS (SELECT CAST(l_quantity AS BIGINT) AS x, " +
+      "CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS y " +
+      "FROM lineitem WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL), " +
+      "cells AS (SELECT x, y, count(*) AS w FROM r GROUP BY 1, 2), " +
+      "mx AS (SELECT x, count(*) AS c FROM r GROUP BY 1), " +
+      "rx AS (SELECT x, 2 * COALESCE(SUM(c) OVER (ORDER BY x " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2x FROM mx), " +
+      "my AS (SELECT y, count(*) AS c FROM r GROUP BY 1), " +
+      "ry AS (SELECT y, 2 * COALESCE(SUM(c) OVER (ORDER BY y " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2y FROM my), " +
+      "s AS (SELECT CAST(SUM(w) AS BIGINT) AS n, " +
+      "SUM(CAST(w AS HUGEINT) * r2x) AS sx, SUM(CAST(w AS HUGEINT) * r2y) AS sy, " +
+      "SUM(CAST(w AS HUGEINT) * r2x * r2y) AS sxy, " +
+      "SUM(CAST(w AS HUGEINT) * r2x * r2x) AS sxx, " +
+      "SUM(CAST(w AS HUGEINT) * r2y * r2y) AS syy " +
+      "FROM cells JOIN rx USING (x) JOIN ry USING (y)), " +
+      "kx AS (SELECT count(*) AS n_x FROM mx), " +
+      "ky AS (SELECT count(*) AS n_y FROM my) " +
+      "SELECT COALESCE(n, 0) AS n, n_x, n_y, " +
+      "CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0e0 " +
+      "AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) " +
+      "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0e0 THEN " +
+      "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+      "sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) " +
+      "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) END AS rho " +
+      "FROM s CROSS JOIN kx CROSS JOIN ky"))
+
+  /** JENSEN–SHANNON DIVERGENCE ([[TextAnalysis.jsDivergence]]) between
+    * the `lang = 'en'` slice's token distribution and the rest of the
+    * corpus — per-token contributions plus the windowed total, the
+    * [[qWoeIv]] output shape. The slice predicate is NULL-SAFE on both
+    * engines (the q_clf_auc lesson). */
+  private val qJsDivergence = Q(
+    (s, d) => TextAnalysis.jsDivergence(
+        t(s, d, "documents"), "text", col("lang") <=> lit("en"))
+      .orderBy(col("term")),
+    Some("WITH tk AS (SELECT (lang IS NOT DISTINCT FROM 'en') AS sl, " +
+      "unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), " +
+      "t -> t <> '')) AS term FROM documents), " +
+      "c AS (SELECT term, " +
+      "CAST(SUM(CASE WHEN sl THEN 1 ELSE 0 END) AS BIGINT) AS n_p, " +
+      "CAST(SUM(CASE WHEN sl THEN 0 ELSE 1 END) AS BIGINT) AS n_q " +
+      "FROM tk GROUP BY 1), " +
+      "tt AS (SELECT SUM(n_p) AS np_t, SUM(n_q) AS nq_t FROM c), " +
+      "pq AS (SELECT term, n_p, n_q, " +
+      "CAST(n_p AS DOUBLE) / CAST(np_t AS DOUBLE) AS p, " +
+      "CAST(n_q AS DOUBLE) / CAST(nq_t AS DOUBLE) AS q, np_t, nq_t " +
+      "FROM c CROSS JOIN tt), " +
+      "t2 AS (SELECT term, n_p, n_q, " +
+      "CASE WHEN np_t > 0 AND nq_t > 0 THEN round(" +
+      "(CASE WHEN n_p > 0 THEN p * ln(p / ((p + q) / 2e0)) ELSE 0e0 END) / 2e0 + " +
+      "(CASE WHEN n_q > 0 THEN q * ln(q / ((p + q) / 2e0)) ELSE 0e0 END) / 2e0" +
+      ", 9) END AS js_term FROM pq) " +
+      "SELECT term, n_p, n_q, js_term, " +
+      "CAST(SUM(CAST(js_term AS DECIMAL(20,9))) OVER () AS DOUBLE) AS jsd " +
+      "FROM t2 ORDER BY term"))
+
+  /** ZIPF FIT ([[TextAnalysis.zipfFit]]) over the corpus frequency
+    * spectrum — one row, log-log OLS at the vocabulary grain. The
+    * intercept reuses the UNROUNDED slope expression on both engines. */
+  private val qZipfFit = Q(
+    (s, d) => TextAnalysis.zipfFit(t(s, d, "documents"), "text"),
+    Some("WITH tk AS (SELECT unnest(list_filter(" +
+      "string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')) AS term " +
+      "FROM documents), " +
+      "tc AS (SELECT term, count(*) AS cnt FROM tk GROUP BY 1), " +
+      "rk AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rank FROM tc), " +
+      "xy AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, " +
+      "ln(CAST(cnt AS DOUBLE)) AS y, cnt FROM rk), " +
+      "s AS (SELECT CAST(count(*) AS BIGINT) AS n_types, " +
+      "CAST(SUM(cnt) AS BIGINT) AS n_tokens, " +
+      "SUM(CAST(round(x, 9) AS DECIMAL(28,9))) AS sx, " +
+      "SUM(CAST(round(y, 9) AS DECIMAL(28,9))) AS sy, " +
+      "SUM(CAST(round(x * y, 9) AS DECIMAL(28,9))) AS sxy, " +
+      "SUM(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS sxx FROM xy) " +
+      "SELECT n_types, n_tokens, " +
+      "CASE WHEN n_types > 1 THEN round(" +
+      "(CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "(CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) END AS slope, " +
+      "CASE WHEN n_types > 1 THEN round((CAST(sy AS DOUBLE) - " +
+      "(CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "(CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / " +
+      "CAST(n_types AS DOUBLE), 6) END AS intercept FROM s"))
+
   val registry: Seq[(String, Q)] = Seq(
     "q_skyline" -> qSkyline,
     "q_skyline_nd" -> qSkylineNd,
@@ -854,5 +957,8 @@ object QueriesAnalytics {
     "q_cusum_twosided" -> qCusum,
     "q_woe_iv_binned" -> qWoeIvBinned,
     "q_readability" -> qReadability,
-    "q_burstiness" -> qBurstiness)
+    "q_burstiness" -> qBurstiness,
+    "q_spearman" -> qSpearman,
+    "q_js_divergence" -> qJsDivergence,
+    "q_zipf_fit" -> qZipfFit)
 }

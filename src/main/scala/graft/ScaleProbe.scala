@@ -445,7 +445,20 @@ object ScaleProbe {
     // REPRODUCE for vowel-bearing corpora (this one). burstiness:
     // replica users keep base timestamps → per-user gap distributions
     // identical, values reproduce exactly, rows x10.
-    "q_readability", "q_burstiness")
+    "q_readability", "q_burstiness",
+    // round-16 additions. spearman: ONE row at any scale; replica
+    // lineitem reuses base (quantity, discount) values, so every cell
+    // count scales x10 and midranks scale uniformly — rho is
+    // scale-INVARIANT (value contract); cost is two distinct-value
+    // marginals + one bounded-cell join. js_divergence: token grain —
+    // the ~r suffixes split every base token into 10 replica variants
+    // with proportional counts, so each variant's p and q are base/10
+    // and term mass is conserved: jsd REPRODUCES the base value (rows
+    // x10 at the vocabulary grain). zipf_fit: ONE row; the 10x
+    // vocabulary repeats each base frequency 10 times at consecutive
+    // ranks, legitimately flattening the fitted slope — contract is
+    // bounded output + the one vocabulary-grain window's cost.
+    "q_spearman", "q_js_divergence", "q_zipf_fit")
 
   /** Optional comma-separated SPARK_GRAFT_PROBE_ONLY filter so a new
     * family can be probed without re-timing the whole board. */
@@ -509,6 +522,75 @@ object ScaleProbe {
     // failure. q_negative_sample (labeled quadratic twin, no cap) and
     // q_semdedup (fixed-k cluster regime) still run to completion.
     tb.foreach(n => runQuery(spark, n, probeDir, timedRuns = 1, countRows = false))
+  }
+
+  // ------------------------------------------------------------------
+  // Headline-family re-validation sweep (round 16, VERDICT r15 #5)
+  // ------------------------------------------------------------------
+
+  /** The rows whose scaling claims carry the most weight: the dedup /
+    * ANN / tokenizer families end-to-end (per-round 10x probes only ever
+    * covered each round's NEW rows — these families' claims dated from
+    * their landing rounds) plus the most expensive registry rows of the
+    * r15 board. Registered queries run VERBATIM at both scales. */
+  private val familyRows = Seq(
+    // dedup family
+    "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_prefix_jaccard",
+    "q_dedup_groups_lsh",
+    // ANN family — per-dir offline indexes build during the untimed
+    // warmup (the ingest-phase contract); timed runs measure the probe
+    "q_ann_brute_topk", "q_ann_ivf_topk", "q_ann_pq_topk",
+    "q_ann_ivfpq_topk",
+    // tokenizer family — models legitimately retrain on the 10x corpus
+    // (the ~r suffixes change the vocabulary); contract is cost, not
+    // value identity (the q_tokenize_pack / q_unigram_tok probe notes)
+    "q_tok_fairness", "q_bpe_encode", "q_unigram_tok", "q_tokenize_pack",
+    // the r15 board's most expensive rows not covered above
+    "q_global_topk", "q_label_prop", "q_grouping_sets", "q_rouge2",
+    "q_heavy_hitters", "q_sparse_cosine_join", "q_grouped_quantiles",
+    "q_kn_perplexity", "q_repetition_stats", "q_kmv_intersect",
+    "q_tfidf_top_terms", "q_text_stats", "q_variant_extract")
+
+  /** sf0.1 → 10x cost ratios for [[familyRows]], one JSON line per row:
+    * base min-of-3 vs probe min-of-2 (the quiet() methodology), row
+    * counts at both scales for the parity contracts. Dimension tables
+    * the synth does not replicate (region/nation/supplier) are copied
+    * 1x — the realistic 100 TB shape, where dims grow slower than
+    * facts — so every registry row loads. */
+  def families(spark: SparkSession, baseDir: String, probeDir: String): Unit = {
+    Seq("region", "nation", "supplier").foreach { tbl =>
+      if (!new java.io.File(s"$probeDir/$tbl.parquet/_SUCCESS").exists())
+        Tables.load(spark, baseDir, tbl)
+          .write.mode("overwrite").parquet(s"$probeDir/$tbl.parquet")
+    }
+    val rows = probeFilter(familyRows)
+    def timed(name: String, dir: String, runs: Int): (Double, Long) = {
+      val fn = SparkEntry.queries(name)
+      // untimed warmup: AQE plan compile + codegen/JIT + any per-dir
+      // offline index/model build (ingest-phase work by contract)
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      val secs = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      (secs, fn(spark, dir).count())
+    }
+    rows.foreach { name =>
+      try {
+        val (b, bRows) = timed(name, baseDir, runs = 3)
+        val (p, pRows) = timed(name, probeDir, runs = 2)
+        emit("probe" -> "families", "query" -> name,
+          "base_secs" -> b, "probe_secs" -> p,
+          "ratio" -> (if (b > 0) p / b else -1.0),
+          "base_rows" -> bRows, "probe_rows" -> pRows)
+      } catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\n\\r\\\\]", " ").take(300)
+          emit("probe" -> "families", "query" -> name, "error" -> msg)
+      }
+    }
   }
 
   // ------------------------------------------------------------------
@@ -595,6 +677,9 @@ object ScaleProbe {
     stage match {
       case "synth" => synth(spark, baseDir, probeDir, replicas)
       case "quiet" => quiet(spark, baseDir, probeDir)
+      case "families" =>
+        if (!marker.exists()) synth(spark, baseDir, probeDir, replicas)
+        families(spark, baseDir, probeDir)
       case "dupgroups" => dupgroups(spark)
       case "spans" => spans(spark, baseDir)
       case "all" =>

@@ -890,6 +890,63 @@ object Profiler {
           .as("cramers_v"))
   }
 
+  /** SPEARMAN RANK CORRELATION with ties (midranks), exact to the final
+    * division — the monotone-association companion to
+    * [[chiSquareIndependence]]: does one BOUNDED-CARDINALITY feature
+    * rank-track another (quantity vs discount, quality band vs source,
+    * score bucket vs engagement tier)? Spearman ρ = Pearson over
+    * midranks, and with ties every computation collapses to the
+    * DISTINCT-VALUE grain:
+    *
+    *  - cell counts (x, y, w) — one aggregation, |X|·|Y| cells max;
+    *  - per-value DOUBLED midranks `r2 = 2·below + count + 1` (the
+    *    [[auc]] identity) from a window over each marginal's distinct
+    *    values — exact integers, no division;
+    *  - weighted moment sums over the cells in DECIMAL(38,0) (bounded by
+    *    n·(2n+1)² — exact to n ≈ 10¹², far past any single correlation's
+    *    input); the doubling cancels between numerator and denominator
+    *    (both scale by 4), so ρ needs no correction.
+    *
+    * Only the final ρ is floating point: a mirrored double chain over
+    * the six exact sums, round(6). Both marginal windows run at
+    * distinct-value grain — the [[auc]]/[[ksTest]] bounded-cardinality
+    * window contract: callers quantize continuous features first.
+    * Output: ONE row (n, n_x, n_y, rho); single-class/degenerate inputs
+    * yield null rho, never NaN. */
+  def spearman(df: DataFrame, x: Column, y: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(x.cast("long").as("__x"), y.cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val cells = rows.groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__w"))
+    def midranks(c: String, r2: String) = {
+      val below = Window.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      rows.groupBy(col(c)).agg(count(lit(1)).as("__c"))
+        .withColumn(r2,
+          lit(2L) * coalesce(sum(col("__c")).over(below), lit(0L)) + col("__c") + 1L)
+        .drop("__c")
+    }
+    val rx = midranks("__x", "__r2x")
+    val ry = midranks("__y", "__r2y")
+    val wD = col("__w").cast("decimal(38,0)")
+    val agg = cells.join(broadcast(rx), "__x").join(broadcast(ry), "__y")
+      .agg(sum(col("__w")).as("n"),
+        sum(wD * col("__r2x")).as("__sx"), sum(wD * col("__r2y")).as("__sy"),
+        sum(wD * col("__r2x") * col("__r2y")).as("__sxy"),
+        sum(wD * col("__r2x") * col("__r2x")).as("__sxx"),
+        sum(wD * col("__r2y") * col("__r2y")).as("__syy"))
+    def d(c: String) = col(c).cast("double")
+    val varx = d("n") * d("__sxx") - d("__sx") * d("__sx")
+    val vary = d("n") * d("__syy") - d("__sy") * d("__sy")
+    agg
+      .crossJoin(broadcast(rx.agg(count(lit(1)).as("n_x"))))
+      .crossJoin(broadcast(ry.agg(count(lit(1)).as("n_y"))))
+      .select(coalesce(col("n"), lit(0L)).as("n"), col("n_x"), col("n_y"),
+        when(varx > 0.0 && vary > 0.0,
+          round((d("n") * d("__sxy") - d("__sx") * d("__sy")) /
+            (sqrt(varx) * sqrt(vary)), 6)).as("rho"))
+  }
+
   /** EXPONENTIALLY-WEIGHTED MOVING AVERAGE, exact fixed-point — the
     * smoother behind per-key health baselines (alert thresholds, rate
     * limiters, drift baselines) where [[rollingZscore]]'s flat window

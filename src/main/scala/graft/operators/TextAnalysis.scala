@@ -934,6 +934,89 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** JENSEN–SHANNON DIVERGENCE between the token distributions of two
+    * corpus slices (nats) — the symmetric, bounded (≤ ln 2) drift measure
+    * every mixture audit wants where KL blows up on unshared tokens: how
+    * far has a new crawl slice moved from the reference slice? One row
+    * PER TOKEN with its exact slice counts and its JSD contribution,
+    * plus the total as a window sum — the [[Profiler.woeIv]] output
+    * shape, so per-token culprits and the headline number ship in one
+    * pass.
+    *
+    * Plan: tokenize → ONE token-grain aggregation (conditional counts) →
+    * a broadcast one-row totals join. VOCABULARY-bounded everywhere: the
+    * window summing the total runs over token-grain rows, never corpus
+    * grain. Determinism: counts are exact longs; each token's term is a
+    * mirrored double chain over (n_p, n_q, N_p, N_q) rounded to 9
+    * places; the total is a DECIMAL sum of those rounded terms (the
+    * [[Profiler.chiSquareIndependence]] discipline) — never a
+    * float-accumulation race. A slice with zero tokens yields null terms
+    * (nothing to diverge from), never NaN. `slice` must be null-safe
+    * (use `<=>`): tokens of rows where it evaluates null are dropped. */
+  def jsDivergence(df: DataFrame, text: String, slice: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(slice.as("__s"),
+        explode(split(trim(lower(col(text))), "\\s+")).as("term"))
+      .filter(col("term") =!= "" && col("__s").isNotNull)
+    val counts = toks.groupBy(col("term"))
+      .agg(sum(when(col("__s"), 1L).otherwise(0L)).as("n_p"),
+        sum(when(col("__s"), 0L).otherwise(1L)).as("n_q"))
+    val tot = counts.agg(sum(col("n_p")).as("__np"), sum(col("n_q")).as("__nq"))
+    val p = col("n_p").cast("double") / col("__np").cast("double")
+    val q = col("n_q").cast("double") / col("__nq").cast("double")
+    val m = (p + q) / lit(2.0)
+    val term = when(col("__np") > 0 && col("__nq") > 0,
+      when(col("n_p") > 0, p * log(p / m)).otherwise(lit(0.0)) / lit(2.0) +
+        when(col("n_q") > 0, q * log(q / m)).otherwise(lit(0.0)) / lit(2.0))
+    counts.crossJoin(broadcast(tot))
+      .select(col("term"), col("n_p"), col("n_q"),
+        round(term, 9).as("js_term"))
+      .withColumn("jsd",
+        sum(col("js_term").cast("decimal(20,9)"))
+          .over(Window.partitionBy()).cast("double"))
+  }
+
+  /** ZIPF LAW FIT over the corpus token-frequency spectrum — the
+    * log-log OLS line through (rank, frequency), the one-glance
+    * naturalness check on any text corpus (natural language slopes near
+    * −1; template spam, token soup, and truncated crawls bend the
+    * line). Output: ONE row (n_types, n_tokens, slope, intercept).
+    *
+    * Plan: tokenize → token-grain counts → ONE rank window over the
+    * DISTINCT-token frame (vocabulary-bounded, the [[Profiler.auc]]
+    * window contract) → the four OLS moment sums. Determinism: ranks
+    * and counts are exact integers, so ln() of them is the identical
+    * double in any libm-faithful engine; each per-token product rounds
+    * to 9 places and sums in DECIMAL; slope and intercept are mirrored
+    * double chains over the exact sums (the intercept reuses the
+    * UNROUNDED slope expression on both engines), round(6). A
+    * single-type corpus has zero rank variance: null slope/intercept,
+    * never NaN. */
+  def zipfFit(df: DataFrame, text: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(
+        explode(split(trim(lower(col(text))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val tc = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val rk = tc.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("term"))).cast("long"))
+    val x = log(col("rank").cast("double"))
+    val y = log(col("cnt").cast("double"))
+    val s = rk.agg(count(lit(1)).as("n_types"), sum(col("cnt")).as("n_tokens"),
+      sum(round(x, 9).cast("decimal(28,9)")).as("__sx"),
+      sum(round(y, 9).cast("decimal(28,9)")).as("__sy"),
+      sum(round(x * y, 9).cast("decimal(28,9)")).as("__sxy"),
+      sum(round(x * x, 9).cast("decimal(28,9)")).as("__sxx"))
+    def d(c: String) = col(c).cast("double")
+    val nD = col("n_types").cast("double")
+    val slope = (nD * d("__sxy") - d("__sx") * d("__sy")) /
+      (nD * d("__sxx") - d("__sx") * d("__sx"))
+    s.select(col("n_types"), col("n_tokens"),
+      when(col("n_types") > 1, round(slope, 6)).as("slope"),
+      when(col("n_types") > 1,
+        round((d("__sy") - slope * d("__sx")) / nD, 6)).as("intercept"))
+  }
+
   /** FLESCH READING-EASE readability (Flesch 1948 — the published
     * corpus-curation quality signal beside [[qualityFlags]]' rule pack:
     * readability bands separate prose from token soup and legalese):

@@ -519,6 +519,97 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(re(1L) == 16.0)
   }
 
+  /** Driver-side Spearman with ties (midrank Pearson) for the property
+    * checks — plain double arithmetic over the full rows. */
+  private def directSpearman(rows: Seq[(Long, Long)]): Option[Double] = {
+    def midranks(vs: Seq[Long]): Map[Long, Double] = {
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val below = sorted.count(_ < v); val c = sorted.count(_ == v)
+        v -> (below + (c + 1) / 2.0)
+      }.toMap
+    }
+    val rx = midranks(rows.map(_._1)); val ry = midranks(rows.map(_._2))
+    val xs = rows.map(r => rx(r._1)); val ys = rows.map(r => ry(r._2))
+    val n = rows.size.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val (sxx, syy) = (xs.map(a => a * a).sum, ys.map(a => a * a).sum)
+    val (vx, vy) = (n * sxx - sx * sx, n * syy - sy * sy)
+    if (vx > 0 && vy > 0) Some((n * sxy - sx * sy) / (math.sqrt(vx) * math.sqrt(vy)))
+    else None
+  }
+
+  test("spearman: monotone ±1, ties match the driver midrank form, degenerate null") {
+    def run(rows: Seq[(Long, Long)], parts: Int = 4): (Long, Option[Double]) = {
+      val r = Profiler.spearman(rows.toDF("x", "y").repartition(parts),
+        col("x"), col("y")).collect().head
+      (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    }
+    // strictly monotone (nonlinear is fine — rank correlation): exactly ±1
+    assert(run((1L to 10L).map(i => (i, i * i)))._2.contains(1.0))
+    assert(run((1L to 10L).map(i => (i, 100L - i * i)))._2.contains(-1.0))
+    // heavy ties: exact match vs the driver midrank-Pearson computation
+    val tied = Seq((1L, 5L), (1L, 5L), (2L, 5L), (2L, 7L), (3L, 7L),
+      (3L, 9L), (3L, 9L), (4L, 9L), (4L, 11L), (5L, 11L))
+    val (n, rho) = run(tied)
+    assert(n == 10L)
+    assert(math.abs(rho.get - directSpearman(tied).get) < 5e-7,
+      s"got $rho vs direct ${directSpearman(tied)}")
+    // partition-independence (the exact-integer-sums argument)
+    assert(run(tied, parts = 1) == run(tied, parts = 7))
+    // degenerate: constant y has zero rank variance -> null, never NaN
+    assert(run((1L to 5L).map(i => (i, 3L)))._2.isEmpty)
+  }
+
+  test("jsDivergence: 0 on identical slices, ln 2 on disjoint vocabularies, empty slice null") {
+    import graft.operators.TextAnalysis
+    // identical token distributions on both sides -> every term 0
+    val same = Seq((true, "a b c"), (false, "a b c"), (true, "a b c"),
+      (false, "a b c")).toDF("s", "text")
+    val r0 = TextAnalysis.jsDivergence(same, "text", col("s")).collect()
+    assert(r0.forall(_.getDouble(4) == 0.0))
+    // disjoint vocabularies: JSD = ln 2 exactly (max divergence)
+    val disj = Seq((true, "a b"), (false, "c d")).toDF("s", "text")
+    val r1 = TextAnalysis.jsDivergence(disj, "text", col("s")).collect()
+    assert(math.abs(r1.head.getDouble(4) - math.log(2.0)) < 1e-6)
+    // hand case: P = {a: 2/3, b: 1/3}, Q = {a: 1/3, b: 2/3}
+    val mix = Seq((true, "a a b"), (false, "a b b")).toDF("s", "text")
+    val p = 2.0 / 3; val q = 1.0 / 3; val m = (p + q) / 2
+    val expect = 2 * (p * math.log(p / m) / 2 + q * math.log(q / m) / 2)
+    val r2 = TextAnalysis.jsDivergence(mix, "text", col("s")).collect()
+    assert(math.abs(r2.head.getDouble(4) - expect) < 1e-6)
+    // one side empty: nothing to diverge from -> null terms and total
+    val solo = Seq((true, "a b")).toDF("s", "text")
+    val r3 = TextAnalysis.jsDivergence(solo, "text", col("s")).collect()
+    assert(r3.forall(_.isNullAt(3)) && r3.forall(_.isNullAt(4)))
+  }
+
+  test("zipfFit: exact OLS vs driver arithmetic on a planted spectrum; single type null") {
+    import graft.operators.TextAnalysis
+    // frequencies 8, 4, 2, 1 over four types (one doc per token instance)
+    val docs = (Seq.fill(8)("t1") ++ Seq.fill(4)("t2") ++ Seq.fill(2)("t3") ++
+      Seq("t4")).map(Tuple1(_)).toDF("text")
+    val got = TextAnalysis.zipfFit(docs, "text").collect().head
+    assert(got.getLong(0) == 4L && got.getLong(1) == 15L)
+    val pts = Seq((1L, 8L), (2L, 4L), (3L, 2L), (4L, 1L))
+      .map { case (r, c) => (math.log(r.toDouble), math.log(c.toDouble)) }
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val intercept = (sy - slope * sx) / n
+    assert(math.abs(got.getDouble(2) - slope) < 1e-5, s"slope ${got.getDouble(2)} vs $slope")
+    assert(math.abs(got.getDouble(3) - intercept) < 1e-5)
+    // a geometric spectrum is steeper than Zipf's -1 on log-rank axes
+    assert(slope < -1.0 && slope > -2.0, s"slope $slope out of the sane band")
+    // single type: zero rank variance -> null slope/intercept
+    val one = Seq(Tuple1("solo solo solo")).toDF("text")
+    val g1 = TextAnalysis.zipfFit(one, "text").collect().head
+    assert(g1.getLong(0) == 1L && g1.isNullAt(2) && g1.isNullAt(3))
+  }
+
   test("globalTopK: skew prunes candidates to ~k of 50 keys; exact; partition-independent") {
     // Zipf-ish: key i's total ~ 1000/i — heavy head, long tail
     val rows = (1 to 2000).map { i =>

@@ -132,4 +132,16 @@ class EmptyInputSpec extends AnyFunSuite {
     val r = Profiler.auc(Seq.empty[(Double, Boolean)].toDF("s", "l"), "s", col("l")).head()
     assert((r.isNullAt(0) || r.getLong(0) == 0L) && r.isNullAt(2))
   }
+
+  test("round-16 operators: empty input -> degenerate one-row or empty, never NaN") {
+    // spearman: one summary row, n = 0, null rho
+    val noKv = Seq.empty[(Long, Long)].toDF("x", "y")
+    val sr = Profiler.spearman(noKv, col("x"), col("y")).head()
+    assert(sr.getLong(0) == 0L && sr.isNullAt(3))
+    // jsDivergence: no tokens -> no term rows at all
+    assert(TextAnalysis.jsDivergence(noDocs, "text", lit(true)).count() == 0)
+    // zipfFit: one summary row, zero types, null slope/intercept
+    val zr = TextAnalysis.zipfFit(noDocs, "text").head()
+    assert(zr.getLong(0) == 0L && zr.isNullAt(2) && zr.isNullAt(3))
+  }
 }

@@ -46,6 +46,16 @@ package graft
   *     "regression real" when the board itself looks phase-shaped.
   *  7. A child that produces NO number for a flagged row keeps the flag
   *     loud (confirmed) — a crashing query must never read as cleared.
+  *  8. Drift corrects SLOWDOWN only: judging uses max(drift, 1). A
+  *     fast host phase (probes < baseline) cannot make a row slower,
+  *     and the iteration-heavy rows whose cost is per-job scheduling
+  *     latency do not speed up with probe throughput — dividing by a
+  *     sub-1 drift manufactures breaches from rows sitting AT baseline
+  *     (measured on the first r16 board-2: drift 0.795 inflated
+  *     q_dup_provenance, raw 1.03x its baseline, to a 1.40x
+  *     "regression"). A genuinely slow row on a fast host still trips
+  *     the gates in raw time. The measured drift is reported verbatim;
+  *     only the judgment clamps.
   */
 object BenchRatchet {
 
@@ -171,13 +181,15 @@ object BenchRatchet {
 
     val flagged: Seq[Flag] = drift match {
       case None => Seq.empty
-      case Some(d) => execOrder.flatMap { n =>
-        val t = board.getOrElse(n, -1.0)
-        val b = baseline.getOrElse(n, -1.0)
-        if (t > 0 && !noiseNames(n) && breaches(b, t / d))
-          Some(Flag(n, t, t / d, b))
-        else None
-      }
+      case Some(d0) =>
+        val d = math.max(d0, 1.0) // slowdown-corrector only (scaladoc #8)
+        execOrder.flatMap { n =>
+          val t = board.getOrElse(n, -1.0)
+          val b = baseline.getOrElse(n, -1.0)
+          if (t > 0 && !noiseNames(n) && breaches(b, t / d))
+            Some(Flag(n, t, t / d, b))
+          else None
+        }
     }
     if (flagged.isEmpty)
       return Verdict(drift, Nil, hostPhase = false, Nil, deferred = false,
@@ -199,8 +211,8 @@ object BenchRatchet {
         child.get(f.name).filter(_ > 0) match {
           case None => Some((f, None: Option[Double])) // no number: stay loud
           case Some(t) =>
-            val d = localDrift(f.name, order, child, baseline, probeSet)
-              .orElse(cd).getOrElse(1.0)
+            val d = math.max(localDrift(f.name, order, child, baseline, probeSet)
+              .orElse(cd).getOrElse(1.0), 1.0) // slowdown-corrector only
             val norm = t / d
             if (breaches(f.baseline, norm)) Some((f, Some(norm))) else None
         }

@@ -169,6 +169,47 @@ class BenchRatchetSpec extends AnyFunSuite {
     assert(verdict.confirmed.head.freshNormalized == Seq(None))
   }
 
+  test("fast-host phase (drift < 1): latency-bound rows AT baseline are not flagged") {
+    // Replay of the first r16 board-2 firing: probes ran at 0.795x
+    // baseline (fast phase) while two iteration-heavy rows sat at raw
+    // 1.03x / 1.08x their baselines — dividing by the sub-1 drift
+    // inflated them to 1.40x / 1.57x "regressions". Drift is a
+    // slowdown-corrector only: judging clamps at 1.0.
+    val fastDrift = 0.795
+    val board = r15Baseline.map { case (n, b) =>
+      n -> (if (n == "q_dup_provenance") b * 1.034
+      else if (n == "q_fs_linkage") b * 1.083
+      else b * fastDrift)
+    }
+    val verdict = decide(
+      board = board, execOrder = r15Baseline.keys.toSeq.sorted,
+      baseline = r15Baseline, probeSet = Bench.probeSet,
+      noiseNames = Bench.noiseClass.toSet,
+      runChild = (_, _) => fail("raw-at-baseline rows must not flag"),
+      sleep = () => fail("no sleep"))
+    assert(verdict.drift.exists(d => math.abs(d - fastDrift) < 1e-9),
+      "measured drift reported verbatim")
+    assert(verdict.flagged.isEmpty && !verdict.failed)
+  }
+
+  test("fast-host phase: a REAL 2x regression still trips in raw time") {
+    val b = r15Baseline("q_label_prop")
+    val board = r15Baseline.map { case (n, v) =>
+      n -> (if (n == "q_label_prop") b * 2.0 else v * 0.8)
+    }
+    val verdict = decide(
+      board = board, execOrder = r15Baseline.keys.toSeq.sorted,
+      baseline = r15Baseline, probeSet = Bench.probeSet,
+      noiseNames = Bench.noiseClass.toSet,
+      // child also on the fast host: probes 0.8x, the row still 2x raw
+      runChild = (names, _) => names.map(n =>
+        n -> (if (n == "q_label_prop") b * 2.0
+        else r15Baseline.getOrElse(n, 1.0) * 0.8)).toMap,
+      sleep = () => ())
+    assert(verdict.flagged.map(_.name) == Seq("q_label_prop"))
+    assert(verdict.failed && verdict.confirmed.map(_.name) == Seq("q_label_prop"))
+  }
+
   // ---- unit pieces ----------------------------------------------------
 
   test("shuffledOrder: deterministic permutation, seed-sensitive") {

@@ -930,6 +930,81 @@ object QueriesAnalytics {
       "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / " +
       "CAST(n_types AS DOUBLE), 6) END AS intercept FROM s"))
 
+  /** GOLDEN-RECORD SURVIVORSHIP ([[graft.operators.Dedup.goldenRecord]])
+    * over per-user event records, ordered newest-first on the total
+    * (ts desc, event_id desc) order: each user collapses to one record
+    * whose fields independently take the first non-null value — the MDM
+    * merge step after duplicate detection. NULL ts filtered on both
+    * engines (the ordered-operator NULL-ordering contract). */
+  private val qGoldenRecord = Q(
+    (s, d) => graft.operators.Dedup.goldenRecord(
+        t(s, d, "events").filter(col("ts").isNotNull)
+          .select(col("user_id"), col("event_type"), col("value"),
+            col("ts"), col("event_id")),
+        group = "user_id",
+        order = Seq(col("ts").desc, col("event_id").desc),
+        fields = Seq("event_type", "value"))
+      .orderBy(col("user_id")),
+    Some("WITH e AS (SELECT user_id, event_type, value, ts, event_id " +
+      "FROM events WHERE ts IS NOT NULL), " +
+      "w AS (SELECT user_id, " +
+      "first_value(event_type IGNORE NULLS) OVER pw AS event_type, " +
+      "first_value(value IGNORE NULLS) OVER pw AS value, " +
+      "count(*) OVER (PARTITION BY user_id) AS n_records, " +
+      "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+      "FROM e WINDOW pw AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) " +
+      "SELECT user_id, event_type, value, CAST(n_records AS BIGINT) AS n_records " +
+      "FROM w WHERE rn = 1 ORDER BY user_id"))
+
+  /** LANGUAGE-ID CLASSIFICATION REPORT
+    * ([[Profiler.classificationReport]] over
+    * [[TextAnalysis.langId]] predictions vs the labeled `lang`): the
+    * multi-class eval row beside the binary AUC/PR pair — per-class
+    * precision/recall/F1 + accuracy at class grain. The oracle rebuilds
+    * the identical langId argmax from the same `profiles` table the
+    * Spark expression is generated from. */
+  private val qLangConfusion = Q(
+    (s, d) => Profiler.classificationReport(
+        TextAnalysis.langId(t(s, d, "documents"), "doc_id", "text")
+          .join(t(s, d, "documents").select(col("doc_id"), col("lang")), "doc_id"),
+        actual = col("lang"), predicted = col("pred_lang"))
+      .orderBy(col("cls")),
+    Some {
+      val scoreExprs = TextAnalysis.profiles.map { case (l, re) =>
+        s"len(regexp_extract_all(lower(text), '$re')) AS score_$l"
+      }.mkString(", ")
+      val best = "greatest(" +
+        TextAnalysis.profiles.map(p => s"score_${p._1}").mkString(", ") + ")"
+      val cases = TextAnalysis.profiles.map { case (l, _) =>
+        s"WHEN score_$l = $best AND $best > 0 THEN '$l'" }.mkString(" ")
+      s"WITH st AS (SELECT doc_id, lang, $scoreExprs FROM documents), " +
+        s"pr AS (SELECT lang AS a, CASE $cases ELSE 'und' END AS p FROM st " +
+        "WHERE lang IS NOT NULL), " +
+        "cells AS (SELECT a, p, count(*) AS n FROM pr GROUP BY 1, 2), " +
+        "cls AS (SELECT a AS cls FROM cells UNION SELECT p FROM cells), " +
+        "act AS (SELECT a AS cls, SUM(n) AS na FROM cells GROUP BY 1), " +
+        "prd AS (SELECT p AS cls, SUM(n) AS np FROM cells GROUP BY 1), " +
+        "tpc AS (SELECT a AS cls, n AS tp FROM cells WHERE a = p), " +
+        "j AS (SELECT cls, CAST(COALESCE(na, 0) AS BIGINT) AS n_actual, " +
+        "CAST(COALESCE(np, 0) AS BIGINT) AS n_pred, " +
+        "CAST(COALESCE(tp, 0) AS BIGINT) AS tp FROM cls " +
+        "LEFT JOIN act USING (cls) LEFT JOIN prd USING (cls) " +
+        "LEFT JOIN tpc USING (cls)) " +
+        "SELECT cls, n_actual, n_pred, tp, n_pred - tp AS fp, " +
+        "n_actual - tp AS fn, " +
+        "CASE WHEN n_pred > 0 THEN round(CAST(tp AS DOUBLE) / " +
+        "CAST(n_pred AS DOUBLE), 6) END AS \"precision\", " +
+        "CASE WHEN n_actual > 0 THEN round(CAST(tp AS DOUBLE) / " +
+        "CAST(n_actual AS DOUBLE), 6) END AS recall, " +
+        "CASE WHEN n_actual + n_pred > 0 THEN round(CAST(2 * tp AS DOUBLE) / " +
+        "CAST(n_actual + n_pred AS DOUBLE), 6) END AS f1, " +
+        "CASE WHEN SUM(n_actual) OVER () > 0 THEN " +
+        "round(CAST(SUM(tp) OVER () AS DOUBLE) / " +
+        "CAST(SUM(n_actual) OVER () AS DOUBLE), 6) END AS accuracy " +
+        "FROM j ORDER BY cls"
+    })
+
   val registry: Seq[(String, Q)] = Seq(
     "q_skyline" -> qSkyline,
     "q_skyline_nd" -> qSkylineNd,
@@ -960,5 +1035,7 @@ object QueriesAnalytics {
     "q_burstiness" -> qBurstiness,
     "q_spearman" -> qSpearman,
     "q_js_divergence" -> qJsDivergence,
-    "q_zipf_fit" -> qZipfFit)
+    "q_zipf_fit" -> qZipfFit,
+    "q_golden_record" -> qGoldenRecord,
+    "q_lang_confusion" -> qLangConfusion)
 }

@@ -458,7 +458,17 @@ object ScaleProbe {
     // vocabulary repeats each base frequency 10 times at consecutive
     // ranks, legitimately flattening the fitted slope — contract is
     // bounded output + the one vocabulary-grain window's cost.
-    "q_spearman", "q_js_divergence", "q_zipf_fit")
+    "q_spearman", "q_js_divergence", "q_zipf_fit",
+    // golden_record: one row per user (x10 exact — disjoint replica user
+    // universes with identical per-user event stacks), survivor VALUES
+    // reproduce per replica; cost is one window sort per user partition.
+    // lang_confusion: class-grain output (<= |langs|+1 rows at ANY
+    // scale); replica docs keep lang, and the ~r token suffixes leave
+    // the stopword-regex hits intact ('~' is a non-word character, so
+    // \\b(the)\\b still fires inside "the~r1"), so predictions and the
+    // whole report REPRODUCE at 10x with counts x10 (value contract on
+    // the ratios).
+    "q_golden_record", "q_lang_confusion")
 
   /** Optional comma-separated SPARK_GRAFT_PROBE_ONLY filter so a new
     * family can be probed without re-timing the whole board. */

@@ -966,4 +966,45 @@ object Dedup {
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** GOLDEN-RECORD SURVIVORSHIP — the merge step every dedup pipeline
+    * needs AFTER [[dupGroups]] finds the clusters: collapse each group
+    * to ONE record whose every field independently takes the group's
+    * best value. "Best" = FIRST NON-NULL in one total recency/priority
+    * order (the standard MDM most-recent-non-null rule) — so a newer
+    * record with a null phone keeps the older record's phone while
+    * contributing its own fresher address: fields survive
+    * INDEPENDENTLY, which is what separates survivorship from plain
+    * keep-newest.
+    *
+    * One window sort per group serves everything: each field is a
+    * `first(col, ignoreNulls) OVER` the full-frame window, the group's
+    * representative row is `row_number() = 1` on the same ordering, and
+    * `n_records` rides along as a count — Catalyst plans ONE
+    * Exchange+Sort on the group key for all of it. Group grain: dup
+    * clusters are small by construction (a giant cluster is a dedup
+    * bug upstream, the [[dupGroups]] contract), so per-group state
+    * never exceeds cluster size.
+    *
+    * DETERMINISM: `order` must be a TOTAL order within each group (end
+    * it with a unique id) and its keys must be null-free — Spark sorts
+    * NULLS FIRST where DuckDB sorts NULLS LAST, the cross-engine trap
+    * every ordered operator here documents; filter null order keys
+    * upstream. Survivor VALUES are copied, never computed, so output
+    * hashes are exact on any engine. Output: (group, fields…,
+    * n_records), one row per group. */
+  def goldenRecord(df: DataFrame, group: String, order: Seq[Column],
+                   fields: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(fields.nonEmpty, "goldenRecord: need at least one field")
+    val full = Window.partitionBy(col(group)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rank = Window.partitionBy(col(group)).orderBy(order: _*)
+    val survivors = fields.map(f => first(col(f), ignoreNulls = true).over(full).as(f))
+    df.select(col(group) +: survivors :+
+        count(lit(1)).over(full).as("n_records") :+
+        row_number().over(rank).as("__rn"): _*)
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
 }

@@ -890,6 +890,61 @@ object Profiler {
           .as("cramers_v"))
   }
 
+  /** MULTI-CLASS CLASSIFICATION REPORT — the per-class companion to the
+    * binary [[auc]]/[[prCurve]] eval pair: confusion-derived counts and
+    * precision / recall / F1 per class, plus overall accuracy, for any
+    * (actual, predicted) labeling (language-ID audits, quality-band
+    * models, routing classifiers). One row per class in the UNION of
+    * actual and predicted label sets (a class the model never predicts
+    * still reports recall; a hallucinated class still reports
+    * precision).
+    *
+    * Plan: ONE (actual, predicted) cell aggregation, then every join
+    * and window runs at CLASS grain (broadcast-small at any corpus
+    * size). Counts are exact longs (`fp = n_pred − tp`,
+    * `fn = n_actual − tp`); the three ratios and accuracy are mirrored
+    * double chains, round(6), null on empty denominators (never NaN).
+    * Rows with a null actual label are excluded on both engines — an
+    * unlabeled row can't be scored (the q_clf_auc null-alignment
+    * lesson). Output: (cls, n_actual, n_pred, tp, fp, fn, precision,
+    * recall, f1, accuracy), accuracy constant across rows. */
+  def classificationReport(df: DataFrame, actual: Column,
+                           predicted: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = df.select(actual.as("__a"), predicted.as("__p"))
+      .filter(col("__a").isNotNull && col("__p").isNotNull)
+    val cells = r.groupBy(col("__a"), col("__p")).agg(count(lit(1)).as("__n"))
+    val classes = cells.select(col("__a").as("cls"))
+      .union(cells.select(col("__p").as("cls"))).distinct()
+    val act = cells.groupBy(col("__a").as("cls")).agg(sum(col("__n")).as("__na"))
+    val prd = cells.groupBy(col("__p").as("cls")).agg(sum(col("__n")).as("__np"))
+    val tp = cells.filter(col("__a") === col("__p"))
+      .select(col("__a").as("cls"), col("__n").as("__tp"))
+    val j = classes
+      .join(broadcast(act), Seq("cls"), "left")
+      .join(broadcast(prd), Seq("cls"), "left")
+      .join(broadcast(tp), Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("__na"), lit(0L)).as("n_actual"),
+        coalesce(col("__np"), lit(0L)).as("n_pred"),
+        coalesce(col("__tp"), lit(0L)).as("tp"))
+    val all = Window.partitionBy()
+    def d(c: Column) = c.cast("double")
+    j.select(col("cls"), col("n_actual"), col("n_pred"), col("tp"),
+        (col("n_pred") - col("tp")).as("fp"),
+        (col("n_actual") - col("tp")).as("fn"),
+        when(col("n_pred") > 0,
+          round(d(col("tp")) / d(col("n_pred")), 6)).as("precision"),
+        when(col("n_actual") > 0,
+          round(d(col("tp")) / d(col("n_actual")), 6)).as("recall"),
+        when(col("n_actual") + col("n_pred") > 0,
+          round(d(lit(2L) * col("tp")) / d(col("n_actual") + col("n_pred")), 6))
+          .as("f1"),
+        when(sum(col("n_actual")).over(all) > 0,
+          round(d(sum(col("tp")).over(all)) / d(sum(col("n_actual")).over(all)), 6))
+          .as("accuracy"))
+  }
+
   /** SPEARMAN RANK CORRELATION with ties (midranks), exact to the final
     * division — the monotone-association companion to
     * [[chiSquareIndependence]]: does one BOUNDED-CARDINALITY feature

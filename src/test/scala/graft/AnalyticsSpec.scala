@@ -519,6 +519,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(re(1L) == 16.0)
   }
 
+  test("classificationReport: hand-computed confusion; unpredicted and hallucinated classes") {
+    // actual:  a a a b b c   predicted: a b a b b d
+    val rows = Seq(("a", "a"), ("a", "b"), ("a", "a"), ("b", "b"),
+      ("b", "b"), ("c", "d")).toDF("y", "p")
+    val got = Profiler.classificationReport(rows, col("y"), col("p"))
+      .orderBy(col("cls")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("a", "b", "c", "d"))
+    val a = got("a") // tp=2, n_actual=3, n_pred=2
+    assert(a.getLong(1) == 3 && a.getLong(2) == 2 && a.getLong(3) == 2)
+    assert(a.getDouble(6) == 1.0 && math.abs(a.getDouble(7) - 2.0 / 3) < 1e-6)
+    assert(math.abs(a.getDouble(8) - 0.8) < 1e-6) // f1 = 4/(3+2)
+    val b = got("b") // tp=2, n_actual=2, n_pred=3
+    assert(math.abs(b.getDouble(6) - 2.0 / 3) < 1e-6 && b.getDouble(7) == 1.0)
+    // c: never predicted -> precision null, recall 0; d: hallucinated ->
+    // precision 0, recall null
+    assert(got("c").isNullAt(6) && got("c").getDouble(7) == 0.0)
+    assert(got("d").getDouble(6) == 0.0 && got("d").isNullAt(7))
+    // accuracy 4/6 on every row
+    assert(got.values.forall(r => math.abs(r.getDouble(9) - 4.0 / 6) < 1e-6))
+    // null actual labels are excluded, not counted as a class
+    val withNull = rows.union(Seq((null: String, "a")).toDF("y", "p"))
+    assert(Profiler.classificationReport(withNull, col("y"), col("p"))
+      .count() == 4)
+  }
+
   /** Driver-side Spearman with ties (midrank Pearson) for the property
     * checks — plain double arithmetic over the full rows. */
   private def directSpearman(rows: Seq[(Long, Long)]): Option[Double] = {

@@ -421,4 +421,34 @@ class DedupSpec extends AnyFunSuite {
       .select($"doc_id").orderBy($"doc_id").as[Long].collect()
     assert(got sameElements Array(1L, 3L), got.mkString(","))
   }
+
+  test("goldenRecord: fields survive INDEPENDENTLY (first non-null per field), not keep-newest") {
+    // group 10: newest record (prio 3) has null phone, mid record has
+    // null city, oldest has both — the golden record mixes rows
+    val recs = Seq(
+      (10L, 3L, null.asInstanceOf[String], "berlin"),
+      (10L, 2L, "555-1", null.asInstanceOf[String]),
+      (10L, 1L, "555-0", "munich"),
+      // group 20: single record, nulls stay null
+      (20L, 1L, null.asInstanceOf[String], "rome")
+    ).toDF("grp", "prio", "phone", "city")
+    val got = Dedup.goldenRecord(recs, "grp",
+        order = Seq($"prio".desc), fields = Seq("phone", "city"))
+      .orderBy($"grp").collect()
+    assert(got.length == 2)
+    // newest non-null phone is prio 2's; newest city is prio 3's own
+    assert(got(0).getLong(0) == 10L && got(0).getString(1) == "555-1" &&
+      got(0).getString(2) == "berlin" && got(0).getLong(3) == 3L)
+    assert(got(1).getLong(0) == 20L && got(1).isNullAt(1) &&
+      got(1).getString(2) == "rome" && got(1).getLong(3) == 1L)
+    // partition-independence: the window order is total, so repartition
+    // changes nothing
+    val re = Dedup.goldenRecord(recs.repartition(7), "grp",
+        order = Seq($"prio".desc), fields = Seq("phone", "city"))
+      .orderBy($"grp").collect()
+    assert(re.map(_.toString) sameElements got.map(_.toString))
+    // empty input -> empty output, schema intact
+    assert(Dedup.goldenRecord(recs.limit(0), "grp",
+      order = Seq($"prio".desc), fields = Seq("phone", "city")).count() == 0)
+  }
 }

@@ -1089,6 +1089,42 @@ object QueriesCuration {
       "(2e0 * CAST(SUM(np) AS DOUBLE) * CAST(SUM(n - np) AS DOUBLE)), 6) END AS auc " +
       "FROM wauc"))
 
+  /** CLASSIFIER RELIABILITY DIAGRAM + ECE
+    * ([[graft.operators.Profiler.calibration]]): the calibration audit
+    * over the same trained scores the PR curve sweeps and the AUC
+    * ranks — per probability-decile confidence vs empirical accuracy
+    * plus the expected calibration error. Null-safe label (the
+    * q_clf_auc lesson); the oracle extends [[qualityClfCtes]] with the
+    * identical integer binning and DECIMAL gap sum. */
+  private val qClfCalibration = Q(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val scored = graft.operators.QualityClassifier.trainScore(
+        docs, "doc_id", "text", label = col("lang") === "en",
+        buckets = 1024, epochs = 3, cacheKey = Some(clfKey(s, d)))
+      graft.operators.Profiler.calibration(
+          scored.join(docs.select(col("doc_id"), col("lang")), "doc_id"),
+          "score_fp", label = col("lang") <=> lit("en"),
+          fpUnit = graft.operators.QualityClassifier.FP, bins = 10)
+        .orderBy(col("bin"))
+    },
+    Some(qualityClfCtes(3) + ", " +
+      "cb AS (SELECT least((score_fp * 10) // 100000, 9) AS bin, score_fp, " +
+      "CASE WHEN tl.y = 100000 THEN 1 ELSE 0 END AS y " +
+      "FROM scored JOIN tl USING (doc_id)), " +
+      "cg AS (SELECT bin, count(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos, " +
+      "CAST(SUM(score_fp) AS BIGINT) AS sfp FROM cb GROUP BY 1), " +
+      "ct AS (SELECT bin, CAST(n AS BIGINT) AS n, n_pos, " +
+      "round(CAST(sfp AS DOUBLE) / (CAST(n AS DOUBLE) * 100000e0), 6) AS confidence, " +
+      "round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS accuracy, " +
+      "round(abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) " +
+      "- CAST(sfp AS DOUBLE) / (CAST(n AS DOUBLE) * 100000e0)) " +
+      "* (CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)), 9) AS gap_term " +
+      "FROM cg) " +
+      "SELECT bin, n, n_pos, confidence, accuracy, gap_term, " +
+      "round(CAST(SUM(CAST(gap_term AS DECIMAL(20,9))) OVER () AS DOUBLE), 6) AS ece " +
+      "FROM ct ORDER BY bin"))
+
   /** KNESER–NEY PERPLEXITY GATE ([[graft.operators.TextAnalysis.knLogProb]]):
     * the CCNet-style learned-LM filter — train interpolated-KN bigrams on
     * the `lang = 'en'` reference slice, score EVERY document (en docs
@@ -1472,6 +1508,7 @@ object QueriesCuration {
     "q_compaction_plan" -> qCompactionPlan,
     "q_clf_pr_curve" -> qClfPrCurve,
     "q_clf_auc" -> qClfAuc,
+    "q_clf_calibration" -> qClfCalibration,
     "q_expectations" -> qExpectations,
     "q_k_anonymize" -> qKAnonymize,
     "q_l_diversity" -> qLDiversity,

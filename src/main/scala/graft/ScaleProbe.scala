@@ -468,7 +468,12 @@ object ScaleProbe {
     // \\b(the)\\b still fires inside "the~r1"), so predictions and the
     // whole report REPRODUCE at 10x with counts x10 (value contract on
     // the ratios).
-    "q_golden_record", "q_lang_confusion")
+    "q_golden_record", "q_lang_confusion",
+    // clf_calibration: bin-grain output (<= 10 rows at ANY scale) over
+    // the shared memoized classifier — the q_clf_auc scale contract
+    // (bounded output + training linear in corpus); the model
+    // legitimately retrains at 10x so bin values shift with the scores.
+    "q_clf_calibration")
 
   /** Optional comma-separated SPARK_GRAFT_PROBE_ONLY filter so a new
     * family can be probed without re-timing the whole board. */

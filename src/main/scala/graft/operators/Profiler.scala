@@ -1091,6 +1091,50 @@ object Profiler {
             6)).as("auc"))
   }
 
+  /** RELIABILITY DIAGRAM + EXPECTED CALIBRATION ERROR — the third leg of
+    * the classifier-eval family beside [[prCurve]] (threshold choice)
+    * and [[auc]] (ranking): does the score MEAN what it says? Per
+    * equal-width probability bin over the FIXED-POINT score: count,
+    * positives, mean predicted probability (`confidence`, exact integer
+    * score sum over n·fpUnit), empirical positive rate (`accuracy`),
+    * the bin's weighted |gap|, and ECE = Σ_b (n_b/N)·|acc_b − conf_b|
+    * as a window total over the ≤ `bins` rows (the
+    * [[graft.operators.TextAnalysis.jsDivergence]] DECIMAL-sum
+    * discipline). A quality gate wired at "score ≥ 0.8" silently
+    * drifts if 0.8 means 60% — this row is the audit that catches it.
+    *
+    * Everything before the final ratios is exact integer arithmetic
+    * (binning is a nonnegative integer division — `div` ≡ `//` across
+    * engines on nonnegatives); the bin grain bounds every window. NULL
+    * labels count as negatives (the [[prCurve]] convention — pass a
+    * null-safe label). Output: (bin, n, n_pos, confidence, accuracy,
+    * gap_term, ece), one row per OCCUPIED bin, ece constant. */
+  def calibration(scored: DataFrame, score: String, label: Column,
+                  fpUnit: Long, bins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bins >= 2 && fpUnit >= 1, s"need bins >= 2, fpUnit >= 1")
+    val binned = scored.filter(col(score).isNotNull)
+      .select(least(expr(s"($score * $bins) div $fpUnit"), lit(bins - 1L))
+          .cast("long").as("bin"),
+        col(score).as("__fp"),
+        when(label, 1L).otherwise(0L).as("__y"))
+    val agg = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        sum(col("__fp")).as("__sfp"))
+    val all = Window.partitionBy()
+    val conf = col("__sfp").cast("double") /
+      (col("n").cast("double") * lit(fpUnit.toDouble))
+    val acc = col("n_pos").cast("double") / col("n").cast("double")
+    agg.select(col("bin"), col("n"), col("n_pos"),
+        round(conf, 6).as("confidence"), round(acc, 6).as("accuracy"),
+        round(abs(acc - conf) *
+          (col("n").cast("double") / sum(col("n")).over(all).cast("double")), 9)
+          .as("gap_term"))
+      .withColumn("ece",
+        round(sum(col("gap_term").cast("decimal(20,9)")).over(all)
+          .cast("double"), 6))
+  }
+
   def prCurve(scored: DataFrame, score: String, label: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("thr").desc)

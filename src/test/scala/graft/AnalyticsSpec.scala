@@ -519,6 +519,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(re(1L) == 16.0)
   }
 
+  test("calibration: hand-computed bins and ECE; top score clamps; perfect calibration -> 0") {
+    // fpUnit 100, 4 bins of width 25; bin 2 left empty on purpose
+    val rows = Seq((10L, false), (20L, true), (30L, false),
+      (80L, true), (100L, true)).toDF("s", "l")
+    val got = Profiler.calibration(rows, "s", col("l"), fpUnit = 100L, bins = 4)
+      .orderBy(col("bin")).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 1L, 3L), "occupied bins only; 100 clamps into bin 3")
+    val b0 = got(0) // n=2, pos=1, conf=30/200=.15, acc=.5
+    assert(b0.getLong(1) == 2 && b0.getLong(2) == 1 &&
+      b0.getDouble(3) == 0.15 && b0.getDouble(4) == 0.5)
+    // ECE = .35*2/5 + .3*1/5 + .1*2/5 = .24 exactly
+    assert(got.forall(r => math.abs(r.getDouble(6) - 0.24) < 1e-9))
+    // perfectly calibrated bin: conf == acc -> ece 0
+    val perfect = Seq((50L, true), (50L, false)).toDF("s", "l")
+    val p = Profiler.calibration(perfect, "s", col("l"), fpUnit = 100L, bins = 4)
+      .collect()
+    assert(p.length == 1 && p.head.getDouble(6) == 0.0)
+    // null labels count as negatives (the prCurve convention)
+    val withNull = Seq((90L, java.lang.Boolean.TRUE),
+      (90L, null.asInstanceOf[java.lang.Boolean])).toDF("s", "l")
+    val w = Profiler.calibration(withNull, "s", col("l"), fpUnit = 100L, bins = 4)
+      .collect().head
+    assert(w.getLong(1) == 2 && w.getLong(2) == 1)
+  }
+
   test("classificationReport: hand-computed confusion; unpredicted and hallucinated classes") {
     // actual:  a a a b b c   predicted: a b a b b d
     val rows = Seq(("a", "a"), ("a", "b"), ("a", "a"), ("b", "b"),

@@ -964,6 +964,24 @@ object QueriesAnalytics {
     * precision/recall/F1 + accuracy at class grain. The oracle rebuilds
     * the identical langId argmax from the same `profiles` table the
     * Spark expression is generated from. */
+  /** The langId-vs-label confusion cells, generated from the SAME
+    * [[TextAnalysis.profiles]] table the Spark expression is built
+    * from — shared by the classification report and Cohen's κ oracles.
+    * Ends at `cells(a, p, n)`. */
+  private def langConfusionCtes: String = {
+    val scoreExprs = TextAnalysis.profiles.map { case (l, re) =>
+      s"len(regexp_extract_all(lower(text), '$re')) AS score_$l"
+    }.mkString(", ")
+    val best = "greatest(" +
+      TextAnalysis.profiles.map(p => s"score_${p._1}").mkString(", ") + ")"
+    val cases = TextAnalysis.profiles.map { case (l, _) =>
+      s"WHEN score_$l = $best AND $best > 0 THEN '$l'" }.mkString(" ")
+    s"WITH st AS (SELECT doc_id, lang, $scoreExprs FROM documents), " +
+      s"pr AS (SELECT lang AS a, CASE $cases ELSE 'und' END AS p FROM st " +
+      "WHERE lang IS NOT NULL), " +
+      "cells AS (SELECT a, p, count(*) AS n FROM pr GROUP BY 1, 2)"
+  }
+
   private val qLangConfusion = Q(
     (s, d) => Profiler.classificationReport(
         TextAnalysis.langId(t(s, d, "documents"), "doc_id", "text")
@@ -971,17 +989,7 @@ object QueriesAnalytics {
         actual = col("lang"), predicted = col("pred_lang"))
       .orderBy(col("cls")),
     Some {
-      val scoreExprs = TextAnalysis.profiles.map { case (l, re) =>
-        s"len(regexp_extract_all(lower(text), '$re')) AS score_$l"
-      }.mkString(", ")
-      val best = "greatest(" +
-        TextAnalysis.profiles.map(p => s"score_${p._1}").mkString(", ") + ")"
-      val cases = TextAnalysis.profiles.map { case (l, _) =>
-        s"WHEN score_$l = $best AND $best > 0 THEN '$l'" }.mkString(" ")
-      s"WITH st AS (SELECT doc_id, lang, $scoreExprs FROM documents), " +
-        s"pr AS (SELECT lang AS a, CASE $cases ELSE 'und' END AS p FROM st " +
-        "WHERE lang IS NOT NULL), " +
-        "cells AS (SELECT a, p, count(*) AS n FROM pr GROUP BY 1, 2), " +
+      langConfusionCtes + ", " +
         "cls AS (SELECT a AS cls FROM cells UNION SELECT p FROM cells), " +
         "act AS (SELECT a AS cls, SUM(n) AS na FROM cells GROUP BY 1), " +
         "prd AS (SELECT p AS cls, SUM(n) AS np FROM cells GROUP BY 1), " +
@@ -1004,6 +1012,35 @@ object QueriesAnalytics {
         "CAST(SUM(n_actual) OVER () AS DOUBLE), 6) END AS accuracy " +
         "FROM j ORDER BY cls"
     })
+
+  /** COHEN'S κ ([[Profiler.cohenKappa]]) between the langId prediction
+    * and the labeled `lang` — the chance-corrected single-number
+    * companion to [[qLangConfusion]]'s per-class report, sharing its
+    * confusion-cell oracle CTEs. */
+  private val qLangKappa = Q(
+    (s, d) => Profiler.cohenKappa(
+        TextAnalysis.langId(t(s, d, "documents"), "doc_id", "text")
+          .join(t(s, d, "documents").select(col("doc_id"), col("lang")), "doc_id"),
+        col("lang"), col("pred_lang")),
+    Some(langConfusionCtes + ", " +
+      "act AS (SELECT a AS cls, SUM(n) AS na FROM cells GROUP BY 1), " +
+      "prd AS (SELECT p AS cls, SUM(n) AS np FROM cells GROUP BY 1), " +
+      "tot AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n, " +
+      "CAST(COALESCE(SUM(CASE WHEN a = p THEN n ELSE 0 END), 0) AS BIGINT) " +
+      "AS agree FROM cells), " +
+      "pe AS (SELECT COALESCE(SUM(CAST(na AS HUGEINT) * np), 0) AS pe_num " +
+      "FROM act JOIN prd USING (cls)) " +
+      "SELECT n, " +
+      "CASE WHEN n > 0 THEN round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) " +
+      "END AS po, " +
+      "CASE WHEN n > 0 THEN round(CAST(pe_num AS DOUBLE) / " +
+      "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) END AS pe, " +
+      "CASE WHEN n > 0 AND CAST(pe_num AS DOUBLE) / " +
+      "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1e0 THEN " +
+      "round((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) " +
+      "- CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / " +
+      "(1e0 - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) " +
+      "END AS kappa FROM tot CROSS JOIN pe"))
 
   val registry: Seq[(String, Q)] = Seq(
     "q_skyline" -> qSkyline,
@@ -1037,5 +1074,6 @@ object QueriesAnalytics {
     "q_js_divergence" -> qJsDivergence,
     "q_zipf_fit" -> qZipfFit,
     "q_golden_record" -> qGoldenRecord,
-    "q_lang_confusion" -> qLangConfusion)
+    "q_lang_confusion" -> qLangConfusion,
+    "q_lang_kappa" -> qLangKappa)
 }

@@ -473,7 +473,11 @@ object ScaleProbe {
     // the shared memoized classifier — the q_clf_auc scale contract
     // (bounded output + training linear in corpus); the model
     // legitimately retrains at 10x so bin values shift with the scores.
-    "q_clf_calibration")
+    "q_clf_calibration",
+    // lang_kappa: ONE row; the q_lang_confusion value contract verbatim
+    // (regex hits suffix-invariant, counts x10 uniformly) — po, pe and
+    // kappa REPRODUCE the base values exactly.
+    "q_lang_kappa")
 
   /** Optional comma-separated SPARK_GRAFT_PROBE_ONLY filter so a new
     * family can be probed without re-timing the whole board. */

@@ -945,6 +945,46 @@ object Profiler {
           .as("accuracy"))
   }
 
+  /** COHEN'S κ — chance-corrected agreement between two labelings of
+    * the same rows: the label-QUALITY statistic behind every annotation
+    * audit (two annotators, annotator vs model, model vs weak rule),
+    * where raw accuracy flatters agreement that class imbalance alone
+    * would produce. κ = (p_o − p_e)/(1 − p_e) with p_o = observed
+    * agreement and p_e = Σ_c marginal_a(c)·marginal_b(c)/n² — the
+    * agreement two independent raters with these marginals would reach
+    * by chance.
+    *
+    * Same plan skeleton as [[classificationReport]] (one cell
+    * aggregation, then class-grain everything): p_o's numerator is an
+    * exact long, p_e's is an exact DECIMAL(38,0) Σ n_a·n_b over the
+    * classes BOTH raters use (a class only one rater uses contributes
+    * zero), and κ is one mirrored double chain, round(6) — null when
+    * p_e = 1 (degenerate single-class marginals), never NaN. Output:
+    * ONE row (n, po, pe, kappa). */
+  def cohenKappa(df: DataFrame, r1: Column, r2: Column): DataFrame = {
+    val r = df.select(r1.as("__a"), r2.as("__p"))
+      .filter(col("__a").isNotNull && col("__p").isNotNull)
+    val cells = r.groupBy(col("__a"), col("__p")).agg(count(lit(1)).as("__n"))
+    val act = cells.groupBy(col("__a").as("cls")).agg(sum(col("__n")).as("__na"))
+    val prd = cells.groupBy(col("__p").as("cls")).agg(sum(col("__n")).as("__np"))
+    val tot = cells.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("n"),
+      coalesce(sum(when(col("__a") === col("__p"), col("__n"))
+        .otherwise(lit(0L))), lit(0L)).as("__agree"))
+    val peNum = act.join(prd, "cls")
+      .agg(coalesce(sum(col("__na").cast("decimal(38,0)") * col("__np")),
+        lit(0L).cast("decimal(38,0)")).as("__pe_num"))
+    def d(c: Column) = c.cast("double")
+    val po = d(col("__agree")) / d(col("n"))
+    val pe = d(col("__pe_num")) / (d(col("n")) * d(col("n")))
+    tot.crossJoin(broadcast(peNum))
+      .select(col("n"),
+        when(col("n") > 0, round(po, 6)).as("po"),
+        when(col("n") > 0, round(pe, 6)).as("pe"),
+        when(col("n") > 0 && pe < 1.0,
+          round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
+
   /** SPEARMAN RANK CORRELATION with ties (midranks), exact to the final
     * division — the monotone-association companion to
     * [[chiSquareIndependence]]: does one BOUNDED-CARDINALITY feature

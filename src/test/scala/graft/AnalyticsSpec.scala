@@ -570,6 +570,25 @@ class AnalyticsSpec extends AnyFunSuite {
       .count() == 4)
   }
 
+  test("cohenKappa: hand-computed, perfect disagreement -1, single-class null, empty null") {
+    def run(rows: Seq[(String, String)]) = {
+      val r = Profiler.cohenKappa(rows.toDF("a", "b"), col("a"), col("b")).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    }
+    // po = 3/4, pe = (2*1 + 2*3)/16 = 1/2, kappa = .25/.5 = .5
+    assert(run(Seq(("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"))) ==
+      ((4L, Some(0.75), Some(0.5), Some(0.5))))
+    // systematic disagreement with symmetric marginals: kappa = -1
+    assert(run(Seq(("a", "b"), ("b", "a")))._4.contains(-1.0))
+    // both raters constant on one class: pe = 1, kappa undefined -> null
+    assert(run(Seq(("a", "a"), ("a", "a")))._4.isEmpty)
+    // empty input: one row, n = 0, all null
+    assert(run(Seq.empty) == ((0L, None, None, None)))
+  }
+
   /** Driver-side Spearman with ties (midrank Pearson) for the property
     * checks — plain double arithmetic over the full rows. */
   private def directSpearman(rows: Seq[(Long, Long)]): Option[Double] = {

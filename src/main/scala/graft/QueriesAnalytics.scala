@@ -1042,6 +1042,41 @@ object QueriesAnalytics {
       "(1e0 - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) " +
       "END AS kappa FROM tot CROSS JOIN pe"))
 
+  /** MUTUAL INFORMATION ([[Profiler.mutualInformation]]) between `lang`
+    * and `source` over documents — is the source field informative of
+    * language (a stratification/leakage audit every mixture design
+    * wants)? Cell/marginal grains only; the oracle replays the
+    * identical rounded-term DECIMAL sums. */
+  private val qMutualInfo = Q(
+    (s, d) => Profiler.mutualInformation(
+      t(s, d, "documents"), col("lang"), col("source")),
+    Some("WITH r AS (SELECT lang AS x, source AS y FROM documents " +
+      "WHERE lang IS NOT NULL AND source IS NOT NULL), " +
+      "cells AS (SELECT x, y, count(*) AS nxy FROM r GROUP BY 1, 2), " +
+      "mx AS (SELECT x, SUM(nxy) AS nx FROM cells GROUP BY 1), " +
+      "my AS (SELECT y, SUM(nxy) AS ny FROM cells GROUP BY 1), " +
+      "nt AS (SELECT CAST(COALESCE(SUM(nxy), 0) AS BIGINT) AS n FROM cells), " +
+      "mi AS (SELECT COALESCE(SUM(CAST(round(" +
+      "(CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+      "ln((CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE)) / " +
+      "(CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))), 9) AS DECIMAL(20,9))), 0) " +
+      "AS miv FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN nt), " +
+      "e1 AS (SELECT COALESCE(SUM(CAST(round(" +
+      "-(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+      "ln(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS DECIMAL(20,9))), 0) " +
+      "AS ha FROM mx CROSS JOIN nt), " +
+      "e2 AS (SELECT COALESCE(SUM(CAST(round(" +
+      "-(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+      "ln(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS DECIMAL(20,9))), 0) " +
+      "AS hb FROM my CROSS JOIN nt), " +
+      "k1 AS (SELECT CAST(count(*) AS BIGINT) AS n_c1 FROM mx), " +
+      "k2 AS (SELECT CAST(count(*) AS BIGINT) AS n_c2 FROM my) " +
+      "SELECT n, n_c1, n_c2, round(CAST(miv AS DOUBLE), 6) AS mi, " +
+      "CASE WHEN CAST(ha AS DOUBLE) > 0e0 AND CAST(hb AS DOUBLE) > 0e0 THEN " +
+      "round(CAST(miv AS DOUBLE) / sqrt(CAST(ha AS DOUBLE) * CAST(hb AS DOUBLE)), 6) " +
+      "END AS nmi FROM nt CROSS JOIN mi CROSS JOIN e1 CROSS JOIN e2 " +
+      "CROSS JOIN k1 CROSS JOIN k2"))
+
   val registry: Seq[(String, Q)] = Seq(
     "q_skyline" -> qSkyline,
     "q_skyline_nd" -> qSkylineNd,
@@ -1075,5 +1110,6 @@ object QueriesAnalytics {
     "q_zipf_fit" -> qZipfFit,
     "q_golden_record" -> qGoldenRecord,
     "q_lang_confusion" -> qLangConfusion,
-    "q_lang_kappa" -> qLangKappa)
+    "q_lang_kappa" -> qLangKappa,
+    "q_mutual_info" -> qMutualInfo)
 }

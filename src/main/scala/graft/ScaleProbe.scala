@@ -477,7 +477,12 @@ object ScaleProbe {
     // lang_kappa: ONE row; the q_lang_confusion value contract verbatim
     // (regex hits suffix-invariant, counts x10 uniformly) — po, pe and
     // kappa REPRODUCE the base values exactly.
-    "q_lang_kappa")
+    "q_lang_kappa",
+    // mutual_info: ONE row; replicas keep (lang, source) untouched, so
+    // every cell and marginal count scales x10 uniformly and all the
+    // p-ratios are scale-invariant — mi and nmi REPRODUCE the base
+    // values exactly (value contract); cost is the one cell aggregation.
+    "q_mutual_info")
 
   /** Optional comma-separated SPARK_GRAFT_PROBE_ONLY filter so a new
     * family can be probed without re-timing the whole board. */

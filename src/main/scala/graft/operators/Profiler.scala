@@ -945,6 +945,58 @@ object Profiler {
           .as("accuracy"))
   }
 
+  /** MUTUAL INFORMATION (nats) + normalized MI between two categorical
+    * columns — the feature-selection measure beside
+    * [[chiSquareIndependence]]'s significance test: HOW MANY BITS does
+    * knowing one feature buy about the other (is `source` informative
+    * of `lang`? is a metadata field worth keeping as a training
+    * feature?). I(X;Y) = Σ_cells p(x,y)·ln(p(x,y)/(p(x)p(y))), and
+    * NMI = I/√(H(X)·H(Y)) ∈ [0,1] for the scale-free comparison across
+    * feature pairs.
+    *
+    * Plan: ONE cell aggregation, marginals re-aggregated FROM the cells
+    * (category grain, never a second corpus pass), every join
+    * broadcast at category grain, zero windows. Counts are exact
+    * longs; each cell/marginal term is a mirrored double chain over
+    * exact integers rounded to 9 places and DECIMAL-summed (the
+    * [[chiSquareIndependence]] discipline); mi/nmi are final mirrored
+    * chains, round(6). A single-category side has zero entropy: nmi
+    * null (never NaN), mi 0. Output: ONE row (n, n_c1, n_c2, mi,
+    * nmi). */
+  def mutualInformation(df: DataFrame, c1: Column, c2: Column): DataFrame = {
+    val r = df.select(c1.as("__x"), c2.as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val cells = r.groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__nxy"))
+    val mx = cells.groupBy(col("__x")).agg(sum(col("__nxy")).as("__nx"))
+    val my = cells.groupBy(col("__y")).agg(sum(col("__nxy")).as("__ny"))
+    val nRow = cells.agg(coalesce(sum(col("__nxy")), lit(0L)).as("n"))
+    def d(c: String) = col(c).cast("double")
+    val zero = lit(0).cast("decimal(20,9)")
+    val miTerm = (d("__nxy") / d("n")) *
+      log((d("__nxy") * d("n")) / (d("__nx") * d("__ny")))
+    val mi = cells.join(broadcast(mx), "__x").join(broadcast(my), "__y")
+      .crossJoin(broadcast(nRow))
+      .agg(coalesce(sum(round(miTerm, 9).cast("decimal(20,9)")), zero).as("__mi"))
+    def entropy(m: DataFrame, cnt: String, out: String) = {
+      val t = -(d(cnt) / d("n")) * log(d(cnt) / d("n"))
+      m.crossJoin(broadcast(nRow))
+        .agg(coalesce(sum(round(t, 9).cast("decimal(20,9)")), zero).as(out))
+    }
+    val miD = col("__mi").cast("double")
+    val h1D = col("__h1").cast("double")
+    val h2D = col("__h2").cast("double")
+    nRow
+      .crossJoin(broadcast(mx.agg(count(lit(1)).as("n_c1"))))
+      .crossJoin(broadcast(my.agg(count(lit(1)).as("n_c2"))))
+      .crossJoin(broadcast(mi))
+      .crossJoin(broadcast(entropy(mx, "__nx", "__h1")))
+      .crossJoin(broadcast(entropy(my, "__ny", "__h2")))
+      .select(col("n"), col("n_c1"), col("n_c2"),
+        round(miD, 6).as("mi"),
+        when(h1D > 0.0 && h2D > 0.0,
+          round(miD / sqrt(h1D * h2D), 6)).as("nmi"))
+  }
+
   /** COHEN'S κ — chance-corrected agreement between two labelings of
     * the same rows: the label-QUALITY statistic behind every annotation
     * audit (two annotators, annotator vs model, model vs weak rule),

@@ -570,6 +570,35 @@ class AnalyticsSpec extends AnyFunSuite {
       .count() == 4)
   }
 
+  test("mutualInformation: ln k on identity, exact 0 on independence, driver-checked skew") {
+    def run(rows: Seq[(String, String)]) = {
+      val r = Profiler.mutualInformation(rows.toDF("a", "b"), col("a"), col("b")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+    }
+    // X = Y uniform over two classes: MI = ln 2, NMI = 1
+    val ident = run(Seq(("a", "a"), ("b", "b"), ("a", "a"), ("b", "b")))
+    assert(ident._1 == 4 && ident._2 == 2 && ident._3 == 2)
+    assert(math.abs(ident._4.get - math.log(2.0)) < 1e-6)
+    assert(math.abs(ident._5.get - 1.0) < 1e-6)
+    // exact product distribution: every cell term is ln(1) = 0 exactly
+    val indep = run(Seq(("a", "c"), ("a", "d"), ("b", "c"), ("b", "d")))
+    assert(indep._4.contains(0.0) && indep._5.contains(0.0))
+    // skewed dependent case vs the driver-side definition
+    val skew = Seq(("a", "c"), ("a", "c"), ("a", "d"), ("b", "d"))
+    val n = 4.0
+    val direct = Seq((2.0, 3.0, 2.0), (1.0, 3.0, 2.0), (1.0, 1.0, 2.0))
+      .map { case (nxy, nx, ny) => (nxy / n) * math.log(nxy * n / (nx * ny)) }.sum
+    assert(math.abs(run(skew)._4.get - direct) < 1e-6)
+    // one side constant: zero entropy -> nmi null, mi 0
+    val const = run(Seq(("a", "c"), ("a", "d")))
+    assert(const._4.contains(0.0) && const._5.isEmpty)
+    // empty -> n 0, mi 0, nmi null
+    val e = run(Seq.empty)
+    assert(e._1 == 0 && e._4.contains(0.0) && e._5.isEmpty)
+  }
+
   test("cohenKappa: hand-computed, perfect disagreement -1, single-class null, empty null") {
     def run(rows: Seq[(String, String)]) = {
       val r = Profiler.cohenKappa(rows.toDF("a", "b"), col("a"), col("b")).head()

@@ -570,6 +570,62 @@ class AnalyticsSpec extends AnyFunSuite {
       .count() == 4)
   }
 
+  test("r16 eval operators == driver definitions on random inputs (seeded property loops)") {
+    import graft.operators.TextAnalysis
+    for (seed <- Seq(5, 42, 977)) {
+      val rnd = new scala.util.Random(seed)
+      // --- jsDivergence vs the driver definition over a random corpus
+      val vocab = Vector("v1", "v2", "v3", "v4", "v5", "v6")
+      val docs = (1 to 30 + rnd.nextInt(40)).map { _ =>
+        (rnd.nextBoolean(),
+          Seq.fill(1 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val cp = docs.filter(_._1).flatMap(_._2.split(" ")).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val cq = docs.filterNot(_._1).flatMap(_._2.split(" ")).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val (np, nq) = (cp.values.sum.toDouble, cq.values.sum.toDouble)
+      if (np > 0 && nq > 0) {
+        val direct = (cp.keySet ++ cq.keySet).toSeq.map { t =>
+          val p = cp.getOrElse(t, 0L) / np; val q = cq.getOrElse(t, 0L) / nq
+          val m = (p + q) / 2
+          (if (p > 0) p * math.log(p / m) else 0.0) / 2 +
+            (if (q > 0) q * math.log(q / m) else 0.0) / 2
+        }.sum
+        val got = TextAnalysis.jsDivergence(docs.toDF("s", "text"), "text", col("s"))
+          .collect().head.getDouble(4)
+        assert(math.abs(got - direct) < 1e-6, s"jsd seed=$seed: $got vs $direct")
+      }
+      // --- classificationReport vs driver counts over random labelings
+      val labels = Vector("x", "y", "z", "w")
+      val pairs = (1 to 50 + rnd.nextInt(50)).map { _ =>
+        (labels(rnd.nextInt(labels.size)), labels(rnd.nextInt(labels.size)))
+      }
+      val rep = Profiler.classificationReport(pairs.toDF("a", "p"), col("a"), col("p"))
+        .collect().map(r => r.getString(0) -> r).toMap
+      val classes = (pairs.map(_._1) ++ pairs.map(_._2)).distinct
+      assert(rep.keySet == classes.toSet)
+      classes.foreach { c =>
+        val na = pairs.count(_._1 == c); val npr = pairs.count(_._2 == c)
+        val tp = pairs.count(p => p._1 == c && p._2 == c)
+        val r = rep(c)
+        assert(r.getLong(1) == na && r.getLong(2) == npr && r.getLong(3) == tp,
+          s"report seed=$seed class=$c")
+      }
+      // --- calibration vs driver binning over random fixed-point scores
+      val scored = (1 to 60).map(_ => (rnd.nextInt(101).toLong, rnd.nextBoolean()))
+      val cal = Profiler.calibration(scored.toDF("s", "l"), "s", col("l"),
+        fpUnit = 100L, bins = 5).collect()
+      val byBin = scored.groupBy { case (s, _) => math.min(s * 5 / 100, 4L) }
+      assert(cal.map(_.getLong(0)).toSet == byBin.keySet)
+      cal.foreach { r =>
+        val b = byBin(r.getLong(0))
+        assert(r.getLong(1) == b.size && r.getLong(2) == b.count(_._2),
+          s"calibration seed=$seed bin=${r.getLong(0)}")
+        val conf = b.map(_._1).sum.toDouble / (b.size * 100.0)
+        assert(math.abs(r.getDouble(3) - conf) < 1e-5)
+      }
+    }
+  }
+
   test("mutualInformation: ln k on identity, exact 0 on independence, driver-checked skew") {
     def run(rows: Seq[(String, String)]) = {
       val r = Profiler.mutualInformation(rows.toDF("a", "b"), col("a"), col("b")).head()

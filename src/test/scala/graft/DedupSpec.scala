@@ -451,4 +451,28 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.goldenRecord(recs.limit(0), "grp",
       order = Seq($"prio".desc), fields = Seq("phone", "city")).count() == 0)
   }
+
+  test("goldenRecord == driver-side survivorship fold on random null-riddled groups") {
+    import org.apache.spark.sql.functions.col
+    for (seed <- Seq(7, 31, 553)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 120).map { i =>
+        (rnd.nextInt(12).toLong, i.toLong,
+          if (rnd.nextInt(3) == 0) null else s"f1_${rnd.nextInt(5)}",
+          if (rnd.nextInt(3) == 0) null else s"f2_${rnd.nextInt(5)}")
+      }
+      val got = Dedup.goldenRecord(rows.toDF("grp", "id", "f1", "f2"),
+          "grp", order = Seq(col("id").desc), fields = Seq("f1", "f2"))
+        .collect()
+        .map(r => r.getLong(0) -> ((Option(r.getString(1)), Option(r.getString(2)),
+          r.getLong(3)))).toMap
+      val direct = rows.groupBy(_._1).map { case (g, rs) =>
+        val sorted = rs.sortBy(-_._2) // id desc = the total order
+        g -> ((sorted.map(r => Option(r._3)).collectFirst { case Some(v) => v },
+          sorted.map(r => Option(r._4)).collectFirst { case Some(v) => v },
+          rs.size.toLong))
+      }
+      assert(got == direct, s"seed=$seed")
+    }
+  }
 }

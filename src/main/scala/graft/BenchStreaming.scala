@@ -150,6 +150,35 @@ object BenchStreaming {
         "state_rows" -> stateRows.toString))
     }
 
+    // ---- 2b. golden-record survivorship maintenance (round 16): per-key
+    // per-field newest-non-null fold — one state row per user, marker-
+    // guarded replay, the MDM merge kept fresh (null event_types planted
+    // so the per-field independence path actually executes)
+    section("golden_record") {
+      val stateDir = s"$tmp/golden_state"
+      val ckpt = s"$tmp/golden_ckpt"
+      val mem = MemoryStream[SBenchEv]
+      val q = mem.toDS().toDF()
+        .select($"user_id", unix_micros($"ts").as("version"),
+          when($"value" > 75.0, null).otherwise($"event_type").as("event_type"),
+          $"value")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(Streaming.goldenRecordSink(
+          "user_id", "version", Seq("event_type", "value"), stateDir) _)
+        .start()
+      val t0 = nowSec()
+      chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+      val secs = nowSec() - t0
+      val st = spark.read.parquet(stateDir)
+      val stateRows = st.count()
+      val folded = st.agg(sum($"n_records")).head().getLong(0)
+      q.stop()
+      record("golden_record", events.length.toLong, nBatches, secs, Seq(
+        "state_rows" -> stateRows.toString,
+        "records_folded" -> folded.toString))
+    }
+
     // ---- 3. continuous quality monitor (Expectations over the stream)
     section("quality") {
       val stateDir = s"$tmp/quality_state"

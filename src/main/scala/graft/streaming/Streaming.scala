@@ -873,6 +873,79 @@ object Streaming {
     fs.delete(old, true): Unit
   }
 
+  /** S7 ⊕ [[graft.operators.Dedup.goldenRecord]] — streaming GOLDEN-RECORD
+    * (survivorship) maintenance: the MDM merge kept fresh as records
+    * arrive. Unlike [[upsertLastWinsSink]]'s whole-row replace, each FIELD
+    * independently keeps the newest non-null value across the key's whole
+    * history — a fresh record with a null field must NOT erase an older
+    * field value. State per key: the golden fields + the surviving (max)
+    * `versionCol` + cumulative `n_records`. The fold is ASSOCIATIVE
+    * because per-field first-non-null over (version desc) depends only on
+    * each field's newest non-null (version, value), which the state row
+    * carries — so state after N batches equals the batch operator over
+    * the union of all N batches' rows (the incremental-rollup
+    * partial≡direct property, asserted in the spec), provided versions
+    * are unique per key (ties fall to the incoming row via `__p`, the
+    * upsert sink's convention).
+    *
+    * `n_records` is a count, so the sink is NOT idempotent under replay
+    * by itself: the last applied batchId rides INSIDE the state dir (the
+    * [[incrementalRollupSink]] `_applied` marker discipline verbatim,
+    * published by the same atomic rename as the data) — a replayed
+    * batchId is skipped. Crash repair via [[recoverSwap]] with
+    * `requireMarker = true`. */
+  def goldenRecordSink(keyCol: String, versionCol: String, fields: Seq[String],
+                       stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    recoverSwap(spark, stateDir, "goldenRecordSink", requireMarker = true)
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readMarker(dir: String): Long = {
+      val m = new org.apache.hadoop.fs.Path(s"$dir/_applied")
+      if (!fs.exists(m)) -1L
+      else {
+        val in = fs.open(m)
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          "UTF-8").trim.toLong
+        finally in.close()
+      }
+    }
+    if (batchId <= readMarker(stateDir)) return // replayed batch: already folded
+    val incoming = batch
+      .select((keyCol +: versionCol +: fields).map(col): _*)
+      .withColumn("__p", lit(1L)).withColumn("n_records", lit(1L))
+    // only "no state yet" skips the fold — any read/union failure must
+    // propagate, else the overwrite below would silently drop all state
+    val merged =
+      if (stateExists(spark, stateDir))
+        incoming.unionByName(
+          spark.read.parquet(stateDir).withColumn("__p", lit(0L)))
+      else incoming
+    // per-field survivors (versionCol rides as a field: its first
+    // non-null in version-desc order IS the max version); the operator's
+    // own n_records would count the folded state row as one record, so
+    // the cumulative count is summed separately and joined back
+    val survivors = graft.operators.Dedup.goldenRecord(
+        merged, keyCol,
+        order = Seq(col(versionCol).desc, col("__p").desc),
+        fields = versionCol +: fields)
+      .drop("n_records")
+    val counts = merged.groupBy(col(keyCol))
+      .agg(sum(col("n_records")).as("n_records"))
+    survivors.join(counts, keyCol)
+      .write.mode("overwrite").parquet(stateDir + "_next")
+    val out = fs.create(new org.apache.hadoop.fs.Path(stateDir + "_next/_applied"), true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    val cur = new org.apache.hadoop.fs.Path(stateDir)
+    val next = new org.apache.hadoop.fs.Path(stateDir + "_next")
+    val old = new org.apache.hadoop.fs.Path(stateDir + "_old")
+    if (fs.exists(cur) && !fs.rename(cur, old))
+      throw new java.io.IOException(s"goldenRecordSink: failed to move $cur aside")
+    if (!fs.rename(next, cur))
+      throw new java.io.IOException(s"goldenRecordSink: failed to publish $next")
+    fs.delete(old, true): Unit
+  }
+
   /** STREAMING φ-FREQUENT ITEMS (trending) — an incremental MISRA–GRIES
     * summary over an unbounded item stream, the streaming twin of
     * [[graft.operators.HeavyHitters.frequentItems]] and the primitive

@@ -314,6 +314,70 @@ class StreamingSpec extends AnyFunSuite {
       ("a", 1L, "v1"), ("b", 2L, "v1"), ("c", 3L, "v1"), ("d", 4L, "v1")))
   }
 
+  test("golden-record sink: per-field survivorship across batches ≡ batch operator; replay no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_golden").toString + "/state"
+    // b2's newer record for key a has a NULL city: the older city must
+    // survive while the newer phone replaces — the survivorship semantics
+    // upsertLastWins cannot express
+    val b1 = Seq(("a", 1L, "555-0", "munich"), ("b", 1L, "555-9", "rome"))
+      .toDF("_id", "version", "phone", "city")
+    val b2 = Seq(("a", 2L, "555-1", null.asInstanceOf[String]),
+      ("c", 1L, null.asInstanceOf[String], "oslo"))
+      .toDF("_id", "version", "phone", "city")
+    val sink = Streaming.goldenRecordSink("_id", "version",
+      Seq("phone", "city"), dir) _
+    sink(b1, 0L); sink(b2, 1L)
+    def state() = spark.read.parquet(dir)
+      .select($"_id", $"version", $"phone", $"city", $"n_records")
+      .orderBy($"_id")
+      .as[(String, Long, Option[String], Option[String], Long)].collect()
+    val afterB2 = state()
+    assert(afterB2 sameElements Array(
+      ("a", 2L, Some("555-1"), Some("munich"), 2L),
+      ("b", 1L, Some("555-9"), Some("rome"), 1L),
+      ("c", 1L, None, Some("oslo"), 1L)))
+    // replay of a committed batch is skipped by the _applied marker
+    // (n_records would otherwise double)
+    sink(b2, 1L)
+    assert(state() sameElements afterB2)
+    // partial ≡ direct: the maintained state equals the batch operator
+    // over the union of all rows (ties impossible: versions unique per key)
+    val direct = graft.operators.Dedup.goldenRecord(
+        b1.unionByName(b2), "_id",
+        order = Seq($"version".desc), fields = Seq("version", "phone", "city"))
+      .select($"_id", $"version", $"phone", $"city", $"n_records")
+      .orderBy($"_id")
+      .as[(String, Long, Option[String], Option[String], Long)].collect()
+    assert(afterB2 sameElements direct)
+  }
+
+  test("golden-record sink: crash windows repair via the marker discipline") {
+    val base = java.nio.file.Files.createTempDirectory("graft_golden_crash").toString
+    val dir = s"$base/state"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val sink = Streaming.goldenRecordSink("_id", "version", Seq("payload"), dir) _
+    sink(Seq(("a", 1L, "v1")).toDF("_id", "version", "payload"), 0L)
+    // crash after cur -> _old, before publish: the fully-merged _next
+    // (with its marker — written before the swap begins) must be published
+    assert(fs.rename(p(dir), p(dir + "_next_tmp")))
+    assert(fs.rename(p(dir + "_next_tmp"), p(dir + "_next")))
+    sink(Seq(("b", 1L, "v1")).toDF("_id", "version", "payload"), 1L)
+    val got = spark.read.parquet(dir).select($"_id").orderBy($"_id")
+      .as[String].collect()
+    assert(got sameElements Array("a", "b"))
+    // a marker-LESS _next (crash mid-write on a later batch, live state
+    // dir) is dropped, never merged
+    Seq(("zz", 9L, "stale")).toDF("_id", "version", "payload")
+      .write.parquet(dir + "_next")
+    fs.delete(p(dir + "_next/_applied"), false): Unit
+    sink(Seq(("c", 1L, "v1")).toDF("_id", "version", "payload"), 2L)
+    val got2 = spark.read.parquet(dir).select($"_id").orderBy($"_id")
+      .as[String].collect()
+    assert(got2 sameElements Array("a", "b", "c"))
+  }
+
   test("stream-stream interval join matches its batch twin") {
     implicit val sq = spark.sqlContext
     case class E(user_id: Long, ts: Timestamp, event_id: Long)

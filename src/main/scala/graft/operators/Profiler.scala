@@ -1065,10 +1065,15 @@ object Profiler {
     val rows = df.select(x.cast("long").as("__x"), y.cast("long").as("__y"))
       .filter(col("__x").isNotNull && col("__y").isNotNull)
     val cells = rows.groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__w"))
+    // marginals re-aggregate the CELLS (|X|·|Y| rows), never the corpus —
+    // the classificationReport discipline (Σ cell counts per value ≡ the
+    // direct marginal count exactly); the cells subtree appears three
+    // times in the one plan and its corpus-grain exchange is REUSED
+    // (ReusedExchange), so the input is scanned and shuffled once
     def midranks(c: String, r2: String) = {
       val below = Window.orderBy(col(c))
         .rowsBetween(Window.unboundedPreceding, -1)
-      rows.groupBy(col(c)).agg(count(lit(1)).as("__c"))
+      cells.groupBy(col(c)).agg(sum(col("__w")).as("__c"))
         .withColumn(r2,
           lit(2L) * coalesce(sum(col("__c")).over(below), lit(0L)) + col("__c") + 1L)
         .drop("__c")

@@ -143,5 +143,11 @@ class EmptyInputSpec extends AnyFunSuite {
     // zipfFit: one summary row, zero types, null slope/intercept
     val zr = TextAnalysis.zipfFit(noDocs, "text").head()
     assert(zr.getLong(0) == 0L && zr.isNullAt(2) && zr.isNullAt(3))
+    // calibration: bin grain over nothing -> empty frame, no crash
+    assert(Profiler.calibration(Seq.empty[(Long, Boolean)].toDF("s", "l"),
+      "s", col("l"), fpUnit = 100L).count() == 0)
+    // classificationReport: class grain over nothing -> empty frame
+    assert(Profiler.classificationReport(
+      Seq.empty[(String, String)].toDF("a", "p"), col("a"), col("p")).count() == 0)
   }
 }

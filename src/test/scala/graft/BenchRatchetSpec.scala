@@ -73,6 +73,82 @@ class BenchRatchetSpec extends AnyFunSuite {
       "the 10 rows stay stamped suspect (loud, not red)")
   }
 
+  // ---- round-16 replay ------------------------------------------------
+
+  private lazy val r16Board = loadJsonNumbers("ratchet_r16_board.json")
+    .filter { case (k, _) => k.startsWith("q") }
+  private lazy val r16Baseline = loadJsonNumbers("ratchet_r16_baseline.json")
+    .filter { case (k, _) => k.startsWith("q") }
+
+  test("round-16 replay: host-phase board + mildly-hot child (1.263) => DEFER, exit 0") {
+    // The archived r16 driver board (BENCH_r16.json rc=1): drift 0.962
+    // (clamped to 1.0 for judging), 13 rows flagged in a contiguous band,
+    // host_phase stamped — and the first confirmation child's own probes
+    // read 1.263x baseline, BELOW the 1.3 degraded gate but squarely in
+    // the lingering tail of the phase. Both children "confirmed"
+    // q_substring_dedup at fresh-normalized 1.78/1.88; the judge's
+    // steady-state re-measure found 0.905 s = 0.98x the 0.925 s baseline
+    // (no code on the path had changed). Under scaladoc #9 a phase-shaped
+    // board tightens the child gate to 1.15: this board must now DEFER
+    // on child #1 — one child JVM, no settle sleep, exit 0, the row
+    // stamped suspect (loud, not red).
+    val r16ChildDrift = 1.263
+    val execOrder = r16Board.keys.toSeq.sorted
+    var childCalls = 0
+    val verdict = decide(
+      board = r16Board, execOrder = execOrder, baseline = r16Baseline,
+      probeSet = Bench.probeSet, noiseNames = Bench.noiseClass.toSet,
+      runChild = (names, _) => {
+        childCalls += 1
+        // reconstruct the archived child #1: probes (and every cleared
+        // row) at the phase-tail drift, q_substring_dedup at its archived
+        // fresh-normalized 1.782 s x that drift (raw)
+        names.map { n =>
+          n -> (if (n == "q_substring_dedup") 1.782 * r16ChildDrift
+          else r16Baseline.getOrElse(n, 1.0) * r16ChildDrift)
+        }.toMap
+      },
+      sleep = () => fail("must defer on the phase-hot first child, not sleep"))
+    assert(verdict.drift.exists(d => math.abs(d - 0.963) < 0.005),
+      s"board drift must reconstruct ~0.962, got ${verdict.drift}")
+    assert(verdict.flagged.size == 13 &&
+      verdict.flagged.map(_.name).contains("q_substring_dedup"),
+      s"the archived board flags 13 rows: ${verdict.flagged.map(_.name)}")
+    assert(verdict.hostPhase, "the 13 flags form a contiguous band >= 4")
+    assert(childCalls == 1)
+    assert(verdict.childDrifts.flatten.exists(d => math.abs(d - r16ChildDrift) < 0.02),
+      s"child drift must reconstruct ~1.263, got ${verdict.childDrifts}")
+    assert(verdict.deferred && verdict.confirmed.isEmpty && !verdict.failed,
+      "the r16 board must exit 0 under scaladoc #9")
+    assert(verdict.suspects.map(_.name) == Seq("q_substring_dedup"),
+      "the judge-disproven row stays stamped suspect")
+  }
+
+  test("host-phase board + HEALTHY child (drift <= 1.15) still confirms a real regression") {
+    // Counter-case to the #9 gate: the tightened bar must not neuter the
+    // ratchet under host_phase when the children are genuinely clean.
+    // Inject a real 2x regression into the archived r16 band row and give
+    // the children probes at exactly baseline: both children healthy,
+    // both breaching => CONFIRMED, exit 1.
+    val reg = "q_substring_dedup"
+    val regVal = r16Baseline(reg) * 2.0
+    var childCalls = 0; var sleeps = 0
+    val verdict = decide(
+      board = r16Board, execOrder = r16Board.keys.toSeq.sorted,
+      baseline = r16Baseline, probeSet = Bench.probeSet,
+      noiseNames = Bench.noiseClass.toSet,
+      runChild = (names, _) => {
+        childCalls += 1
+        names.map(n => n -> (if (n == reg) regVal
+        else r16Baseline.getOrElse(n, 1.0))).toMap
+      },
+      sleep = () => sleeps += 1)
+    assert(verdict.hostPhase && childCalls == 2 && sleeps == 1)
+    assert(verdict.failed && verdict.confirmed.map(_.name) == Seq(reg))
+    assert(verdict.cleared.size == 12,
+      "the other 12 archived flags clear through the healthy children")
+  }
+
   // ---- synthetic boards built on the archived baseline ---------------
 
   /** Board identical to baseline (drift exactly 1.0) with overrides. */

@@ -904,18 +904,26 @@ object Profiler {
     * size). Counts are exact longs (`fp = n_pred − tp`,
     * `fn = n_actual − tp`); the three ratios and accuracy are mirrored
     * double chains, round(6), null on empty denominators (never NaN).
-    * Rows with a null actual label are excluded on both engines — an
+    * Rows with a null ACTUAL label are excluded on both engines — an
     * unlabeled row can't be scored (the q_clf_auc null-alignment
-    * lesson). Output: (cls, n_actual, n_pred, tp, fp, fn, precision,
-    * recall, f1, accuracy), accuracy constant across rows. */
+    * lesson). A null PREDICTED label (an abstaining model) is a MISS:
+    * the row counts toward its actual class's n_actual and fn — and
+    * into the accuracy denominator — but toward no predicted class,
+    * and null never becomes a class row (ADVICE r16: silently dropping
+    * abstentions inflated recall/accuracy for the abstained classes;
+    * callers that want abstention as a class map it to a sentinel like
+    * 'und' upstream — [[graft.operators.TextAnalysis.langId]] does).
+    * Output: (cls, n_actual, n_pred, tp, fp, fn, precision, recall,
+    * f1, accuracy), accuracy constant across rows. */
   def classificationReport(df: DataFrame, actual: Column,
                            predicted: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val r = df.select(actual.as("__a"), predicted.as("__p"))
-      .filter(col("__a").isNotNull && col("__p").isNotNull)
+      .filter(col("__a").isNotNull)
     val cells = r.groupBy(col("__a"), col("__p")).agg(count(lit(1)).as("__n"))
     val classes = cells.select(col("__a").as("cls"))
-      .union(cells.select(col("__p").as("cls"))).distinct()
+      .union(cells.select(col("__p").as("cls")).filter(col("cls").isNotNull))
+      .distinct()
     val act = cells.groupBy(col("__a").as("cls")).agg(sum(col("__n")).as("__na"))
     val prd = cells.groupBy(col("__p").as("cls")).agg(sum(col("__n")).as("__np"))
     val tp = cells.filter(col("__a") === col("__p"))

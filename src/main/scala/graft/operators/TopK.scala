@@ -39,7 +39,17 @@ import org.apache.spark.sql.functions._
   *
   * DETERMINISTIC-INPUT REQUIREMENT (verbatim [[HeavyHitters
   * .frequentItems]]): `df` is evaluated three times (heads, rescan,
-  * totals); a non-deterministic input must be materialized first.
+  * totals); a non-deterministic input must be materialized first. The
+  * tightened P (nonempty-partition count, below) additionally requires a
+  * REPRODUCIBLE PARTITION LAYOUT across evaluations — phase 2's prune
+  * divides by the P phase 1 observed, so a key whose rows land in a
+  * partition phase 1 saw as EMPTY (a round-robin repartition of a
+  * non-deterministic source, file splits changing between scans) could
+  * have total ≥ L yet be pruned. That exact condition is asserted at
+  * zero extra cost: phase 2 fails loudly from the executor if any of its
+  * nonempty partitions was not head-emitting in phase 1 (phase-2 pids ⊆
+  * phase-1 pids is precisely what the soundness proof consumes —
+  * ADVICE r16).
   *
   * Contract: `key` castable to long (null keys/measures dropped),
   * `measure` a non-negative long (fixed-point for money — cents);
@@ -121,10 +131,25 @@ object TopK {
       .map { case (_, rs) => rs.iterator.map(_.getLong(2)).sum }
       .toArray.sorted(Ordering.Long.reverse)
     val lowerBound = if (knownSums.length >= k) knownSums(k - 1) else 0L
-    // phase 2 — pruned rescan: a key absent here has total < L, strictly
+    // phase 2 — pruned rescan: a key absent here has total < L, strictly.
+    // Layout-reproducibility assert (scaladoc): every nonempty phase-2
+    // partition must have emitted heads in phase 1 — pids_2 ⊆ pids_1 is
+    // exactly what the tightened-P proof consumes; a violation means the
+    // input's partitioning changed between evaluations and the prune
+    // bound is void. O(1) per task against the ≤ P-element head-pid set.
     val p = nParts.toLong
+    val headPids = headRows.iterator.map(_.getInt(0)).toSet
     val cands = base.as[(Long, Long)].mapPartitions { it =>
-      partials(it).iterator.collect {
+      val acc = partials(it)
+      if (acc.nonEmpty) {
+        val pid = TaskContext.getPartitionId()
+        require(headPids.contains(pid),
+          s"globalTopK: partition $pid is nonempty in the phase-2 rescan but " +
+            "emitted no phase-1 heads - the input's partition layout is not " +
+            "reproducible across evaluations (materialize the input first); " +
+            "the prune bound would be unsound")
+      }
+      acc.iterator.collect {
         case (kk, s) if s * p >= lowerBound => kk
       }
     }.toDF("k").distinct()

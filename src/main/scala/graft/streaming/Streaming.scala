@@ -878,15 +878,22 @@ object Streaming {
     * arrive. Unlike [[upsertLastWinsSink]]'s whole-row replace, each FIELD
     * independently keeps the newest non-null value across the key's whole
     * history — a fresh record with a null field must NOT erase an older
-    * field value. State per key: the golden fields + the surviving (max)
-    * `versionCol` + cumulative `n_records`. The fold is ASSOCIATIVE
-    * because per-field first-non-null over (version desc) depends only on
-    * each field's newest non-null (version, value), which the state row
-    * carries — so state after N batches equals the batch operator over
-    * the union of all N batches' rows (the incremental-rollup
-    * partial≡direct property, asserted in the spec), provided versions
-    * are unique per key (ties fall to the incoming row via `__p`, the
-    * upsert sink's convention).
+    * field value. State per key: the golden fields, each field's
+    * PROVENANCE version `__v_<field>` (the version of the record that
+    * supplied its surviving value — null while the field is), the max
+    * `versionCol` seen, and cumulative `n_records`. The fold is
+    * ASSOCIATIVE because each field survives by max-by-its-OWN-provenance
+    * version, and that (version, value) pair is exactly what the state
+    * row carries — so state after N batches equals the batch operator
+    * over the union of all N batches' rows EVEN when records arrive
+    * out of version order across batches (a late v=3 value must lose to
+    * a stored v=5 value but beat a stored v=1 value; storing only the
+    * key's max version would re-attribute every stored field to v=5 and
+    * wrongly suppress the late arrival — ADVICE r16). Asserted in the
+    * spec as the incremental-rollup partial≡direct property, including
+    * an out-of-order interleaving. Versions must be NON-NULL and unique
+    * per key (a same-version tie falls to the incoming row via `__p`,
+    * the upsert sink's convention).
     *
     * `n_records` is a count, so the sink is NOT idempotent under replay
     * by itself: the last applied batchId rides INSIDE the state dir (the
@@ -911,9 +918,14 @@ object Streaming {
       }
     }
     if (batchId <= readMarker(stateDir)) return // replayed batch: already folded
-    val incoming = batch
-      .select((keyCol +: versionCol +: fields).map(col): _*)
-      .withColumn("__p", lit(1L)).withColumn("n_records", lit(1L))
+    // per-field provenance for fresh rows: the row's own version where
+    // the field is non-null (state rows arrive with provenance already
+    // attached, possibly OLDER than their key's max version)
+    val incoming = fields.foldLeft(
+        batch.select((keyCol +: versionCol +: fields).map(col): _*)
+          .withColumn("__p", lit(1L)).withColumn("n_records", lit(1L))) {
+      (d, f) => d.withColumn(s"__v_$f", when(col(f).isNotNull, col(versionCol)))
+    }
     // only "no state yet" skips the fold — any read/union failure must
     // propagate, else the overwrite below would silently drop all state
     val merged =
@@ -921,18 +933,17 @@ object Streaming {
         incoming.unionByName(
           spark.read.parquet(stateDir).withColumn("__p", lit(0L)))
       else incoming
-    // per-field survivors (versionCol rides as a field: its first
-    // non-null in version-desc order IS the max version); the operator's
-    // own n_records would count the folded state row as one record, so
-    // the cumulative count is summed separately and joined back
-    val survivors = graft.operators.Dedup.goldenRecord(
-        merged, keyCol,
-        order = Seq(col(versionCol).desc, col("__p").desc),
-        fields = versionCol +: fields)
-      .drop("n_records")
-    val counts = merged.groupBy(col(keyCol))
-      .agg(sum(col("n_records")).as("n_records"))
-    survivors.join(counts, keyCol)
+    // one hash aggregation does all of it (map-side partials, no window
+    // sort, no join): per field, the value whose (provenance, __p) key is
+    // max among non-null values — max_by skips rows whose key expression
+    // is null, so null field values never displace a survivor
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      (max(col(versionCol)).as(versionCol) +:
+        fields.flatMap { f =>
+          val key = when(col(f).isNotNull, struct(col(s"__v_$f"), col("__p")))
+          Seq(max_by(col(f), key).as(f), max(col(s"__v_$f")).as(s"__v_$f"))
+        }) :+ sum(col("n_records")).as("n_records")
+    merged.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(stateDir + "_next")
     val out = fs.create(new org.apache.hadoop.fs.Path(stateDir + "_next/_applied"), true)
     try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()

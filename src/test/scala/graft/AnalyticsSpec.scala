@@ -570,6 +570,25 @@ class AnalyticsSpec extends AnyFunSuite {
       .count() == 4)
   }
 
+  test("classificationReport: a null PREDICTION is a miss, not a dropped row (ADVICE r16)") {
+    // class a: 2 labeled rows, the model abstains (null) on one and gets
+    // the other right. Abstention must count toward n_actual/fn and the
+    // accuracy denominator — dropping it would report recall 1.0.
+    val rows = Seq(("a", "a"), ("a", null: String), ("b", "b")).toDF("y", "p")
+    val got = Profiler.classificationReport(rows, col("y"), col("p"))
+      .orderBy(col("cls")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("a", "b"), "null never becomes a class row")
+    val a = got("a")
+    assert(a.getLong(1) == 2 && a.getLong(2) == 1 && a.getLong(3) == 1,
+      s"n_actual counts the abstained row: $a")
+    assert(a.getLong(5) == 1, "the abstained row is a false negative")
+    assert(a.getDouble(6) == 1.0 && math.abs(a.getDouble(7) - 0.5) < 1e-6,
+      "precision over predictions only; recall pays for the abstention")
+    assert(got.values.forall(r => math.abs(r.getDouble(9) - 2.0 / 3) < 1e-6),
+      "accuracy denominator includes the abstained row")
+  }
+
   test("r16 eval operators == driver definitions on random inputs (seeded property loops)") {
     import graft.operators.TextAnalysis
     for (seed <- Seq(5, 42, 977)) {

@@ -351,6 +351,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(afterB2 sameElements direct)
   }
 
+  test("golden-record sink: OUT-OF-ORDER arrival still equals the batch operator (ADVICE r16)") {
+    // The exact counterexample from ADVICE r16: batch1 carries
+    // {(v=5, phone=null), (v=1, phone=A)}; batch2 a LATE (v=3, phone=B).
+    // State after batch1 is (version=5, phone=A) — but phone=A's
+    // provenance is v=1, so the late v=3 B must replace it. A state row
+    // that only carries the key's max version re-attributes A to v=5 and
+    // wrongly keeps it; the per-field __v_ provenance columns fold
+    // correctly.
+    val dir = java.nio.file.Files.createTempDirectory("graft_golden_ooo").toString + "/state"
+    val sink = Streaming.goldenRecordSink("_id", "version", Seq("phone"), dir) _
+    val b1 = Seq(("a", 5L, null.asInstanceOf[String]), ("a", 1L, "A"))
+      .toDF("_id", "version", "phone")
+    val b2 = Seq(("a", 3L, "B")).toDF("_id", "version", "phone")
+    sink(b1, 0L); sink(b2, 1L)
+    val got = spark.read.parquet(dir)
+      .select($"_id", $"version", $"phone", $"n_records")
+      .as[(String, Long, Option[String], Long)].collect()
+    assert(got sameElements Array(("a", 5L, Some("B"), 3L)),
+      s"late v=3 B must beat the v=1-provenance A under the v=5 max: ${got.toSeq}")
+    // and the full partial≡direct property over the out-of-order union
+    val direct = graft.operators.Dedup.goldenRecord(
+        b1.unionByName(b2).filter($"version".isNotNull), "_id",
+        order = Seq($"version".desc), fields = Seq("version", "phone"))
+      .select($"_id", $"version", $"phone")
+      .as[(String, Long, Option[String])].collect()
+    assert(direct sameElements Array(("a", 5L, Some("B"))))
+  }
+
   test("golden-record sink: crash windows repair via the marker discipline") {
     val base = java.nio.file.Files.createTempDirectory("graft_golden_crash").toString
     val dir = s"$base/state"

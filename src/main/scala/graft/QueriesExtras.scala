@@ -2462,20 +2462,38 @@ object QueriesExtras {
     * SQL: triple fingerprints, prompt shingle Jaccard, recursive-CTE
     * components, singleton fallback, portable split hash on group_id,
     * and the group-grain stamps. */
+  /** The synthesized preference-pair corpus shared by the leakage guard
+    * and the reward-margin audit (see [[qPrefLeakage]]'s scaladoc for
+    * the planted-defect classes). */
+  private def prefPairsSynth(docs: org.apache.spark.sql.DataFrame) = {
+    def slot(k: Int, name: String) = docs.filter(col("doc_id") % 3 === k)
+      .select(expr("doc_id div 3").as("pair_id"), col("text").as(name))
+    val base = slot(0, "prompt").join(slot(1, "chosen"), "pair_id")
+      .join(slot(2, "rejected"), "pair_id")
+    val flipped = base.filter(col("pair_id") % 13 === 2)
+      .select((col("pair_id") + 1000000L).as("pair_id"), col("prompt"),
+        col("rejected").as("chosen"), col("chosen").as("rejected"))
+    val copies = base.filter(col("pair_id") % 17 === 3)
+      .select((col("pair_id") + 2000000L).as("pair_id"), col("prompt"),
+        col("chosen"), col("rejected"))
+    base.unionByName(flipped).unionByName(copies)
+  }
+
+  /** The [[prefPairsSynth]] synthesis as oracle CTEs, ending at
+    * `qpp(pair_id, prompt, chosen, rejected)`. */
+  private val PrefPairCtes: String =
+    "q0 AS (SELECT doc_id // 3 AS pair_id, text AS prompt FROM documents WHERE doc_id % 3 = 0), " +
+      "q1 AS (SELECT doc_id // 3 AS pair_id, text AS chosen FROM documents WHERE doc_id % 3 = 1), " +
+      "q2 AS (SELECT doc_id // 3 AS pair_id, text AS rejected FROM documents WHERE doc_id % 3 = 2), " +
+      "qbase AS (SELECT pair_id, prompt, chosen, rejected FROM q0 " +
+      "JOIN q1 USING (pair_id) JOIN q2 USING (pair_id)), " +
+      "qpp AS (SELECT * FROM qbase " +
+      "UNION ALL SELECT pair_id + 1000000, prompt, rejected, chosen FROM qbase WHERE pair_id % 13 = 2 " +
+      "UNION ALL SELECT pair_id + 2000000, prompt, chosen, rejected FROM qbase WHERE pair_id % 17 = 3)"
+
   private val qPrefLeakage = Q(
     (s, d) => {
-      val docs = Tables.load(s, d, "documents")
-      def slot(k: Int, name: String) = docs.filter(col("doc_id") % 3 === k)
-        .select(expr("doc_id div 3").as("pair_id"), col("text").as(name))
-      val base = slot(0, "prompt").join(slot(1, "chosen"), "pair_id")
-        .join(slot(2, "rejected"), "pair_id")
-      val flipped = base.filter(col("pair_id") % 13 === 2)
-        .select((col("pair_id") + 1000000L).as("pair_id"), col("prompt"),
-          col("rejected").as("chosen"), col("chosen").as("rejected"))
-      val copies = base.filter(col("pair_id") % 17 === 3)
-        .select((col("pair_id") + 2000000L).as("pair_id"), col("prompt"),
-          col("chosen"), col("rejected"))
-      val pp = base.unionByName(flipped).unionByName(copies)
+      val pp = prefPairsSynth(Tables.load(s, d, "documents"))
       val kept = graft.operators.PrefPairs.exactSurvivors(
         pp, "pair_id", "prompt", "chosen", "rejected")
       val promptPairs = Dedup.jaccardPairs(
@@ -2486,15 +2504,7 @@ object QueriesExtras {
           col("is_canonical"), col("bucket"), col("split"))
         .orderBy(col("pair_id"))
     },
-    Some("WITH RECURSIVE " +
-      "q0 AS (SELECT doc_id // 3 AS pair_id, text AS prompt FROM documents WHERE doc_id % 3 = 0), " +
-      "q1 AS (SELECT doc_id // 3 AS pair_id, text AS chosen FROM documents WHERE doc_id % 3 = 1), " +
-      "q2 AS (SELECT doc_id // 3 AS pair_id, text AS rejected FROM documents WHERE doc_id % 3 = 2), " +
-      "qbase AS (SELECT pair_id, prompt, chosen, rejected FROM q0 " +
-      "JOIN q1 USING (pair_id) JOIN q2 USING (pair_id)), " +
-      "qpp AS (SELECT * FROM qbase " +
-      "UNION ALL SELECT pair_id + 1000000, prompt, rejected, chosen FROM qbase WHERE pair_id % 13 = 2 " +
-      "UNION ALL SELECT pair_id + 2000000, prompt, chosen, rejected FROM qbase WHERE pair_id % 17 = 3), " +
+    Some("WITH RECURSIVE " + PrefPairCtes + ", " +
       "qek AS (SELECT pair_id, prompt, row_number() OVER (PARTITION BY " +
       "md5(lower(trim(prompt)) || chr(1) || lower(trim(chosen)) || chr(1) || lower(trim(rejected))) " +
       "ORDER BY pair_id) AS rn FROM qpp), " +
@@ -2523,6 +2533,75 @@ object QueriesExtras {
       "b AS bucket, " +
       "CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split " +
       "FROM qsp ORDER BY pair_id"))
+
+  /** The word/distinct/stopword stats triple of the quality formula as a
+    * SQL expression set over a text column — the q_quality_score oracle's
+    * arithmetic, parameterized so pair-grain texts score identically. */
+  private def qualityStatsSql(text: String): String =
+    s"len(string_split_regex(trim($text), '\\s+')) AS nw, " +
+      s"len(list_distinct(string_split_regex(trim($text), '\\s+'))) AS nd, " +
+      s"len(regexp_extract_all(lower($text), '\\b(the|a|an|and|of|to|in|is|it|for)\\b')) AS ns"
+
+  private val QualityFormulaSql: String =
+    "least(CAST(nw AS DOUBLE) / 100.0e0, 1.0e0) * 0.4e0 " +
+      "+ (CAST(nd AS DOUBLE) / nw) * 0.3e0 + (CAST(ns AS DOUBLE) / nw) * 0.3e0"
+
+  /** BEST-OF-N SELECTION ([[graft.operators.Sampling.bestOfN]]): the
+    * rejection-sampling step of RLHF data prep — documents regrouped as
+    * 4 candidates per prompt (`prompt_id = doc_id div 4`), scored by the
+    * hash-gated quality formula (standing in for the reward model), the
+    * per-prompt argmax kept (ties to the smallest doc id) only when it
+    * clears 0.35. The oracle re-derives winner AND threshold from the
+    * identical mirrored double chain. */
+  private val qBestOfN = Q(
+    (s, d) => {
+      val scored = TextAnalysis.qualityScore(
+          Tables.load(s, d, "documents"), "doc_id", "text")
+        .select(expr("doc_id div 4").as("prompt_id"), col("doc_id"),
+          col("quality"))
+      graft.operators.Sampling.bestOfN(scored, "prompt_id", "doc_id",
+          col("quality"), minScore = 0.35)
+        .select(col("prompt_id"), col("doc_id"), col("score"))
+        .orderBy(col("prompt_id"))
+    },
+    Some("WITH bst AS (SELECT doc_id, " + qualityStatsSql("text") + " FROM documents), " +
+      s"bq AS (SELECT doc_id // 4 AS prompt_id, doc_id, $QualityFormulaSql AS score FROM bst) " +
+      "SELECT prompt_id, doc_id, score FROM (SELECT prompt_id, doc_id, score, " +
+      "row_number() OVER (PARTITION BY prompt_id ORDER BY score DESC, doc_id) AS rn FROM bq) " +
+      "WHERE rn = 1 AND score >= 0.35e0 ORDER BY prompt_id"))
+
+  /** REWARD-MARGIN AUDIT ([[graft.operators.PrefPairs.rewardMargin]])
+    * over the [[prefPairsSynth]] preference pairs, scored per side by
+    * the quality formula: margin = q(chosen) − q(rejected) + its
+    * decile-width histogram bin. The planted preference FLIPS surface as
+    * exact negations of their source pairs' margins — the
+    * annotation-conflict signal the audit exists to catch. Pair-grain
+    * output; every value a mirrored double chain. */
+  private val qDpoMargin = Q(
+    (s, d) => {
+      val pp = prefPairsSynth(Tables.load(s, d, "documents"))
+      val cq = TextAnalysis.qualityScore(
+          pp.select(col("pair_id"), col("chosen")), "pair_id", "chosen")
+        .withColumnRenamed("quality", "chosen_q")
+      val rq = TextAnalysis.qualityScore(
+          pp.select(col("pair_id"), col("rejected")), "pair_id", "rejected")
+        .withColumnRenamed("quality", "rejected_q")
+      graft.operators.PrefPairs.rewardMargin(
+          cq.join(rq, "pair_id"), col("chosen_q"), col("rejected_q"))
+        .select(col("pair_id"), col("chosen_q"), col("rejected_q"),
+          col("margin"), col("margin_bin"))
+        .orderBy(col("pair_id"))
+    },
+    Some("WITH " + PrefPairCtes + ", " +
+      "mch AS (SELECT pair_id, " + qualityStatsSql("chosen") + " FROM qpp), " +
+      "mrj AS (SELECT pair_id, " + qualityStatsSql("rejected") + " FROM qpp), " +
+      s"msc AS (SELECT c.pair_id, ($QualityFormulaSql) AS chosen_q, " +
+      s"(${QualityFormulaSql.replace("nw", "rw").replace("nd", "rd").replace("ns", "rs")}) AS rejected_q " +
+      "FROM mch c JOIN (SELECT pair_id, nw AS rw, nd AS rd, ns AS rs FROM mrj) r " +
+      "ON c.pair_id = r.pair_id) " +
+      "SELECT pair_id, chosen_q, rejected_q, round(chosen_q - rejected_q, 6) AS margin, " +
+      "CAST(floor(round(chosen_q - rejected_q, 6) * 10e0) AS BIGINT) AS margin_bin " +
+      "FROM msc ORDER BY pair_id"))
 
   /** Stratified (per-language) downsampling over the stable hash — keeps
     * 20% of English docs, 50% of German, everything else untouched. The
@@ -3145,6 +3224,8 @@ object QueriesExtras {
     "q_split_assign" -> qSplitAssign,
     "q_leakage_split" -> qLeakageSplit,
     "q_pref_leakage" -> qPrefLeakage,
+    "q_best_of_n" -> qBestOfN,
+    "q_dpo_margin" -> qDpoMargin,
     "q_stratified_sample" -> qStratifiedSample,
     "q_tfidf_top_terms" -> qTfidfTopTerms,
     "q_bm25_topk" -> qBm25TopK,

@@ -227,6 +227,12 @@ object ScaleProbe {
     // prompt shingle-Jaccard join (the q_dedup_prefix_jaccard scale
     // note) + pair-grain components/split.
     "q_pref_leakage",
+    // r17 second wave. chat_render: one row per valid conv (~x10), cost
+    // is the conv exchange + per-group ordered concat (rendered strings
+    // stay distributed). best_of_n: one row per cleared prompt (~x10),
+    // one window over the prompt exchange. dpo_margin: one row per pair
+    // (~x10), two scan-stage quality projections + a pair-grain join.
+    "q_chat_render", "q_best_of_n", "q_dpo_margin",
     // rouge2: one row per lang-adjacent pair = n_docs − n_langs, so x10
     // up to the constant lang-count offset (4995 → 49995); cost is the
     // melted bigram count aggregation, linear in corpus tokens.

@@ -100,6 +100,32 @@ object Chat {
         col("roles_known") && col("alternates_ok") && col("has_assistant"))
   }
 
+  /** The validate-and-trim stage every downstream SFT form shares
+    * ([[chatPack]]'s token spans, [[renderConversations]]'s template
+    * rendering — the mergeTotals shared-semantics rule): drop invalid
+    * conversations WHOLE (rules in the object scaladoc), trim turns
+    * after the last assistant turn, preserve every input column. One
+    * corpus-grain exchange on `conv`; the returned frame keeps that
+    * partitioning, so downstream windows on `conv` re-sort without
+    * re-shuffling. */
+  def keepValidTrimmed(df: DataFrame, conv: String, turn: String,
+                       role: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(conv)).orderBy(col(turn))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val (known, alt) = rowFlags(role)
+    val staged = withOrdinals(df, conv, turn, role)
+      .withColumn("__ok", when(known && alt, 1L).otherwise(0L))
+    // conversation validity + trim bound, folded over the SAME exchange
+    staged
+      .withColumn("__conv_ok", min(col("__ok")).over(full))
+      .withColumn("__last_asst",
+        max(when(col(role) === "assistant", col("__rn"))).over(full))
+      .filter(col("__conv_ok") === 1 && col("__last_asst").isNotNull &&
+        col("__rn") <= col("__last_asst"))
+      .drop("__rn", "__prev", "__ok", "__conv_ok", "__last_asst")
+  }
+
   /** FLATTEN → MASK → PACK: keep valid conversations, trim turns after
     * the last assistant turn, assign per-turn loss-mask token spans, and
     * pack conversations into `budget`-token sequences per shard
@@ -116,18 +142,9 @@ object Chat {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(conv)).orderBy(col(turn))
     val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val (known, alt) = rowFlags(role)
-    val staged = withOrdinals(
+    val kept = keepValidTrimmed(
       df.select(col(conv), col(turn), col(role),
         nTokens.cast("long").as("n_tokens")), conv, turn, role)
-      .withColumn("__ok", when(known && alt, 1L).otherwise(0L))
-    // conversation validity + trim bound, folded over the SAME exchange
-    val kept = staged
-      .withColumn("__conv_ok", min(col("__ok")).over(full))
-      .withColumn("__last_asst",
-        max(when(col(role) === "assistant", col("__rn"))).over(full))
-      .filter(col("__conv_ok") === 1 && col("__last_asst").isNotNull &&
-        col("__rn") <= col("__last_asst"))
     // spans over the TRIMMED turns (the filter preserves the conv
     // partitioning, so these windows re-sort without re-shuffling)
     val spanned = kept
@@ -148,5 +165,42 @@ object Chat {
       .select(col("shard"), col(conv), col(turn), col(role), col("n_tokens"),
         col("tok_start"), col("tok_end"), col("loss_mask"),
         col("conv_tokens"), col("pack_id"))
+  }
+
+  /** CHAT-TEMPLATE RENDERING — the other half of the SFT flatten split
+    * ([[chatPack]] assigns TOKEN spans; this renders the actual training
+    * STRING): after [[keepValidTrimmed]], each turn becomes the segment
+    * `<|role|>\n` + text + `\n<|end|>\n` and a conversation is its
+    * segments concatenated in turn order — the fixed role-tag template
+    * shape every chat SFT corpus ships in (model-specific tags are a
+    * constant swap). `n_mask_chars` counts the BODY characters of
+    * assistant turns — the characters a trainer unmasks (role tags and
+    * non-assistant bodies train masked), so `n_mask_chars / n_chars` is
+    * the useful-signal density of the rendered corpus. Per-turn char
+    * spans are recoverable from the segment lengths (spec'd); the
+    * conversation-grain output keeps rows bounded by conv count while
+    * the rendered string is hash-gated byte-for-byte.
+    *
+    * Scale shape: one exchange on `conv` (shared with the trim stage),
+    * one ordered-struct sort per group inside the aggregation — rendered
+    * strings live at conversation grain, never collected. Output:
+    * (conv, n_turns, rendered, n_chars, n_mask_chars). */
+  def renderConversations(df: DataFrame, conv: String, turn: String,
+                          role: String, text: String): DataFrame = {
+    val kept = keepValidTrimmed(
+      df.select(col(conv), col(turn), col(role), col(text)), conv, turn, role)
+    val seg = concat(lit("<|"), col(role), lit("|>\n"),
+      col(text), lit("\n<|end|>\n"))
+    kept.groupBy(col(conv))
+      .agg(count(lit(1)).as("n_turns"),
+        concat_ws("", transform(
+          sort_array(collect_list(struct(col(turn).as("t"), seg.as("s")))),
+          x => x.getField("s"))).as("rendered"),
+        coalesce(sum(when(col(role) === "assistant",
+          length(col(text)).cast("long")).otherwise(0L)), lit(0L))
+          .as("n_mask_chars"))
+      .select(col(conv), col("n_turns"),
+        col("rendered"), length(col("rendered")).cast("long").as("n_chars"),
+        col("n_mask_chars"))
   }
 }

@@ -53,6 +53,23 @@ object PrefPairs {
       .drop("__fp", "__rn")
   }
 
+  /** REWARD-MARGIN AUDIT — the DPO/RLHF data-quality distribution: per
+    * pair, margin = score(chosen) − score(rejected) plus its histogram
+    * bin (`floor(round(margin, 6) · 10)` — a mirrored double chain over
+    * identical inputs floors identically on any engine, the kmeans
+    * floor-division discipline). A healthy preference set is mostly
+    * positive-margin; mass at/below zero marks annotation conflicts
+    * (the preference-flip class [[leakageGuard]] stamps) or a scorer
+    * that cannot separate the pair — the rows to re-annotate or drop
+    * before training. Pure per-row projection: no shuffle, the caller's
+    * score columns decide the cost. Output: input + (margin,
+    * margin_bin). */
+  def rewardMargin(df: DataFrame, chosenScore: org.apache.spark.sql.Column,
+                   rejectedScore: org.apache.spark.sql.Column): DataFrame =
+    df.withColumn("margin", round(chosenScore - rejectedScore, 6))
+      .withColumn("margin_bin",
+        floor(col("margin") * lit(10.0)).cast("long"))
+
   /** Cluster-grain split + disagreement stamps over exact-dedup
     * survivors: `promptPairs` (doc_a, doc_b — pair ids whose prompts
     * are near-dups) feeds [[Sampling.leakageSafeSplit]], then one

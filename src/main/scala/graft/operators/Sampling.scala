@@ -361,6 +361,28 @@ object Sampling {
     ranked
   }
 
+  /** BEST-OF-N / REJECTION-SAMPLING SELECTION — the RLHF data-prep step
+    * between generation and SFT: of the n scored candidates per prompt,
+    * keep the argmax-score one, ties to the smallest candidate id (a
+    * total order — reruns and repartitions pick the identical winner),
+    * and only when the winner clears `minScore` (a prompt whose BEST
+    * candidate is still junk contributes nothing — the rejection half).
+    * `score` is any column expression (a reward-model score, a quality
+    * gate, a verifier pass-rate). One window per prompt group — the
+    * prompt exchange is the only corpus-grain shuffle; emits the full
+    * winning row + `score`. */
+  def bestOfN(df: DataFrame, promptCol: String, candCol: String,
+              score: Column, minScore: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(promptCol))
+      .orderBy(col("__s").desc, col(candCol))
+    df.withColumn("__s", score)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("__s") >= minScore)
+      .drop("__rn")
+      .withColumnRenamed("__s", "score")
+  }
+
   /** Split assignment by cumulative percentage cuts (must sum to 100).
     * Adds `bucket` (0-99) and `split` columns; every id maps to exactly one
     * split, forever, on any engine. */

@@ -105,6 +105,38 @@ class ChatSpec extends AnyFunSuite {
     assert(a sameElements b)
   }
 
+  test("renderConversations: byte-exact template, trim applied, mask counts assistant bodies") {
+    val withText = turns.withColumn("text",
+      concat(lit("t"), $"conv_id", lit("_"), $"turn_idx"))
+    val got = Chat.renderConversations(withText, "conv_id", "turn_idx", "role", "text")
+      .orderBy($"conv_id")
+      .as[(Long, Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 6L), "same survivors as chatPack")
+    // conv 2: user then assistant, bodies "t2_0"/"t2_1"
+    assert(got(2L)._3 ==
+      "<|user|>\nt2_0\n<|end|>\n<|assistant|>\nt2_1\n<|end|>\n")
+    assert(got(2L)._4 == got(2L)._3.length.toLong)
+    assert(got(2L)._5 == 4L, "mask chars = assistant body length only")
+    // conv 6's trailing user turn is trimmed out of the rendering
+    assert(got(6L)._2 == 2L && !got(6L)._3.contains("t6_2"))
+    // per-turn char spans are recoverable from segment lengths: the
+    // rendered string is exactly the concatenation of its segments
+    def seg(role: String, body: String) = s"<|$role|>\n$body\n<|end|>\n"
+    assert(got(1L)._3 == seg("system", "t1_0") + seg("user", "t1_1") +
+      seg("assistant", "t1_2") + seg("user", "t1_3") + seg("assistant", "t1_4"))
+  }
+
+  test("renderConversations is partition-layout independent") {
+    val withText = turns.withColumn("text",
+      concat(lit("t"), $"conv_id", lit("_"), $"turn_idx"))
+    val a = Chat.renderConversations(withText, "conv_id", "turn_idx", "role", "text")
+      .orderBy($"conv_id").collect()
+    val b = Chat.renderConversations(withText.repartition(7), "conv_id",
+      "turn_idx", "role", "text").orderBy($"conv_id").collect()
+    assert(a sameElements b)
+  }
+
   test("chatPack/validate: empty input -> empty frames, schema intact") {
     val empty = turns.limit(0)
     val v = Chat.validateConversations(empty, "conv_id", "turn_idx", "role")

@@ -76,6 +76,40 @@ class PrefPairsSpec extends AnyFunSuite {
     assert(a sameElements b)
   }
 
+  test("rewardMargin: flip pairs negate their source margin; bins floor deterministically") {
+    val scored = Seq(
+      (1L, 0.71, 0.40),   // healthy pair: margin 0.31 -> bin 3
+      (2L, 0.40, 0.71),   // its flip: margin -0.31 -> bin -4 (floor, not trunc)
+      (3L, 0.55, 0.55)    // scorer can't separate: margin 0 -> bin 0
+    ).toDF("pair_id", "cq", "rq")
+    val got = PrefPairs.rewardMargin(scored, $"cq", $"rq")
+      .select($"pair_id", $"margin", $"margin_bin")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 0.31 && got(1L)._3 == 3L)
+    assert(got(2L)._2 == -0.31 && got(2L)._3 == -4L,
+      "negative margins floor DOWN - the annotation-conflict bin")
+    assert(got(3L)._2 == 0.0 && got(3L)._3 == 0L)
+  }
+
+  test("bestOfN: per-prompt argmax with id tie-break; rejection threshold drops prompts") {
+    import graft.operators.Sampling
+    val cands = Seq(
+      (1L, 10L, 0.2), (1L, 11L, 0.9), (1L, 12L, 0.5), // winner 11
+      (2L, 20L, 0.7), (2L, 21L, 0.7),                 // tie -> min id 20
+      (3L, 30L, 0.1), (3L, 31L, 0.2)                  // best 0.2 < 0.4: rejected
+    ).toDF("prompt_id", "cand_id", "s")
+    val got = Sampling.bestOfN(cands, "prompt_id", "cand_id", $"s", minScore = 0.4)
+      .select($"prompt_id", $"cand_id", $"score")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 11L, 0.9), (2L, 20L, 0.7)))
+    // partition independence
+    val re = Sampling.bestOfN(cands.repartition(5), "prompt_id", "cand_id",
+        $"s", minScore = 0.4)
+      .select($"prompt_id", $"cand_id", $"score")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(re.toSeq == got.toSeq)
+  }
+
   test("empty input -> empty frame, schema intact") {
     val empty = pairs.limit(0)
     val kept = PrefPairs.exactSurvivors(empty, "pair_id", "prompt", "chosen", "rejected")

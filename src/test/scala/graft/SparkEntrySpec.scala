@@ -25,6 +25,7 @@ class SparkEntrySpec extends AnyFunSuite {
       "q_ann_pq_topk",     // lossy quantization
       "q_ann_ivfpq_topk",  // lossy quantization
       "q_ann_ivfpq_probe_audit", // lossy quantization; in-plan 0.8 recall floor IS the gate
+      "q_ann_pq_probe_audit", // lossy quantization; in-plan 0.8 recall floor IS the gate
       "q_hll_distinct",    // approximate sketch
       "q_compress_ratio")  // zlib has no SQL mirror
     val missing = SparkEntry.queries.keySet

@@ -715,20 +715,12 @@ object QueriesCuration {
     * replays the ENTIRE composition — BPE training rounds, per-turn
     * counts, validation fold, trim, span cumsum, shard pack cut — as
     * one CTE chain, so the composition is hash-gated end to end. */
-  private val qChatPack = Q(
-    (s, d) => {
-      val docs = t(s, d, "documents")
-      val model = Bpe.train(docs, "text", numMerges = BpeRounds)
-      val counts = Bpe.encodeAudited(docs, "doc_id", "text", model)
-        .select(col("doc_id"), col("n_tokens"))
-      val turns = chatTurns(docs).join(counts, "doc_id")
-        .select(col("conv_id"), col("turn_idx"), col("role"),
-          (col("n_tokens") + 1).cast("long").as("n_tokens"))
-      graft.operators.Chat.chatPack(turns, "conv_id", "turn_idx", "role",
-          col("n_tokens"), budget = 2048L, shards = 4)
-        .orderBy(col("conv_id"), col("turn_idx"))
-    },
-    Some(BpeEncodeCtes + ", " + chatTurnCtes(withTokens = true) + ", " +
+  /** The full chat pack oracle chain (BPE encode + turn synthesis +
+    * validation fold + trim + span cumsum + shard pack cut), ending at
+    * `cf3` (turn grain with spans) and `cpk` (conv_id, pack_id) —
+    * shared by the pack row and the pack-efficiency audit. */
+  private lazy val ChatPackCtes: String =
+    BpeEncodeCtes + ", " + chatTurnCtes(withTokens = true) + ", " +
       s"cf2 AS (SELECT *, min($ChatRowOk) OVER cwf AS conv_ok, " +
       "max(CASE WHEN role = 'assistant' THEN rn END) OVER cwf AS last_a " +
       "FROM f1 WINDOW cwf AS (PARTITION BY conv_id)), " +
@@ -738,11 +730,29 @@ object QueriesCuration {
       "SUM(n_tokens) OVER (PARTITION BY conv_id) AS conv_tokens " +
       "FROM cf2 WHERE conv_ok = 1 AND last_a IS NOT NULL AND rn <= last_a), " +
       "cconv AS (SELECT DISTINCT conv_id, conv_id % 4 AS shard, conv_tokens FROM cf3), " +
-      "ccum AS (SELECT conv_id, SUM(conv_tokens) OVER (PARTITION BY shard " +
+      "ccum AS (SELECT conv_id, shard, SUM(conv_tokens) OVER (PARTITION BY shard " +
       "ORDER BY conv_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
       "conv_tokens FROM cconv), " +
-      "cpk AS (SELECT conv_id, CAST(floor((cum - conv_tokens) / 2048) AS BIGINT) AS pack_id FROM ccum) " +
-      "SELECT CAST(conv_id % 4 AS BIGINT) AS shard, conv_id, turn_idx, role, " +
+      "cpk AS (SELECT conv_id, CAST(floor((cum - conv_tokens) / 2048) AS BIGINT) AS pack_id FROM ccum)"
+
+  /** The full chatPack frame (turn grain) shared by [[qChatPack]] and
+    * the pack-efficiency audit. */
+  private def chatPacked(s: SparkSession, d: String) = {
+    val docs = t(s, d, "documents")
+    val model = Bpe.train(docs, "text", numMerges = BpeRounds)
+    val counts = Bpe.encodeAudited(docs, "doc_id", "text", model)
+      .select(col("doc_id"), col("n_tokens"))
+    val turns = chatTurns(docs).join(counts, "doc_id")
+      .select(col("conv_id"), col("turn_idx"), col("role"),
+        (col("n_tokens") + 1).cast("long").as("n_tokens"))
+    graft.operators.Chat.chatPack(turns, "conv_id", "turn_idx", "role",
+      col("n_tokens"), budget = 2048L, shards = 4)
+  }
+
+  private val qChatPack = Q(
+    (s, d) => chatPacked(s, d).orderBy(col("conv_id"), col("turn_idx")),
+    Some(ChatPackCtes +
+      " SELECT CAST(conv_id % 4 AS BIGINT) AS shard, conv_id, turn_idx, role, " +
       "n_tokens, CAST(tok_end - n_tokens AS BIGINT) AS tok_start, " +
       "CAST(tok_end AS BIGINT) AS tok_end, role = 'assistant' AS loss_mask, " +
       "CAST(conv_tokens AS BIGINT) AS conv_tokens, pack_id " +
@@ -773,6 +783,38 @@ object QueriesCuration {
       "AS n_mask_chars FROM rfk GROUP BY conv_id) " +
       "SELECT conv_id, n_turns, rendered, CAST(length(rendered) AS BIGINT) AS n_chars, " +
       "n_mask_chars FROM ragg ORDER BY conv_id"))
+
+  /** PACKING-EFFICIENCY AUDIT over the [[chatPacked]] frame — the
+    * context-window utilization report every packing run publishes
+    * before training: per (shard, pack), how many conversations landed,
+    * tokens used, the largest member, the fill ratio against the
+    * 2048-token budget (capped at 1 — a pack whose LAST conversation
+    * straddles the cut reads full), and the over-budget flag (a single
+    * conversation larger than the context window — the truncate-or-split
+    * decision row). Pack grain (≪ conv grain ≪ corpus); the audit adds
+    * one aggregation over the conv-grain frame. */
+  private val qPackEfficiency = Q(
+    (s, d) => chatPacked(s, d)
+      .select(col("shard"), col("pack_id"), col("conv_id"), col("conv_tokens"))
+      .distinct()
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_convs"),
+        sum(col("conv_tokens")).as("used_tokens"),
+        max(col("conv_tokens")).as("max_conv_tokens"))
+      .select(col("shard"), col("pack_id"), col("n_convs"),
+        col("used_tokens"), col("max_conv_tokens"),
+        round(least(col("used_tokens").cast("double") / lit(2048.0), lit(1.0)), 6)
+          .as("fill_ratio"),
+        (col("max_conv_tokens") > 2048L).as("over_budget"))
+      .orderBy(col("shard"), col("pack_id")),
+    Some(ChatPackCtes + " " +
+      "SELECT shard, pack_id, CAST(count(*) AS BIGINT) AS n_convs, " +
+      "CAST(SUM(conv_tokens) AS BIGINT) AS used_tokens, " +
+      "CAST(MAX(conv_tokens) AS BIGINT) AS max_conv_tokens, " +
+      "round(least(CAST(SUM(conv_tokens) AS DOUBLE) / 2048e0, 1.0e0), 6) AS fill_ratio, " +
+      "MAX(conv_tokens) > 2048 AS over_budget " +
+      "FROM ccum JOIN cpk USING (conv_id) " +
+      "GROUP BY shard, pack_id ORDER BY shard, pack_id"))
 
   /** K-ANONYMITY SUPPRESSION ([[graft.operators.Privacy.kAnonymize]]) over
     * customer with quasi-identifiers (nation, market segment, 2000-unit
@@ -1666,6 +1708,7 @@ object QueriesCuration {
     "q_chat_audit" -> qChatAudit,
     "q_chat_pack" -> qChatPack,
     "q_chat_render" -> qChatRender,
+    "q_pack_efficiency" -> qPackEfficiency,
     "q_bpe_encode" -> qBpeEncode,
     "q_bpe_merges" -> qBpeMerges,
     "q_pagerank" -> qPageRank,

@@ -2603,6 +2603,49 @@ object QueriesExtras {
       "CAST(floor(round(chosen_q - rejected_q, 6) * 10e0) AS BIGINT) AS margin_bin " +
       "FROM msc ORDER BY pair_id"))
 
+  /** CROSS-SOURCE CONTAMINATION GRID — pairwise shingle-Jaccard between
+    * SOURCES (the slice-level companion of the per-document dedup rows):
+    * a high-overlap source pair means one feed re-crawls another — the
+    * mixture designer's dedup-before-weighting signal. Exact form: the
+    * distinct (source, 5-gram) table self-joins on the shingle (the
+    * [[Dedup.jaccardPairs]] shape at source grain — output is
+    * source-PAIR grain, never corpus); only overlapping pairs emit (the
+    * sparse grid). At 100 TB the exact join over the full shingle
+    * vocabulary is the heavy-but-honest form — the KMV-sketch estimate
+    * (the q_kmv_intersect machinery, k-row state per source) is the
+    * scale path, swapped without touching consumers. */
+  private val qSourceOverlap = Q(
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val ssh = Dedup.shingles(docs, "doc_id", "text", 5)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), col("shingle")).distinct()
+      val sz = ssh.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+      val inter = ssh.select(col("source").as("source_a"), col("shingle"))
+        .join(ssh.select(col("source").as("source_b"), col("shingle")), "shingle")
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sz.select(col("source").as("source_a"), col("sz").as("n_a")), "source_a")
+        .join(sz.select(col("source").as("source_b"), col("sz").as("n_b")), "source_b")
+        .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+          col("inter"),
+          round(col("inter").cast("double") /
+            (col("n_a") + col("n_b") - col("inter")).cast("double"), 6)
+            .as("jaccard"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some(ShingleBaseCte.stripSuffix(", ") + ", " +
+      "ssh AS (SELECT DISTINCT d.source, s.g FROM sh s JOIN documents d USING (doc_id)), " +
+      "ssz AS (SELECT source, count(*) AS sz FROM ssh GROUP BY source), " +
+      "sint AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS inter " +
+      "FROM ssh a JOIN ssh b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2) " +
+      "SELECT source_a, source_b, sa.sz AS n_a, sb.sz AS n_b, inter, " +
+      "round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard " +
+      "FROM sint JOIN ssz sa ON sa.source = source_a JOIN ssz sb ON sb.source = source_b " +
+      "ORDER BY source_a, source_b"))
+
   /** Stratified (per-language) downsampling over the stable hash — keeps
     * 20% of English docs, 50% of German, everything else untouched. The
     * oracle re-derives membership from the same portable hash, proving the
@@ -3226,6 +3269,7 @@ object QueriesExtras {
     "q_pref_leakage" -> qPrefLeakage,
     "q_best_of_n" -> qBestOfN,
     "q_dpo_margin" -> qDpoMargin,
+    "q_source_overlap" -> qSourceOverlap,
     "q_stratified_sample" -> qStratifiedSample,
     "q_tfidf_top_terms" -> qTfidfTopTerms,
     "q_bm25_topk" -> qBm25TopK,

@@ -233,6 +233,13 @@ object ScaleProbe {
     // one window over the prompt exchange. dpo_margin: one row per pair
     // (~x10), two scan-stage quality projections + a pair-grain join.
     "q_chat_render", "q_best_of_n", "q_dpo_margin",
+    // pack_efficiency: pack-grain output (~x10 packs), cost = the chat
+    // pack chain + one conv-grain aggregation. source_overlap: output is
+    // SOURCE-PAIR grain (scale-invariant rows — sources don't multiply
+    // with the corpus; the synth's ~r suffixes disjoin replica shingle
+    // spaces so inter stays per-replica); cost = the distinct
+    // (source, shingle) table + shingle-keyed self-join.
+    "q_pack_efficiency", "q_source_overlap",
     // rouge2: one row per lang-adjacent pair = n_docs − n_langs, so x10
     // up to the constant lang-count offset (4995 → 49995); cost is the
     // melted bigram count aggregation, linear in corpus tokens.

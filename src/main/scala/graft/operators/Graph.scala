@@ -140,14 +140,29 @@ object Graph {
     require(rounds >= 1, s"need rounds >= 1, got $rounds")
     val e = edges.select(col("src").as("u"), col("dst").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull).distinct().localCheckpoint()
+    // FRONTIER propagation (the textbook BFS refinement): round r expands
+    // only the nodes FIRST DISCOVERED in round r−1, not the whole settled
+    // set. The previous form joined the edge list against ALL hops every
+    // round and re-proposed every settled node's neighbors again — correct
+    // (min() absorbs the re-proposals), but the per-round join and
+    // aggregation grew with the REACHED set instead of the frontier.
+    // Equivalence: a node first reached at round r is reached through a
+    // round-(r−1) node, so expanding frontiers only yields the same
+    // (node, min hop) set; a settled node's re-proposal can never beat its
+    // existing smaller hop, so dropping it changes nothing. The frontier
+    // is the zero-cost filter `hop = r` over the just-materialized state —
+    // no extra join, no extra job, per-round shape identical to before
+    // (one edge join, one union+min aggregation, one checkpoint).
     var hops = seeds.select(col("node")).distinct()
       .select(col("node"), lit(0L).as("hop")).localCheckpoint()
-    for (_ <- 1 to rounds) {
-      val step = e.join(hops.select(col("node").as("u"), col("hop")), "u")
+    var frontier = hops
+    for (r <- 1 to rounds) {
+      val step = e.join(frontier.select(col("node").as("u"), col("hop")), "u")
         .select(col("v").as("node"), (col("hop") + 1).as("hop"))
       hops = hops.union(step)
         .groupBy(col("node")).agg(min(col("hop")).as("hop"))
         .localCheckpoint()
+      frontier = hops.filter(col("hop") === r)
     }
     hops
   }
@@ -201,6 +216,10 @@ object Graph {
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k >= 1 and rounds >= 1, got k=$k rounds=$rounds")
     var und = undDeg(edges)._1.localCheckpoint()
+    // one count per round, carried across iterations: the previous form
+    // re-counted the SAME materialized frame it had already counted as
+    // last round's `next` (two count jobs per round for one number)
+    var undCount = und.count()
     var removedAny = true
     var r = 0
     while (r < rounds && removedAny) {
@@ -211,8 +230,10 @@ object Graph {
         .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
         .localCheckpoint()
-      removedAny = next.count() != und.count()
+      val nextCount = next.count()
+      removedAny = nextCount != undCount
       und = next
+      undCount = nextCount
       r += 1
     }
     val converged = !removedAny
@@ -240,7 +261,6 @@ object Graph {
     * Output: (node, label) for every node on ≥ 1 edge. */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"need rounds >= 1, got $rounds")
-    import org.apache.spark.sql.expressions.Window
     val e0 = edges.select(col("src").as("u"), col("dst").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
     val und = e0.union(e0.select(col("v"), col("u"))).distinct().localCheckpoint()
@@ -253,9 +273,18 @@ object Graph {
         .union(labels) // self-vote: damps oscillation, breaks isolation
       val counts = votes.groupBy(col("node"), col("label"))
         .agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy(col("node")).orderBy(col("c").desc, col("label"))
-      labels = counts.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).select(col("node"), col("label"))
+      // argmax as an AGGREGATE, not a window: min over (−c, label) is the
+      // same (count DESC, label ASC) total order the row_number form
+      // picked from — (c, label) is unique per node, so the argmax is the
+      // identical label — but a hash aggregate partially aggregates
+      // map-side and never sorts, where the window form shuffled every
+      // (node, label, c) row and sorted each node's votes. One round stays
+      // two vertex-keyed exchanges; the second now moves ≤ one row per
+      // (node × map partition) instead of every candidate label.
+      labels = counts
+        .groupBy(col("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("label"))).as("m"))
+        .select(col("node"), col("m.label").as("label"))
         .localCheckpoint()
     }
     labels
@@ -270,17 +299,29 @@ object Graph {
     // triangleCounts lesson; q_pagerank spent 4.3 s at sf0.1 mostly
     // re-planning its own base). The adjacency is what a production graph
     // job persists anyway; iteration state stays fully distributed.
+    //
+    // Out-degree is FOLDED INTO the node-sized rank state: od is constant
+    // across rounds, so joining the separate outdeg table per round (the
+    // previous form) paid an extra vertex-keyed join every iteration —
+    // O(|V|) rows shuffled/sorted per round for a value that never changes.
+    // Carrying od as one extra column of `ranks` (the SMALL, node-grain
+    // side; the edge list stays narrow) makes each round exactly ONE edge
+    // join + one aggregation + one node-grain outer join — the minimum
+    // this recurrence admits. Sink-only nodes carry od = null; they never
+    // appear as a join src (no out-edges), so the null never reaches the
+    // division — identical arithmetic to the old inner outdeg join.
     val e = edges.select(col("src").cast("string"), col("dst").cast("string"))
       .localCheckpoint()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct().localCheckpoint()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od")).localCheckpoint()
+      .union(e.select(col("dst"))).distinct()
+      .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left_outer")
+      .localCheckpoint()
     val base = math.floorDiv(scale * (100L - dampingPct), 100L).toDouble
     var ranks = nodes.withColumn("rank", lit(scale.toDouble))
     (1 to iters).foreach { _ =>
       val contribs = e
         .join(ranks, e("src") === ranks("node"))
-        .join(outdeg, "src")
         .select(col("dst"), floor(col("rank") / col("od")).as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
       // checkpoint PER ROUND (the labelPropagation discipline): left lazy,
@@ -289,7 +330,7 @@ object Graph {
       // fine at the gated 3 rounds, quietly pathological at 30. One bounded
       // node-count materialization per round keeps the plan O(1) in iters.
       ranks = nodes.join(contribs, nodes("node") === contribs("dst"), "left_outer")
-        .select(col("node"),
+        .select(col("node"), col("od"),
           (lit(base) + floor(lit(dampingPct.toDouble) * coalesce(col("in_mass"), lit(0.0)) / 100.0))
             .as("rank"))
         .localCheckpoint()

@@ -64,8 +64,13 @@ object SparseSim {
                       scale: Long = 1000L): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"cosinePairsOver: need 0 < tauNum/tauDen <= 1, got $tauNum/$tauDen")
+    // materialized: tf has THREE consumers (dfq, the n_docs scalar, wq) —
+    // left lazy each re-derives the whole feature-generation subtree (for
+    // the registered shingle feed: tokenize + gram explode + distinct),
+    // and exchange reuse cannot bridge the separate scalar-subquery job
     val tf = features.select(col(doc).as("doc"), col(feature).as("term"))
       .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
     val n = tf.agg(count_distinct(col("doc")).as("n_docs"))
     // the global rarest-first order is (doc_freq, term) DIRECTLY — a

@@ -230,12 +230,20 @@ object Dedup {
     * fan-out exactly where a shared-shingle join explodes (stopword-like
     * shingles land in the suffix and never generate candidates).
     *
-    * Plan: shingle → global (freq, shingle) rank via DISTRIBUTED sort +
-    * zipWithIndex (a range-partitioned sort and one per-partition offset
-    * pass — the global index equals the position in the total order
-    * whatever the sampled range boundaries, so it is deterministic; an
-    * `row_number` window over the whole vocabulary would be a single
-    * task sorting a set that grows with the corpus), per-doc sorted rank
+    * Plan: shingle → global (freq, shingle) rank via a DISTRIBUTED sort
+    * and `monotonically_increasing_id()` — after the range-partitioned
+    * sort, partition i holds strictly smaller (freq, shingle) keys than
+    * partition i+1 and rows are sorted within, so the (partition << 33 |
+    * offset) id is ORDER-ISOMORPHIC to the global total order. The rank
+    * VALUES are not contiguous and may differ across runs (sampled range
+    * boundaries), but every consumer needs only (a) rank ↔ shingle
+    * bijection (intersection counts) and (b) the total order (prefix
+    * selection) — both invariant, so the output is identical. Replaces
+    * the round-16 `.rdd.zipWithIndex()` form: same sort, minus the
+    * RDD round-trip (a codegen boundary + kryo/Java row serialization)
+    * and minus zipWithIndex's extra per-partition counting JOB (a
+    * `row_number` window over the whole vocabulary would be worse still —
+    * a single task sorting a set that grows with the corpus), per-doc sorted rank
     * array (materialized: consumed by the prefix explode and both verify
     * sides), prefix explode + equi-join on the rank, then exact
     * verification on the full rank arrays. Same output contract and same
@@ -264,15 +272,10 @@ object Dedup {
     * regime that needs it. */
   def prefixJaccardPairs(df: DataFrame, id: String, text: String, n: Int,
                          threshold: Double): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val sh = shingles(df, id, text, n).select(col(id).as("doc"), col("shingle"))
     val order = sh.groupBy(col("shingle")).agg(count(lit(1)).as("tf"))
       .orderBy(col("tf"), col("shingle"))
-      .select(col("shingle")).as[String]
-      .rdd.zipWithIndex()
-      .map { case (s, i) => (s, i + 1L) }
-      .toDF("shingle", "rk")
+      .select(col("shingle"), monotonically_increasing_id().as("rk"))
     val docs = sh.join(order, "shingle")
       .groupBy(col("doc"))
       .agg(sort_array(collect_list(col("rk"))).as("rks"))
@@ -336,15 +339,10 @@ object Dedup {
                              threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"containment threshold must be in (0, 1], got $threshold")
-    val spark = df.sparkSession
-    import spark.implicits._
     val sh = shingles(df, id, text, n).select(col(id).as("doc"), col("shingle"))
     val order = sh.groupBy(col("shingle")).agg(count(lit(1)).as("tf"))
       .orderBy(col("tf"), col("shingle"))
-      .select(col("shingle")).as[String]
-      .rdd.zipWithIndex()
-      .map { case (s, i) => (s, i + 1L) }
-      .toDF("shingle", "rk")
+      .select(col("shingle"), monotonically_increasing_id().as("rk"))
     val docs = sh.join(order, "shingle")
       .groupBy(col("doc"))
       .agg(sort_array(collect_list(col("rk"))).as("rks"))

@@ -147,6 +147,19 @@ object Ops {
     val vc = df.filter(col(value).isNotNull)
       .groupBy(col(group), col(value).as("__v"))
       .agg(count(lit(1)).as("__cnt"))
+    quantilesFromCounts(vc, group, qs)
+  }
+
+  /** The selection half of [[histogramQuantiles]], exposed at histogram
+    * grain: `vc` is (group, __v, __cnt) with distinct (group, __v) rows.
+    * Lets a caller that ALREADY holds a value histogram (e.g.
+    * [[Profiler.madOutliers]], which derives the |v − median| histogram
+    * from the value histogram instead of re-aggregating every row) pick
+    * exact lower-rank quantiles without a second full-data pass. Same
+    * definition, same output columns as [[histogramQuantiles]]. */
+  def quantilesFromCounts(vc: DataFrame, group: String,
+                          qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0), s"bad quantiles: $qs")
     val wCum = Window.partitionBy(col(group)).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col(group))

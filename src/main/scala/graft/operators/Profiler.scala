@@ -226,14 +226,30 @@ object Profiler {
     * is_outlier). */
   def madOutliers(df: DataFrame, group: String, value: String,
                   k: Double = 3.0): DataFrame = {
-    val med = Ops.histogramQuantiles(df, group, value, Seq(0.5))
+    // ONE full-data aggregation: the (group, value) histogram serves both
+    // medians — the MAD histogram is the value histogram folded through
+    // |v − median| (per-value counts summed where distinct values map to
+    // the same absdev), so the second quantile pass runs at
+    // distinct-value grain instead of re-aggregating every row, and the
+    // row-grain scan happens twice (histogram + output) instead of three
+    // times. Same lower-rank selection, same multiset of absdevs ⇒
+    // identical med/mad and identical output rows.
+    // vc's aggregation exchange is one subtree shared by every consumer
+    // below (ReuseExchange dedupes it) — no checkpoint needed
+    val vc = df.filter(col(value).isNotNull)
+      .groupBy(col(group), col(value).as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val med = Ops.quantilesFromCounts(vc, group, Seq(0.5))
       .select(col(group), col("p50").as("med"))
-    val withDev = df.filter(col(value).isNotNull)
+    val devHist = vc.join(med, group)
+      .groupBy(col(group), abs(col("__v") - col("med")).as("__v"))
+      .agg(sum(col("__cnt")).as("__cnt"))
+    val mad = Ops.quantilesFromCounts(devHist, group, Seq(0.5))
+      .select(col(group), col("p50").as("mad"))
+    df.filter(col(value).isNotNull)
       .join(med, group)
       .withColumn("absdev", abs(col(value) - col("med")))
-    val mad = Ops.histogramQuantiles(withDev, group, "absdev", Seq(0.5))
-      .select(col(group), col("p50").as("mad"))
-    withDev.join(mad, group)
+      .join(mad, group)
       .withColumn("is_outlier", col("mad") > 0.0 && col("absdev") > lit(k) * col("mad"))
   }
 

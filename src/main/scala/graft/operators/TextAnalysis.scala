@@ -680,9 +680,11 @@ object TextAnalysis {
     *
     * Scale shape: bigram instances are built in the SCAN stage (zip_with
     * over two slices of the word array — no self-join on position), the
-    * bigram/unigram count tables are vocabulary-bounded aggregations, and
-    * the scoring pass is three token-keyed equi-joins + one doc-grain
-    * aggregation. Nothing is quadratic; nothing collects to the driver.
+    * bigram/unigram count tables are vocabulary-bounded aggregations, the
+    * per-bigram probability is assembled at VOCABULARY grain (uni/total
+    * join onto the distinct-bigram table), and the scoring pass is ONE
+    * instance-grain equi-join + one doc-grain aggregation. Nothing is
+    * quadratic; nothing collects to the driver.
     *
     * Output: (id, n_bigrams, avg_logprob), docs with ≥ 2 tokens only
     * (a 0/1-token doc has no bigram — callers treat absence as
@@ -706,12 +708,22 @@ object TextAnalysis {
     val bi = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bcnt"))
     val p = lit(lambda) * (col("bcnt").cast("double") / col("c1").cast("double")) +
       (lit(1.0) - lit(lambda)) * (col("c2").cast("double") / col("n_total"))
-    bg.join(bi, Seq("w1", "w2"))
+    // score at VOCABULARY grain, not instance grain: p is a function of
+    // (w1, w2) alone, so the uni/total joins attach to the distinct-bigram
+    // table `bi` (vocabulary-bounded) and the full instance table crosses
+    // the network ONCE (the (w1,w2) exchange, shared with bi's build via
+    // exchange reuse) instead of three times (by (w1,w2), by w1, by w2).
+    // Each instance row receives the identical __lp double the per-row
+    // form computed (same joined operands, same expression), so the
+    // per-doc avg consumes the same multiset — output unchanged.
+    val scoredBi = bi
       .join(uni.select(col("tok").as("w1"), col("ucnt").as("c1")), "w1")
       .join(uni.select(col("tok").as("w2"), col("ucnt").as("c2")), "w2")
       .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), log(p).as("__lp"))
+    bg.join(scoredBi, Seq("w1", "w2"))
       .groupBy(col(id))
-      .agg(count(lit(1)).as("n_bigrams"), round(avg(log(p)), 6).as("avg_logprob"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("__lp")), 6).as("avg_logprob"))
   }
 
   /** KNESER–NEY PERPLEXITY GATE — the CCNet-style learned-LM quality
@@ -802,6 +814,16 @@ object TextAnalysis {
       .otherwise(pcont)
     val p = (lit(1.0) - lit(floorEps)) * pkn +
       lit(floorEps) / (col("v_train") + lit(1.0))
+    // Deliberately NOT rewritten to [[bigramLogProb]]'s vocabulary-grain
+    // scoring: KN's left-join semantics (unseen bigrams fall through to
+    // pcont/the floor) would need a DISTINCT over the scored instance
+    // table first — an exchange the current plan does not have (the three
+    // model tables broadcast, so instances reach the doc-grain aggregate
+    // without ever shuffling on a token key). Measured at sf0.1: the
+    // distinct+score-join form reads +15-27% on q_ppl_buckets/
+    // q_quality_signals. On a corpus whose model tables outgrow the
+    // broadcast threshold, AQE degrades these to shuffled joins and the
+    // vocabulary-grain form wins instead — revisit with measurements then.
     bigrams(df)
       .join(bi, Seq("w1", "w2"), "left")
       .join(ctx, Seq("w1"), "left")

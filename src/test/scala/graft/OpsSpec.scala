@@ -222,6 +222,48 @@ class OpsSpec extends AnyFunSuite {
     assert((10L to 12L).forall(!got(_)))
   }
 
+  test("madOutliers: histogram-derived MAD ≡ direct row-grain medians " +
+    "(duplicate-heavy + asymmetric-fold groups)") {
+    import graft.operators.Profiler
+    // r17: the MAD histogram is folded from the value histogram
+    // (|v − med| merges distinct values, counts summed) instead of
+    // re-aggregating rows — equivalence must hold where the fold MERGES
+    // bins: values symmetric around the median (|8|: 2 and 18 with med 10)
+    // and heavy duplicates. Reference = medians computed directly on rows.
+    val vals = Map(
+      "sym" -> Seq(2.0, 2.0, 10.0, 10.0, 10.0, 18.0, 18.0, 30.0),
+      "dup" -> Seq(1.0, 1.0, 1.0, 1.0, 7.0, 7.0, 9.0),
+      "one" -> Seq(42.0))
+    val df = vals.toSeq.flatMap { case (g, vs) => vs.map(v => (g, v)) }
+      .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "g", "v")
+    def lowerRankMedian(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      s(math.floor((s.size - 1) * 0.5).toInt)
+    }
+    val expect = vals.map { case (g, vs) =>
+      val med = lowerRankMedian(vs)
+      val mad = lowerRankMedian(vs.map(v => math.abs(v - med)))
+      g -> (med, mad)
+    }
+    val got = Profiler.madOutliers(df, "g", "v")
+      .select($"g", $"med", $"mad").distinct()
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == expect, s"got $got, expect $expect")
+  }
+
+  test("quantilesFromCounts ≡ histogramQuantiles on the same data") {
+    val df = Seq(("a", 1.0), ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 10.0),
+      ("b", 5.0), ("b", 5.0), ("b", 5.0)).toDF("g", "v")
+    val vc = df.groupBy($"g", $"v".as("__v")).agg(count(lit(1)).as("__cnt"))
+    val a = Ops.quantilesFromCounts(vc, "g", Seq(0.5, 0.95))
+      .orderBy($"g").as[(String, Double, Double, Long)].collect()
+    val b = Ops.histogramQuantiles(df, "g", "v", Seq(0.5, 0.95))
+      .orderBy($"g").as[(String, Double, Double, Long)].collect()
+    assert(a sameElements b)
+  }
+
   test("pearson: perfect linear = 1, inverse = -1, constant = null") {
     import graft.operators.Profiler
     val df = Seq((1.0, 2.0, -1.0, 7.0), (2.0, 4.0, -2.0, 7.0),
